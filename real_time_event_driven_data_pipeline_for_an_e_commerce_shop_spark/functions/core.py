@@ -1,0 +1,65 @@
+"""Engine-deterministic scalar helpers.
+
+The reference rounds with pandas/Python (``/root/reference/Task_2/
+task_2.py:118-121,135-137``). Engines disagree on round-half semantics
+for doubles (Spark converts through BigDecimal's shortest decimal
+representation, DuckDB/C++ round the scaled binary double), so a KPI
+that must hash-match across engines cannot use either engine's native
+``round``. Two rules keep every money/rate column bit-deterministic:
+
+1. **Sum money in DECIMAL** — exact, order-independent, so the value is
+   identical regardless of partitioning / addition order. Then cast to
+   double (one deterministic conversion).
+2. **Round via** ``floor(x * 10^d + 0.5) / 10^d`` — plain IEEE-754
+   double ops that produce the same bits in Spark, DuckDB, pandas, or a
+   calculator. Semantically round-half-up, matching the reference's
+   positive-valued KPIs.
+
+``sql_det_round``/``sql_money_sum`` emit the mirror-image ANSI SQL for
+the DuckDB oracle so both sides compute literally the same doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 18,2 holds 100 TB worth of 2-decimal money (10^16 dollars) exactly.
+MONEY_DECIMAL = "decimal(18,2)"
+
+
+def det_round(col: Column, digits: int = 2) -> Column:
+    """Deterministic round-half-up on a double column (see module doc)."""
+    scale = float(10**digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def money_sum(col: Column) -> Column:
+    """Order-independent exact sum of a 2-decimal money column, as double."""
+    return exact_sum(col, 2)
+
+
+def exact_sum(col: Column, digits: int = 2) -> Column:
+    """Deterministic sum of a derived numeric column: det-round to
+    ``digits``, cast to DECIMAL (exact, order-independent sum), back to
+    double. Mirror: :func:`sql_exact_sum`."""
+    return F.sum(det_round(col, digits).cast(f"decimal(18,{digits})")).cast("double")
+
+
+def ratio(num: Column, den: Column) -> Column:
+    """num/den as double (IEEE division, deterministic given its inputs)."""
+    return num.cast("double") / den.cast("double")
+
+
+def sql_det_round(expr: str, digits: int = 2) -> str:
+    """DuckDB/ANSI mirror of :func:`det_round`."""
+    scale = float(10**digits)
+    return f"(FLOOR(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def sql_exact_sum(expr: str, digits: int = 2) -> str:
+    """DuckDB/ANSI mirror of :func:`exact_sum`."""
+    return (
+        f"CAST(SUM(CAST({sql_det_round(expr, digits)} AS"
+        f" DECIMAL(18,{digits}))) AS DOUBLE)"
+    )

@@ -1,0 +1,79 @@
+"""Batch sources: schema-checked parquet + multi-file CSV scans.
+
+Reference parity (SURVEY.md §2.1):
+
+* S1 single-CSV scan (``/root/reference/Task_1/task_1.py:76-86``) and
+  S2 multi-file scan + concat (``task_1.py:88-104``) collapse into one
+  ``spark.read.csv`` over a file or directory — Spark's multi-file scan
+  *is* the union, executed in parallel and with the CSV parse pushed to
+  executors instead of a driver-side ``pd.concat``.
+* S3 file-presence gate (``task_1.py:34-61``; ``lambda_trigger.py:44-65``)
+  becomes :func:`require_inputs` — a cheap driver-side existence probe
+  before any job is submitted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..schemas import ECOMMERCE_SCHEMAS, TESTDATA_SCHEMAS
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema: StructType, **options: str
+) -> DataFrame:
+    """Read a CSV file or directory of CSVs with an explicit schema.
+
+    ``timestampFormat`` accepts the reference's ISO ``yyyy-MM-dd'T'HH:mm:ss``
+    strings; a directory path gives the implicit union of operator S2.
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def load_ecommerce_csv(spark: SparkSession, base_dir: str) -> dict[str, DataFrame]:
+    """Load the reference-shaped raw zone: ``products.csv``, ``orders/``,
+    ``order_items/`` under ``base_dir``."""
+    layout = {
+        "products": os.path.join(base_dir, "products.csv"),
+        "orders": os.path.join(base_dir, "orders"),
+        "order_items": os.path.join(base_dir, "order_items"),
+    }
+    return {
+        name: read_csv_table(spark, path, ECOMMERCE_SCHEMAS[name])
+        for name, path in layout.items()
+    }
+
+
+def require_inputs(base_dir: str) -> None:
+    """Pre-flight readiness gate: raise ``FileNotFoundError`` unless all
+    three raw inputs exist (reference operator S3)."""
+    required = ["products.csv", "orders", "order_items"]
+    missing = [p for p in required if not os.path.exists(os.path.join(base_dir, p))]
+    if missing:
+        raise FileNotFoundError(f"missing required inputs under {base_dir}: {missing}")
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet testdata tables from ``sf_dir``.
+
+    Parquet footers carry the schema; we pass none so the scan keeps
+    predicate pushdown + column pruning, and tests assert the footer
+    matches :data:`TESTDATA_SCHEMAS`.
+    """
+    names = tables or tuple(TESTDATA_SCHEMAS)
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in names
+    }
