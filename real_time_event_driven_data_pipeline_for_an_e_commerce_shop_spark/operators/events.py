@@ -1,0 +1,95 @@
+"""Event-stream batch operators over the ``events`` table.
+
+The reference's "stream" is orchestration only (SURVEY.md §2.7): full
+snapshots per trigger, no event-time semantics. These operators give
+the event surface real event-time treatment in batch form; the
+streaming module reuses the same aggregations under watermarks.
+
+* daily_event_rollup — tumbling 1-day event-time window (batch form of
+  the streaming daily KPI).
+* event_json_kpi — JSON property extraction (``props`` column) via
+  regexp, staying JVM-side.
+* sessionize — gap-based sessionization with window functions (lag →
+  gap flag → cumulative session id), the batch equivalent of
+  ``session_window``; one shuffle on user_id, everything else within
+  the partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import det_round, exact_sum, ratio
+
+
+def daily_event_rollup(events: DataFrame) -> DataFrame:
+    """Per-day, per-type event counts + value sums + unique users."""
+    return (
+        events.groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )
+
+
+def event_json_kpi(events: DataFrame) -> DataFrame:
+    """Extract the integer ``k`` property from the JSON ``props`` string
+    and aggregate it per event type.
+
+    Regexp extraction instead of ``get_json_object`` keeps the exact
+    same semantics available in the DuckDB oracle without its JSON
+    extension; both engines see ``"k": <digits>``.
+    """
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    k_long = F.when(k != "", k.cast("long"))
+    per_event = events.select("event_type", k_long.alias("k"))
+    return per_event.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``.
+
+    Second-truncated epoch arithmetic (``cast long``) so the boundary
+    decision is integer-exact and engine-independent. Output grain: one
+    row per session.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    gap = epoch - F.lag(epoch).over(order)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_ids = events.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).alias("duration_s"),
+            exact_sum(F.col("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "first_event_id",
+            "n_events",
+            "duration_s",
+            "session_value",
+        )
+    )

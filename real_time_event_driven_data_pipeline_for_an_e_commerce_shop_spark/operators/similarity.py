@@ -1,0 +1,190 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Extension surface (BASELINE.json north star). Two tiers:
+
+* **brute-force cosine top-k** — the exact baseline: broadcast the
+  query vectors, one narrow pass over the corpus computing cosine via
+  JVM higher-order functions (``zip_with`` + ``aggregate`` — no Python,
+  no UDF), then a per-query top-k window. At 100 TB the corpus scan is
+  embarrassingly parallel and the window shuffles only (query_id ×
+  corpus) rows that survive; with ``prefilter_threshold`` the shuffle
+  input can be cut before the window.
+* **LSH-bucketed (random hyperplane / SRP)** — the scale path: sign of
+  dot(v, r_i) for ``n_planes`` fixed pseudo-random hyperplanes gives a
+  bucket key; candidates = same-bucket pairs, exact cosine only inside
+  buckets. Hyperplanes are derived deterministically from xxhash64 so
+  the operator needs no stored model and is reproducible run-to-run.
+* **embedding near-dup pairs** — cosine > threshold within blocks, the
+  embedding-space dedup flavor.
+
+All float math is done in double (elements cast up) with sequential
+left-to-right array folds — deterministic and mirrorable in the DuckDB
+oracle; ``sqrt`` is IEEE-correctly-rounded in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import det_round
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential dot product of two double arrays (deterministic fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` is broadcast (the small side by construction); ties
+    broken by neighbor id for determinism; self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def _srp_plane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component weights in
+    [-1, 1), derived from a splitmix-style integer mix — model-free and
+    identical on every run/executor."""
+    comps = []
+    for j in range(dim):
+        z = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        comps.append((z % 2_000_001) / 1_000_000.0 - 1.0)
+    return comps
+
+
+def srp_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Signed-random-projection bucket id: one bit per hyperplane."""
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(w) for w in _srp_plane(dim, p)])
+        bit = F.when(_dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(bit)
+    return acc
+
+
+def srp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine only among same-SRP-bucket
+    candidates. Recall grows as ``n_planes`` shrinks (coarser buckets);
+    at scale, multiple hash tables would be OR-ed — here one table
+    keeps the plan a single equi-join."""
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("bucket", srp_bucket(F.col("cvec"), dim, n_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("bucket", srp_bucket(F.col("qvec"), dim, n_planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking column
+    (at scale the block is an SRP bucket; ``label`` here keeps the
+    oracle SQL-expressible)."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("block"),
+        as_double(F.col(vec_col)).alias("vec"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b, on=[F.col("a.block") == F.col("b.block"), F.col("a.vid") < F.col("b.vid")]
+    )
+    return (
+        pairs.select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            det_round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

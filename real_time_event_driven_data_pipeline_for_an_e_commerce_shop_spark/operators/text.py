@@ -1,0 +1,121 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The reference has no text surface (SURVEY.md §2.6 — no regex, no string
+functions beyond S3 key manipulation); these are the training-data-
+pipeline extensions mandated by BASELINE.json's north star, built
+entirely from JVM-side ``pyspark.sql.functions`` so they stay inside
+whole-stage codegen — no Python in the hot path.
+
+Cross-engine determinism: only +,-,*,/ on doubles, integer counts, and
+``floor``-based rounding (``functions/core.py``) — no transcendental
+functions whose libm rounding could differ between Spark and the
+DuckDB oracle.
+
+At 100 TB: every operator here is a narrow map over ``documents`` —
+no shuffle at all, fully pipelined with the parquet scan, so
+throughput is scan-bound. ``split`` on ``\\s+`` is the tokenizer
+everywhere so token counts agree across operators and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import det_round, ratio
+
+# deterministic mini stoplists per language for the n-gram/stopword
+# heuristic language classifier; ASCII-only on purpose (the heuristic
+# must behave identically on any engine's collation).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "que", "es", "una"),
+    "zh": ("de", "shi", "bu", "le", "zai"),
+}
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+PUNCT_CLASS = r"[^.,;:!?]"  # negated: replace non-punct away, count rest
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer — the shared token definition."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: total, distinct, and mean token length."""
+    t = tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique_tokens"),
+        det_round(
+            ratio(F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")), F.size(t)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length, punctuation density, stopword
+    density, and a deterministic compound score in [0, ~1]."""
+    t = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(t)
+    punct = F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    stop_hits = F.size(
+        F.filter(t, lambda x: x.isin(*STOPWORDS))
+    )
+    punct_ratio = ratio(punct, F.greatest(n_chars, F.lit(1)))
+    stop_ratio = ratio(stop_hits, F.greatest(n_tokens, F.lit(1)))
+    # bounded length factor: min(n_chars, 500)/500 — favors non-trivial docs
+    len_factor = ratio(F.least(n_chars, F.lit(500)), F.lit(500))
+    return documents.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
+        det_round(punct_ratio, 4).alias("punct_ratio"),
+        det_round(stop_ratio, 4).alias("stopword_ratio"),
+        det_round(
+            (len_factor + stop_ratio + (F.lit(1.0) - punct_ratio)) / F.lit(3.0), 4
+        ).alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-marker language heuristic.
+
+    Scores each language by how many of its marker words occur in the
+    distinct token set; argmax with a fixed precedence order
+    (en>de>fr>es>zh) as the deterministic tie-break.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col("text"))))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in order])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(order):  # earlier langs win ties: build from the back
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    out = documents.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in order],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    — the exact-dedup key at scale (hash once, group on 32 bytes
+    instead of shuffling full documents)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return documents.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )

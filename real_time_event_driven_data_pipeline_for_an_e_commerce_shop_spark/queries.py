@@ -209,3 +209,421 @@ def q_category_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iso_date(
         kpi.category_rank_daily(kpi.category_kpi(fact), top_k=5), "order_date"
     )
+
+
+# --- OLAP breadth (§2.4/2.5 missing-surface extensions) ---------------
+
+from .operators import dedup, events, olap, similarity, text  # noqa: E402
+
+
+def exact_sum_sql(expr: str, digits: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({round_sql(expr, digits)} AS DECIMAL(18,{digits})))"
+        " AS DOUBLE)"
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {exact_sum_sql("l_quantity", 2)} AS sum_qty,
+           {exact_sum_sql("l_extendedprice", 2)} AS sum_base_price,
+           {exact_sum_sql("l_extendedprice * (1.0 - l_discount)", 4)}
+               AS sum_disc_price,
+           {exact_sum_sql(
+               "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)}
+               AS sum_charge,
+           {round_sql(exact_sum_sql("l_quantity", 2) + " / COUNT(*)", 4)}
+               AS avg_qty,
+           {round_sql(exact_sum_sql("l_extendedprice", 2) + " / COUNT(*)", 4)}
+               AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate groupBy."""
+    t = _t(spark, sf_dir, "lineitem")
+    return olap.pricing_summary(t["lineitem"])
+
+
+@query(
+    "top_customers",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_custkey,
+               {exact_sum_sql("o_totalprice", 2)} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC)
+                AS BIGINT) AS revenue_rank,
+           c_custkey, c_name, c_mktsegment, revenue, n_orders
+    FROM per JOIN customer ON o_custkey = c_custkey
+    QUALIFY revenue_rank <= 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + global top-k window."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    return olap.top_customers(t["orders"], t["customer"], k=10)
+
+
+@query(
+    "region_revenue",
+    oracle=f"""
+    SELECT r_name,
+           {exact_sum_sql("o_totalprice", 2)} AS revenue,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table broadcast-chain star join."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    return olap.region_revenue(t["orders"], t["customer"], t["nation"], t["region"])
+
+
+@query(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1995-01-01 00:00:00')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: semi-join feeding an aggregation."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    return olap.order_priority_counts(t["orders"], t["lineitem"])
+
+
+# --- event-stream batch surface (§2.7 made real) ----------------------
+
+
+@query(
+    "events_daily",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+           COUNT(*) AS n_events,
+           {exact_sum_sql("value", 2)} AS total_value,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    """,
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time rollup (batch form)."""
+    t = _t(spark, sf_dir, "events")
+    return events.daily_event_rollup(t["events"])
+
+
+@query(
+    "event_json_kpi",
+    oracle=r"""
+    WITH pe AS (
+        SELECT event_type,
+               CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+                    AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type, COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MAX(k) AS max_k
+    FROM pe GROUP BY event_type
+    """,
+)
+def q_event_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (regexp, JVM-side) + aggregation."""
+    t = _t(spark, sf_dir, "events")
+    return events.event_json_kpi(t["events"])
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+               LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_events,
+           MAX(es) - MIN(es) AS duration_s,
+           {exact_sum_sql("value", 2)} AS session_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag → flag → cumulative sum)."""
+    t = _t(spark, sf_dir, "events")
+    return events.sessionize(t["events"], gap_seconds=1800)
+
+
+# --- training-data extensions: text analysis --------------------------
+
+SQL_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+SQL_NONSPACE_LEN = (
+    r"CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed by normalized-text md5."""
+    t = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(t["documents"])
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc md5 fingerprint of normalized text."""
+    t = _t(spark, sf_dir, "documents")
+    return text.fingerprint(t["documents"])
+
+
+@query(
+    "token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({SQL_TOKENS})) AS BIGINT) AS n_unique_tokens,
+           {round_sql(SQL_NONSPACE_LEN + " / len(" + SQL_TOKENS + ")", 4)}
+               AS avg_token_len
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer shared across operators)."""
+    t = _t(spark, sf_dir, "documents")
+    return text.token_stats(t["documents"])
+
+
+# --- text quality / language id / similarity --------------------------
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+_Q_TOKENS_LOWER = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _text_quality_oracle() -> str:
+    n_chars = "length(text)"
+    n_tokens = f"len({SQL_TOKENS})"
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    punct_ratio = f"(CAST({punct} AS DOUBLE) / CAST(GREATEST({n_chars}, 1) AS DOUBLE))"
+    stop_hits = (
+        f"len(list_filter({SQL_TOKENS}, x -> list_contains({_STOPLIST_SQL}, x)))"
+    )
+    stop_ratio = (
+        f"(CAST({stop_hits} AS DOUBLE) / CAST(GREATEST({n_tokens}, 1) AS DOUBLE))"
+    )
+    len_factor = f"(CAST(LEAST({n_chars}, 500) AS DOUBLE) / CAST(500 AS DOUBLE))"
+    score = f"(({len_factor} + {stop_ratio} + (1.0 - {punct_ratio})) / 3.0)"
+    return f"""
+    SELECT doc_id,
+           CAST({n_chars} AS BIGINT) AS n_chars_measured,
+           CAST({n_tokens} AS BIGINT) AS n_tokens,
+           {round_sql(punct_ratio, 4)} AS punct_ratio,
+           {round_sql(stop_ratio, 4)} AS stopword_ratio,
+           {round_sql(score, 4)} AS quality_score
+    FROM documents
+    """
+
+
+@query("text_quality", oracle=_text_quality_oracle())
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring (length/punct/stopword)."""
+    t = _t(spark, sf_dir, "documents")
+    return text.quality_score(t["documents"])
+
+
+def _lang_id_oracle() -> str:
+    toks = f"list_distinct({_Q_TOKENS_LOWER})"
+    score = {
+        lang: f"len(list_intersect({toks}, ["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "]))"
+        for lang, ws in text.LANG_MARKERS.items()
+    }
+    order = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(score[lang] for lang in order) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in order)
+        + " END"
+    )
+    cols = ",\n           ".join(
+        f"CAST({score[lang]} AS BIGINT) AS score_{lang}" for lang in order
+    )
+    return f"""
+    SELECT doc_id, lang,
+           {cols},
+           {case} AS predicted_lang
+    FROM documents
+    """
+
+
+@query("lang_id", oracle=_lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language heuristic with deterministic tie-break."""
+    t = _t(spark, sf_dir, "documents")
+    return text.language_id(t["documents"])
+
+
+def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.1) -> str:
+    mk = " ".join(f"T[i+{j}]," for j in range(k)).rstrip(",")
+    shingle = (
+        f"list_transform(range(1, len(T) - {k - 2}), "
+        f"i -> concat_ws(' ', {mk}))"
+    )
+    jacc = (
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang AS block, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, block,
+               list_distinct(CASE WHEN len(T) >= {k} THEN {shingle}
+                             ELSE [array_to_string(T, ' ')] END) AS s
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {round_sql(jacc, 4)} AS jaccard
+        FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= {threshold}
+    """
+
+
+@query("ngram_jaccard", oracle=_ngram_jaccard_oracle())
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs within language blocks."""
+    t = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(t["documents"], k=3, threshold=0.1)
+
+
+SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+SQL_COS = (
+    "(list_dot_product(a.vec, b.vec)"
+    " / (sqrt(list_dot_product(a.vec, a.vec))"
+    " * sqrt(list_dot_product(b.vec, b.vec))))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    scored AS (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {SQL_COS} AS sim
+        FROM v a CROSS JOIN v b
+        WHERE b.vec_id < 10 AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM scored
+    QUALIFY sim_rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 query vectors."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {SQL_VEC} AS vec FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {round_sql(SQL_COS, 6)} AS cosine_sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT * FROM pairs WHERE cosine_sim >= 0.3
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks."""
+    t = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
+
+
+# --- LSH family (no SQL equivalent: xxhash64-based; rows-only check) ---
+
+
+@query("dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate near-dup pairs, Jaccard-verified.
+
+    Non-SQL-expressible (xxhash64 signatures); correctness is covered
+    by unit tests on constructed corpora + the exact ngram_jaccard
+    oracle query as the ground-truth baseline."""
+    t = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(t["documents"], jaccard_threshold=0.5)
+
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash blocking near-dup candidates (rows-only check)."""
+    t = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(t["documents"], prefix_bits=16)
+
+
+@query("ann_srp_topk")
+def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via signed-random-projection buckets."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return similarity.srp_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=8
+    )

@@ -74,6 +74,22 @@ def load_testdata(
     """
     names = tables or tuple(TESTDATA_SCHEMAS)
     return {
-        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for name in names
+        name: _read_testdata_table(spark, sf_dir, name) for name in names
     }
+
+
+def _read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan; ``events.ts`` is TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects — read nanos as long and floor-convert to
+    microsecond timestamps (the same truncation DuckDB applies)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,112 @@
+"""Unit tests for the training-data extension operators (dedup,
+similarity, text) on constructed corpora with known answers."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    dedup,
+    similarity,
+    text,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = BASE.replace("today", "tonight")  # one token differs
+OTHER = "completely different words about spark query engines and shuffles"
+
+
+def test_exact_dedup_groups(spark):
+    df = docs_df(spark, [BASE, "  THE  quick brown fox jumps over the lazy dog near the old river bank today ", OTHER])
+    out = {r["canonical_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    # doc 1 differs only by case/whitespace → same fingerprint as doc 0
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    df = docs_df(spark, [BASE, NEAR, OTHER])
+    pairs = dedup.minhash_lsh_candidates(df, jaccard_threshold=0.3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_ngram_jaccard_exact(spark):
+    df = docs_df(spark, [BASE, NEAR, OTHER])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    # BASE has 15 tokens → 13 shingles; only the final shingle
+    # ("river bank today" vs "…tonight") differs → 12 shared,
+    # jaccard = 12 / (13 + 13 - 12)
+    assert pairs[(0, 1)] == round(12 / 14, 4)
+    assert pairs[(0, 2)] == 0.0
+
+
+def test_simhash_identical_and_blocking(spark):
+    df = docs_df(spark, [BASE, BASE, OTHER])
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    cands = dedup.simhash_near_dups(df).collect()
+    assert any((c["doc_a"], c["doc_b"]) == (0, 1) for c in cands)
+
+
+def vecs_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_brute_force_topk_exact(spark):
+    vecs = [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]]
+    df = vecs_df(spark, vecs)
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["sim_rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2, 3]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(rows[0]["cosine_sim"] - expected) < 1e-6
+
+
+def test_srp_topk_contains_nearest(spark):
+    # near-identical vectors land in the same SRP bucket
+    vecs = [[1, 0, 0, 0], [0.99, 0.01, 0, 0], [-1, 0, 0, 0]]
+    df = vecs_df(spark, vecs)
+    out = similarity.srp_topk(
+        df, df.filter(F.col("vec_id") == 0), dim=4, k=2, n_planes=4
+    ).collect()
+    assert any(r["neighbor_id"] == 1 for r in out)
+
+
+def test_token_stats_and_quality(spark):
+    df = docs_df(spark, ["Hello world! hello", ""])
+    ts = {r["doc_id"]: r for r in text.token_stats(df).collect()}
+    assert ts[0]["n_tokens"] == 3
+    assert ts[0]["n_unique_tokens"] == 3  # 'Hello' != 'hello' (case-sensitive)
+    q = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+    assert q[0]["n_chars_measured"] == 18
+    assert 0.0 <= q[0]["quality_score"] <= 1.0
+
+
+def test_language_id_markers(spark):
+    df = docs_df(spark, ["the cat and the dog is here", "der hund und die katze ist"])
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+
+
+def test_fingerprint_normalization(spark):
+    df = docs_df(spark, ["A  B\tC", "a b c"])
+    fps = [r["fingerprint"] for r in text.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
