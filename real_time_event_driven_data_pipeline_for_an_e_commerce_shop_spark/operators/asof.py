@@ -1,0 +1,73 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as the **union-sort trick**, not a UDF: tag right rows 0
+and left rows 1, union on (key, time, tag), and carry the right
+payload forward with ``last(..., ignorenulls=True)`` over an ordered
+window. One shuffle on the key, one in-partition sort — the same cost
+shape as a sort-merge join, and fully Catalyst-visible (no
+``applyInPandas`` / ``merge_asof`` Python detour).
+
+Semantics: for each left row, the right row with the greatest
+``time <= left.time`` on the same key (inclusive; right-before-left at
+equal timestamps). Matches DuckDB's ``ASOF JOIN`` with ``>=``, which
+the oracle uses.
+
+At 100 TB: the window is per-key and streaming-friendly (rows only
+carry forward), no broadcast, no quadratic term; skewed keys fall to
+AQE. For an append-only right side this is also exactly the state
+layout ``applyInPandasWithState`` would keep in streaming mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: latest right payload at or before each left
+    row's time, per key. ``how='left'`` keeps unmatched left rows."""
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    w = Window.partitionBy("_k").orderBy("_t", "_is_left").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        "_k",
+        "_t",
+        "_is_left",
+        "_lrow",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_p_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = filled.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_p_{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{payload_cols[0]}").isNotNull())
+    return out

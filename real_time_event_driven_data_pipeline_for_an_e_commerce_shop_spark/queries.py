@@ -627,3 +627,218 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=8
     )
+
+
+# --- §2.5 completion: rollup / pivot / set ops / as-of / session window
+
+from .operators import asof as asof_ops  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {exact_sum_sql("o_totalprice", 2)} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: revenue by region → nation → grand total."""
+    from .functions.core import exact_sum
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    dim = (
+        t["customer"]
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type (fixed
+    value list so the output schema is static)."""
+    t = _t(spark, sf_dir, "events")
+    pivoted = (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.na.fill(0, EVENT_TYPES)
+
+
+@query(
+    "setops_active_buyers",
+    oracle="""
+    SELECT o_custkey AS cust FROM orders
+    INTERSECT
+    SELECT user_id FROM events
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q_setops_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: buyers who are also event users, minus
+    high-balance customers (INTERSECT + EXCEPT, distinct semantics)."""
+    t = _t(spark, sf_dir, "orders", "events", "customer")
+    buyers = t["orders"].select(F.col("o_custkey").alias("cust"))
+    users = t["events"].select(F.col("user_id").alias("cust"))
+    rich = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("cust"))
+    )
+    return buyers.intersect(users).subtract(rich)
+
+
+@query(
+    "asof_last_order",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+           r.o_orderkey AS asof_o_orderkey,
+           epoch_us(r.o_orderdate) AS asof_odate_us,
+           r.o_totalprice AS asof_o_totalprice
+    FROM events e
+    ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to that user's latest order at or
+    before the event time (union-sort implementation, no UDF)."""
+    t = _t(spark, sf_dir, "orders", "events")
+    # dedupe right side at (key, time) so tie-breaks are deterministic
+    dd = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    right = (
+        t["orders"]
+        .withColumn("_rn", F.row_number().over(dd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+            F.col("o_orderkey"),
+            # parquet timestamps surface as TIMESTAMP_NTZ; under the UTC
+            # session the cast is wall-clock identity, matching DuckDB's
+            # naive epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            F.col("o_totalprice"),
+        )
+    )
+    left = t["events"].select(
+        "event_id", "user_id", F.col("ts"), F.unix_micros("ts").alias("ts_us")
+    )
+    out = asof_ops.asof_join(
+        left,
+        right,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "odate_us", "o_totalprice"],
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_o_orderkey"),
+        F.col("asof_odate_us"),
+        F.col("asof_o_totalprice"),
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+               LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
+           COUNT(*) AS n_events,
+           {exact_sum_sql("value", 2)} AS session_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (batch mode) — same sessions as the
+    lag/cumsum formulation, via Spark's built-in gap-merge operator.
+
+    Caveat vs the oracle: session_window merges on sub-second gaps
+    (full µs precision) while the oracle's lag/cumsum uses
+    second-truncated epochs — identical results unless two events sit
+    exactly on a 1800 s boundary, which µs timestamps make measure-zero.
+    """
+    from .functions.core import exact_sum
+
+    t = _t(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+            "session_value",
+        )
+    )

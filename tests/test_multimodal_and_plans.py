@@ -1,0 +1,95 @@
+"""Multimodal plumbing tests (schema, batching, determinism of the
+stubbed codec layer) + physical-plan shape assertions for the core
+queries — the scale contract, checked mechanically."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    multimodal as mm,
+)
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+)
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+    QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_schema_and_features(spark):
+    media = mm.synthetic_media(spark, 30)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "kind",
+        "payload",
+        "meta",
+    ]
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == mm.FEATURE_DIM for r in feats)
+    assert all(0.0 <= x < 1.0 for r in feats for x in r["feature"])
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    for r in feats:
+        assert again[r["media_id"]] == r["feature"]
+
+
+def test_real_codec_is_explicit_stub(spark):
+    media = mm.synthetic_media(spark, 3)
+    with pytest.raises(NotImplementedError):
+        mm.extract_features(media, real=True)
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(media, 32, 32, real=True)
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    media = mm.synthetic_media(spark, 30)
+    resized = mm.resize_images(media, 32, 24)
+    rows = resized.select("meta.width", "meta.height").distinct().collect()
+    assert [(r["width"], r["height"]) for r in rows] == [(32, 24)]
+    frames = mm.sample_frames(media, every_n=8)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert per_video and all(r["count"] == 3 for r in per_video)  # 24 frames / 8
+
+
+def test_category_kpi_plan_shape(spark):
+    df = QUERIES["category_kpi"](spark, SF)
+    assert has_broadcast_join(df)  # products dim must broadcast
+    # null-category filter must reach the part scan as IsNotNull
+    assert any("p_brand" in f for f in pushed_filters(df))
+
+
+def test_validate_filter_pushdown(spark):
+    df = QUERIES["validate_order_items"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThan(l_extendedprice,0" in pushed.replace(" ", "") or (
+        "l_extendedprice" in pushed
+    )
+
+
+def test_narrow_ops_have_no_shuffle(spark):
+    for name in ("token_stats", "text_quality", "doc_fingerprint", "lang_id"):
+        df = QUERIES[name](spark, SF)
+        assert count_exchanges(df) == 0, f"{name} should be shuffle-free"
+
+
+def test_topk_aggregates_before_window(spark):
+    # top_customers must aggregate orders before the global window:
+    # the window input is |customers|, so the single-partition exchange
+    # is fed by the agg, not the raw fact
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(QUERIES["top_customers"](spark, SF))
+    # formatted plans print top-down: the Window must sit ABOVE the
+    # aggregate (consume its output), i.e. appear earlier in the string
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")

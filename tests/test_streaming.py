@@ -1,0 +1,155 @@
+"""End-to-end tests of the event-driven layer: file-source pipeline
+with checkpoint/upsert, watermarked rollups, streaming sessionization.
+All drive real Structured Streaming queries to completion
+(availableNow / processAllAvailable) on temp dirs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    events as events_ops,
+)
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources.readers import (
+    load_testdata,
+)
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+    run_event_driven_pipeline,
+    sessionized_stream,
+    watermarked_daily_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+ORDERS_CSV = """order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item
+1,100,delivered,2025-03-08T10:00:00,,2025-03-08T12:00:00,2025-03-09T10:00:00,2
+2,101,returned,2025-03-08T11:00:00,2025-03-10T09:00:00,2025-03-08T13:00:00,2025-03-09T11:00:00,1
+3,102,delivered,2025-03-09T09:00:00,,2025-03-09T12:00:00,2025-03-10T10:00:00,1
+"""
+
+PRODUCTS_CSV = """id,sku,cost,category,name,brand,retail_price,department
+1,A-1,5.0,Electronics,Widget,Acme,10.0,Gadgets
+2,B-2,2.0,Books,Novel,Pub,8.0,Media
+"""
+
+ITEMS1_CSV = """id,order_id,user_id,product_id,status,created_at,shipped_at,delivered_at,returned_at,sale_price
+10,1,100,1,delivered,2025-03-08T10:00:00,2025-03-08T12:00:00,2025-03-09T10:00:00,,10.0
+11,1,100,2,delivered,2025-03-08T10:00:00,2025-03-08T12:00:00,2025-03-09T10:00:00,,8.0
+12,2,101,1,returned,2025-03-08T11:00:00,2025-03-08T13:00:00,2025-03-09T11:00:00,2025-03-10T09:00:00,10.0
+"""
+
+ITEMS2_CSV = """id,order_id,user_id,product_id,status,created_at,shipped_at,delivered_at,returned_at,sale_price
+13,3,102,2,delivered,2025-03-09T09:00:00,2025-03-09T12:00:00,2025-03-10T10:00:00,,8.0
+"""
+
+
+def _write(path: str, content: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+
+
+def test_event_driven_pipeline_incremental(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write(f"{raw}/products.csv", PRODUCTS_CSV)
+    _write(f"{raw}/orders/part1.csv", ORDERS_CSV)
+    _write(f"{raw}/order_items/part1.csv", ITEMS1_CSV)
+
+    run_event_driven_pipeline(spark, raw, out, ckpt)
+    cat = spark.read.parquet(f"{out}/category_kpi")
+    day1 = {r["category"]: r for r in cat.collect()}
+    assert set(day1) == {"Electronics", "Books"}
+    assert day1["Electronics"]["daily_revenue"] == 20.0
+    ord1 = spark.read.parquet(f"{out}/order_kpi").collect()
+    assert len(ord1) == 1  # only 2025-03-08 has items so far
+
+    # second upload: order 3's item arrives → only 2025-03-09 recomputed
+    _write(f"{raw}/order_items/part2.csv", ITEMS2_CSV)
+    run_event_driven_pipeline(spark, raw, out, ckpt)
+    ord2 = {str(r["order_date"]): r for r in
+            spark.read.parquet(f"{out}/order_kpi").collect()}
+    assert set(ord2) == {"2025-03-08", "2025-03-09"}
+    assert ord2["2025-03-09"]["total_orders"] == 1
+    assert ord2["2025-03-08"]["total_items_sold"] == 3
+
+    # exactly-once: re-running with no new files changes nothing
+    run_event_driven_pipeline(spark, raw, out, ckpt)
+    assert spark.read.parquet(f"{out}/order_kpi").count() == 2
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path):
+    events = load_testdata(spark, SF, ("events",))["events"]
+    src = str(tmp_path / "events_parquet")
+    events.write.parquet(src)
+    return spark.readStream.schema(events.schema).parquet(src), events
+
+
+def test_watermarked_daily_rollup_matches_batch(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    q = (
+        watermarked_daily_rollup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("daily_out")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_date"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM daily_out").collect()
+    }
+    # append mode withholds windows newer than the watermark; whatever
+    # was emitted must match the batch rollup exactly
+    expected = {
+        (r["event_date"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_ops.daily_event_rollup(batch).collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_sessionized_stream_matches_batch(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    q = (
+        sessionized_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # batch sessions keyed the same way: first event's epoch-µs
+    ev_us = {
+        r["event_id"]: r["us"]
+        for r in batch.select(
+            "event_id", F.unix_micros("ts").alias("us")
+        ).collect()
+    }
+    expected = {
+        (r["user_id"], ev_us[r["first_event_id"]]): (
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in events_ops.sessionize(batch).collect()
+    }
+    # append mode withholds sessions the watermark hasn't closed; every
+    # emitted session must match its batch twin exactly
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
