@@ -1,0 +1,82 @@
+"""Batch pipeline orchestrator — the reference's Task-1 → Task-2 flow
+as one Spark application.
+
+A user of the reference runs: upload files → Lambda → Step Functions →
+Task 1 (validate, write ``validated/``) → Task 2 (KPIs, write DynamoDB
++ ``processed/``, archive raw). The batch equivalent here is a single
+driver program over the same directory layout:
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import pipeline_batch
+    pipeline_batch.run(spark, raw_dir, out_dir)
+
+or ``python -m real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark --raw DIR --out DIR``.
+
+Differences from the reference, on purpose (SURVEY.md §3/§7):
+
+* the two stages compose lazily, so Catalyst optimizes across the
+  Task-1/Task-2 boundary; the ``validated/`` materialization is
+  optional (``materialize_validated``);
+* the KPI "DynamoDB tables" are keyed parquet upsert tables
+  (``sinks.kv``) — same upsert contract, no row-at-a-time puts;
+* the archive step moves processed raw files only when asked
+  (``archive=True``), and computes the file list at run time, not
+  import time (the reference's ordering hazard, ``task_2.py:261-263``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from .operators import kpi, validate
+from .sinks.files import write_processed_zone, write_validated_zone
+from .sinks.kv import KeyedParquetUpsertSink
+from .sources.readers import load_ecommerce_csv, require_inputs
+
+
+def run(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    run_ts: str | None = None,
+    materialize_validated: bool = False,
+    archive: bool = False,
+) -> dict[str, str]:
+    """Execute the full validate→transform pipeline; returns output paths."""
+    require_inputs(raw_dir)  # S3 readiness gate
+    raw = load_ecommerce_csv(spark, raw_dir)
+    valid = validate.run_validation(raw["products"], raw["orders"], raw["order_items"])
+
+    paths = {}
+    if materialize_validated:
+        vdir = os.path.join(out_dir, "validated")
+        write_validated_zone(valid, vdir)
+        paths["validated"] = vdir
+
+    kpis = kpi.run_transformation(valid["products"], valid["orders"], valid["order_items"])
+
+    cat_sink = KeyedParquetUpsertSink(os.path.join(out_dir, "category_kpi"), "order_date")
+    ord_sink = KeyedParquetUpsertSink(os.path.join(out_dir, "order_kpi"), "order_date")
+    cat_sink.upsert(kpis["category_kpi"])
+    ord_sink.upsert(kpis["order_kpi"])
+    paths["category_kpi"] = cat_sink.path
+    paths["order_kpi"] = ord_sink.path
+
+    ts = run_ts or _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d-T-%H:%M:%S")
+    processed = os.path.join(out_dir, "processed")
+    write_processed_zone(kpis, processed, ts)
+    paths["processed"] = os.path.join(processed, ts)
+
+    if archive:
+        # file list computed now, after all reads (not at import time)
+        arch = os.path.join(out_dir, "archive", ts)
+        os.makedirs(arch, exist_ok=True)
+        for name in ("orders", "order_items"):
+            src = os.path.join(raw_dir, name)
+            if os.path.isdir(src):
+                shutil.move(src, os.path.join(arch, name))
+        paths["archive"] = arch
+    return paths
