@@ -48,20 +48,29 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def shingles(text_col: Column, k: int = 3) -> Column:
-    """Word k-shingles as a distinct array (1-indexed element_at so the
-    DuckDB mirror, whose lists are also 1-indexed, lines up)."""
+    """Word k-shingles as a distinct array.
+
+    Formulated as a ``zip_with`` chain over shifted slices — NOT as
+    ``transform(sequence(...), i -> element_at(t, i+j))`` — because an
+    array expression referenced *inside* a higher-order-function lambda
+    is re-evaluated per element (HOFs are interpreted; codegen
+    subexpression elimination does not reach lambda bodies), turning
+    tokenization into O(n_shingles × k) regex splits per row (measured
+    ~8 s for 5k docs). Here the token array is only referenced at row
+    level: k-1 slices + one zip chain ⇒ O(k) evaluations per row.
+    """
     t = tokens(F.lower(text_col))
     n = F.size(t)
+    # sh[i] after the chain = t[i] ⊕ t[i+1] ⊕ … ⊕ t[i+k-1]; the last
+    # k-1 entries are partial (zip_with null-pads, concat_ws drops
+    # nulls) and are sliced away below.
+    sh = t
+    for j in range(1, k):
+        shifted = F.slice(t, j + 1, F.greatest(n - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(0)))
     return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, i + j) for j in range(k)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", t)))
+        F.when(n >= k, full).otherwise(F.array(F.concat_ws(" ", t)))
     )
 
 
@@ -225,20 +234,42 @@ def ngram_jaccard_pairs(
     block would be an LSH bucket (``minhash_lsh_candidates``), this is
     the exact baseline on modest blocks.
     """
-    sh = documents.select(
-        "doc_id", F.col(block_col).alias("block"), shingles(F.col("text"), k).alias("sh")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b,
-        on=[F.col("a.block") == F.col("b.block"), F.col("a.doc_id") < F.col("b.doc_id")],
-    )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
-        pairs.select(
+    # Pair generation and pair *verification* are separated on purpose:
+    # a blocked self-join with the arrays attached runs the quadratic
+    # explosion map-side inside whichever single task holds the block
+    # (broadcast join ⇒ parallelism = input splits, not pairs). Instead:
+    # (1) explode narrow (block, id) pairs, (2) repartition so the
+    # verification work spreads over the cluster, (3) join the shingle
+    # arrays back by doc id (auto-broadcast while small, shuffle
+    # hash-join at scale).
+    ids = documents.select("doc_id", F.col(block_col).alias("block"))
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            on=[
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+        )
+        .repartition("doc_a", "doc_b")
+    )
+    sh = documents.select("doc_id", shingles(F.col("text"), k).alias("sh"))
+    paired = pairs.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        paired.select(
+            "doc_a",
+            "doc_b",
             det_round(ratio(inter, union), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -171,20 +171,32 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs within a blocking column
     (at scale the block is an SRP bucket; ``label`` here keeps the
     oracle SQL-expressible)."""
+    # narrow pairs first, repartition, then attach vectors — see
+    # dedup.ngram_jaccard_pairs for why (blocked self-joins otherwise
+    # run the quadratic explosion inside one map task).
+    ids = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(block_col).alias("block")
+    )
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            on=[F.col("a.block") == F.col("b.block"), F.col("a.vid") < F.col("b.vid")],
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .repartition("vec_a", "vec_b")
+    )
     v = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(block_col).alias("block"),
-        as_double(F.col(vec_col)).alias("vec"),
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
     )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b, on=[F.col("a.block") == F.col("b.block"), F.col("a.vid") < F.col("b.vid")]
-    )
+    paired = pairs.join(
+        v.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va")), "vec_a"
+    ).join(v.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb")), "vec_b")
     return (
-        pairs.select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            det_round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+        paired.select(
+            "vec_a",
+            "vec_b",
+            det_round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

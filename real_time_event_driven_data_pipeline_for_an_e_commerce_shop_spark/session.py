@@ -45,8 +45,11 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 128 MiB input splits: big enough to amortize task overhead at
-        # 100 TB (≈800k tasks), small enough to parallelize locally.
+        # 100 TB (≈800k tasks); minPartitionNum keeps small scans from
+        # collapsing onto a handful of cores (at 100 TB the byte cap
+        # dominates and this hint is a no-op).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
