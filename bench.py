@@ -30,6 +30,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "token_stats",
     "text_quality",
+    "revenue_forecast",
+    "shipping_priority",
+    "ngram_jaccard",
+    "top_terms",
 ]
 
 

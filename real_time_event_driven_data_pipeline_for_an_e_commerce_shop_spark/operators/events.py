@@ -38,6 +38,26 @@ def daily_event_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_event_window(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time window via the native ``F.window``
+    operator — the exact aggregation the streaming layer runs under a
+    watermark, in batch form (same plan shape: one shuffle on the
+    window bucket + type)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def event_json_kpi(events: DataFrame) -> DataFrame:
     """Extract the integer ``k`` property from the JSON ``props`` string
     and aggregate it per event type.

@@ -111,6 +111,28 @@ def language_id(documents: DataFrame) -> DataFrame:
     return out
 
 
+def top_terms(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k terms: explode tokens → hash-agg counts →
+    global top-k window. The explode fans each doc into its tokens
+    (narrow, pipelined with the scan); map-side partial aggregation
+    collapses the shuffle to |vocabulary| rows, so the top-k window
+    never sees raw token occurrences."""
+    tok = documents.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select("term_rank", "term", "n_occurrences")
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     — the exact-dedup key at scale (hash once, group on 32 bytes

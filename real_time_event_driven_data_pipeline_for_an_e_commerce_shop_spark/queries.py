@@ -789,6 +789,265 @@ def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H-shaped OLAP breadth (round-1 widening) ---------------------
+
+
+@query(
+    "revenue_forecast",
+    oracle=f"""
+    SELECT {exact_sum_sql("l_extendedprice * l_discount", 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + 1-row aggregate, all predicates
+    pushed to the scan."""
+    t = _t(spark, sf_dir, "lineitem")
+    return olap.revenue_forecast(t["lineitem"])
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, o.o_orderpriority,
+               {exact_sum_sql("l.l_extendedprice * (1.0 - l.l_discount)", 4)}
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          AND o.o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey ASC)
+                AS BIGINT) AS rank,
+           o_orderkey, o_orderdate, o_orderpriority, revenue
+    FROM rev
+    QUALIFY rank <= 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment semi-join + agg + global top-k."""
+    t = _t(spark, sf_dir, "orders", "lineitem", "customer")
+    return olap.shipping_priority(t["orders"], t["lineitem"], t["customer"])
+
+
+@query(
+    "priority_shipment_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_items,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def q_priority_shipment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counts per return flag."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    return olap.priority_shipment_stats(t["orders"], t["lineitem"])
+
+
+@query(
+    "promo_revenue",
+    oracle=f"""
+    WITH j AS (
+        SELECT l_extendedprice * (1.0 - l_discount) AS disc, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    agg AS (
+        SELECT {exact_sum_sql("CASE WHEN p_type = 'PROMO' THEN disc ELSE 0.0 END", 4)}
+                   AS promo_revenue,
+               {exact_sum_sql("disc", 4)} AS total_revenue
+        FROM j
+    )
+    SELECT promo_revenue, total_revenue,
+           {round_sql("100.0 * promo_revenue / total_revenue", 4)} AS promo_pct
+    FROM agg
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim + conditional aggregate."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    return olap.promo_revenue_share(t["lineitem"], t["part"])
+
+
+@query(
+    "small_quantity_revenue",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+    ),
+    cuts AS (
+        SELECT l_partkey AS cut_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+        FROM li GROUP BY l_partkey
+    )
+    SELECT {round_sql(exact_sum_sql("l_extendedprice", 2) + " / 7.0", 4)}
+               AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM li JOIN cuts ON l_partkey = cut_partkey
+    WHERE l_quantity < qty_cut
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-key average joined back as a filter."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    return olap.small_quantity_revenue(t["lineitem"], t["part"])
+
+
+@query(
+    "big_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {exact_sum_sql("l_quantity", 2)} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {exact_sum_sql("l_quantity", 2)} > 300
+    )
+    SELECT c_name, o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           o_totalprice AS totalprice, total_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an aggregate, joined back to dims."""
+    t = _t(spark, sf_dir, "orders", "lineitem", "customer")
+    return iso_date(
+        olap.big_orders(t["orders"], t["lineitem"], t["customer"]), "orderdate"
+    )
+
+
+@query(
+    "discounted_revenue",
+    oracle=f"""
+    SELECT {exact_sum_sql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_size <= 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_size <= 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate over a broadcast join."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    return olap.discounted_revenue(t["lineitem"], t["part"])
+
+
+@query(
+    "supplier_balance",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_suppliers,
+           {exact_sum_sql("s_acctbal", 2)} AS total_balance,
+           {round_sql("MIN(s_acctbal)")} AS min_balance,
+           {round_sql("MAX(s_acctbal)")} AS max_balance
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side dim rollup (completes source-table coverage)."""
+    t = _t(spark, sf_dir, "supplier", "nation", "region")
+    return olap.supplier_balance_by_nation(t["supplier"], t["nation"], t["region"])
+
+
+@query(
+    "customer_running_total",
+    oracle=f"""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           {round_sql(
+               "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+               "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+               " ROWS UNBOUNDED PRECEDING) AS DOUBLE)")}
+               AS cumulative_revenue
+    FROM orders
+    """,
+)
+def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window per customer (decimal-exact prefix sums)."""
+    t = _t(spark, sf_dir, "orders")
+    return iso_date(olap.customer_running_total(t["orders"]), "orderdate")
+
+
+@query(
+    "daily_revenue_wow",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+               {exact_sum_sql("o_totalprice", 2)} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT order_date, revenue,
+           {round_sql("LAG(revenue, 1) OVER (ORDER BY order_date ASC)")}
+               AS prev_revenue,
+           {round_sql("revenue - LAG(revenue, 1) OVER (ORDER BY order_date ASC)")}
+               AS revenue_delta
+    FROM daily
+    """,
+)
+def q_daily_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas: lag window over the aggregated daily series."""
+    t = _t(spark, sf_dir, "orders")
+    return olap.daily_revenue_wow(t["orders"])
+
+
+@query(
+    "events_hourly",
+    oracle=f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           COUNT(*) AS n_events,
+           {exact_sum_sql("value", 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window via native F.window (batch form of the
+    streaming hourly rollup)."""
+    t = _t(spark, sf_dir, "events")
+    return events.hourly_event_window(t["events"])
+
+
+@query(
+    "top_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term, COUNT(*) AS n_occurrences FROM tok GROUP BY term
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term ASC)
+                AS BIGINT) AS term_rank,
+           term, n_occurrences
+    FROM counts
+    QUALIFY term_rank <= 20
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 terms: explode → partial-agg → global top-k."""
+    t = _t(spark, sf_dir, "documents")
+    return text.top_terms(t["documents"], k=20)
+
+
 @query(
     "session_window_agg",
     oracle=f"""
