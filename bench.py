@@ -34,6 +34,11 @@ HEADLINE = [
     "shipping_priority",
     "ngram_jaccard",
     "top_terms",
+    "local_supplier_volume",
+    "product_profit",
+    "customer_distribution",
+    "returned_items",
+    "price_quantiles",
 ]
 
 

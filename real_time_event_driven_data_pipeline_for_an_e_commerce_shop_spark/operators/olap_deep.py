@@ -1,0 +1,456 @@
+"""Deep multi-join OLAP operators (TPC-H Q2/Q5/Q7/Q8/Q9/Q10/Q13/Q15/
+Q16/Q22 shapes) over the testdata star schema.
+
+The reference's join surface is three joins on one key (SURVEY.md §2.3,
+`/root/reference/Task_2/task_2.py:87-97`); this module supplies the
+multi-way join / correlated-aggregate / anti-join shapes a real OLAP
+user needs, each written for the physical plan we'd want at 100 TB:
+
+* dimension tables (region/nation/supplier/part/customer) are broadcast
+  explicitly — no shuffle for any dim side;
+* the fact-fact join (orders⋈lineitem) is the only shuffle join, keyed
+  on orderkey both sides so AQE can coalesce;
+* correlated subqueries (Q2 argmin, Q15 max, Q17 per-key avg) become
+  window functions over the already-aggregated (small) intermediate,
+  never a self-join of the fact;
+* anti/semi shapes (Q16, Q22) use Spark's dedicated left_anti /
+  left_semi join types, which build only the (small) right-side hash
+  table.
+
+There is no `partsupp` table in the testdata, so Q2/Q9/Q11/Q16/Q20
+shapes are re-anchored on lineitem as the part⇄supplier bridge —
+the plan shapes (argmin-per-group, profit expression over a 4-way
+join, distinct-count with NOT-IN exclusion) are preserved.
+
+Statistical aggregates (stddev/corr) are computed from decimal-exact
+power sums (Σx, Σx², Σxy) so the result is bit-identical across
+engines and partitionings — native ``stddev``/``corr`` accumulate in
+floating point whose value depends on addition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import det_round, exact_sum
+
+def _revenue():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def _dsum(col, digits: int = 4, width: int = 38):
+    """Decimal-exact sum of a det-rounded derived column, as double."""
+    return F.sum(det_round(col, digits).cast(f"decimal({width},{digits})")).cast(
+        "double"
+    )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5: revenue from orders where customer and supplier share a
+    nation inside one region. Plan: broadcast region→nation→(customer,
+    supplier); one shuffle join orders⋈lineitem; the c_nationkey =
+    s_nationkey equality rides on the join condition, not a filter
+    after a wider join."""
+    nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nation"), "n_name")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("supp_nation"))
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") == F.col("supp_nation"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_dsum(_revenue(), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def volume_shipping(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_7",
+    nation_b: str = "NATION_11",
+) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations (either direction)
+    by year. Both nation lookups broadcast; the pair constraint is an
+    OR of two AND-pairs evaluated after the dim joins (4 rows wide)."""
+    n = nation.select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    supp = supplier.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_dsum(_revenue(), 4).alias("revenue"))
+
+
+def market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_11",
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's supplier share of regional
+    revenue per year. One pass: conditional numerator over the same
+    joined fact — no second scan or self-join."""
+    nations_in_region = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(nations_in_region),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = det_round(_revenue(), 4)
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0))
+            .cast("decimal(38,4)")
+        ).cast("double").alias("nation_volume"),
+        _dsum(_revenue(), 4).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        det_round(F.col("nation_volume") / F.col("total_volume"), 6).alias("mkt_share"),
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for parts
+    whose name contains a fragment. No partsupp table exists, so unit
+    cost is modeled as 60% of p_retailprice (deterministic, from the
+    broadcast part dim). Profit = revenue − cost·quantity."""
+    parts = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", (F.col("p_retailprice") * F.lit(0.6)).alias("unit_cost")
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = _revenue() - F.col("unit_cost") * F.col("l_quantity")
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return joined.groupBy("nation", "o_year").agg(
+        _dsum(profit, 4).alias("sum_profit")
+    )
+
+
+def returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10: top-k customers by revenue lost to returned items in
+    one quarter. Aggregates to |customers| rows before the global top-k
+    window, so the sort sees thousands of rows, not the fact table."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    per_cust = joined.groupBy("o_custkey").agg(_dsum(_revenue(), 4).alias("revenue"))
+    enriched = per_cust.join(
+        F.broadcast(
+            customer.join(
+                F.broadcast(nation.select("n_nationkey", "n_name")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        enriched.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "c_custkey", "c_name", "revenue",
+            det_round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+def customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: histogram of customers by order count, including
+    zero-order customers (left outer join), excluding one priority
+    class. Two-level aggregation: per-customer count (shuffle on
+    custkey), then count-of-counts (tiny)."""
+    ords = orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum revenue in a
+    quarter. The max is a window over the per-supplier aggregate
+    (|suppliers| rows) — the classic correlated-scalar-subquery shape
+    without a second scan."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(_revenue(), 4).alias("total_revenue"))
+    )
+    w = Window.orderBy(F.desc("total_revenue"))
+    best = rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1).drop("rk")
+    return best.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    p_size: int = 10,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part (of one size class), the supplier
+    offering it cheapest. With no partsupp table, "offer price" is the
+    supplier's det-rounded average sale price for the part observed in
+    lineitem. The argmin is a row_number window over the (partkey,
+    suppkey) aggregate, tie-broken by suppkey — never a fact self-join."""
+    parts = part.filter(F.col("p_size") == p_size).select("p_partkey", "p_name")
+    offers = (
+        lineitem.join(
+            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            det_round(
+                F.sum(det_round(F.col("l_extendedprice"), 2).cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("offer_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("offer_price"), F.asc("l_suppkey")
+    )
+    best = offers.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "nation", "offer_price")
+    )
+
+
+def parts_supplier_relationship(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
+    bucket, excluding a brand/type slice and excluding suppliers with
+    negative balance (the "complaints" NOT-IN, as a broadcast
+    left_anti join — builds a hash of the tiny excluded set only)."""
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.filter(
+        (F.col("p_brand") != "BRAND_1") & (F.col("p_size").isin(1, 5, 10, 15, 20))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bridged = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return bridged.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def global_sales_opportunity(
+    customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q22 shape: untapped customers — above-average balance but
+    no urgent orders (the synthetic data has no fully order-less
+    customers, so the anti-join is against the urgent slice). The
+    average is a scalar from a first (cheap) agg, applied via
+    cross-broadcast; the "none exists" test is a left_anti join on the
+    filtered orders key projection."""
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(det_round(F.col("c_acctbal"), 2).cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders.filter(F.col("o_orderpriority") == priority).select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(det_round(F.col("c_acctbal"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+def lineitem_stats(lineitem: DataFrame) -> DataFrame:
+    """Deterministic distribution stats per returnflag: stddev of
+    quantity and corr(quantity, extendedprice) computed from
+    decimal-exact power sums (Σx, Σx², Σxy) so every engine and every
+    partitioning produces identical doubles — native stddev/corr are
+    order-dependent floating-point accumulations."""
+    q = F.col("l_quantity").cast("decimal(38,6)")
+    p = det_round(F.col("l_extendedprice"), 2).cast("decimal(38,6)")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(q * p).cast("double").alias("sqp"),
+    )
+    n, sq, sqq, sp, spp, sqp = (F.col(c) for c in ["n", "sq", "sqq", "sp", "spp", "sqp"])
+    var_q = (n * sqq - sq * sq) / (n * (n - F.lit(1.0)))
+    cov = n * sqp - sq * sp
+    den = F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        det_round(F.sqrt(var_q), 4).alias("stddev_qty"),
+        det_round(cov / den, 6).alias("corr_qty_price"),
+    )
+
+
+def price_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact linear-interpolated quartiles of extendedprice per
+    linestatus — Spark's exact ``percentile`` matches DuckDB's
+    ``quantile_cont`` (both sort + linear interpolation; det-rounded
+    input and output kill last-ulp drift)."""
+    price = det_round(F.col("l_extendedprice"), 2)
+    return lineitem.groupBy("l_linestatus").agg(
+        det_round(F.percentile(price, F.lit(0.25)), 4).alias("p25"),
+        det_round(F.percentile(price, F.lit(0.5)), 4).alias("p50"),
+        det_round(F.percentile(price, F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+def status_priority_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass (Spark expands grouping sets map-side; one shuffle)."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
+    )

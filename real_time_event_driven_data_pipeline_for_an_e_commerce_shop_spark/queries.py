@@ -1101,3 +1101,337 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# --- deep multi-join OLAP (TPC-H Q2/Q5/Q7/Q8/Q9/Q10/Q13/Q15/Q16/Q22
+# shapes) — operators/olap_deep.py ------------------------------------
+
+from .operators import olap_deep  # noqa: E402
+
+
+def _dsum_sql(expr: str, digits: int = 4, width: int = 38) -> str:
+    return (
+        f"CAST(SUM(CAST({round_sql(expr, digits)} AS"
+        f" DECIMAL({width},{digits}))) AS DOUBLE)"
+    )
+
+
+SQL_REVENUE = "l_extendedprice * (1.0 - l_discount)"
+
+
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {_dsum_sql(SQL_REVENUE)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join, customer/supplier nation equality."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+           "nation", "region")
+    return olap_deep.local_supplier_volume(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"],
+        t["nation"], t["region"])
+
+
+@query(
+    "volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {_dsum_sql(SQL_REVENUE)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_11')
+       OR (sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_7')
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: two-nation bidirectional volume by year."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation")
+    df = olap_deep.volume_shipping(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"], t["nation"])
+    return df.withColumn("l_year", F.col("l_year").cast("long"))
+
+
+@query(
+    "market_share",
+    oracle=f"""
+    WITH joined AS (
+        SELECT year(o_orderdate) AS o_year,
+               {round_sql(SQL_REVENUE, 4)} AS vol,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           {round_sql(
+               "CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_11' THEN vol"
+               " ELSE 0.0 END AS DECIMAL(38,4))) AS DOUBLE) /"
+               " CAST(SUM(CAST(vol AS DECIMAL(38,4))) AS DOUBLE)", 6)}
+               AS mkt_share
+    FROM joined GROUP BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-share aggregation."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+           "nation", "region")
+    df = olap_deep.market_share(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"],
+        t["nation"], t["region"])
+    return df.withColumn("o_year", F.col("o_year").cast("long"))
+
+
+@query(
+    "product_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {_dsum_sql(
+               "l_extendedprice * (1.0 - l_discount)"
+               " - p_retailprice * 0.6 * l_quantity")} AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY sn.n_name, year(o_orderdate)
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit over a 5-way join (retailprice cost model)."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation")
+    df = olap_deep.product_profit(
+        t["lineitem"], t["orders"], t["part"], t["supplier"], t["nation"])
+    return df.withColumn("o_year", F.col("o_year").cast("long"))
+
+
+@query(
+    "returned_items",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_custkey, {_dsum_sql(SQL_REVENUE)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, revenue,
+           {round_sql("c_acctbal", 2)} AS c_acctbal, n_name AS nation
+    FROM per
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    QUALIFY ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) <= 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-revenue top-k customers."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return olap_deep.returned_items(
+        t["customer"], t["orders"], t["lineitem"], t["nation"])
+
+
+@query(
+    "customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left-outer count histogram (zero-order customers kept)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return olap_deep.customer_distribution(t["customer"], t["orders"])
+
+
+@query(
+    "top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, {_dsum_sql(SQL_REVENUE)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: max-revenue supplier via window over the agg."""
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    return olap_deep.top_supplier(t["lineitem"], t["supplier"])
+
+
+@query(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               {round_sql(
+                   "CAST(SUM(CAST(" + round_sql("l_extendedprice", 2)
+                   + " AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 2)}
+                   AS offer_price
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 10)
+        GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT * FROM offers
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey
+            ORDER BY offer_price ASC, l_suppkey ASC) = 1
+    )
+    SELECT p_partkey, p_name, s_name, n_name AS nation, offer_price
+    FROM best
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin supplier (window, no self-join)."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return olap_deep.min_cost_supplier(
+        t["lineitem"], t["part"], t["supplier"], t["nation"])
+
+
+@query(
+    "parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'BRAND_1' AND p_size IN (1, 5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts with NOT-IN exclusion."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    return olap_deep.parts_supplier_relationship(
+        t["lineitem"], t["part"], t["supplier"])
+
+
+@query(
+    "global_sales_opportunity",
+    oracle=f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST({round_sql("c_acctbal", 2)} AS DECIMAL(18,2)))
+                AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST({round_sql("c_acctbal", 2)} AS DECIMAL(18,2)))
+                    AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti-join."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return olap_deep.global_sales_opportunity(t["customer"], t["orders"])
+
+
+@query(
+    "lineitem_stats",
+    oracle=f"""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))
+                      * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST({round_sql("l_extendedprice", 2)}
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST({round_sql("l_extendedprice", 2)}
+                      AS DECIMAL(38,6))
+                      * CAST({round_sql("l_extendedprice", 2)}
+                      AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))
+                      * CAST({round_sql("l_extendedprice", 2)}
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sqp
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           {round_sql("SQRT((n * sqq - sq * sq) / (n * (n - 1.0)))", 4)}
+               AS stddev_qty,
+           {round_sql(
+               "(n * sqp - sq * sp) / (SQRT(n * sqq - sq * sq)"
+               " * SQRT(n * spp - sp * sp))", 6)} AS corr_qty_price
+    FROM sums
+    """,
+)
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stddev/corr from decimal power sums."""
+    t = _t(spark, sf_dir, "lineitem")
+    return olap_deep.lineitem_stats(t["lineitem"])
+
+
+@query(
+    "price_quantiles",
+    oracle=f"""
+    SELECT l_linestatus,
+           {round_sql("quantile_cont(" + round_sql("l_extendedprice", 2)
+                      + ", 0.25)", 4)} AS p25,
+           {round_sql("quantile_cont(" + round_sql("l_extendedprice", 2)
+                      + ", 0.5)", 4)} AS p50,
+           {round_sql("quantile_cont(" + round_sql("l_extendedprice", 2)
+                      + ", 0.75)", 4)} AS p75
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles (Spark percentile ≡ quantile_cont)."""
+    t = _t(spark, sf_dir, "lineitem")
+    return olap_deep.price_quantiles(t["lineitem"])
+
+
+@query(
+    "status_priority_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {moneysum_sql("o_totalprice", 2)} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (complements the existing ROLLUP query)."""
+    t = _t(spark, sf_dir, "orders")
+    return olap_deep.status_priority_cube(t["orders"])

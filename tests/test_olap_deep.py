@@ -1,0 +1,85 @@
+"""Unit tests for the deep multi-join OLAP operators on tiny literal
+DataFrames targeting the semantic traps: left-outer zero-count groups
+(Q13), argmin tie-breaks (Q2), anti-join exclusion (Q22), and rank-max
+ties (Q15)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    olap_deep,
+)
+
+
+def test_customer_distribution_keeps_zero_order_customers(spark):
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "2-HIGH"), (11, 1, "2-HIGH"), (12, 2, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    out = {
+        r["c_count"]: r["custdist"]
+        for r in olap_deep.customer_distribution(customer, orders).collect()
+    }
+    # cust 1 → 2 orders; cust 2 → only an excluded-priority order → 0;
+    # cust 3 → no orders at all → 0
+    assert out == {2: 1, 0: 2}
+
+
+def test_min_cost_supplier_breaks_price_ties_by_suppkey(spark):
+    lineitem = spark.createDataFrame(
+        [(1, 100, 7, 10.0), (2, 100, 3, 10.0), (3, 100, 5, 99.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(100, "the part", 10)], "p_partkey long, p_name string, p_size int"
+    )
+    supplier = spark.createDataFrame(
+        [(3, "S3", 0), (5, "S5", 0), (7, "S7", 0)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "N0")], "n_nationkey int, n_name string"
+    )
+    rows = olap_deep.min_cost_supplier(lineitem, part, supplier, nation).collect()
+    assert len(rows) == 1
+    # suppliers 3 and 7 tie at 10.0 → lowest suppkey wins deterministically
+    assert rows[0]["s_name"] == "S3" and rows[0]["offer_price"] == 10.0
+
+
+def test_top_supplier_returns_all_maxima(spark):
+    lineitem = spark.createDataFrame(
+        [
+            (1, 1, "1996-02-01", 50.0, 0.0),
+            (2, 2, "1996-02-01", 50.0, 0.0),
+            (3, 3, "1996-02-01", 10.0, 0.0),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate string, "
+        "l_extendedprice double, l_discount double",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    supplier = spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    )
+    got = sorted(
+        r["s_name"] for r in olap_deep.top_supplier(lineitem, supplier).collect()
+    )
+    assert got == ["S1", "S2"]  # rank() keeps both tied maxima
+
+
+def test_global_sales_opportunity_anti_join(spark):
+    customer = spark.createDataFrame(
+        [(1, 100.0, "A"), (2, 100.0, "A"), (3, 1.0, "B")],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    rows = olap_deep.global_sales_opportunity(customer, orders).collect()
+    # avg positive balance = 67; cust 1 is rich but has an urgent order;
+    # cust 2 is rich with only a non-urgent order → kept; cust 3 poor
+    assert len(rows) == 1
+    assert rows[0]["c_mktsegment"] == "A" and rows[0]["numcust"] == 1
