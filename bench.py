@@ -39,6 +39,8 @@ HEADLINE = [
     "customer_distribution",
     "returned_items",
     "price_quantiles",
+    "ann_ivf_topk",
+    "winnowing_fingerprint",
 ]
 
 

@@ -200,3 +200,115 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbors: a deterministic coarse
+    quantizer partitions the corpus into inverted lists; each query
+    probes only its ``n_probe`` nearest lists.
+
+    * **Centroids** are a strided sample (``vec_id % stride == 0``,
+      first ``n_clusters`` by id) — model-free, reproducible, and
+      mirrorable in the SQL oracle. (A trained k-means quantizer drops
+      in by replacing this CTE; the plan shape is identical.)
+    * **Corpus assignment** is a single narrow pass: the centroid set is
+      collected to the driver (n_clusters × dim doubles — a broadcast
+      variable, not data) and embedded as an array literal, so argmax
+      cosine is one JVM ``aggregate`` fold per row. No explode, no
+      shuffle, no Python.
+    * **Probe + search**: queries fan out to their n_probe lists, then
+      one equi-join on ``cluster_id`` co-locates each query with just
+      its lists' vectors — at 100 TB the corpus side would be
+      bucketed/partitioned by ``cluster_id`` on disk so the probe join
+      prunes partitions instead of scanning.
+
+    Ties (equal cosine) resolve to the lowest centroid id: the fold
+    keeps the incumbent on equality and centroids are evaluated in
+    ascending-id order, matching the oracle's
+    ``ROW_NUMBER() ... ORDER BY sim DESC, cid ASC``.
+    """
+    cent_rows = (
+        embeddings.filter(F.col(id_col) % stride == 0)
+        .orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cvec"))
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def best_cluster(vec: Column) -> Column:
+        # one cosine per centroid; array_max over (sim, -cid) structs
+        # picks max sim, ties → lowest centroid id (matches the
+        # oracle's ROW_NUMBER ... ORDER BY sim DESC, cid ASC)
+        scored = F.transform(
+            cent_arr,
+            lambda ct: F.struct(
+                cosine(vec, ct["cvec"]).alias("s"), (-ct["cid"]).alias("nc")
+            ),
+        )
+        return -F.array_max(scored)["nc"]
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec_corpus"),
+    ).withColumn("cluster_id", best_cluster(F.col("cvec_corpus")))
+
+    # queries × centroids is tiny (|q| × n_clusters) — explode + window
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    probed = (
+        q.select("query_id", "qvec", F.explode(cent_arr).alias("ct"))
+        .select(
+            "query_id",
+            "qvec",
+            F.col("ct.cid").alias("cluster_id"),
+            cosine(F.col("qvec"), F.col("ct.cvec")).alias("_csim"),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), F.asc("cluster_id")
+    )
+    probes = (
+        probed.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qvec", "cluster_id")
+    )
+
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec_corpus")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )

@@ -141,3 +141,70 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram
+    of the normalized text, then keep the minimum hash of each sliding
+    window of ``window`` consecutive k-gram hashes. Guarantees at least
+    one fingerprint per ``window + k - 1`` characters, so partial
+    overlaps between documents share fingerprints (unlike whole-doc
+    hashing) while storing ~2/(window+1) of the k-gram hashes.
+
+    Entirely JVM higher-order functions (sequence → substr → md5 →
+    slice/array_min) — no UDF, no shuffle before the final explode; at
+    100 TB this pipelines with the document scan and the fingerprint
+    join for plagiarism/overlap detection shuffles only (doc_id,
+    fingerprint) pairs. The k-gram hash is the first 8 hex chars of
+    md5 as an integer, computable identically in the SQL oracle."""
+    # Relational formulation: one row per k-gram (posexplode of the
+    # position range), so each md5 is evaluated exactly once, then the
+    # sliding-window minimum as a ROWS-frame window function and a
+    # distinct. An array-lambda formulation (slice + array_min inside
+    # transform) is O(n²): Catalyst re-inlines the hash-array
+    # expression into every lambda element. Shuffles are narrow —
+    # (doc_id, pos, hash8) triples — and partition by doc_id, so at
+    # 100 TB this scales with corpus bytes, not corpus².
+    from pyspark.sql import Window as W
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    grams = (
+        documents.select("doc_id", norm.alias("_t"))
+        .filter(F.length("_t") >= k + window - 1)
+        .select(
+            "doc_id",
+            (F.length("_t") - F.lit(k - 1)).alias("_n"),
+            F.posexplode(F.sequence(F.lit(1), F.length("_t") - F.lit(k - 1))).alias(
+                "_idx", "_pos"
+            ),
+            F.col("_t"),
+        )
+        .select(
+            "doc_id",
+            "_n",
+            "_pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.substr(F.col("_t"), F.col("_pos"), F.lit(k)).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long").alias("_h"),
+        )
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("_pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("_wmin", F.min("_h").over(win))
+        .filter(F.col("_pos") <= F.col("_n") - F.lit(window - 1))
+        .select("doc_id", F.col("_wmin").alias("fingerprint"))
+        .distinct()
+    )

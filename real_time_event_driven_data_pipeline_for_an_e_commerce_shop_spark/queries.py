@@ -1435,3 +1435,92 @@ def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (complements the existing ROLLUP query)."""
     t = _t(spark, sf_dir, "orders")
     return olap_deep.status_priority_cube(t["orders"])
+
+
+# --- scale-path extension operators: IVF ANN + winnowing --------------
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cid, vec AS cvec FROM v
+        WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+        SELECT vec_id, cid, vec FROM (
+            SELECT a.vec_id, c.cid, a.vec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY (list_dot_product(a.vec, c.cvec)
+                           / (sqrt(list_dot_product(a.vec, a.vec))
+                              * sqrt(list_dot_product(c.cvec, c.cvec)))) DESC,
+                           c.cid ASC) AS rn
+            FROM v a CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid, vec AS qvec FROM (
+            SELECT q.vec_id, c.cid, q.vec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY (list_dot_product(q.vec, c.cvec)
+                           / (sqrt(list_dot_product(q.vec, q.vec))
+                              * sqrt(list_dot_product(c.cvec, c.cvec)))) DESC,
+                           c.cid ASC) AS rn
+            FROM v q CROSS JOIN cents c WHERE q.vec_id < 10)
+        WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               (list_dot_product(p.qvec, a.vec)
+                / (sqrt(list_dot_product(p.qvec, p.qvec))
+                   * sqrt(list_dot_product(a.vec, a.vec)))) AS sim
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM scored
+    QUALIFY sim_rank <= 5
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: strided-sample coarse quantizer, 4-probe search."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_clusters=16, n_probe=4, k=5, stride=29,
+    )
+
+
+@query(
+    "winnowing_fingerprint",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(t) - 4),
+                   i -> CAST(('0x' || substring(md5(substring(t, i, 5)), 1, 8))
+                             AS BIGINT)) AS hashes
+        FROM norm WHERE length(t) >= 8
+    )
+    SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(hashes) - 3),
+                   i -> list_min(list_slice(hashes, i, i + 3)))
+           )) AS fingerprint
+    FROM grams
+    """,
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) k-gram fingerprints, k=5, window=4."""
+    t = _t(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(t["documents"], k=5, window=4)

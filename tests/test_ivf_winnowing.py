@@ -1,0 +1,64 @@
+"""Unit tests for the IVF ANN scale path and winnowing fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    similarity,
+    text,
+)
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_ivf_finds_exact_neighbor_in_probed_cluster(spark):
+    # two tight clusters far apart in 4-d; centroids = strided sample
+    a = [[1.0, 0.0, 0.0, 0.0], [0.99, 0.01, 0.0, 0.0], [0.98, 0.02, 0.0, 0.0]]
+    b = [[0.0, 0.0, 0.0, 1.0], [0.0, 0.01, 0.0, 0.99], [0.0, 0.02, 0.0, 0.98]]
+    df = _emb_df(spark, a + b)
+    out = similarity.ivf_topk(
+        df, df.filter(F.col("vec_id") == 0), n_clusters=2, n_probe=1, k=2, stride=3
+    ).collect()
+    # centroids are vec 0 (cluster A) and vec 3 (cluster B); query 0
+    # probes its own cluster only → neighbors are 1 and 2, ranked by sim
+    assert [(r["neighbor_id"], r["sim_rank"]) for r in out] == [(1, 1), (2, 2)]
+    assert out[0]["cosine_sim"] > out[1]["cosine_sim"]
+
+
+def test_winnowing_shared_substring_shares_fingerprints(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, f"PREFIX ALPHA {shared}", "en", "s", 1),
+            (1, f"{shared} SUFFIX OMEGA", "en", "s", 1),
+            (2, "entirely unrelated content with different words", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fp = text.winnowing_fingerprints(docs, k=5, window=4)
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in fp.groupBy("doc_id").agg(F.collect_set("fingerprint").alias("fps")).collect()
+    }
+    overlap_01 = len(sets[0] & sets[1]) / min(len(sets[0]), len(sets[1]))
+    overlap_02 = len(sets[0] & sets[2]) / min(len(sets[0]), len(sets[2]))
+    # winnowing guarantees shared fingerprints for a long shared run
+    assert overlap_01 > 0.5
+    assert overlap_02 < 0.1
+
+
+def test_winnowing_density_guarantee(spark):
+    # at least one fingerprint per (window + k - 1)-char stretch
+    n, k, w = 200, 5, 4
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij" * (n // 10), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    count = text.winnowing_fingerprints(docs, k=k, window=w).count()
+    assert count >= 1
