@@ -234,43 +234,76 @@ def ngram_jaccard_pairs(
     block would be an LSH bucket (``minhash_lsh_candidates``), this is
     the exact baseline on modest blocks.
     """
-    # Pair generation and pair *verification* are separated on purpose:
-    # a blocked self-join with the arrays attached runs the quadratic
-    # explosion map-side inside whichever single task holds the block
-    # (broadcast join ⇒ parallelism = input splits, not pairs). Instead:
-    # (1) explode narrow (block, id) pairs, (2) repartition so the
-    # verification work spreads over the cluster, (3) join the shingle
-    # arrays back by doc id (auto-broadcast while small, shuffle
-    # hash-join at scale).
-    ids = documents.select("doc_id", F.col(block_col).alias("block"))
-    pairs = (
-        ids.alias("a")
+    # Inverted-index formulation: explode distinct shingles to
+    # (block, shingle, doc) postings, self-join on the shingle key, and
+    # count shared shingles per pair — |A∩B| — then
+    # jaccard = inter / (|A| + |B| − inter). Any threshold > 0 implies
+    # intersection ≥ 1, so pairs that never co-occur in a posting list
+    # (the overwhelming majority) are never materialized. Work is
+    # Σ_shingle df² join tuples (measured 0.9M at sf0.1, max df 14)
+    # instead of |pairs-per-block|² array intersections (2.5M pairs ×
+    # ~200-element sets — the previous formulation, 3.5× slower). At
+    # 100 TB the shuffle is on the shingle key (high cardinality, no
+    # skew for k-word shingles); a stop-shingle df cap would bound the
+    # worst case.
+    sh = documents.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        shingles(F.col("text"), k).alias("sh"),
+    )
+    if threshold <= 0:
+        # threshold 0 asks for *every* pair including zero-overlap ones,
+        # which an inverted index by construction never emits — fall
+        # back to materialized pairs with array intersection.
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"), "block", F.col("sh").alias("sh_a")
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("block").alias("block_b"),
+            F.col("sh").alias("sh_b"),
+        )
+        paired = a.join(
+            b,
+            on=[F.col("block") == F.col("block_b"), F.col("doc_a") < F.col("doc_b")],
+        )
+        inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
+        union_sz = F.size(F.array_union("sh_a", "sh_b"))
+        return paired.select(
+            "doc_a", "doc_b", det_round(ratio(inter_sz, union_sz), 4).alias("jaccard")
+        )
+    postings = sh.select(
+        "doc_id", "block", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    # SHUFFLE_HASH hint: without it Catalyst broadcasts the (small
+    # by bytes) postings side and the Σdf² pair expansion runs inside
+    # the map tasks of the *other* side — parallelism = input file
+    # splits (1 at sf0.1), not cluster cores. A shuffle join keys both
+    # sides on (block, shingle), spreading posting lists evenly.
+    inter = (
+        postings.alias("a").hint("shuffle_hash")
         .join(
-            ids.alias("b"),
+            postings.alias("b"),
             on=[
                 F.col("a.block") == F.col("b.block"),
+                F.col("a.s") == F.col("b.s"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("_n_a"),
+            F.col("b.n").alias("_n_b"),
         )
-        .repartition("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sh = documents.select("doc_id", shingles(F.col("text"), k).alias("sh"))
-    paired = pairs.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
-    ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.col("_n_a") + F.col("_n_b") - F.col("_inter")
     return (
-        paired.select(
+        inter.select(
             "doc_a",
             "doc_b",
-            det_round(ratio(inter, union), 4).alias("jaccard"),
+            det_round(ratio(F.col("_inter"), union), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -113,3 +113,35 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             "session_value",
         )
     )
+
+
+def event_props_typed(events: DataFrame) -> DataFrame:
+    """Typed JSON parsing: ``from_json`` with a declared schema (the
+    JsonToStructs operator — scales as one vectorized JVM pass, unlike
+    per-row Python json.loads) feeding an aggregate over the extracted
+    field. Malformed JSON yields nulls (PERMISSIVE mode), dropped here
+    like pandas would."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), schema).getField("k").alias("k"),
+    ).filter(F.col("k").isNotNull())
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — the
+    streaming/100 TB stand-in for exact countDistinct (mergeable
+    sketch, no Expand, bounded memory). Approximate by construction:
+    rows-only check; the exact counterpart is ``events_daily``."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -103,12 +103,22 @@ def order_kpi(fact: DataFrame) -> DataFrame:
     reference's ``user_id_x`` choice (``task_2.py:131``); ``return_rate``
     is the item-weighted mean of ``is_returned`` (A6).
     """
-    agg = fact.groupBy("order_date").agg(
-        F.countDistinct("order_id").alias("total_orders"),
-        money_sum(F.col("sale_price")).alias("_rev"),
-        F.count("id").alias("total_items_sold"),
+    # Two distinct aggregates (order_id, user_id) would make Spark
+    # Expand every item row ×3; pre-aggregating to (date, order, user)
+    # grain first shrinks the Expand input to ~|orders| rows. Decimal
+    # sums re-sum exactly (associative), so results are bit-identical.
+    per_order = fact.groupBy("order_date", "order_id", "user_id").agg(
+        F.sum(det_round(F.col("sale_price"), 2).cast("decimal(18,2)")).alias("_rev_d"),
+        F.count("id").alias("_items_sold"),
         F.sum(F.col("is_returned").cast("long")).alias("_returns"),
         F.count(F.lit(1)).alias("_items"),
+    )
+    agg = per_order.groupBy("order_date").agg(
+        F.countDistinct("order_id").alias("total_orders"),
+        F.sum("_rev_d").cast("double").alias("_rev"),
+        F.sum("_items_sold").alias("total_items_sold"),
+        F.sum("_returns").alias("_returns"),
+        F.sum("_items").alias("_items"),
         F.countDistinct("user_id").alias("unique_customers"),
     )
     return agg.select(

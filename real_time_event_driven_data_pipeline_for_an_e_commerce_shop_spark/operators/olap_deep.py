@@ -454,3 +454,131 @@ def status_priority_cube(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
     )
+
+
+def important_parts(
+    lineitem: DataFrame, part: DataFrame, share_threshold: float = 0.001
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total traded value exceeds a
+    fraction of the corpus-wide total. The grand total is a scalar from
+    the same pre-aggregated per-part values (one shuffle), applied via
+    broadcast — no second scan of the fact."""
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        _dsum(value, 2, 38).alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(38,2)")).cast("double").alias("_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_total") * F.lit(share_threshold))
+        .join(F.broadcast(part.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "part_value")
+    )
+
+
+def promotion_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    name_fragment: str = "widget",
+    min_qty: float = 50.0,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers moving serious volume of a part
+    family — semi-join part filter into a per-supplier quantity agg,
+    threshold, then name lookup. (No partsupp/availqty in the
+    testdata; the shipped-quantity aggregate stands in for stock.)"""
+    family = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    qty = (
+        lineitem.join(
+            F.broadcast(family), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_quantity"), 2, 18).alias("family_qty"))
+        .filter(F.col("family_qty") > min_qty)
+    )
+    return qty.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "family_qty")
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone delayed a multi-supplier
+    order. The correlated EXISTS / NOT-EXISTS pair collapses into one
+    per-order aggregate — count suppliers and count *late* suppliers
+    per order — then keep late suppliers on orders where
+    ``n_suppliers > 1 AND n_late_suppliers = 1``. One shuffle on
+    orderkey; no correlated re-scans. (The testdata has no
+    receipt/commit dates, so "late" = shipped > ``late_days`` after
+    the order date.)"""
+    lines = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.make_interval(days=F.lit(late_days))
+        ).cast("int").alias("is_late"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late"),
+    )
+    culprits = (
+        per_supp.filter(F.col("supp_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return culprits.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "numwait")
+
+
+def salted_join_agg(
+    orders: DataFrame, customer: DataFrame, n_salts: int = 8
+) -> DataFrame:
+    """Skew-resistant join: the fact side salts its key
+    (``pmod(hash, n_salts)``), the dim side replicates ×``n_salts``,
+    and the join runs on (key, salt) so one hot key spreads over
+    ``n_salts`` tasks. Semantically identical to the plain join —
+    the oracle IS the plain join — this operator is the pattern AQE
+    skew-join applies automatically, exposed for when the engine must
+    pre-salt (e.g. a skewed streaming join where AQE can't replan)."""
+    salted_fact = orders.withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salts))
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")
+    ).alias("_salt")
+    salted_dim = customer.select(
+        F.col("c_custkey"), F.col("c_mktsegment"), salts
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        on=[
+            F.col("o_custkey") == F.col("c_custkey"),
+            salted_fact["_salt"] == salted_dim["_salt"],
+        ],
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
+    )

@@ -1524,3 +1524,118 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) k-gram fingerprints, k=5, window=4."""
     t = _t(spark, sf_dir, "documents")
     return text.winnowing_fingerprints(t["documents"], k=5, window=4)
+
+
+# --- batch 2 widening: Q11/Q20/Q21 shapes, typed JSON, skew salt ------
+
+
+@query(
+    "important_parts",
+    oracle=f"""
+    WITH per AS (
+        SELECT l_partkey,
+               {_dsum_sql("l_extendedprice * l_quantity", 2)} AS part_value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_name, part_value
+    FROM per JOIN part ON l_partkey = p_partkey
+    WHERE part_value > (
+        SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,2))) AS DOUBLE) * 0.001
+        FROM per)
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: value share above a corpus-wide threshold."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    return olap_deep.important_parts(t["lineitem"], t["part"])
+
+
+@query(
+    "promotion_suppliers",
+    oracle=f"""
+    SELECT s_suppkey, s_name, family_qty FROM (
+        SELECT l_suppkey,
+               {_dsum_sql("l_quantity", 2, 18)} AS family_qty
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        GROUP BY l_suppkey
+    ) JOIN supplier ON l_suppkey = s_suppkey
+    WHERE family_qty > 50.0
+    """,
+)
+def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: high-volume suppliers of a part family."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    return olap_deep.promotion_suppliers(t["lineitem"], t["part"], t["supplier"])
+
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS supp_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+        FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s_suppkey, s_name, numwait FROM (
+        SELECT p.l_suppkey, COUNT(*) AS numwait
+        FROM per_supp p JOIN per_order o USING (l_orderkey)
+        WHERE p.supp_late = 1 AND o.n_supp > 1 AND o.n_late = 1
+        GROUP BY p.l_suppkey
+    ) JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole-late supplier on multi-supplier orders."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    return olap_deep.waiting_suppliers(t["lineitem"], t["orders"], t["supplier"])
+
+
+@query(
+    "event_props_typed",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ) WHERE k IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_event_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse (from_json ≡ DuckDB json_extract)."""
+    t = _t(spark, sf_dir, "events")
+    return events.event_props_typed(t["events"])
+
+
+@query(
+    "salted_join_agg",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           {moneysum_sql("o_totalprice", 2)} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — identical results to the plain join (the
+    oracle), with the fact key spread over 8 salt buckets."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    return olap_deep.salted_join_agg(t["orders"], t["customer"], n_salts=8)
+
+
+@query("approx_distinct_users")
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct counts (approximate — rows-only check;
+    exact counterpart is events_daily's countDistinct)."""
+    t = _t(spark, sf_dir, "events")
+    return events.approx_distinct_users(t["events"])

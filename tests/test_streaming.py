@@ -153,3 +153,59 @@ def test_sessionized_stream_matches_batch(spark, events_stream, tmp_path):
     assert got
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_stateful_running_totals_incremental(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals accumulate
+    across micro-batches and match the batch aggregate exactly."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    events = load_testdata(spark, SF, ("events",))["events"].filter(
+        F.col("user_id") < 20
+    )
+    chunk1 = events.filter(F.col("event_id") % 2 == 0)
+    chunk2 = events.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    chunk1.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        chunk2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # memory sink in update mode appends a row per update — the last
+    # row per user is the final state
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM running_totals"
+        ).collect()
+        # later rows overwrite earlier ones via dict insertion order
+    }
+    expect = {
+        r["user_id"]: (r["n"], float(r["tot"]))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0
+            ).alias("tot"),
+        )
+        .collect()
+    }
+    assert got == expect
