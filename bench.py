@@ -41,6 +41,7 @@ HEADLINE = [
     "price_quantiles",
     "ann_ivf_topk",
     "winnowing_fingerprint",
+    "token_count_bpe",
 ]
 
 

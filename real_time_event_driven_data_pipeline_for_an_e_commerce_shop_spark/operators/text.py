@@ -208,3 +208,27 @@ def winnowing_fingerprints(
         .select("doc_id", F.col("_wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+def token_count_bpe(documents: DataFrame, chars_per_token: int = 4) -> DataFrame:
+    """BPE-ish token count estimate — the cheap, model-free proxy a
+    training-data pipeline uses for budget accounting before real
+    tokenization: pre-tokenize like a BPE pretokenizer (letter runs,
+    digit runs, single punctuation — the GPT-2 pattern family,
+    ASCII-safe so Java and RE2 regex agree byte-for-byte), then charge
+    ``ceil(len/chars_per_token)`` subwords per piece. Pure JVM
+    (regexp_extract_all + an integer fold); the real tokenizer drops in
+    as a Pandas UDF only where exact counts are worth the Python hop."""
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)
+    cpt = F.lit(chars_per_token)
+    subwords = F.aggregate(
+        F.transform(pieces, lambda p: (F.length(p) + cpt - 1).cast("long") / cpt),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        subwords.alias("n_subwords_est"),
+    )

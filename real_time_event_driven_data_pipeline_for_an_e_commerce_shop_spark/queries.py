@@ -1639,3 +1639,24 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counterpart is events_daily's countDistinct)."""
     t = _t(spark, sf_dir, "events")
     return events.approx_distinct_users(t["events"])
+
+
+@query(
+    "token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           CAST(list_sum(list_transform(pieces,
+                p -> (length(p) + 3) // 4)) AS BIGINT) AS n_subwords_est
+    FROM (
+        SELECT doc_id,
+               regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS pieces
+        FROM documents
+    )
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword estimate (pretokenizer regex + ceil(len/4))."""
+    t = _t(spark, sf_dir, "documents")
+    return text.token_count_bpe(t["documents"])
