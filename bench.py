@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "winnowing_fingerprint",
     "token_count_bpe",
+    "click_attribution",
 ]
 
 

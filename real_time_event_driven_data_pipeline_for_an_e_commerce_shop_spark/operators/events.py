@@ -145,3 +145,39 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
         F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def click_attribution(
+    events: DataFrame, window_hours: int = 24
+) -> DataFrame:
+    """Range join: for every purchase, the same user's click count and
+    click value over the preceding ``window_hours``. Executes as an
+    equi-join on ``user_id`` with the time range as a join-time filter
+    — the right plan when the equi-key bounds the pair space (events
+    per user per day, not |purchases| × |clicks|). At 100 TB the
+    refinement is bucketing both sides by (user_id, day) so a purchase
+    only meets clicks from its own and the previous day's bucket."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    lo = F.col("p_ts") - F.make_interval(hours=F.lit(window_hours))
+    joined = purchases.join(
+        clicks,
+        on=[
+            F.col("user_id") == F.col("c_user_id"),
+            F.col("c_ts") >= lo,
+            F.col("c_ts") < F.col("p_ts"),
+        ],
+        how="left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("c_ts").alias("n_clicks"),
+        exact_sum(F.coalesce(F.col("c_value"), F.lit(0.0)), 2).alias("click_value"),
+    )

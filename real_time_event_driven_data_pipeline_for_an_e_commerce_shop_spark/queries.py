@@ -1660,3 +1660,48 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword estimate (pretokenizer regex + ceil(len/4))."""
     t = _t(spark, sf_dir, "documents")
     return text.token_count_bpe(t["documents"])
+
+
+@query(
+    "click_attribution",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.ts) AS n_clicks,
+           CAST(SUM(CAST({round_sql("COALESCE(c.value, 0.0)", 2)}
+                AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per-purchase 24h click attribution."""
+    t = _t(spark, sf_dir, "events")
+    return events.click_attribution(t["events"], window_hours=24)
+
+
+# identical ANSI SQL text executed by BOTH engines — demonstrates the
+# spark.sql() surface; any dialect divergence would fail the hash gate.
+ANSI_PASSTHROUGH_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    WHERE l_quantity >= 5 AND l_quantity <= 45
+    GROUP BY l_returnflag
+"""
+
+
+@query("ansi_sql_passthrough", oracle=ANSI_PASSTHROUGH_SQL)
+def q_ansi_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ANSI SQL string through spark.sql() and DuckDB — the
+    SQL-API counterpart of the DataFrame queries (views registered
+    on the parquet testdata)."""
+    t = _t(spark, sf_dir, "lineitem")
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    return spark.sql(ANSI_PASSTHROUGH_SQL)
