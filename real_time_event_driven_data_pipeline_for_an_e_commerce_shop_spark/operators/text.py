@@ -174,6 +174,12 @@ def winnowing_fingerprints(
     grams = (
         documents.select("doc_id", norm.alias("_t"))
         .filter(F.length("_t") >= k + window - 1)
+        # repartition by the window key BEFORE the k-gram explode: the
+        # md5-per-gram map work spreads over the cluster even when the
+        # corpus arrives as one input split, and the window's
+        # hash(doc_id) requirement is already satisfied — no second
+        # shuffle of the (much larger) exploded gram rows.
+        .repartition(F.col("doc_id"))
         .select(
             "doc_id",
             (F.length("_t") - F.lit(k - 1)).alias("_n"),
