@@ -1705,3 +1705,17 @@ def q_ansi_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem")
     t["lineitem"].createOrReplaceTempView("lineitem")
     return spark.sql(ANSI_PASSTHROUGH_SQL)
+
+
+@query("media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing surfaced to the driver: deterministic
+    synthetic media (no RNG — stable schema/rows) → Arrow-batched
+    mapInPandas feature extraction. Rows-only check: the fake codec
+    (blake2b) has no SQL equivalent; unit tests pin exact vectors."""
+    from .operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=200)
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", F.size("feature").alias("feature_dim")
+    )

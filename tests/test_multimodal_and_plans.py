@@ -93,3 +93,35 @@ def test_topk_aggregates_before_window(spark):
     # aggregate (consume its output), i.e. appear earlier in the string
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_q5_plan_all_dims_broadcast(spark):
+    """local_supplier_volume: every dim join must be broadcast — the
+    only shuffle joins allowed are none (orders side is filtered small
+    here, but at minimum no SortMergeJoin on a dim table)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+
+    plan = (
+        QUERIES["local_supplier_volume"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_returned_items_pushes_date_filter(spark):
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+
+    plan = (
+        QUERIES["returned_items"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both the returnflag filter and the date range reach the scans
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:400] or (
+        "EqualTo(l_returnflag,R)" in plan
+    )
