@@ -1,0 +1,111 @@
+"""Scale-headroom bench: inflate the sf0.1 facts ~10× (union with
+shifted keys — dims unchanged) into a temp dir, then run the headline
+fact-heavy queries there. Separates per-query fixed overhead from
+throughput: a plan that only looked fast because 600k rows fit in one
+AQE-coalesced partition shows up immediately at 6M.
+
+Usage: python scripts/bench_scale.py [factor] [sf_dir]
+Prints one JSON line {"metric": "scale_bench", "factor": N, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE_QUERIES = [
+    "category_kpi",
+    "order_kpi",
+    "pricing_summary",
+    "local_supplier_volume",
+    "product_profit",
+    "customer_distribution",
+    "price_quantiles",
+    "waiting_suppliers",
+]
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import (
+        get_spark,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources.readers import (
+        load_testdata,
+    )
+
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_scale_")
+    try:
+        # dims copy through; facts union `factor` shifted copies so keys
+        # stay consistent (orderkey shift preserves orders⋈lineitem,
+        # custkey/suppkey/partkey untouched so dim joins still hit).
+        dims = ["region", "nation", "customer", "supplier", "part",
+                "events", "documents", "embeddings"]
+        loaded = load_testdata(spark, sf_dir, tuple(dims + ["orders", "lineitem"]))
+        for name in dims:
+            loaded[name].write.mode("overwrite").parquet(f"{tmp}/{name}.parquet")
+        orders = loaded["orders"]
+        lineitem = loaded["lineitem"]
+        max_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        o_parts = [
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
+            for i in range(factor)
+        ]
+        l_parts = [
+            lineitem.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+            for i in range(factor)
+        ]
+        o_all, l_all = o_parts[0], l_parts[0]
+        for p in o_parts[1:]:
+            o_all = o_all.unionByName(p)
+        for p in l_parts[1:]:
+            l_all = l_all.unionByName(p)
+        o_all.repartition(16).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        l_all.repartition(32).write.mode("overwrite").parquet(
+            f"{tmp}/lineitem.parquet"
+        )
+
+        n_rows = spark.read.parquet(f"{tmp}/lineitem.parquet").count()
+        # warm
+        QUERIES["category_kpi"](spark, tmp).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings: dict[str, float] = {}
+        for name in SCALE_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, tmp).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_bench",
+                    "factor": factor,
+                    "lineitem_rows": n_rows,
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
