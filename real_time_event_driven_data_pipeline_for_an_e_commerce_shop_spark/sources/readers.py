@@ -93,3 +93,17 @@ def _read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def read_jsonl_table(
+    spark: SparkSession, path: str, schema: StructType, **options: str
+) -> DataFrame:
+    """Read newline-delimited JSON with an explicit schema — the third
+    source format next to CSV and parquet. Schema-first for the same
+    reason as CSV (no inference pass over 100 TB, stable types);
+    corrupt lines land in nulls under PERMISSIVE mode unless callers
+    pass ``mode="FAILFAST"``."""
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)

@@ -1,0 +1,57 @@
+"""Source-format coverage (JSONL) and bucketed co-located joins —
+the shuffle-free fact⋈fact story at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources.readers import (
+    read_jsonl_table,
+)
+
+
+def test_jsonl_reader_explicit_schema(spark, tmp_path):
+    p = str(tmp_path / "rows.jsonl")
+    with open(p, "w") as f:
+        f.write('{"order_id": 1, "amount": 10.5}\n')
+        f.write('{"order_id": 2, "amount": null}\n')
+        f.write('{"order_id": "oops", "amount": 3.0}\n')  # corrupt id
+    df = read_jsonl_table(
+        spark, p, "order_id long, amount double"
+    )
+    rows = {r["order_id"]: r["amount"] for r in df.collect()}
+    # permissive mode: corrupt line → null id, schema stays declared
+    assert rows[1] == 10.5 and rows[2] is None and None in rows
+    assert dict(df.dtypes) == {"order_id": "bigint", "amount": "double"}
+
+
+def test_bucketed_fact_join_has_no_shuffle(spark, tmp_path):
+    """Both facts bucketed by the join key → the join plan contains no
+    Exchange on either side: this is how the orders⋈lineitem shuffle
+    disappears at 100 TB (bucket-pruned, co-located scan-join)."""
+    orders = spark.range(1000).select(
+        F.col("id").alias("order_id"), (F.col("id") % 7).alias("status")
+    )
+    items = spark.range(5000).select(
+        (F.col("id") % 1000).alias("order_id"), F.col("id").alias("item_id")
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+    (orders.write.bucketBy(8, "order_id").sortBy("order_id")
+        .option("path", str(tmp_path / "b_orders"))
+        .mode("overwrite").saveAsTable("b_orders"))
+    (items.write.bucketBy(8, "order_id").sortBy("order_id")
+        .option("path", str(tmp_path / "b_items"))
+        .mode("overwrite").saveAsTable("b_items"))
+    # hint("merge") pins SortMergeJoin (the fact⋈fact strategy — at
+    # real scale neither side broadcasts); bucket co-location must
+    # eliminate every Exchange from the plan.
+    joined = spark.table("b_items").hint("merge").join(
+        spark.table("b_orders"), "order_id"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 5000
