@@ -307,3 +307,72 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Dedup cluster assignment: connected components over candidate
+    pairs by iterative min-label propagation (the step near-dup
+    pipelines need after pair generation — pairs alone don't say which
+    copies form one group).
+
+    Each iteration every node adopts the minimum label among itself and
+    its neighbors; converges in O(component diameter) rounds — near-dup
+    clusters are dense, so 2–4 rounds in practice. Each round is one
+    join + one groupBy (all shuffles on node id); ``localCheckpoint``
+    truncates the lineage so plan size stays constant. The driver-side
+    loop is a convergence check, not data movement — this is the
+    standard DataFrame-only CC (GraphX/GraphFrames' algorithm without
+    the dependency).
+    """
+    fwd = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("neighbor_label"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+            )
+            .select(
+                "node",
+                "label",
+                F.least(
+                    F.col("label"), F.coalesce("neighbor_label", F.col("label"))
+                ).alias("new_label"),
+            )
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = updated.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        "component_size",
+    )

@@ -238,3 +238,58 @@ def token_count_bpe(documents: DataFrame, chars_per_token: int = 4) -> DataFrame
         F.size(pieces).cast("long").alias("n_pieces"),
         subwords.alias("n_subwords_est"),
     )
+
+
+def curate_corpus(documents: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """End-to-end corpus curation in one pass: quality gate + language
+    agreement + exact-dedup canonical selection.
+
+    All per-doc signals (quality score, predicted language, content
+    fingerprint) are computed in a single projection over one scan —
+    no self-joins — then one shuffle on the fingerprint picks the
+    lowest-doc_id copy per content group (``min_by``). Output: the
+    surviving documents with their scores and duplicate counts — the
+    shape a training-data pipeline feeds to tokenization."""
+    t = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(t)
+    punct = F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    punct_ratio = ratio(punct, F.greatest(n_chars, F.lit(1)))
+    stop_ratio = ratio(
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))),
+        F.greatest(n_tokens, F.lit(1)),
+    )
+    len_factor = ratio(F.least(n_chars, F.lit(500)), F.lit(500))
+    score = det_round(
+        (len_factor + stop_ratio + (F.lit(1.0) - punct_ratio)) / F.lit(3.0), 4
+    )
+
+    toks_lower = F.array_distinct(tokens(F.lower(F.col("text"))))
+    scores = {
+        lang: F.size(F.array_intersect(toks_lower, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in order])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(order):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        score.alias("quality_score"),
+        pred.alias("predicted_lang"),
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("predicted_lang") == F.col("lang"))
+    )
+    return kept.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("quality_score", "doc_id").alias("quality_score"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -1719,3 +1719,73 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media).select(
         "media_id", "kind", F.size("feature").alias("feature_dim")
     )
+
+
+# --- curation + clustering: the end-to-end training-data shapes ------
+
+
+def _curation_oracle(min_quality: float = 0.5) -> str:
+    n_chars = "length(text)"
+    n_tokens = f"len({SQL_TOKENS})"
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    punct_ratio = f"(CAST({punct} AS DOUBLE) / CAST(GREATEST({n_chars}, 1) AS DOUBLE))"
+    stop_hits = (
+        f"len(list_filter({SQL_TOKENS}, x -> list_contains({_STOPLIST_SQL}, x)))"
+    )
+    stop_ratio = (
+        f"(CAST({stop_hits} AS DOUBLE) / CAST(GREATEST({n_tokens}, 1) AS DOUBLE))"
+    )
+    len_factor = f"(CAST(LEAST({n_chars}, 500) AS DOUBLE) / CAST(500 AS DOUBLE))"
+    score = round_sql(
+        f"(({len_factor} + {stop_ratio} + (1.0 - {punct_ratio})) / 3.0)", 4
+    )
+    toks = f"list_distinct({_Q_TOKENS_LOWER})"
+    lscore = {
+        lang: f"len(list_intersect({toks}, ["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "]))"
+        for lang, ws in text.LANG_MARKERS.items()
+    }
+    order = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(lscore[lang] for lang in order) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN {lscore[lang]} = {best} THEN '{lang}'" for lang in order)
+        + " END"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {score} AS quality_score,
+               {case} AS predicted_lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS doc_id,
+           arg_min(quality_score, doc_id) AS quality_score,
+           arg_min(lang, doc_id) AS lang,
+           COUNT(*) AS n_copies
+    FROM scored
+    WHERE quality_score >= {min_quality} AND predicted_lang = lang
+    GROUP BY fingerprint
+    """
+
+
+@query("corpus_curation", oracle=_curation_oracle())
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass curation: quality gate + language agreement +
+    exact-dedup canonical selection (single scan, one shuffle)."""
+    t = _t(spark, sf_dir, "documents")
+    return text.curate_corpus(t["documents"], min_quality=0.5)
+
+
+@query("dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: MinHash-LSH pairs → connected
+    components (iterative min-label propagation). Iterative — no SQL
+    equivalent; unit tests pin exact components on known graphs."""
+    t = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(t["documents"], jaccard_threshold=0.5)
+    return dedup.connected_components(pairs)

@@ -110,3 +110,35 @@ def test_fingerprint_normalization(spark):
     df = docs_df(spark, ["A  B\tC", "a b c"])
     fps = [r["fingerprint"] for r in text.fingerprint(df).collect()]
     assert fps[0] == fps[1]
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    # components: {1,2,3} (chain 1-2, 2-3), {10,11}; singleton pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["component_id"], r["component_size"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_curate_corpus_keeps_canonical_quality_docs(spark):
+    good = ("the rain and the sun is good, " * 6).strip()   # en markers, long, low punct
+    df = spark.createDataFrame(
+        [
+            (5, good, "en", "s", len(good)),
+            (3, "  " + good.upper() + "  ", "en", "s", len(good)),  # dup of 5, lower id
+            # zero marker hits tie-break to 'en' — declared 'de' mismatches
+            (7, "zzz qqq xxx", "de", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = text.curate_corpus(df, min_quality=0.3).collect()
+    assert len(rows) == 1
+    # canonical = min doc_id among the duplicate pair
+    assert rows[0]["doc_id"] == 3 and rows[0]["n_copies"] == 2
