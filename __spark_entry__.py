@@ -27,16 +27,28 @@ from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries i
 )
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin the session timezone before building any plan: timestamp →
+    date/string derivations must agree with DuckDB's naive (UTC) view
+    of the parquet instants regardless of the harness session's TZ."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (CategoryKPI over the item-grain star join) on
     /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
-    return QUERIES["category_kpi"](spark, sf_dir)
+    return _utc(QUERIES["category_kpi"])(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _utc(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
