@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): the engine's determinism and
+operator semantics hold over generated inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    asof,
+    events,
+)
+
+FAST = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+money = st.floats(
+    min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(st.lists(money, min_size=1, max_size=40))
+@FAST
+def test_det_round_matches_python_half_up(spark, xs):
+    """floor(x*100+0.5)/100 in Spark == the same IEEE ops in Python."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.core import (
+        det_round,
+    )
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    got = [r["r"] for r in df.select(det_round(F.col("v"), 2).alias("r")).collect()]
+    want = [math.floor(x * 100.0 + 0.5) / 100.0 for x in xs]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), money),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 100)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@FAST
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """The union-sort as-of join == pandas merge_asof (backward,
+    inclusive) per key, for arbitrary key/time/value data."""
+    left = spark.createDataFrame(
+        [(k, t, v) for k, t, v in left_rows], "k long, t long, lv double"
+    ).dropDuplicates(["k", "t"])
+    right = spark.createDataFrame(
+        [(k, t, p) for k, t, p in right_rows], "k long, t long, payload long"
+    ).dropDuplicates(["k", "t"])
+    got = {
+        (r["k"], r["t"]): r["asof_payload"]
+        for r in asof.asof_join(
+            left, right, key="k", left_time="t", right_time="t",
+            payload_cols=["payload"], how="left",
+        ).collect()
+    }
+    lp = left.toPandas().sort_values("t").reset_index(drop=True)
+    rp = right.toPandas().sort_values("t").reset_index(drop=True)
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    for _, row in merged.iterrows():
+        want = None if pd.isna(row["payload"]) else int(row["payload"])
+        assert got[(row["k"], row["t"])] == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100_000)),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    ),
+    st.integers(10, 5000),
+)
+@FAST
+def test_sessionize_invariants(spark, user_ts, gap):
+    """Session invariants for any event set and gap: (a) every event is
+    in exactly one session, (b) consecutive events within a session gap
+    ≤ gap, (c) gap between sessions of one user > gap."""
+    rows = [
+        (i, ts, uid, "view", 1.0, "{}")
+        for i, (uid, ts) in enumerate(user_ts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s long, user_id long, event_type string, "
+        "value double, props string"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out = events.sessionize(df, gap_seconds=gap).collect()
+    assert sum(r["n_events"] for r in out) == len(rows)
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    by_user_ts: dict[int, list[int]] = {}
+    for uid, ts in user_ts:
+        by_user_ts.setdefault(uid, []).append(ts)
+    for uid, sessions in per_user.items():
+        ts_sorted = sorted(by_user_ts[uid])
+        # rebuild expected session count by the gap rule
+        expected_sessions = 1 + sum(
+            1 for a, b in zip(ts_sorted, ts_sorted[1:]) if b - a > gap
+        )
+        assert len(sessions) == expected_sessions
