@@ -55,3 +55,25 @@ def test_bucketed_fact_join_has_no_shuffle(spark, tmp_path):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
     assert joined.count() == 5000
+
+
+def test_validated_zone_partition_pruning(spark, tmp_path):
+    """Date-partitioned validated zone: a date-filtered read must prune
+    to that partition (PartitionFilters in the scan, one directory)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        write_validated_zone,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2025-03-08", 10.0), (2, "2025-03-09", 20.0), (3, "2025-03-09", 5.0)],
+        "order_id long, order_date string, sale_price double",
+    )
+    write_validated_zone({"order_items": df}, str(tmp_path))
+    back = spark.read.parquet(str(tmp_path / "order_items")).filter(
+        F.col("order_date") == "2025-03-09"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "order_date" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert back.count() == 2
