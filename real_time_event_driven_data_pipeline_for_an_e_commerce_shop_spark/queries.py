@@ -1789,3 +1789,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(t["documents"], jaccard_threshold=0.5)
     return dedup.connected_components(pairs)
+
+
+@query(
+    "kpi_unpivot",
+    oracle="""
+    SELECT o_orderstatus, metric, value FROM (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) / 100.0
+                    AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        FROM orders GROUP BY o_orderstatus
+    ) UNPIVOT (value FOR metric IN (n_orders, revenue, n_customers))
+    """,
+)
+def q_kpi_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (§2.5 reshaping complement to the pivot query):
+    wide per-status KPIs → long (status, metric, value) triples via the
+    native unpivot operator — no UNION-of-selects re-scan."""
+    from .functions.core import exact_sum
+
+    t = _t(spark, sf_dir, "orders")
+    wide = t["orders"].groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "revenue", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
