@@ -1,0 +1,28 @@
+"""Engine-wide guarantee: no row-at-a-time Python in any declared
+query plan. The only Python allowed anywhere is Arrow-batched
+(MapInPandas / FlatMapGroupsInPandas), and only in the operators
+documented to use it (multimodal feature extraction)."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+    QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+ARROW_BATCHED_OK = {"media_features"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_plan_has_no_python_udf(spark, name):
+    plan = (
+        QUERIES[name](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+    assert "ArrowEvalPython" not in plan, f"{name} uses a scalar pandas UDF"
+    if name not in ARROW_BATCHED_OK:
+        assert "InPandas" not in plan, f"{name} unexpectedly crosses to Python"
