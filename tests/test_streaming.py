@@ -209,3 +209,75 @@ def test_stateful_running_totals_incremental(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_watermark_drops_data_later_than_watermark(spark, tmp_path):
+    """Append-mode windowed agg: a window is emitted once the watermark
+    passes its end, and events arriving after that are dropped — the
+    emitted row for the closed window never changes."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.windows import (
+        watermarked_daily_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    in_schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def batch(rows):
+        spark.createDataFrame(rows, in_schema).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).write.mode("append").parquet(src)
+
+    # day 1 events, then a day-3 event that advances the watermark
+    # (1-day watermark) far past day 1's window end
+    batch([(1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+           (2, "2024-01-01 11:00:00", 1, "view", 1.0, "{}")])
+    batch([(3, "2024-01-03 09:00:00", 2, "view", 1.0, "{}")])
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        watermarked_daily_rollup(stream, watermark="1 day")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = {
+        (r["event_date"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # day-1 window closed (watermark = day3 - 1day = day2 > day1 end)
+    assert ("2024-01-01", 2) in first
+
+    # a straggler for day 1 arrives — beyond the watermark: dropped
+    batch([(4, "2024-01-01 23:00:00", 3, "view", 1.0, "{}")])
+    q2 = (
+        watermarked_daily_rollup(stream, watermark="1 day")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    after = sorted(
+        (r["event_date"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # day-1 row unchanged (still 2 events) — the late event was dropped,
+    # no duplicate/updated emission for the closed window
+    assert after.count(("2024-01-01", 2)) == 1
+    assert ("2024-01-01", 1) not in after and ("2024-01-01", 3) not in after
