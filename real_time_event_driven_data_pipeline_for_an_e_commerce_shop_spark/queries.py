@@ -1822,3 +1822,107 @@ def q_kpi_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# identical SQL both engines (like ansi_sql_passthrough): arbitrary
+# GROUPING SETS — the general form behind the rollup/cube queries.
+GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) / 100.0
+                AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("grouping_sets_sql", oracle=GROUPING_SETS_SQL)
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond ROLLUP/CUBE), same SQL text on
+    both engines."""
+    t = _t(spark, sf_dir, "orders")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+@query(
+    "trailing_revenue_window",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(epoch_day AS BIGINT) AS order_day,
+           {round_sql(
+               "SUM(" + round_sql("o_totalprice", 2)
+               + ") OVER (PARTITION BY o_custkey ORDER BY epoch_day"
+               " RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)", 2)}
+               AS trailing_7d_revenue
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS epoch_day
+          FROM orders)
+    """,
+)
+def q_trailing_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer,
+    revenue over the trailing 7 calendar days — the frame Spark/DuckDB
+    both define on the ORDER BY value, so ties (same-day orders) all
+    see the full same-day total, unlike a ROWS frame."""
+    t = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    from .functions.core import det_round
+
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey", "o_custkey", day.alias("order_day"),
+            det_round(F.col("o_totalprice"), 2).alias("_p"),
+        )
+        .select(
+            "o_orderkey", "o_custkey", "order_day",
+            det_round(F.sum("_p").over(w), 2).alias("trailing_7d_revenue"),
+        )
+    )
+
+
+@query(
+    "daily_activity_full_outer",
+    oracle=f"""
+    WITH od AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, COUNT(*) AS n_orders
+        FROM orders GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+    ),
+    ev AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n_events
+        FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    )
+    SELECT COALESCE(od.d, ev.d) AS activity_date,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events
+    FROM od FULL OUTER JOIN ev ON od.d = ev.d
+    """,
+)
+def q_daily_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join family not yet declared): daily
+    order counts ⟗ daily event counts — both aggregates shrink to
+    |dates| rows before the join, so the full-outer shuffle is tiny."""
+    t = _t(spark, sf_dir, "orders", "events")
+    od = t["orders"].groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    ev = t["events"].groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        od.join(ev, "d", "full_outer")
+        .select(
+            F.coalesce(od["d"], ev["d"]).alias("activity_date"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
