@@ -43,6 +43,13 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # AQE coalescing only shrinks the partition count — it never
+        # grows it past spark.sql.shuffle.partitions. Starting from a
+        # high initial count lets AQE pick the real parallelism from
+        # observed shuffle bytes in BOTH directions: tiny inputs still
+        # coalesce to a handful of tasks, while a 100× input gets 100×
+        # the reduce tasks instead of spilling 32 oversized ones.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 128 MiB input splits: big enough to amortize task overhead at
         # 100 TB (≈800k tasks); minPartitionNum keeps small scans from
