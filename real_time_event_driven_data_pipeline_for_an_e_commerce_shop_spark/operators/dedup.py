@@ -13,9 +13,9 @@ Scale design notes, per operator:
   shuffle is the bucket-key groupBy, whose fan-in is controlled by
   ``n_bands``. Candidate pairs are then verified with exact Jaccard on
   the (small) candidate set only.
-* **SimHash**: one 64-bit signature per doc via xxhash64 of tokens;
-  near-dups = identical band of high bits — again a hash-groupBy, no
-  pairwise compare until the bucket.
+* **SimHash**: one 48-bit signature per doc via md5-prefix hashes of
+  tokens; near-dups = pairs within a Hamming radius, found by banded
+  blocking (pigeonhole-complete) — a hash-groupBy, no pairwise scan.
 * **n-gram Jaccard**: exact pairwise similarity, bucketed by a
   blocking key (``lang``) so the quadratic term is per-block; the
   brute-force baseline the LSH variants approximate.
@@ -29,8 +29,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.core import det_round, ratio
+from ..functions.core import det_round, md5_long, ratio
 from .text import tokens
+
+#: Mersenne prime for the MinHash universal-hash family
+#: h_i(x) = (a_i * x + b_i) mod P over 48-bit md5-prefix base hashes.
+#: a_i < 2^14 keeps a_i * x < 2^62 — no signed-64 overflow in either
+#: Spark (silent wrap) or DuckDB (hard error), so both engines compute
+#: identical values.
+MINHASH_PRIME = 2_147_483_647
+
+
+def _mix(z: int) -> int:
+    """splitmix64 finalizer — deterministic, dependency-free PRNG step."""
+    z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the MinHash hash family —
+    model-free and identical on every run/engine, so the DuckDB oracle
+    can embed the same constants and recompute the exact signatures."""
+    out = []
+    for i in range(num_hashes):
+        a = (_mix(2 * i) % ((1 << 14) - 1)) + 1
+        b = _mix(2 * i + 1) % MINHASH_PRIME
+        out.append((a, b))
+    return out
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -84,18 +111,23 @@ def minhash_signatures(
     re-inlines a shingle-array column into every one of the
     ``num_hashes`` ``transform``s, re-running tokenize→shingle→distinct
     32× per row (measured 18 s for 5k docs). The exploded form hashes
-    each shingle **once** (xxhash64), derives the hash family from that
-    single 64-bit value (xxhash64(h, i) — no string re-hash), and lets
-    the aggregation's map-side combine shrink the shuffle to
-    |docs| × num_hashes longs — the shape that survives 100 TB.
+    each shingle **once** (one md5), derives the hash family from that
+    single 48-bit value by integer mixing ((a_i·h + b_i) mod P — no
+    string re-hash), and lets the aggregation's map-side combine shrink
+    the shuffle to |docs| × num_hashes longs — the shape that survives
+    100 TB. The md5-prefix base (not xxhash64) makes the signature
+    recomputable by the DuckDB oracle, so LSH output is fully
+    value-checked, not rows-only.
     """
     per_shingle = documents.select(
         "doc_id", F.explode(shingles(F.col("text"), k)).alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    ).select("doc_id", md5_long(F.col("shingle")).alias("h"))
     sig = per_shingle.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
+            F.min(
+                (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
         ]
     )
     return sig.select(
@@ -112,10 +144,14 @@ def minhash_lsh_candidates(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature, bucket-join on
-    (band_id, band_hash), verify candidates with exact Jaccard.
+    (band_id, band signature slice), verify candidates with exact Jaccard.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥
     threshold. The pairwise explode only ever happens inside a bucket.
+    The band key is the band's raw signature slice (an array join key),
+    not a re-hash of it — equality on the values is what LSH means, and
+    it keeps the DuckDB oracle able to reproduce the bucket structure
+    exactly (list equality joins are native in both engines).
     """
     rows_per_band = num_hashes // n_bands
     sigs = minhash_signatures(documents, num_hashes, k)
@@ -126,18 +162,18 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
+                        F.array(
                             *[
                                 F.element_at("signature", b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
                             ]
-                        ).alias("band_hash"),
+                        ).alias("band_sig"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_sig")
 
     cand = (
         banded.alias("a")
@@ -145,7 +181,7 @@ def minhash_lsh_candidates(
             banded.alias("b"),
             on=[
                 F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
@@ -174,18 +210,22 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over tokens: sign-sum of per-token xxhash64 bits.
+def simhash(documents: DataFrame, bits: int = 48) -> DataFrame:
+    """48-bit SimHash over tokens: sign-sum of per-token md5-prefix
+    hash bits.
 
     Pure JVM expression: for each bit position, count tokens whose hash
     has the bit set vs not; bit is 1 if the majority sets it. Emitted
-    as the signed long whose two's-complement bits are the signature.
+    as the (non-negative) long whose bits are the signature. 48 bits
+    (md5 12-hex prefix) rather than 64 so the whole signature — and
+    therefore the near-dup pair set — is recomputable by the DuckDB
+    oracle with identical integer arithmetic.
     """
     # exploded form for the same CollapseProject reason as MinHash: the
     # token-hash array would otherwise be re-evaluated once per bit.
     per_token = documents.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", md5_long(F.col("tok")).alias("h"))
     ones = [
         F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1).cast("long"))).alias(
             f"ones_{b}"
@@ -204,21 +244,75 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_dups(documents: DataFrame, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup candidates = docs sharing the top ``prefix_bits`` of
-    their SimHash — a hash-groupBy blocking scheme (no pairwise scan)."""
-    sigs = simhash(documents)
-    block = F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    blocks = sigs.select("doc_id", "simhash", block.alias("block"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    return a.join(
-        b,
-        on=[F.col("a.block") == F.col("b.block"), F.col("a.doc_id") < F.col("b.doc_id")],
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.simhash").alias("simhash_a"),
-        F.col("b.simhash").alias("simhash_b"),
+def simhash_near_dups(
+    documents: DataFrame,
+    n_bands: int = 6,
+    band_bits: int = 8,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Exact SimHash near-dup pairs: all pairs with Hamming distance ≤
+    ``max_hamming`` (default ``n_bands - 1``) between 48-bit signatures.
+
+    Banded blocking with a verification filter, never a pairwise scan:
+    the signature is split into ``n_bands`` bands of ``band_bits`` bits;
+    candidates are pairs agreeing on *some* band (a hash-groupBy join);
+    survivors are filtered to ``bit_count(xor) ≤ max_hamming``. By
+    pigeonhole, a pair within Hamming distance ``n_bands - 1`` cannot
+    differ in every band, so blocking loses nothing: the result is
+    EXACTLY the ≤-max_hamming pair set — deterministic, complete, and
+    reproducible by the brute-force DuckDB oracle. (The round-1
+    top-prefix blocking missed ~half the true near-dups — a single
+    flipped high bit evicts a pair; banding has no such failure mode.)
+
+    At 100 TB each band bucket is one shuffle key; bucket fan-out is
+    bounded by 2^band_bits per band and near-dup clusters are small, so
+    the pair explosion stays inside buckets exactly as in MinHash-LSH.
+    """
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    assert max_hamming <= n_bands - 1, "pigeonhole completeness needs ham <= bands-1"
+    sigs = simhash(documents, bits=n_bands * band_bits)
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # same pair can share >1 band
+    )
+    ham = F.bit_count(
+        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+    ).cast("long")
+    return cand.withColumn("hamming_dist", ham).filter(
+        F.col("hamming_dist") <= max_hamming
     )
 
 

@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.core import sql_md5_long
 from .operators import kpi, mapping, validate
 from .sources.readers import load_testdata
 
@@ -598,30 +599,179 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
 
 
-# --- LSH family (no SQL equivalent: xxhash64-based; rows-only check) ---
+# --- LSH family — fully oracle-checked (round-2): signatures are
+# md5-prefix-based so DuckDB recomputes the exact MinHash/SimHash
+# values, bucket structure, and verified pairs; SRP hyperplane weights
+# are engine-neutral double literals embedded in the generated SQL.
+# (Round 1 these three were the only `no_oracle` CORRECTNESS rows.)
 
 
-@query("dedup_minhash")
+def _shingle_cte(k: int = 3) -> str:
+    """DuckDB CTEs `toks`/`sh`: doc_id → distinct k-shingle list,
+    mirroring operators/dedup.shingles (shared with _ngram_jaccard_oracle)."""
+    mk = " ".join(f"T[i+{j}]," for j in range(k)).rstrip(",")
+    shingle = (
+        f"list_transform(range(1, len(T) - {k - 2}), "
+        f"i -> concat_ws(' ', {mk}))"
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(T) >= {k} THEN {shingle}
+                             ELSE [array_to_string(T, ' ')] END) AS s
+        FROM toks
+    )"""
+
+
+def _minhash_oracle(
+    num_hashes: int = 32, n_bands: int = 8, k: int = 3, threshold: float = 0.5
+) -> str:
+    """Exact DuckDB mirror of dedup.minhash_lsh_candidates: same md5-48
+    base hash, same (a·h+b) mod P family, same band buckets (list
+    equality), same exact-Jaccard verification."""
+    coeffs = dedup.minhash_coefficients(num_hashes)
+    p = dedup.MINHASH_PRIME
+    mh_cols = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows_per_band = num_hashes // n_bands
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, [{vals}] AS band_sig FROM sig".format(
+            b=b,
+            vals=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    jacc = (
+        "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)"
+    )
+    return f"""
+    WITH {_shingle_cte(k)},
+    base AS (
+        SELECT doc_id, {sql_md5_long("sgl")} AS h
+        FROM (SELECT doc_id, unnest(s) AS sgl FROM sh)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM base GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, {round_sql(jacc, 4)} AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    )
+    SELECT * FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs, Jaccard-verified.
 
-    Non-SQL-expressible (xxhash64 signatures); correctness is covered
-    by unit tests on constructed corpora + the exact ngram_jaccard
-    oracle query as the ground-truth baseline."""
+    Fully hash-checked: the md5-based signature family lets DuckDB
+    recompute signatures, band buckets, and verified pairs exactly."""
     t = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(t["documents"], jaccard_threshold=0.5)
 
 
-@query("dedup_simhash")
+def _simhash_oracle(n_bands: int = 6, band_bits: int = 8) -> str:
+    """Exact DuckDB mirror of dedup.simhash_near_dups. The oracle skips
+    the banded blocking and brute-forces all pairs with a Hamming
+    filter — by the pigeonhole guarantee (ham ≤ n_bands-1 ⇒ some band
+    agrees) the two formulations produce identical pair sets, which is
+    precisely the property worth gating."""
+    bits = n_bands * band_bits
+    ones = ",\n               ".join(
+        f"SUM((h >> {b}) & 1) AS o{b}" for b in range(bits)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN 2 * o{b} >= n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    max_ham = n_bands - 1
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(T) AS tk FROM toks),
+    h AS (SELECT doc_id, {sql_md5_long("tk")} AS h FROM tok),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {ones}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, ({sig_sum}) AS simhash FROM agg)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS simhash_a, b.simhash AS simhash_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming_dist
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_ham}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash blocking near-dup candidates (rows-only check)."""
+    """Banded SimHash near-dup pairs (exactly Hamming ≤ 5 over 48-bit
+    signatures), fully hash-checked against a brute-force oracle."""
     t = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(t["documents"], prefix_bits=16)
+    return dedup.simhash_near_dups(t["documents"], n_bands=6, band_bits=8)
 
 
-@query("ann_srp_topk")
+def _srp_oracle(dim: int = 64, k: int = 5, n_planes: int = 8, n_queries: int = 10) -> str:
+    """Exact DuckDB mirror of similarity.srp_topk: the deterministic
+    hyperplane weights are embedded as double literals (repr roundtrips
+    exactly), bucket = OR of sign bits, then same-bucket cosine top-k."""
+    def bucket(vec: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = "[" + ", ".join(
+                repr(w) for w in similarity._srp_plane(dim, p)
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, {plane}) >= 0"
+                f" THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    bk AS (SELECT vec_id, vec, {bucket("vec")} AS bucket FROM v),
+    scored AS (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {SQL_COS} AS sim
+        FROM bk a JOIN bk b ON a.bucket = b.bucket
+        WHERE b.vec_id < {n_queries} AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM scored
+    QUALIFY sim_rank <= {k}
+    """
+
+
+@query("ann_srp_topk", oracle=_srp_oracle())
 def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via signed-random-projection buckets."""
+    """Approximate top-k via signed-random-projection buckets, fully
+    hash-checked (engine-neutral hyperplanes reproduced in SQL)."""
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     return similarity.srp_topk(

@@ -62,6 +62,41 @@ def test_simhash_identical_and_blocking(spark):
     assert any((c["doc_a"], c["doc_b"]) == (0, 1) for c in cands)
 
 
+def test_minhash_lsh_full_recall_vs_exact_truth(spark):
+    """Containment gate (VERDICT r1 "missing" #1): on the real corpus,
+    LSH banding must surface every pair with exact Jaccard >= 0.7 —
+    the ground truth is the (hash-checked) exact inverted-index op."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = dedup.ngram_jaccard_pairs(
+        docs.withColumn("_g", F.lit(1)), k=3, block_col="_g", threshold=0.7
+    )
+    truth_pairs = {(r["doc_a"], r["doc_b"]) for r in truth.collect()}
+    lsh = dedup.minhash_lsh_candidates(docs, jaccard_threshold=0.0)
+    lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in lsh.collect()}
+    assert truth_pairs  # non-vacuous: the corpus does contain near-dups
+    assert truth_pairs <= lsh_pairs
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    """Pigeonhole completeness: banded blocking + Hamming verify equals
+    the brute-force <=5-Hamming pair set — blocking loses nothing."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ids = sorted(sigs)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 5
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dups(docs).collect()
+    }
+    assert got == expected
+    assert expected  # non-vacuous
+
+
 def vecs_df(spark, vecs):
     return spark.createDataFrame(
         [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
