@@ -511,7 +511,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(t["documents"])
 
 
-def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.1) -> str:
+def _ngram_jaccard_oracle(
+    k: int = 3, threshold: float = 0.1, max_shingle_df: int = 10_000
+) -> str:
     mk = " ".join(f"T[i+{j}]," for j in range(k)).rstrip(",")
     shingle = (
         f"list_transform(range(1, len(T) - {k - 2}), "
@@ -521,16 +523,29 @@ def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.1) -> str:
         "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
         " / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
     )
+    # Mirror of the operator's stop-shingle df cap: shingles with
+    # document frequency > cap are removed from every doc's set before
+    # the Jaccard — part of the operator contract.
     return f"""
     WITH toks AS (
         SELECT doc_id, lang AS block, {_Q_TOKENS_LOWER} AS T FROM documents
     ),
-    sh AS (
+    sh0 AS (
         SELECT doc_id, block,
                list_distinct(CASE WHEN len(T) >= {k} THEN {shingle}
                              ELSE [array_to_string(T, ' ')] END) AS s
         FROM toks
     ),
+    posting AS (SELECT doc_id, block, unnest(s) AS sgl FROM sh0),
+    stop AS (
+        SELECT block, sgl FROM posting
+        GROUP BY block, sgl HAVING COUNT(*) > {max_shingle_df}
+    ),
+    kept AS (
+        SELECT p.doc_id, p.block, p.sgl FROM posting p
+        ANTI JOIN stop st ON p.block = st.block AND p.sgl = st.sgl
+    ),
+    sh AS (SELECT doc_id, block, list(sgl) AS s FROM kept GROUP BY doc_id, block),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                {round_sql(jacc, 4)} AS jaccard
@@ -542,7 +557,8 @@ def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.1) -> str:
 
 @query("ngram_jaccard", oracle=_ngram_jaccard_oracle())
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard pairs within language blocks."""
+    """Exact 3-shingle Jaccard pairs within language blocks, with the
+    stop-shingle df cap (no-op on this corpus; bounds skew at scale)."""
     t = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(t["documents"], k=3, threshold=0.1)
 
