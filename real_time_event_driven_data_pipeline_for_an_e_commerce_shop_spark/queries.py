@@ -1687,9 +1687,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) k-gram fingerprints, k=5, window=4."""
+    """Winnowing (MOSS) k-gram fingerprints, k=5, window=4 — the
+    Arrow-batched shuffle-free formulation; bit-identical to the
+    relational ``winnowing_fingerprints`` (equivalence-tested), which
+    remains as the pure-JVM mirror of the oracle SQL."""
     t = _t(spark, sf_dir, "documents")
-    return text.winnowing_fingerprints(t["documents"], k=5, window=4)
+    return text.winnowing_fingerprints_arrow(t["documents"], k=5, window=4)
 
 
 # --- batch 2 widening: Q11/Q20/Q21 shapes, typed JSON, skew salt ------

@@ -53,6 +53,32 @@ def test_winnowing_shared_substring_shares_fingerprints(spark):
     assert overlap_02 < 0.1
 
 
+def test_winnowing_arrow_bit_identical_to_relational(spark):
+    """The Arrow-batched formulation must reproduce the relational
+    (oracle-mirroring) one exactly — same rows, same values — on the
+    real corpus, including whitespace/short-doc edge cases."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (100001, "  tiny  ", "en", "s", 1),          # below k+window-1
+            (100002, "ab\tcd\n ef  gh ij kl", "en", "s", 1),  # mixed \s runs
+            (100003, "", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = docs.unionByName(edge)
+    rel = {
+        (r["doc_id"], r["fingerprint"])
+        for r in text.winnowing_fingerprints(docs, k=5, window=4).collect()
+    }
+    arw = {
+        (r["doc_id"], r["fingerprint"])
+        for r in text.winnowing_fingerprints_arrow(docs, k=5, window=4).collect()
+    }
+    assert rel == arw
+    assert len(rel) > 1000  # non-vacuous
+
+
 def test_winnowing_density_guarantee(spark):
     # at least one fingerprint per (window + k - 1)-char stretch
     n, k, w = 200, 5, 4
