@@ -133,6 +133,63 @@ def q_validate_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "validation_rejects",
+    oracle="""
+    WITH vo AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+          AND o_orderdate IS NOT NULL)
+    SELECT 'orders' AS table_name, 'null_order_id' AS rule,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+                AS BIGINT) AS n_rejected
+    UNION ALL SELECT 'orders', 'null_user_id',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL) AS BIGINT)
+    UNION ALL SELECT 'orders', 'null_created_at',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+                   AND o_orderdate IS NULL) AS BIGINT)
+    UNION ALL SELECT 'order_items', 'null_id',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE (l_orderkey * 10 + l_linenumber) IS NULL) AS BIGINT)
+    UNION ALL SELECT 'order_items', 'null_product_id',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE (l_orderkey * 10 + l_linenumber) IS NOT NULL
+                   AND l_partkey IS NULL) AS BIGINT)
+    UNION ALL SELECT 'order_items', 'null_sale_price',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE (l_orderkey * 10 + l_linenumber) IS NOT NULL
+                   AND l_partkey IS NOT NULL
+                   AND l_extendedprice IS NULL) AS BIGINT)
+    UNION ALL SELECT 'order_items', 'nonpositive_sale_price',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE (l_orderkey * 10 + l_linenumber) IS NOT NULL
+                   AND l_partkey IS NOT NULL
+                   AND l_extendedprice IS NOT NULL
+                   AND l_extendedprice <= 0) AS BIGINT)
+    UNION ALL SELECT 'order_items', 'unknown_order',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE (l_orderkey * 10 + l_linenumber) IS NOT NULL
+                   AND l_partkey IS NOT NULL
+                   AND l_extendedprice IS NOT NULL AND l_extendedprice > 0
+                   AND l_orderkey NOT IN (SELECT o_orderkey FROM vo))
+                AS BIGINT)
+    """,
+)
+def q_validation_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine summary: rejected-record counts per (table, rule) —
+    README.md:35 parity ("Invalid records are logged and skipped",
+    silent in the reference's shipped code). Every rule emits a row
+    (zeros included) so the gate compares a data-independent shape;
+    the dirty-data semantics are pinned by unit tests."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    return validate.validation_reject_summary(
+        mapping.orders_from_tpch(t["orders"]),
+        mapping.order_items_from_tpch(t["lineitem"]),
+    )
+
+
+@query(
     "category_kpi",
     oracle=f"""
     WITH fact AS ({SQL_FACT})

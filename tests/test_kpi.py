@@ -123,6 +123,64 @@ def test_validation_drops_and_semi_join(spark):
     assert [r["id"] for r in v_items.collect()] == [1]
 
 
+def test_validation_rejects_reasons_and_parity(spark):
+    """Quarantine semantics on dirty rows: every reject carries its
+    first-failing rule; valid side equals the silent validators."""
+    orders = spark.createDataFrame(
+        [
+            (1, 1, TS),
+            (None, None, TS),  # both null → null_order_id wins (priority)
+            (3, None, TS),
+            (4, 4, None),
+        ],
+        "order_id long, user_id long, created_at timestamp",
+    )
+    v_orders, o_rej = validate.validate_orders_with_rejects(orders)
+    assert {
+        (r["order_id"], r["reject_reason"]) for r in o_rej.collect()
+    } == {(None, "null_order_id"), (3, "null_user_id"), (4, "null_created_at")}
+    silent = validate.validate_orders(orders)
+    assert sorted(v_orders.collect()) == sorted(silent.collect())
+
+    items = spark.createDataFrame(
+        [
+            (1, 1, 1, 5.0),
+            (None, 1, None, 5.0),  # id and product null → null_id wins
+            (3, 1, None, 5.0),
+            (4, 1, 1, None),
+            (5, 1, 1, 0.0),
+            (6, 99, 1, 5.0),  # dangling order → unknown_order (anti-join)
+        ],
+        "id long, order_id long, product_id long, sale_price double",
+    )
+    v_items, i_rej = validate.validate_order_items_with_rejects(items, v_orders)
+    assert {
+        (r["id"], r["reject_reason"]) for r in i_rej.collect()
+    } == {
+        (None, "null_id"),
+        (3, "null_product_id"),
+        (4, "null_sale_price"),
+        (5, "nonpositive_sale_price"),
+        (6, "unknown_order"),
+    }
+    assert [r["id"] for r in v_items.collect()] == [1]
+
+    summary = {
+        (r["table_name"], r["rule"]): r["n_rejected"]
+        for r in validate.validation_reject_summary(orders, items).collect()
+    }
+    assert summary == {
+        ("orders", "null_order_id"): 1,
+        ("orders", "null_user_id"): 1,
+        ("orders", "null_created_at"): 1,
+        ("order_items", "null_id"): 1,
+        ("order_items", "null_product_id"): 1,
+        ("order_items", "null_sale_price"): 1,
+        ("order_items", "nonpositive_sale_price"): 1,
+        ("order_items", "unknown_order"): 1,
+    }
+
+
 def test_rank_daily_tie_break(spark):
     products, orders, items = make_star(spark)
     fact = kpi.build_item_fact(items, kpi.with_return_flag(orders), products)
