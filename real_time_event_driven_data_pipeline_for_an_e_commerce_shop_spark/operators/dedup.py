@@ -26,6 +26,8 @@ flavor agrees on tokenization.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -503,6 +505,20 @@ def connected_components(
         ).localCheckpoint()
         if changed == 0:
             break
+    else:
+        # A component whose diameter exceeds max_iterations would be
+        # silently split into several labels — surface it so callers
+        # can tell converged output from truncated propagation
+        # (ADVICE r1 #4). min-label needs O(diameter) rounds; dense
+        # near-dup clusters converge in 2-4.
+        warnings.warn(
+            f"connected_components: still propagating after "
+            f"{max_iterations} iterations ({changed} labels changed in "
+            f"the last round); components with diameter > "
+            f"{max_iterations} are split. Raise max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),

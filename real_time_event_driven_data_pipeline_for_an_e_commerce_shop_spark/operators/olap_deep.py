@@ -496,22 +496,42 @@ def status_priority_cube(orders: DataFrame) -> DataFrame:
 
 
 def important_parts(
-    lineitem: DataFrame, part: DataFrame, share_threshold: float = 0.001
+    lineitem: DataFrame,
+    part: DataFrame,
+    share_threshold: float | None = None,
+    mean_multiple: float | None = None,
 ) -> DataFrame:
     """TPC-H Q11 shape: parts whose total traded value exceeds a
-    fraction of the corpus-wide total. The grand total is a scalar from
-    the same pre-aggregated per-part values (one shuffle), applied via
+    threshold derived from the whole corpus. Two threshold modes:
+
+    * ``share_threshold`` — fraction of the corpus-wide total (the
+      literal Q11 form; TPC-H itself scales the fraction by 1/SF
+      because a fixed share selects nothing once |parts| grows);
+    * ``mean_multiple`` — multiple of the MEAN per-part value, i.e.
+      ``share_threshold = mean_multiple / |parts|``. Scale-independent:
+      the selected fraction of parts depends only on the value
+      distribution, not the corpus size.
+
+    Either way the grand total (and count) is a scalar from the same
+    pre-aggregated per-part values (one shuffle), applied via
     broadcast — no second scan of the fact."""
+    if (share_threshold is None) == (mean_multiple is None):
+        raise ValueError("pass exactly one of share_threshold / mean_multiple")
     value = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = lineitem.groupBy("l_partkey").agg(
         _dsum(value, 2, 38).alias("part_value")
     )
     total = per_part.agg(
-        F.sum(F.col("part_value").cast("decimal(38,2)")).cast("double").alias("_total")
+        F.sum(F.col("part_value").cast("decimal(38,2)")).cast("double").alias("_total"),
+        F.count(F.lit(1)).alias("_n_parts"),
     )
+    if mean_multiple is not None:
+        cutoff = (F.col("_total") / F.col("_n_parts")) * F.lit(mean_multiple)
+    else:
+        cutoff = F.col("_total") * F.lit(share_threshold)
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("_total") * F.lit(share_threshold))
+        .filter(F.col("part_value") > cutoff)
         .join(F.broadcast(part.select("p_partkey", "p_name")),
               F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "part_value")

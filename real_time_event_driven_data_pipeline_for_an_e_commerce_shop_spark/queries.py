@@ -1766,14 +1766,20 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_name, part_value
     FROM per JOIN part ON l_partkey = p_partkey
     WHERE part_value > (
-        SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,2))) AS DOUBLE) * 0.001
+        SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,2))) AS DOUBLE)
+               / COUNT(*) * 1.5
         FROM per)
     """,
 )
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: value share above a corpus-wide threshold."""
+    """TPC-H Q11 shape: value share above a corpus-wide threshold.
+    Registered with the mean-relative threshold (1.5× mean part value)
+    so the gate compares NON-EMPTY output at every scale factor — a
+    fixed total-share threshold selects nothing on uniform testdata
+    (each part's share ≈ 1/|parts|), making the hash match vacuous
+    (ADVICE r1 #1)."""
     t = _t(spark, sf_dir, "lineitem", "part")
-    return olap_deep.important_parts(t["lineitem"], t["part"])
+    return olap_deep.important_parts(t["lineitem"], t["part"], mean_multiple=1.5)
 
 
 @query(
@@ -2078,9 +2084,10 @@ def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_custkey,
            CAST(epoch_day AS BIGINT) AS order_day,
            {round_sql(
-               "SUM(" + round_sql("o_totalprice", 2)
-               + ") OVER (PARTITION BY o_custkey ORDER BY epoch_day"
-               " RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)", 2)}
+               "CAST(SUM(CAST(" + round_sql("o_totalprice", 2)
+               + " AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey"
+               " ORDER BY epoch_day"
+               " RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)", 2)}
                AS trailing_7d_revenue
     FROM (SELECT o_orderkey, o_custkey, o_totalprice,
                  CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS epoch_day
@@ -2091,7 +2098,12 @@ def q_trailing_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (value-based, not row-based): per customer,
     revenue over the trailing 7 calendar days — the frame Spark/DuckDB
     both define on the ORDER BY value, so ties (same-day orders) all
-    see the full same-day total, unlike a ROWS frame."""
+    see the full same-day total, unlike a ROWS frame.
+
+    The window sum runs in DECIMAL(18,2) on both engines (the engine
+    decimal-sum policy): Spark accumulates the frame incrementally,
+    DuckDB via a segment tree, so a double sum could drift by a ulp
+    across the half-up rounding boundary (ADVICE r1 #3)."""
     t = _t(spark, sf_dir, "orders")
     day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
         "long"
@@ -2111,7 +2123,10 @@ def q_trailing_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderkey", "o_custkey", "order_day",
-            det_round(F.sum("_p").over(w), 2).alias("trailing_7d_revenue"),
+            det_round(
+                F.sum(F.col("_p").cast("decimal(18,2)")).over(w).cast("double"),
+                2,
+            ).alias("trailing_7d_revenue"),
         )
     )
 

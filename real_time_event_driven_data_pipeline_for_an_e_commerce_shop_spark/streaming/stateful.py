@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -36,10 +37,12 @@ def _update_running_totals(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # det_round-equivalent half-up at 2 dp, in integer space
-        cents += int(
-            (pdf["value"] * 100.0 + 0.5).apply(float).apply(int).sum()
-        )
+        # det_round-equivalent half-up at 2 dp, in integer space:
+        # floor(x*100 + 0.5), NOT int() — int() truncates toward zero,
+        # which diverges from det_round for negatives (ADVICE r1 #2).
+        # Nulls are skipped, matching SUM-over-nullable semantics.
+        v = pdf["value"].dropna().to_numpy(dtype="float64")
+        cents += int(np.floor(v * 100.0 + 0.5).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {

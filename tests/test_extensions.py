@@ -203,3 +203,14 @@ def test_curate_corpus_keeps_canonical_quality_docs(spark):
     assert len(rows) == 1
     # canonical = min doc_id among the duplicate pair
     assert rows[0]["doc_id"] == 3 and rows[0]["n_copies"] == 2
+
+
+def test_connected_components_warns_on_truncation(spark):
+    import pytest
+
+    # a 6-node path has diameter 5 > max_iterations=2 → must warn
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="still propagating"):
+        dedup.connected_components(chain, max_iterations=2)

@@ -83,3 +83,28 @@ def test_global_sales_opportunity_anti_join(spark):
     # cust 2 is rich with only a non-urgent order → kept; cust 3 poor
     assert len(rows) == 1
     assert rows[0]["c_mktsegment"] == "A" and rows[0]["numcust"] == 1
+
+
+def test_important_parts_mean_threshold(spark):
+    # Literal rows where the threshold/join logic actually selects:
+    # values 100/10/10/10 — mean 32.5, 1.5× mean = 48.75 → only part 1
+    # crosses (ADVICE r1: uniform testdata made the share form vacuous).
+    lineitem = spark.createDataFrame(
+        [(1, 100.0, 1.0), (2, 10.0, 1.0), (3, 10.0, 1.0), (4, 10.0, 1.0)],
+        "l_partkey long, l_extendedprice double, l_quantity double",
+    )
+    part = spark.createDataFrame(
+        [(1, "big"), (2, "s"), (3, "s"), (4, "s")],
+        "p_partkey long, p_name string",
+    )
+    rows = olap_deep.important_parts(
+        lineitem, part, mean_multiple=1.5
+    ).collect()
+    assert [(r["p_partkey"], r["p_name"], r["part_value"]) for r in rows] == [
+        (1, "big", 100.0)
+    ]
+    # share form: total 130, threshold 0.5 → 65 → still only part 1
+    rows = olap_deep.important_parts(
+        lineitem, part, share_threshold=0.5
+    ).collect()
+    assert [r["p_partkey"] for r in rows] == [1]

@@ -281,3 +281,37 @@ def test_watermark_drops_data_later_than_watermark(spark, tmp_path):
     # no duplicate/updated emission for the closed window
     assert after.count(("2024-01-01", 2)) == 1
     assert ("2024-01-01", 1) not in after and ("2024-01-01", 3) not in after
+
+
+def test_stateful_accumulator_matches_det_round_for_negatives():
+    """The cents accumulator must floor(x*100+0.5) like det_round —
+    int() truncation diverges for negatives (−0.014 → 0 cents instead
+    of −1) — and skip nulls like a SQL SUM (ADVICE r1 #2)."""
+    import pandas as pd
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.stateful import (
+        _update_running_totals,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._t = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+    state = FakeState()
+    pdf = pd.DataFrame({"value": [1.006, -0.014, None]})
+    (out,) = list(_update_running_totals((7,), [pdf], state))
+    # det_round(1.006)=1.01, det_round(-0.014)=-0.01, null skipped
+    assert state.get == (3, 100)
+    assert out["total_value"].iloc[0] == 1.0
+    assert out["n_events"].iloc[0] == 3
