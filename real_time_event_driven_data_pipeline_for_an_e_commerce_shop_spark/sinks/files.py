@@ -10,12 +10,14 @@
   never from data — same as the reference.
 
 At 100 TB the validated zone is partitioned by ``order_date`` so the
-KPI stage and any date-ranged query prune partitions statically.
+KPI stage and any date-ranged query prune partitions statically; the
+bucketed variant additionally clusters facts by ``order_id`` so the
+items⋈orders join (J2) runs Exchange-free (bucket co-location).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_validated_zone(
@@ -33,6 +35,54 @@ def write_validated_zone(
         if partition_facts_by and partition_facts_by in df.columns:
             writer = writer.partitionBy(partition_facts_by)
         writer.save(f"{base_dir}/{name}")
+
+
+def write_validated_zone_bucketed(
+    tables: dict[str, DataFrame],
+    base_dir: str,
+    n_buckets: int = 32,
+    bucket_col: str = "order_id",
+    table_prefix: str = "validated_",
+) -> dict[str, str]:
+    """Validated zone as catalog tables, facts bucketed by the join key.
+
+    Tables carrying ``bucket_col`` (orders, order_items) are written
+    ``bucketBy(n_buckets, bucket_col).sortBy(bucket_col)`` — bucket
+    membership is recorded in the catalog, so every later equi-join or
+    aggregation on ``bucket_col`` between co-bucketed tables runs with
+    NO Exchange on either side (asserted by plan test). Dimension
+    tables are registered flat. Returns ``{name: table_name}``.
+
+    At 100 TB this removes the J2 shuffle from every KPI run against
+    the zone: the shuffle is paid ONCE at write time (validation
+    already shuffles nothing — the write clusters while writing), then
+    amortized over every downstream read. ``n_buckets`` should be
+    sized so one bucket of the largest fact fits an executor's scan
+    budget (e.g. 100 TB / 4096 buckets ≈ 25 GB/bucket, split further
+    by date partitions)."""
+    out: dict[str, str] = {}
+    for name, df in tables.items():
+        table = f"{table_prefix}{name}"
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{base_dir}/{name}")
+        )
+        if bucket_col in df.columns:
+            writer = writer.bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+        writer.saveAsTable(table)
+        out[name] = table
+    return out
+
+
+def read_validated_zone_bucketed(
+    spark: SparkSession, names: dict[str, str]
+) -> dict[str, DataFrame]:
+    """Read back bucketed-zone tables (catalog reads keep bucket
+    metadata; a raw ``spark.read.parquet`` of the same files would
+    not, and the join would re-shuffle)."""
+    return {name: spark.table(table) for name, table in names.items()}
 
 
 def write_processed_zone(

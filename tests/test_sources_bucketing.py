@@ -77,3 +77,62 @@ def test_validated_zone_partition_pruning(spark, tmp_path):
         "PartitionFilters"
     )[1][:200]
     assert back.count() == 2
+
+
+def test_bucketed_validated_zone_kpi_join_no_shuffle(spark, tmp_path):
+    """ROADMAP #3 / VERDICT r1 next #6: write the validated zone with
+    write_validated_zone_bucketed, rebuild the item fact from the
+    catalog tables, and the J2 items⋈orders join must contain no
+    shuffle Exchange — the join-key clustering was paid at write time.
+    Broadcast is disabled so the test can't pass via BHJ."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        kpi,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        read_validated_zone_bucketed,
+        write_validated_zone_bucketed,
+    )
+
+    orders = spark.range(200).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 31).alias("user_id"),
+        F.to_date(F.lit("2025-03-08")).alias("order_date"),
+        F.when(F.col("id") % 5 == 0, F.lit(True)).otherwise(F.lit(False)).alias(
+            "is_returned"
+        ),
+    )
+    items = spark.range(1000).select(
+        F.col("id").alias("id"),
+        (F.col("id") % 200).alias("order_id"),
+        (F.col("id") % 17).alias("product_id"),
+        (F.col("id") % 9 + 0.5).alias("sale_price"),
+    )
+    products = spark.range(17).select(
+        F.col("id"), F.concat(F.lit("cat"), F.col("id") % 3).alias("category")
+    )
+    names = write_validated_zone_bucketed(
+        {"orders": orders, "order_items": items},
+        str(tmp_path / "zone"),
+        n_buckets=8,
+    )
+    back = read_validated_zone_bucketed(spark, names)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = kpi.build_item_fact(back["order_items"], back["orders"], products)
+        plan = fact._jdf.queryExecution().executedPlan().toString()
+        # J2 must be a bucket-co-located SortMergeJoin: no shuffle
+        # Exchange anywhere (dim join is an explicit BroadcastExchange,
+        # which is allowed — it moves 17 rows, not the facts)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert fact.count() == 1000
+        got = {
+            (r["category"], r["daily_revenue"])
+            for r in kpi.category_kpi(fact).collect()
+        }
+        assert len(got) == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
