@@ -315,3 +315,63 @@ def test_stateful_accumulator_matches_det_round_for_negatives():
     assert state.get == (3, 100)
     assert out["total_value"].iloc[0] == 1.0
     assert out["n_events"].iloc[0] == 3
+
+
+def test_update_mode_kpi_state_stays_flat(spark, tmp_path):
+    """ROADMAP #4: the update-mode daily KPI keeps one HLL sketch per
+    open day, so the state-store row count must NOT grow as thousands
+    of new distinct orders/customers stream in — and the approximate
+    distinct counts must land within the sketch's error bound."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        order_kpi_streaming_update,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "id long, order_id long, user_id long, sale_price double, "
+        "is_returned boolean, created_at timestamp"
+    )
+
+    def chunk(start):  # 1000 items, 500 orders, 500 users — all new ids
+        return spark.range(start, start + 1000).select(
+            F.col("id"),
+            (F.col("id") / 2).cast("long").alias("order_id"),
+            (F.col("id") / 2).cast("long").alias("user_id"),
+            F.lit(10.0).alias("sale_price"),
+            (F.col("id") % 4 == 0).alias("is_returned"),
+            F.to_timestamp(F.lit("2025-03-08 12:00:00")).alias("created_at"),
+        )
+
+    chunk(0).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        order_kpi_streaming_update(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kpi_update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        state_rows = []
+        for i in range(1, 4):
+            q.processAllAvailable()
+            state_rows.append(q.lastProgress["stateOperators"][0]["numRowsTotal"])
+            if i < 3:
+                chunk(i * 1000).write.mode("append").parquet(src)
+        # one open day → exactly one state row, every batch, despite
+        # 1500 distinct orders/users by the end
+        assert state_rows == [1, 1, 1], state_rows
+        final = {r["order_date"]: r for r in spark.sql(
+            "SELECT * FROM kpi_update"
+        ).collect()}
+        row = final["2025-03-08"]
+        assert row["total_items_sold"] == 3000
+        assert row["total_revenue"] == 30000.0
+        assert row["return_rate"] == 25.0
+        # HLL at rsd=0.05 on 1500 distinct ids — allow 3 sigma
+        assert abs(row["total_orders"] - 1500) <= 0.15 * 1500
+        assert abs(row["unique_customers"] - 1500) <= 0.15 * 1500
+    finally:
+        q.stop()
