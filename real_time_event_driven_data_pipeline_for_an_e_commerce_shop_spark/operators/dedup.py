@@ -444,11 +444,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def _union_find_components(edge_rows: list, spark) -> DataFrame:
+    """Driver-side union-find for SMALL edge sets (post-LSH candidate
+    pairs, not raw corpus edges): O(E α(E)), zero Spark jobs per merge.
+    Components are relabeled by their minimum member so the output is
+    bit-identical to min-label propagation."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[rb] = ra
+    comp: dict = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    rows = []
+    for members in comp.values():
+        label = min(members)
+        for node in members:
+            rows.append((node, label, len(members)))
+    return spark.createDataFrame(
+        rows, "doc_id long, component_id long, component_size long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Dedup cluster assignment: connected components over candidate
     pairs by iterative min-label propagation (the step near-dup
@@ -463,13 +500,38 @@ def connected_components(
     loop is a convergence check, not data movement — this is the
     standard DataFrame-only CC (GraphX/GraphFrames' algorithm without
     the dependency).
+
+    **Small-graph fast path**: the deduplicated edge list is counted
+    once (it is materialized anyway — every iteration re-joins it, and
+    without the checkpoint each round would re-run the whole upstream
+    MinHash → LSH → verify pipeline). At or below ``driver_threshold``
+    edges the components are solved driver-side by union-find — the
+    verified near-dup pair set is orders of magnitude smaller than the
+    corpus, so even 100 TB corpora commonly land here, and each Spark
+    iteration costs whole jobs (join + agg + count + checkpoint)
+    against a graph that fits in one Python dict. Both paths relabel
+    components by their minimum member, so outputs are identical;
+    ``driver_threshold=0`` forces the distributed path (used by the
+    non-convergence test). Never feed raw corpus edges to either path.
     """
     fwd = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.count() <= 2 * driver_threshold:  # symmetrized: 2 rows/edge
+        return _union_find_components(
+            # <= keeps self-loops (a node with only a self-pair is a
+            # singleton component in both paths)
+            [(r["src"], r["dst"]) for r in edges.filter(
+                F.col("src") <= F.col("dst")).collect()],
+            pairs.sparkSession,
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -209,8 +209,26 @@ def test_connected_components_warns_on_truncation(spark):
     import pytest
 
     # a 6-node path has diameter 5 > max_iterations=2 → must warn
+    # (driver_threshold=0 forces the distributed iterative path)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
     )
     with pytest.warns(RuntimeWarning, match="still propagating"):
-        dedup.connected_components(chain, max_iterations=2)
+        dedup.connected_components(chain, max_iterations=2, driver_threshold=0)
+
+
+def test_connected_components_paths_agree(spark):
+    # driver union-find and distributed min-label must be bit-identical
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21), (5, 5)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        tuple(r) for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        tuple(r)
+        for r in dedup.connected_components(
+            pairs, driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    assert {r[0]: r[1] for r in fast}[12] == 10
