@@ -62,6 +62,21 @@ class StateMachineFailed(RuntimeError):
         )
 
 
+def _clear_job_group(spark: SparkSession) -> None:
+    """Reset the worker thread's job-group tag. PySpark's
+    ``SparkContext`` has no ``clearJobGroup`` wrapper (the Scala one
+    does); clearing the thread-local properties it sets is the
+    documented equivalent."""
+    sc = spark.sparkContext
+    clear = getattr(sc, "clearJobGroup", None)
+    if clear is not None:
+        clear()
+        return
+    for prop in ("spark.jobGroup.id", "spark.job.description",
+                 "spark.job.interruptOnCancel"):
+        sc.setLocalProperty(prop, None)
+
+
 def run_state_machine(
     spark: SparkSession,
     stages: list[Stage],
@@ -98,7 +113,7 @@ def run_state_machine(
             except BaseException as exc:  # recorded, not swallowed
                 outcome["error"] = exc
             finally:
-                spark.sparkContext.clearJobGroup()
+                _clear_job_group(spark)
 
         t0 = time.monotonic()
         worker = threading.Thread(target=work, daemon=True, name=group)

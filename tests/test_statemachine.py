@@ -66,8 +66,10 @@ def test_timeout_cancels_spark_job_group(spark):
     stages are skipped, not hung."""
 
     def stuck(ctx):
-        # ~17 billion rows summed — far longer than the 1.5s timeout
-        return spark.range(2**34).agg(F.sum("id")).collect()
+        # ~4 trillion rows summed — minutes of codegen work even on a
+        # warm 32-core JVM, far longer than the 1.5s timeout. Sum a
+        # bounded expression (raw sum(id) overflows long under ANSI).
+        return spark.range(2**42).agg(F.sum(F.col("id") % 7)).collect()
 
     results = run_state_machine(
         spark,
