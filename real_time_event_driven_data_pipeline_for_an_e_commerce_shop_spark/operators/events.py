@@ -147,6 +147,37 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def approx_distinct_accuracy(
+    events: DataFrame, rsd: float = 0.02, tolerance: float = 0.05
+) -> DataFrame:
+    """Correctness gate for the HLL++ sketch: per event type, the exact
+    distinct-user count alongside a boolean asserting the
+    ``approx_count_distinct`` estimate lands within ``tolerance`` of
+    it. Spark's HLL++ is deterministic for a given input, so the gate
+    is hash-checkable by an oracle that recomputes the exact count and
+    emits ``TRUE`` — the sketch's accuracy contract becomes the query
+    result. The exact count here exists only to judge the sketch
+    (oracle-scale data); at corpus scale callers use
+    ``approx_distinct_users``, which never pays the distinct Expand."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(tolerance)
+            ).alias("hll_ok"),
+        )
+    )
+
+
 def click_attribution(
     events: DataFrame, window_hours: int = 24
 ) -> DataFrame:

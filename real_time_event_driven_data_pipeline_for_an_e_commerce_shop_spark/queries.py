@@ -699,12 +699,11 @@ def _shingle_cte(k: int = 3) -> str:
     )"""
 
 
-def _minhash_oracle(
-    num_hashes: int = 32, n_bands: int = 8, k: int = 3, threshold: float = 0.5
-) -> str:
-    """Exact DuckDB mirror of dedup.minhash_lsh_candidates: same md5-48
-    base hash, same (a·h+b) mod P family, same band buckets (list
-    equality), same exact-Jaccard verification."""
+def _minhash_ctes(num_hashes: int = 32, n_bands: int = 8, k: int = 3) -> str:
+    """Shared CTE chain (shingles → md5-48 base hash → (a·h+b) mod P
+    signatures → band buckets → verified candidate pairs) mirroring
+    dedup.minhash_lsh_candidates exactly; ends with the ``verified``
+    CTE so callers append their own final SELECT."""
     coeffs = dedup.minhash_coefficients(num_hashes)
     p = dedup.MINHASH_PRIME
     mh_cols = ",\n               ".join(
@@ -725,8 +724,7 @@ def _minhash_oracle(
         "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
         " / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)"
     )
-    return f"""
-    WITH {_shingle_cte(k)},
+    return f"""{_shingle_cte(k)},
     base AS (
         SELECT doc_id, {sql_md5_long("sgl")} AS h
         FROM (SELECT doc_id, unnest(s) AS sgl FROM sh)
@@ -750,8 +748,48 @@ def _minhash_oracle(
         FROM cand
         JOIN sh sa ON sa.doc_id = doc_a
         JOIN sh sb ON sb.doc_id = doc_b
-    )
+    )"""
+
+
+def _minhash_oracle(
+    num_hashes: int = 32, n_bands: int = 8, k: int = 3, threshold: float = 0.5
+) -> str:
+    """Exact DuckDB mirror of dedup.minhash_lsh_candidates: same md5-48
+    base hash, same (a·h+b) mod P family, same band buckets (list
+    equality), same exact-Jaccard verification."""
+    return f"""
+    WITH {_minhash_ctes(num_hashes, n_bands, k)}
     SELECT * FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+def _dedup_clusters_oracle(threshold: float = 0.5) -> str:
+    """DuckDB mirror of dedup_clusters: the MinHash verified-pair CTEs
+    feed a recursive transitive closure (symmetrized edge list, fixpoint
+    UNION), then each node's component is the minimum reachable node —
+    exactly the min-label fixpoint Spark's connected_components reaches.
+    Closure size is bounded by Σ|component|², fine at oracle scale; the
+    Spark side is the one that runs at corpus scale."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    lab AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM lab
     """
 
 
@@ -1865,12 +1903,23 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap_deep.salted_join_agg(t["orders"], t["customer"], n_salts=8)
 
 
-@query("approx_distinct_users")
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch distinct counts (approximate — rows-only check;
-    exact counterpart is events_daily's countDistinct)."""
+    """HLL++ sketch accuracy gate: per event type, exact distinct users
+    plus a boolean asserting the approx_count_distinct(rsd=0.02)
+    estimate is within 5% — deterministic, so fully hash-checked (the
+    oracle recomputes the exact count and emits TRUE). The sketch-only
+    production form is events.approx_distinct_users."""
     t = _t(spark, sf_dir, "events")
-    return events.approx_distinct_users(t["events"])
+    return events.approx_distinct_accuracy(t["events"])
 
 
 @query(
@@ -2013,11 +2062,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.curate_corpus(t["documents"], min_quality=0.5)
 
 
-@query("dedup_clusters")
+@query("dedup_clusters", oracle=_dedup_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: MinHash-LSH pairs → connected
-    components (iterative min-label propagation). Iterative — no SQL
-    equivalent; unit tests pin exact components on known graphs."""
+    components (min-label propagation / union-find). Hash-checked:
+    DuckDB recomputes the same verified pairs and resolves components
+    via a recursive-CTE transitive closure."""
     t = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(t["documents"], jaccard_threshold=0.5)
     return dedup.connected_components(pairs)
