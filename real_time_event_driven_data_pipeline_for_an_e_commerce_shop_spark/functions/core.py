@@ -21,8 +21,29 @@ the DuckDB oracle so both sides compute literally the same doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition a small input up to cluster parallelism before
+    CPU-heavy per-row work (tokenize / shingle / md5).
+
+    A large scan already yields at least as many splits as cores, so
+    the gate makes this a no-op at scale — no forced shuffle of a
+    100 TB input. It fires when the scan gives FEWER partitions than
+    ``defaultParallelism`` (one small parquet file → one task), which
+    otherwise serializes all regexp+hash work on a single core; worse,
+    Catalyst's column pruning makes the branches of a multi-consumer
+    plan canonicalize differently, so the shingle subtree is recomputed
+    per branch (ReusedExchange can never fire) and the single-task
+    stall is paid two or three times per query. The partition-count
+    probe is driver-side planning only — no job runs."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 # 18,2 holds 100 TB worth of 2-decimal money (10^16 dollars) exactly.
 MONEY_DECIMAL = "decimal(18,2)"

@@ -31,7 +31,7 @@ import warnings
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.core import det_round, md5_long, ratio
+from ..functions.core import det_round, md5_long, ratio, spread_small_input
 from .text import tokens
 
 #: Mersenne prime for the MinHash universal-hash family
@@ -121,7 +121,7 @@ def minhash_signatures(
     recomputable by the DuckDB oracle, so LSH output is fully
     value-checked, not rows-only.
     """
-    per_shingle = documents.select(
+    per_shingle = spread_small_input(documents).select(
         "doc_id", F.explode(shingles(F.col("text"), k)).alias("shingle")
     ).select("doc_id", md5_long(F.col("shingle")).alias("h"))
     sig = per_shingle.groupBy("doc_id").agg(
@@ -225,7 +225,7 @@ def simhash(documents: DataFrame, bits: int = 48) -> DataFrame:
     """
     # exploded form for the same CollapseProject reason as MinHash: the
     # token-hash array would otherwise be re-evaluated once per bit.
-    per_token = documents.select(
+    per_token = spread_small_input(documents).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     ).select("doc_id", md5_long(F.col("tok")).alias("h"))
     ones = [
@@ -355,7 +355,7 @@ def ngram_jaccard_pairs(
     # ~200-element sets — the previous formulation, 3.5× slower). At
     # 100 TB the shuffle is on the shingle key (high cardinality, no
     # skew for k-word shingles once the df cap removes the tail).
-    sh = documents.select(
+    sh = spread_small_input(documents).select(
         "doc_id",
         F.col(block_col).alias("block"),
         shingles(F.col("text"), k).alias("sh"),
