@@ -1,11 +1,13 @@
 from .pipeline import run_event_driven_pipeline
 from .windows import (
+    dedup_events_stream,
     order_kpi_streaming_update,
     sessionized_stream,
     watermarked_daily_rollup,
 )
 
 __all__ = [
+    "dedup_events_stream",
     "run_event_driven_pipeline",
     "order_kpi_streaming_update",
     "sessionized_stream",

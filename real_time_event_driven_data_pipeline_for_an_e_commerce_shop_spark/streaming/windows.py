@@ -98,6 +98,36 @@ def order_kpi_streaming_update(
     )
 
 
+def dedup_events_stream(
+    events_stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keyed exactly-once event dedup with BOUNDED state.
+
+    The reference's ingestion is at-least-once: its Lambda trigger
+    (``/root/reference/Task_2/lambda_trigger.py``) fires per S3 object
+    and a re-uploaded or retried object re-delivers every row in it.
+    The file-level guard is run-once checkpointing
+    (``streaming/pipeline.py``); this is the row-level guard — the
+    first arrival of each key passes, any duplicate arriving within
+    ``watermark`` of it is dropped, and the key's dedup state is
+    evicted once the event-time watermark passes, so state is bounded
+    by keys-per-watermark-window, not by stream history.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    the scale-correct choice: plain streaming dropDuplicates keeps
+    every key seen forever (state grows without bound on an unbounded
+    stream); the within-watermark variant is exactly-once for any
+    duplicate that arrives within the lateness bound — which is the
+    delivery-retry window in practice — at O(open keys) state.
+    """
+    return events_stream.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(list(keys))
+
+
 def sessionized_stream(
     events_stream: DataFrame,
     gap: str = "30 minutes",

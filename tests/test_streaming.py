@@ -317,6 +317,56 @@ def test_stateful_accumulator_matches_det_round_for_negatives():
     assert out["n_events"].iloc[0] == 3
 
 
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """At-least-once delivery guard: a second micro-batch re-delivers
+    every event of the first (the reference's retried-S3-object case)
+    plus new ones; dropDuplicatesWithinWatermark must emit each
+    event_id exactly once, via the dedup state operator (bounded by
+    the watermark, unlike plain streaming dropDuplicates)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        dedup_events_stream,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, f"2025-03-08 12:{i % 60:02d}:00", i % 7, float(i)) for i in ids],
+            "event_id long, ts string, user_id long, value double",
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "user_id", "value"
+        )
+
+    batch(range(100)).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # full re-delivery of 0..99 plus new 100..149
+        batch(list(range(100)) + list(range(100, 150))).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id, COUNT(*) AS n FROM dedup_out "
+                        "GROUP BY event_id").collect()
+        assert len(got) == 150
+        assert all(r["n"] == 1 for r in got)
+        op = q.lastProgress["stateOperators"][0]
+        assert op["operatorName"] == "dedupeWithinWatermark"
+        assert op["numRowsDroppedByWatermark"] == 0
+    finally:
+        q.stop()
+
+
 def test_update_mode_kpi_state_stays_flat(spark, tmp_path):
     """ROADMAP #4: the update-mode daily KPI keeps one HLL sketch per
     open day, so the state-store row count must NOT grow as thousands
