@@ -12,9 +12,9 @@ libraries (PIL/ffmpeg/torchaudio) that are NOT in this container, so:
 * ``decode_media(..., real=True)`` raises ``NotImplementedError`` at
   the clearly marked integration point;
 * the default deterministic fake "codec" derives a byte-stable feature
-  vector from the payload (blake2b-seeded), so partitioning, batch
-  shape, schema and downstream similarity ops are fully testable and
-  identical in shape to a real deployment.
+  vector from the payload (md5-chain, oracle-recomputable), so
+  partitioning, batch shape, schema and downstream similarity ops are
+  fully testable and identical in shape to a real deployment.
 
 At 100 TB: payloads dominate partition size — ``media_repartition``
 targets ~128 MiB of payload per partition (row-count based, from the
@@ -100,12 +100,17 @@ def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a real decoder+encoder: blake2b of the
-    payload → ``dim`` floats in [0, 1)."""
+    """Deterministic stand-in for a real decoder+encoder: an md5 chain
+    over the payload → ``dim`` floats in [0, 1). Block ``j`` is
+    ``md5(payload || ":j")``; each byte maps to ``b/256.0`` (exact
+    k/256 dyadics, so float/double conversions are lossless). md5 —
+    not blake2b — so the DuckDB oracle can recompute the exact vector
+    and the mapInPandas path is value-checked end-to-end, not
+    rows-only."""
     out: list[float] = []
     counter = 0
     while len(out) < dim:
-        d = hashlib.blake2b(payload, digest_size=32, salt=counter.to_bytes(8, "little")[:8]).digest()
+        d = hashlib.md5(payload + f":{counter}".encode()).digest()
         out.extend(b / 256.0 for b in d)
         counter += 1
     return [float(x) for x in out[:dim]]

@@ -1988,17 +1988,56 @@ def q_ansi_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(ANSI_PASSTHROUGH_SQL)
 
 
-@query("media_features")
+def _media_features_oracle(n: int = 200, dim: int = 16) -> str:
+    """DuckDB mirror of the synthetic-media + md5-chain fake codec:
+    payload = concat of 4 md5 hexes of "id:i"; feature block j =
+    md5(payload || ':j') bytes / 256.0 (dim=16 → one block). Every
+    value is an exact k/256 dyadic, so float↔double conversions on the
+    Spark side are lossless and the hashes match bit-for-bit."""
+    payload = " || ".join(
+        f"md5(CAST(media_id AS VARCHAR) || ':{i}')" for i in range(4)
+    )
+    return f"""
+    WITH m AS (
+        SELECT range AS media_id,
+               (['image','audio','video'])[(range % 3) + 1] AS kind
+        FROM range({n})
+    ),
+    p AS (SELECT media_id, kind, {payload} AS payload FROM m),
+    f AS (
+        SELECT media_id, kind,
+               list_transform(range(0, {dim}),
+                   i -> CAST(('0x' || substring(md5(payload || ':0'),
+                                                2 * i + 1, 2)) AS INT)
+                        / 256.0) AS feat
+        FROM p
+    )
+    SELECT media_id, kind,
+           CAST(len(feat) AS BIGINT) AS feature_dim,
+           feat[1] AS f0,
+           list_sum(feat) AS f_sum
+    FROM f
+    """
+
+
+@query("media_features", oracle=_media_features_oracle())
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surfaced to the driver: deterministic
     synthetic media (no RNG — stable schema/rows) → Arrow-batched
-    mapInPandas feature extraction. Rows-only check: the fake codec
-    (blake2b) has no SQL equivalent; unit tests pin exact vectors."""
+    mapInPandas feature extraction. Fully hash-checked: the md5-chain
+    fake codec is recomputable in SQL, so the Arrow path's VALUES (not
+    just row count) are gated against the oracle."""
     from .operators import multimodal
 
     media = multimodal.synthetic_media(spark, n=200)
     return multimodal.extract_features(media).select(
-        "media_id", "kind", F.size("feature").alias("feature_dim")
+        "media_id",
+        "kind",
+        F.size("feature").cast("long").alias("feature_dim"),
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.aggregate(
+            "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("f_sum"),
     )
 
 
