@@ -1,0 +1,285 @@
+"""Training-data curation operators — the pre-tokenization passes a
+large-scale LLM data pipeline runs between raw corpus and training
+shards: PII redaction, chunk-level (C4-style line-level) dedup,
+benchmark-contamination checks, deterministic stratified sampling, and
+token-budget packing.
+
+The reference pipeline has no text surface at all (SURVEY.md §2.6);
+these extend the ``documents`` table tier mandated by BASELINE.json's
+north star. Everything is JVM-side ``pyspark.sql.functions`` — no
+Python in any hot path — and every randomized-looking decision
+(sampling, packing) is a deterministic hash or prefix-sum so the DuckDB
+oracle can recompute results bit-for-bit.
+
+100 TB shapes, per operator:
+
+* **PII redaction** — a narrow map fused with the parquet scan (regex
+  replace + count); zero shuffles, scan-bound, identical to the text
+  tier in ``text.py``.
+* **chunk dedup** — one shuffle keyed by the chunk hash (narrow rows:
+  hash + doc_id + index), then one shuffle back on doc_id to
+  reassemble; both keys are high-cardinality and unskewed. This is the
+  C4/RefinedWeb "drop duplicated lines across the corpus" pass, with
+  fixed-width token chunks standing in for newline-delimited lines
+  (the testdata corpus is single-line).
+* **contamination check** — the probe set is tiny by construction
+  (benchmark suites are KBs, corpora are TBs): broadcast the probes,
+  hash-join against exploded document shingles; never a substring scan.
+* **stratified sampling** — stateless hash-mod per row; no shuffle at
+  all until the per-stratum audit aggregate.
+* **token packing** — per-stratum prefix sum (one window shuffle on the
+  stratum key). Global greedy packing is inherently sequential, so the
+  scale path shards each stratum and packs per shard — bins never span
+  shards, which only wastes ≤ 1 partial bin per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import det_round, md5_long, ratio
+from .text import tokens
+
+# --- PII redaction ------------------------------------------------------
+
+#: Redaction patterns, applied IN THIS ORDER (emails before phones so a
+#: digit-bearing local part is consumed as an email; IPv4 before the
+#: generic phone digits so dotted quads never half-match a phone).
+#: Common Java-regex / RE2 subset only — no backreferences, no
+#: lookaround — so Spark and the DuckDB oracle match identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3,10}\b", "<PHONE>"),
+)
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / international-format phone
+    numbers, reporting per-type match counts alongside the scrubbed
+    text. One projection, no shuffle; counts are taken BEFORE the
+    rewrite so each pattern reports what it saw in the original text
+    (the apply order only affects overlapping matches, which the
+    pattern order above resolves deterministically)."""
+    col = F.col(text_col)
+    counts = [
+        F.regexp_count(col, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = col
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return documents.select(
+        "doc_id", *counts, redacted.alias("redacted_text")
+    )
+
+
+# --- chunk-level (C4-style line-level) dedup ----------------------------
+
+
+def chunk_dedup(documents: DataFrame, chunk_tokens: int = 4) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (the C4 / RefinedWeb
+    "deduplicate at the line level" pass, with fixed-width token chunks
+    as the unit because the testdata corpus is single-line): every
+    occurrence of a chunk except the first — ordered by (doc_id,
+    position) — is dropped, and each document is reassembled from its
+    surviving chunks.
+
+    Returns one row per document: total chunk count, surviving chunk
+    count, and the reassembled text (NULL when nothing survives).
+
+    Two shuffles, both narrow: (1) first-occurrence selection, keyed by
+    the chunk text — rows are (chunk, doc_id, idx) triples, and a
+    ``row_number`` window picks the earliest occurrence (same shuffle
+    shape as a groupBy+join-back, one pass instead of two); (2) doc
+    reassembly keyed by doc_id. Chunk text is carried, not its hash,
+    because the reassembly needs it anyway; at 100 TB swap the window
+    key for ``md5(chunk)`` and re-join the survivors if chunk strings
+    dominate shuffle bytes.
+    """
+    c = chunk_tokens
+    t = tokens(F.lower(F.col("text")))
+    n_chunks = F.ceil(F.size(t) / F.lit(c)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(t, i * c + 1, c), " "),
+    )
+    chunks = documents.select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct("idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .withColumn(
+            "kept_text",
+            F.when(F.col("n_kept") > 0, F.col("kept_text")),
+        )
+    )
+
+
+# --- benchmark-contamination check --------------------------------------
+
+
+def contamination_probes(
+    documents: DataFrame, every: int = 50, probe_tokens: int = 5
+) -> DataFrame:
+    """Deterministic stand-in for a benchmark probe set: the first
+    ``probe_tokens`` tokens of every ``every``-th document. In a real
+    deployment this DataFrame is the eval-suite n-grams loaded from a
+    file; it is tiny either way and always broadcast."""
+    t = tokens(F.lower(F.col("text")))
+    return documents.filter((F.col("doc_id") % every) == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.array_join(F.slice(t, 1, probe_tokens), " ").alias("probe"),
+    )
+
+
+def contamination_check(
+    documents: DataFrame, probes: DataFrame, probe_tokens: int = 5
+) -> DataFrame:
+    """Which probe n-grams appear verbatim in the corpus, and how
+    widely: per probe, the number of distinct documents containing it
+    and the earliest such document.
+
+    Exploded-shingle equality join — never ``contains()`` — so the plan
+    is (scan → explode → hash join on the shingle string) with the
+    probe side broadcast: corpus work is linear in shingle count and
+    embarrassingly parallel. Documents shorter than ``probe_tokens``
+    produce their single whole-text shingle, mirroring
+    :func:`dedup.shingles` semantics."""
+    from .dedup import shingles
+
+    doc_shingles = documents.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), probe_tokens)).alias("shingle"),
+    )
+    return (
+        doc_shingles.join(
+            F.broadcast(probes), F.col("shingle") == F.col("probe")
+        )
+        .groupBy("probe_id", "probe")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_containing"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+# --- deterministic stratified sampling ----------------------------------
+
+
+def stratified_sample_flags(
+    documents: DataFrame,
+    rates_permille: dict[str, int],
+    stratum_col: str = "lang",
+    seed: str = "s42",
+) -> DataFrame:
+    """Tag every row with a deterministic keep/drop flag: keep iff
+    ``md5(doc_id ':' stratum ':' seed) % 1000 < rate_permille[stratum]``.
+
+    This is the sampling a training-data pipeline can re-run, audit,
+    and incrementally extend (unlike ``df.sample``, whose output
+    depends on partitioning): the decision is a pure function of the
+    row key, so adding data or re-partitioning never resamples old
+    rows, and the oracle recomputes the exact flag. Strata without a
+    configured rate default to 0 (dropped). Stateless per-row map — no
+    shuffle."""
+    key = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col(stratum_col), F.lit(seed)
+    )
+    bucket = md5_long(key) % 1000
+    rate = F.lit(0)
+    for stratum, permille in sorted(rates_permille.items()):
+        rate = F.when(
+            F.col(stratum_col) == stratum, F.lit(permille)
+        ).otherwise(rate)
+    return documents.withColumn("_bucket", bucket).withColumn(
+        "sampled", (F.col("_bucket") < rate).cast("boolean")
+    )
+
+
+def stratified_sample_audit(
+    flagged: DataFrame, stratum_col: str = "lang"
+) -> DataFrame:
+    """Per-stratum audit of a stratified sample: totals, sampled
+    counts, realized rate, and a doc_id checksum of the sampled set
+    (sum of sampled ids — order-free, so the oracle gate covers WHICH
+    rows were chosen, not just how many)."""
+    return flagged.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+        det_round(
+            ratio(
+                F.sum(F.col("sampled").cast("long")), F.count(F.lit(1))
+            ),
+            4,
+        ).alias("realized_rate"),
+        F.sum(
+            F.when(F.col("sampled"), F.col("doc_id")).otherwise(F.lit(0))
+        ).alias("sampled_id_checksum"),
+    )
+
+
+# --- token-budget packing ------------------------------------------------
+
+
+def token_pack(
+    documents: DataFrame,
+    budget: int = 512,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Concat-then-chunk context packing: within each stratum, documents
+    are laid end-to-end in doc_id order and cut into ``budget``-token
+    context windows; a document belongs to the bin where it STARTS
+    (LLM pretraining's standard packing, attributed at doc granularity).
+
+    Returns per (stratum, bin_id): document count, token sum, and the
+    first/last doc_id — enough to rebuild shard manifests.
+
+    One window shuffle on the stratum key computes the exclusive prefix
+    sum. Packing is sequential BY DESIGN (bin boundaries depend on every
+    earlier document), so cross-stratum parallelism is the scale axis:
+    at 100 TB, shard each stratum (e.g. by hash(doc_id) into ~1k
+    shards) and pack per (stratum, shard) — bins never span shards, at
+    the cost of ≤ 1 under-filled bin per shard."""
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = documents.select(
+        F.col(stratum_col).alias("stratum"), "doc_id", n_tok.alias("n_tokens")
+    ).withColumn("_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.withColumn(
+            "bin_id", F.floor(F.col("_start") / budget).cast("long")
+        )
+        .groupBy("stratum", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )

@@ -2256,3 +2256,269 @@ def q_daily_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+# --- training-data curation tier (operators/curation.py) ----------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3,10}\b"
+
+
+def _pii_augmented_sql() -> str:
+    """DuckDB mirror of the deterministic PII augmentation: the corpus
+    is digit-free word salad, so the query plants synthetic PII derived
+    from doc_id (email on %3, phone on %4, IPv4 on %5) — the redaction
+    gate then exercises real matches instead of comparing two all-zero
+    columns (the vacuous-gate trap, ADVICE r1 #1)."""
+    return """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' dial +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' up'
+                       ELSE '' END AS text
+        FROM documents
+    """
+
+
+def _pii_redaction_oracle() -> str:
+    red = "text"
+    for pat, token in (
+        (_PII_EMAIL, "<EMAIL>"),
+        (_PII_IPV4, "<IP>"),
+        (_PII_PHONE, "<PHONE>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH aug AS ({_pii_augmented_sql()})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT)
+               AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phone,
+           {red} AS redacted_text
+    FROM aug
+    """
+
+
+@query("pii_redaction", oracle=_pii_redaction_oracle())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: per-doc email/IPv4/phone match
+    counts + the scrubbed text. Deterministic doc_id-derived PII is
+    planted first (the synthetic corpus is digit-free) so the gate
+    checks real redactions, not two all-zero columns. Narrow map, no
+    shuffle — scan-bound at any scale."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"), d.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" dial +1-555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                    F.lit(" now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 200).cast("string"),
+                    F.lit(" up"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return curation.redact_pii(aug)
+
+
+def _chunk_dedup_oracle(c: int = 4) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, T,
+               unnest(range(0, CAST(ceil(len(T) / {c}.0) AS BIGINT))) AS i
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(T[CAST(i * {c} + 1 AS BIGINT):CAST((i + 1) * {c} AS BIGINT)], ' ')
+                   AS chunk
+        FROM idx
+    ),
+    ranked AS (
+        SELECT doc_id, idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx)
+                   AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+                THEN string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                ' ' ORDER BY idx)
+           END AS kept_text
+    FROM ranked
+    GROUP BY doc_id
+    """
+
+
+@query("chunk_dedup", oracle=_chunk_dedup_oracle())
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style chunk-level corpus dedup: drop every repeated 4-token
+    chunk (first occurrence by (doc_id, position) wins), reassemble the
+    survivors per doc."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.chunk_dedup(t["documents"], chunk_tokens=4)
+
+
+def _contamination_oracle(every: int = 50, k: int = 5) -> str:
+    mk = ", ".join(f"T[i+{j}]" for j in range(k))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    probes AS (
+        SELECT doc_id AS probe_id,
+               array_to_string(T[1:{k}], ' ') AS probe
+        FROM toks WHERE doc_id % {every} = 0
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(T) >= {k}
+                        THEN list_transform(range(1, len(T) - {k - 2}),
+                                            i -> concat_ws(' ', {mk}))
+                        ELSE [array_to_string(T, ' ')] END)) AS shingle
+        FROM toks
+    )
+    SELECT p.probe_id, p.probe,
+           CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs_containing,
+           MIN(s.doc_id) AS first_doc_id
+    FROM probes p JOIN sh s ON s.shingle = p.probe
+    GROUP BY p.probe_id, p.probe
+    """
+
+
+@query("contamination_check", oracle=_contamination_oracle())
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which probe 5-grams (stand-in for
+    an eval suite's n-grams) appear verbatim anywhere in the corpus —
+    broadcast probe set, exploded-shingle equality join, never a
+    substring scan."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    probes = curation.contamination_probes(t["documents"], every=50, probe_tokens=5)
+    return curation.contamination_check(t["documents"], probes, probe_tokens=5)
+
+
+_SAMPLE_RATES = {"en": 100, "de": 250, "fr": 400, "es": 750, "zh": 1000}
+
+
+def _stratified_sample_oracle(seed: str = "s42") -> str:
+    rate = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {permille}"
+        for lang, permille in sorted(_SAMPLE_RATES.items())
+    ) + " ELSE 0 END"
+    bucket = sql_md5_long(f"CAST(doc_id AS VARCHAR) || ':' || lang || ':{seed}'")
+    n_sampled = "SUM(CASE WHEN sampled THEN 1 ELSE 0 END)"
+    return f"""
+    WITH flagged AS (
+        SELECT doc_id, lang, ({bucket} % 1000) < ({rate}) AS sampled
+        FROM documents
+    )
+    SELECT lang AS stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST({n_sampled} AS BIGINT) AS n_sampled,
+           {round_sql(f"CAST({n_sampled} AS DOUBLE) / COUNT(*)", 4)}
+               AS realized_rate,
+           CAST(SUM(CASE WHEN sampled THEN doc_id ELSE 0 END) AS BIGINT)
+               AS sampled_id_checksum
+    FROM flagged
+    GROUP BY lang
+    """
+
+
+@query("stratified_sample", oracle=_stratified_sample_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod stratified sampling by language with a
+    per-stratum audit: the keep decision is a pure function of
+    (doc_id, stratum, seed), so re-runs, repartitions, and incremental
+    extensions never resample old rows; the id-sum checksum gates WHICH
+    rows were chosen, not just how many."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    flagged = curation.stratified_sample_flags(
+        t["documents"], _SAMPLE_RATES, seed="s42"
+    )
+    return curation.stratified_sample_audit(flagged)
+
+
+def _token_pack_oracle(budget: int = 512) -> str:
+    return f"""
+    WITH d AS (
+        SELECT lang AS stratum, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT stratum, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start
+        FROM d
+    )
+    SELECT stratum,
+           CAST(FLOOR(start / {budget}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM placed
+    GROUP BY stratum, bin_id
+    """
+
+
+@query("token_pack", oracle=_token_pack_oracle())
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk context packing per language: documents laid
+    end-to-end in doc_id order, cut into 512-token windows, each doc
+    attributed to the bin where it starts — shard manifests for
+    pretraining."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.token_pack(t["documents"], budget=512)
