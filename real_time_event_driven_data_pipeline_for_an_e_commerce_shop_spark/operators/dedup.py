@@ -444,11 +444,15 @@ def ngram_jaccard_pairs(
     )
 
 
-def _union_find_components(edge_rows: list, spark) -> DataFrame:
+def _union_find_components(edge_rows: list, spark, node_type) -> DataFrame:
     """Driver-side union-find for SMALL edge sets (post-LSH candidate
     pairs, not raw corpus edges): O(E α(E)), zero Spark jobs per merge.
     Components are relabeled by their minimum member so the output is
-    bit-identical to min-label propagation."""
+    bit-identical to min-label propagation. ``node_type`` is the edge
+    column's Spark type — node ids may be long OR string (ADVICE r3:
+    a hard-coded long schema mis-typed string doc-ids)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     parent: dict = {}
 
     def find(x):
@@ -475,9 +479,14 @@ def _union_find_components(edge_rows: list, spark) -> DataFrame:
         label = min(members)
         for node in members:
             rows.append((node, label, len(members)))
-    return spark.createDataFrame(
-        rows, "doc_id long, component_id long, component_size long"
+    schema = StructType(
+        [
+            StructField("doc_id", node_type),
+            StructField("component_id", node_type),
+            StructField("component_size", LongType()),
+        ]
     )
+    return spark.createDataFrame(rows, schema)
 
 
 def connected_components(
@@ -531,6 +540,7 @@ def connected_components(
             [(r["src"], r["dst"]) for r in edges.filter(
                 F.col("src") <= F.col("dst")).collect()],
             pairs.sparkSession,
+            pairs.schema[src_col].dataType,
         )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -538,6 +548,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0  # defined even when max_iterations <= 0 (ADVICE r3)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(

@@ -763,7 +763,9 @@ def _minhash_oracle(
     """
 
 
-def _dedup_clusters_oracle(threshold: float = 0.5) -> str:
+def _dedup_clusters_oracle(
+    threshold: float = 0.5, num_hashes: int = 32, n_bands: int = 8
+) -> str:
     """DuckDB mirror of dedup_clusters: the MinHash verified-pair CTEs
     feed a recursive transitive closure (symmetrized edge list, fixpoint
     UNION), then each node's component is the minimum reachable node —
@@ -771,7 +773,7 @@ def _dedup_clusters_oracle(threshold: float = 0.5) -> str:
     Closure size is bounded by Σ|component|², fine at oracle scale; the
     Spark side is the one that runs at corpus scale."""
     return f"""
-    WITH RECURSIVE {_minhash_ctes()},
+    WITH RECURSIVE {_minhash_ctes(num_hashes, n_bands)},
     pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2101,14 +2103,25 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.curate_corpus(t["documents"], min_quality=0.5)
 
 
-@query("dedup_clusters", oracle=_dedup_clusters_oracle())
+@query("dedup_clusters", oracle=_dedup_clusters_oracle(num_hashes=16, n_bands=4))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: MinHash-LSH pairs → connected
     components (min-label propagation / union-find). Hash-checked:
     DuckDB recomputes the same verified pairs and resolves components
-    via a recursive-CTE transitive closure."""
+    via a recursive-CTE transitive closure.
+
+    Runs the LSH tier at 16 hashes / 4 bands — same 4-row band width
+    (so per-band collision precision matches ``dedup_minhash``'s 32/8),
+    half the bands. The full chain re-runs before clustering, and the
+    32-wide min-agg's whole-stage codegen dominated this entry's sweep
+    cost (8.7 s → ~2.5 s at sf0.01; VERDICT r3 item #2); the slight
+    candidate-recall reduction is a documented parameter choice —
+    verification keeps every emitted pair exact, and the oracle mirrors
+    the identical 16/4 structure."""
     t = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(t["documents"], jaccard_threshold=0.5)
+    pairs = dedup.minhash_lsh_candidates(
+        t["documents"], num_hashes=16, n_bands=4, jaccard_threshold=0.5
+    )
     return dedup.connected_components(pairs)
 
 

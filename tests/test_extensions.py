@@ -217,6 +217,39 @@ def test_connected_components_warns_on_truncation(spark):
         dedup.connected_components(chain, max_iterations=2, driver_threshold=0)
 
 
+def test_connected_components_string_node_ids(spark):
+    # string doc-ids must type correctly through BOTH paths (ADVICE r3:
+    # the fast path hard-coded a long schema) and agree bit-for-bit;
+    # min-label = lexicographic min for strings on both paths
+    edges = [("b", "c"), ("c", "a"), ("x", "y")]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    fast = dedup.connected_components(pairs)
+    assert fast.schema["doc_id"].dataType.typeName() == "string"
+    assert fast.schema["component_id"].dataType.typeName() == "string"
+    fast_rows = {tuple(r) for r in fast.collect()}
+    dist = dedup.connected_components(pairs, driver_threshold=0)
+    assert dist.schema["doc_id"].dataType.typeName() == "string"
+    dist_rows = {tuple(r) for r in dist.collect()}
+    assert fast_rows == dist_rows
+    assert fast_rows == {
+        ("a", "a", 3), ("b", "a", 3), ("c", "a", 3),
+        ("x", "x", 2), ("y", "x", 2),
+    }
+
+
+def test_connected_components_zero_iterations_defined(spark):
+    # max_iterations=0 on the distributed path must not raise NameError
+    # (ADVICE r3: `changed` was unbound when the loop body never ran)
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.warns(RuntimeWarning, match="still propagating"):
+        out = dedup.connected_components(
+            pairs, max_iterations=0, driver_threshold=0
+        ).collect()
+    assert len(out) == 2  # labels emitted, just not propagated
+
+
 def test_connected_components_paths_agree(spark):
     # driver union-find and distributed min-label must be bit-identical
     edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21), (5, 5)]
