@@ -78,6 +78,19 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
 # --- chunk-level (C4-style line-level) dedup ----------------------------
 
 
+def _chunk_array(chunk_tokens: int) -> Column:
+    """Per-row array of fixed-width token chunks of ``text`` (the last
+    chunk may be short). Shared by both chunk-dedup variants so they
+    agree on the chunk unit byte-for-byte."""
+    c = chunk_tokens
+    t = tokens(F.lower(F.col("text")))
+    n_chunks = F.ceil(F.size(t) / F.lit(c)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(t, i * c + 1, c), " "),
+    )
+
+
 def chunk_dedup(documents: DataFrame, chunk_tokens: int = 4) -> DataFrame:
     """Corpus-wide chunk-level exact dedup (the C4 / RefinedWeb
     "deduplicate at the line level" pass, with fixed-width token chunks
@@ -94,19 +107,16 @@ def chunk_dedup(documents: DataFrame, chunk_tokens: int = 4) -> DataFrame:
     ``row_number`` window picks the earliest occurrence (same shuffle
     shape as a groupBy+join-back, one pass instead of two); (2) doc
     reassembly keyed by doc_id. Chunk text is carried, not its hash,
-    because the reassembly needs it anyway; at 100 TB swap the window
-    key for ``md5(chunk)`` and re-join the survivors if chunk strings
-    dominate shuffle bytes.
+    because the reassembly needs it anyway — acceptable when the corpus
+    fits the shuffle tier, but the chunk-text window key means the FIRST
+    shuffle moves the whole corpus text and a corpus-ubiquitous chunk
+    lands its every occurrence in one window partition. At 100 TB use
+    :func:`chunk_dedup_hashed`, whose dedup shuffle carries 16-byte
+    ``md5(chunk)`` keys and whose hash aggregation absorbs ubiquitous
+    chunks map-side.
     """
-    c = chunk_tokens
-    t = tokens(F.lower(F.col("text")))
-    n_chunks = F.ceil(F.size(t) / F.lit(c)).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(t, i * c + 1, c), " "),
-    )
     chunks = documents.select(
-        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+        "doc_id", F.posexplode(_chunk_array(chunk_tokens)).alias("idx", "chunk")
     )
     w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
     ranked = chunks.withColumn("_rn", F.row_number().over(w))
@@ -133,6 +143,67 @@ def chunk_dedup(documents: DataFrame, chunk_tokens: int = 4) -> DataFrame:
         .withColumn(
             "kept_text",
             F.when(F.col("n_kept") > 0, F.col("kept_text")),
+        )
+    )
+
+
+def chunk_dedup_hashed(documents: DataFrame, chunk_tokens: int = 4) -> DataFrame:
+    """:func:`chunk_dedup` with the 100 TB shuffle shape (VERDICT r3
+    item #3): identical output, but the corpus-wide dedup shuffle
+    carries 16-byte ``md5(chunk)`` keys instead of chunk text.
+
+    Plan, shuffle by shuffle:
+
+    1. **First-occurrence selection** — explode to ``(md5(chunk),
+       doc_id, idx)`` triples (no text) and hash-aggregate
+       ``min(struct(doc_id, idx))`` per hash. Rows are ~36 bytes
+       regardless of chunk width, and map-side partial aggregation
+       collapses a corpus-ubiquitous chunk to one row per map task —
+       the skew a text-keyed ``row_number`` window cannot absorb
+       (every occurrence of the hot chunk lands in one partition).
+       ``min(struct(doc_id, idx))`` is lexicographic, so the winner is
+       exactly the window's ``ORDER BY doc_id, idx`` first row.
+    2. **Winning-position list** — group winners by ``doc_id`` into a
+       sorted ``idx`` array (narrow: ids and ints only).
+    3. **Join-back + reassembly** — one equi-join of the per-doc chunk
+       arrays against their winning-position lists on ``doc_id``; text
+       moves exactly once, in this join, then ``transform`` +
+       ``array_join`` reassemble survivors in position order with no
+       further shuffle.
+
+    Within-doc repeats dedup globally exactly as in :func:`chunk_dedup`
+    (one winner per distinct chunk, corpus-wide).
+    """
+    docs_chunks = documents.select(
+        "doc_id", _chunk_array(chunk_tokens).alias("chunks")
+    )
+    keyed = docs_chunks.select(
+        "doc_id", F.posexplode("chunks").alias("idx", "chunk")
+    ).select("doc_id", "idx", F.md5(F.col("chunk").cast("binary")).alias("h"))
+    winners = (
+        keyed.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.idx").alias("idx"))
+    )
+    kept = winners.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("idx")).alias("kept_idx")
+    )
+    return (
+        docs_chunks.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.size("kept_idx"), F.lit(0)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.col("kept_idx"),
+                    lambda i: F.element_at("chunks", i.cast("int") + 1),
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .withColumn(
+            "kept_text", F.when(F.col("n_kept") > 0, F.col("kept_text"))
         )
     )
 

@@ -2415,6 +2415,18 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.chunk_dedup(t["documents"], chunk_tokens=4)
 
 
+@query("chunk_dedup_hashed", oracle=_chunk_dedup_oracle())
+def q_chunk_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_dedup's 100 TB shuffle shape: dedup shuffle keyed by
+    16-byte md5(chunk) with map-side combine (no text-keyed window),
+    text moved once in the doc_id join-back. Identical output — the
+    oracle is shared with ``chunk_dedup`` verbatim."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.chunk_dedup_hashed(t["documents"], chunk_tokens=4)
+
+
 def _contamination_oracle(every: int = 50, k: int = 5) -> str:
     mk = ", ".join(f"T[i+{j}]" for j in range(k))
     return f"""
@@ -2552,6 +2564,7 @@ _SWEEP_PRIORITY = [
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",
+    "chunk_dedup_hashed",  # new this round (md5-keyed 100 TB variant)
     "contamination_check",
     "stratified_sample",
     "token_pack",

@@ -1,0 +1,89 @@
+"""Curation-operator unit tests: the chunk-dedup pair (text-keyed
+window vs md5-keyed 100 TB variant) must agree bit-for-bit, including
+under the skew the hashed variant exists to absorb (one chunk present
+in every document)."""
+
+from __future__ import annotations
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    curation,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _rows(df):
+    return {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+        for r in df.collect()
+    }
+
+
+def test_chunk_dedup_variants_agree(spark):
+    corpus = docs_df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta",   # 2 chunks
+            "alpha beta gamma delta iota kappa",               # chunk 0 dups doc 0
+            "epsilon zeta eta theta mu nu xi omicron pi",      # chunk 0 dups doc0 chunk1
+            "unique words only here nothing shared at all",
+            "alpha beta gamma delta",                          # fully duplicated
+        ],
+    )
+    a = _rows(curation.chunk_dedup(corpus, chunk_tokens=4))
+    b = _rows(curation.chunk_dedup_hashed(corpus, chunk_tokens=4))
+    assert a == b
+    # doc 4 is entirely made of already-seen chunks → NULL kept_text
+    assert a[4] == (1, 0, None)
+    # doc 0 wins all its chunks (earliest doc)
+    assert a[0][1] == a[0][0]
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    # a chunk repeated INSIDE one doc dedups to its first position
+    corpus = docs_df(spark, ["a b c d a b c d e f g h"])
+    a = _rows(curation.chunk_dedup(corpus, chunk_tokens=4))
+    b = _rows(curation.chunk_dedup_hashed(corpus, chunk_tokens=4))
+    assert a == b
+    assert a[0] == (3, 2, "a b c d e f g h")
+
+
+def test_chunk_dedup_hashed_ubiquitous_chunk_skew(spark):
+    # one chunk appears in EVERY doc — the text-keyed window piles all
+    # occurrences into a single partition; the hashed variant's map-side
+    # combine absorbs it. Outputs must still agree exactly.
+    hot = "the same boilerplate line"
+    n = 200
+    corpus = docs_df(
+        spark,
+        [f"{hot} unique tail {i} alpha beta row{i}" for i in range(n)],
+    )
+    a = _rows(curation.chunk_dedup(corpus, chunk_tokens=5))
+    b = _rows(curation.chunk_dedup_hashed(corpus, chunk_tokens=5))
+    assert a == b
+    # the hot 5-token chunk survives only in doc 0
+    assert a[0][1] == a[0][0]
+    assert all(v[1] == v[0] - 1 for k, v in a.items() if k > 0)
+
+
+def test_chunk_dedup_hashed_plan_has_no_window(spark):
+    # the 100 TB variant must not contain a Window operator — its dedup
+    # is a hash aggregation (map-side combinable); the text-keyed
+    # variant does use one. Mechanical guard against regressing the
+    # shuffle shape.
+    corpus = docs_df(spark, ["a b c d e f g h", "a b c d x y z w"])
+    hashed_plan = (
+        curation.chunk_dedup_hashed(corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    window_plan = (
+        curation.chunk_dedup(corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in hashed_plan
+    assert "Window" in window_plan
