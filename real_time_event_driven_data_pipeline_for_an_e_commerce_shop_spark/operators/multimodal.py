@@ -116,17 +116,31 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in out[:dim]]
 
 
-def extract_features(media: DataFrame, real: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    real: bool = False,
+    decoder=None,
+) -> DataFrame:
     """Feature extraction over the binary column via mapInPandas.
 
-    ``real=True`` is the integration point for an actual codec stack —
-    not available in this environment.
+    ``decoder`` is the pluggable codec seam (the same injection pattern
+    as ``sinks.kv.BatchedKVWriter``'s ``put_batch``): a picklable
+    ``(payload: bytes, kind: str) -> list[float]`` shipped to the Arrow
+    workers. A real deployment passes its PIL/ffmpeg/torchaudio encoder
+    here with ``real=True``; this container has no codec libraries, so
+    ``real=True`` WITHOUT a decoder raises at the clearly marked
+    integration point, and the default decoder is the deterministic
+    md5-chain fake (oracle-recomputable, so the Arrow path stays
+    value-checked). The Spark plumbing — schema, Arrow batching,
+    partitioning — is identical whichever decoder runs.
     """
-    if real:
+    if real and decoder is None:
         raise NotImplementedError(
             "real codec decode requires PIL/ffmpeg — not present in this "
-            "container; wire the decoder here"
+            "container; inject your codec via decoder=(payload, kind) -> "
+            "list[float]"
         )
+    decode = decoder or (lambda payload, kind: _fake_feature(payload))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -135,7 +149,8 @@ def extract_features(media: DataFrame, real: bool = False) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feature": [
-                        _fake_feature(bytes(p)) for p in pdf["payload"]
+                        decode(bytes(p), k)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }
             )

@@ -49,6 +49,36 @@ def test_real_codec_is_explicit_stub(spark):
         mm.resize_images(media, 32, 32, real=True)
 
 
+def test_injected_decoder_drives_real_path(spark):
+    # the decoder seam (VERDICT r3 item #7): real=True with an injected
+    # codec must run end-to-end through the Arrow mapInPandas plumbing
+    # and produce that codec's output — proving the real-path wiring
+    # without PIL/ffmpeg in the container. Defined as a closure so
+    # cloudpickle ships it by value (test modules aren't importable on
+    # the executors).
+    def fake_real_codec(payload: bytes, kind: str) -> list:
+        # stand-in for a PIL/ffmpeg encoder: derives a 4-dim vector from
+        # payload length and kind — distinguishable from the md5 fake
+        return [float(len(payload)), float(len(kind)), 1.0, 0.0]
+
+    media = mm.synthetic_media(spark, 12)
+    rows = mm.extract_features(
+        media, real=True, decoder=fake_real_codec
+    ).collect()
+    assert len(rows) == 12
+    payload_len = {
+        r["media_id"]: r["meta"]["n_bytes"]
+        for r in media.select("media_id", "meta").collect()
+    }
+    for r in rows:
+        assert r["feature"] == [
+            float(payload_len[r["media_id"]]),
+            float(len(r["kind"])),
+            1.0,
+            0.0,
+        ]
+
+
 def test_resize_and_frame_sample_plumbing(spark):
     media = mm.synthetic_media(spark, 30)
     resized = mm.resize_images(media, 32, 24)
