@@ -367,6 +367,84 @@ def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_kpi_values_converge_to_batch(spark, tmp_path):
+    """VERDICT r3 item #5 — the value-parity gate for the streaming KPI
+    twin: replay the ENTIRE sf0.001 item-fact as a finite stream (two
+    micro-batches, then drained) and the final update-mode row per day
+    must equal batch ``order_kpi`` — exactly for the sums/counts/rate,
+    within the documented HLL tolerance for the two distinct counts."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        kpi,
+        mapping,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        order_kpi_streaming_update,
+    )
+
+    t = load_testdata(spark, SF, ("orders", "lineitem", "part"))
+    fact = mapping.item_fact_from_tpch(t["lineitem"], t["orders"], t["part"])
+    stream_input = fact.select(
+        "id",
+        "order_id",
+        "user_id",
+        "sale_price",
+        "is_returned",
+        F.col("order_date").cast("timestamp").alias("created_at"),
+    )
+
+    src = str(tmp_path / "kpi_parity_src")
+    ckpt = str(tmp_path / "kpi_parity_ckpt")
+    # two micro-batches, split by EVENT TIME (an ordered replay): the
+    # 1-day watermark advances to max(batch1)-1d after the first batch,
+    # so a batch 2 containing older events would see them dropped as
+    # late — which is watermark semantics, not a parity bug
+    cutoff = "1996-01-01"
+    stream_input.filter(F.col("created_at") < cutoff).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(stream_input.schema).parquet(src)
+    rsd = 0.05
+    q = (
+        order_kpi_streaming_update(stream, rsd=rsd)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kpi_parity")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_input.filter(F.col("created_at") >= cutoff).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # update-mode memory sink appends one row per updated window per
+        # batch — insertion order makes the LAST row per day the final
+        got = {
+            r["order_date"]: r
+            for r in spark.sql("SELECT * FROM kpi_parity").collect()
+        }
+    finally:
+        q.stop()
+
+    expected = {
+        str(r["order_date"]): r for r in kpi.order_kpi(fact).collect()
+    }
+    assert set(got) == set(expected)
+    tol = 3 * rsd  # documented HLL divergence, 3-sigma
+    for day, exp in expected.items():
+        g = got[day]
+        assert g["total_revenue"] == exp["total_revenue"], day
+        assert g["total_items_sold"] == exp["total_items_sold"], day
+        assert g["return_rate"] == exp["return_rate"], day
+        assert abs(g["total_orders"] - exp["total_orders"]) <= max(
+            1, tol * exp["total_orders"]
+        ), day
+        assert abs(g["unique_customers"] - exp["unique_customers"]) <= max(
+            1, tol * exp["unique_customers"]
+        ), day
+
+
 def test_update_mode_kpi_state_stays_flat(spark, tmp_path):
     """ROADMAP #4: the update-mode daily KPI keeps one HLL sketch per
     open day, so the state-store row count must NOT grow as thousands
