@@ -202,6 +202,92 @@ def embedding_near_dups(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    dim: int | None = None,
+    max_iterations: int = 5,
+    stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer for :func:`ivf_topk` (VERDICT r3
+    item #9): deterministic strided seeding (the same init the strided
+    quantizer uses — a k-means|| oversampling pass drops into the same
+    slot), then ``max_iterations`` rounds of assign/update, all
+    DataFrame ops.
+
+    Scale shape, per iteration:
+
+    * **assign** — the identical broadcast-join argmax subplan
+      :func:`ivf_topk` uses for corpus assignment: centroids broadcast
+      as DATA (plan size constant in ``n_clusters``), one
+      max-over-struct aggregation, shuffle carries |corpus| rows.
+    * **update** — per-dimension ``avg`` aggregates (``dim`` columns,
+      map-side combined): the shuffle carries n_partitions × n_clusters
+      × dim partial sums, never the vectors themselves. Clusters that
+      lose every member keep their previous centroid.
+
+    Centroids are collected each round — n_clusters × dim doubles, KBs
+    — and re-broadcast, so every iteration runs the same constant-size
+    plan with flat lineage. Centroid values depend on float summation
+    order, so a trained-quantizer IVF is NOT DuckDB-oracle-mirrorable
+    (the registered ``ann_ivf_topk`` keeps the strided quantizer for
+    the exact-value gate); recall is measured by
+    ``scripts/ivf_recall_curve.py`` instead.
+
+    Returns ``(cid long, centroid_vec array<double>)`` with cids
+    relabeled ``0..n_clusters-1``.
+    """
+    spark = embeddings.sparkSession
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    corpus = embeddings.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+    )
+    seeds = (
+        embeddings.filter(F.col(id_col) % stride == 0)
+        .orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .select(as_double(F.col(vec_col)).alias("centroid_vec"))
+        .collect()
+    )
+    centroids = [(i, list(r["centroid_vec"])) for i, r in enumerate(seeds)]
+    for _ in range(max_iterations):
+        cent_df = spark.createDataFrame(
+            centroids, "cid long, centroid_vec array<double>"
+        )
+        assigned = (
+            corpus.join(F.broadcast(cent_df))
+            .select(
+                "vid",
+                F.struct(
+                    cosine(F.col("vec"), F.col("centroid_vec")).alias("s"),
+                    (-F.col("cid")).alias("nc"),
+                    F.col("vec").alias("vec"),
+                ).alias("_cand"),
+            )
+            .groupBy("vid")
+            .agg(F.max("_cand").alias("_best"))
+            .select((-F.col("_best.nc")).alias("cid"), F.col("_best.vec").alias("vec"))
+        )
+        new_rows = assigned.groupBy("cid").agg(
+            *[
+                F.avg(F.element_at("vec", i + 1)).alias(f"m_{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        updated = {
+            r["cid"]: [r[f"m_{i}"] for i in range(dim)] for r in new_rows
+        }
+        centroids = [
+            (cid, updated.get(cid, prev)) for cid, prev in centroids
+        ]
+    return spark.createDataFrame(
+        centroids, "cid long, centroid_vec array<double>"
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -211,15 +297,18 @@ def ivf_topk(
     stride: int = 29,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbors: a deterministic coarse
     quantizer partitions the corpus into inverted lists; each query
     probes only its ``n_probe`` nearest lists.
 
-    * **Centroids** are a strided sample (``vec_id % stride == 0``,
-      first ``n_clusters`` by id) — model-free, reproducible, and
-      mirrorable in the SQL oracle. (A trained k-means quantizer drops
-      in by replacing this subplan; the plan shape is identical.)
+    * **Centroids** default to a strided sample (``vec_id % stride ==
+      0``, first ``n_clusters`` by id) — model-free, reproducible, and
+      mirrorable in the SQL oracle. Pass ``centroids`` (``cid`` +
+      ``centroid_vec``, e.g. from :func:`kmeans_centroids`) to swap in
+      a trained quantizer — the plan shape is identical; only the
+      oracle-mirrorability is lost (float-sum-order-dependent values).
     * **Corpus assignment** is a broadcast-join argmax: the centroid
       DataFrame (n_clusters rows) broadcasts, each corpus row scores
       n_clusters candidates, and a hash aggregation with map-side
@@ -240,15 +329,21 @@ def ivf_topk(
     max orders by (sim, -cid), matching the oracle's
     ``ROW_NUMBER() ... ORDER BY sim DESC, cid ASC``.
     """
-    cent = (
-        embeddings.filter(F.col(id_col) % stride == 0)
-        .orderBy(F.col(id_col))
-        .limit(n_clusters)
-        .select(
-            F.col(id_col).cast("long").alias("cid"),
-            as_double(F.col(vec_col)).alias("centroid_vec"),
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("centroid_vec").alias("centroid_vec"),
         )
-    )
+    else:
+        cent = (
+            embeddings.filter(F.col(id_col) % stride == 0)
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).cast("long").alias("cid"),
+                as_double(F.col(vec_col)).alias("centroid_vec"),
+            )
+        )
 
     corpus_scored = (
         embeddings.select(

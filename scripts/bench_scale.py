@@ -91,6 +91,28 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, tmp).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+
+        # bucketed-zone KPI at scale (VERDICT r3 item #6): zone write
+        # timed separately — it is the once-per-ingest cost the
+        # per-query Exchange elimination amortizes
+        from bench import _bucketed_kpi_setup
+
+        zone = tempfile.mkdtemp(prefix="scale_bucketed_zone_")
+        try:
+            t0 = time.perf_counter()
+            run_bucketed, tables = _bucketed_kpi_setup(spark, tmp, zone)
+            zone_write_s = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_bucketed()
+                best = min(best, time.perf_counter() - t0)
+            timings["category_kpi_bucketed"] = round(best, 3)
+            for t in tables.values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        finally:
+            shutil.rmtree(zone, ignore_errors=True)
+
         print(
             json.dumps(
                 {
@@ -100,6 +122,7 @@ def main() -> None:
                     "value": round(sum(timings.values()), 3),
                     "unit": "sec",
                     "queries": timings,
+                    "bucketed_zone_write_sec": zone_write_s,
                 }
             )
         )

@@ -66,6 +66,33 @@ def main() -> None:
             }
         )
 
+    # trained vs strided quantizer at n_clusters=256 (VERDICT r3 #9):
+    # same plan shape, centroids from kmeans_centroids instead of the
+    # strided sample — recall@10 at matched n_probe
+    trained = similarity.kmeans_centroids(
+        emb, n_clusters=256, max_iterations=5, stride=7
+    ).cache()
+    trained.count()
+    quantizers = []
+    for n_probe in (4, 16, 64):
+        row = {"n_probe": n_probe}
+        for label, cent in (("strided", None), ("kmeans", trained)):
+            t0 = time.perf_counter()
+            approx = topk_sets(
+                similarity.ivf_topk(
+                    emb, queries, n_clusters=256, n_probe=n_probe, k=10,
+                    stride=7, centroids=cent,
+                )
+            )
+            sec = round(time.perf_counter() - t0, 3)
+            recalls = [
+                len(truth[q] & approx.get(q, set())) / len(truth[q])
+                for q in truth
+            ]
+            row[f"recall_{label}"] = round(sum(recalls) / len(recalls), 4)
+            row[f"sec_{label}"] = sec
+        quantizers.append(row)
+
     # codegen check: n_clusters=256 must not blow up analysis/codegen.
     # With centroids as data the plan is constant-size; assignment WORK
     # grows linearly in n_clusters (corpus x centroids cosines), so the
@@ -86,6 +113,7 @@ def main() -> None:
                 "sf": sf,
                 "n_clusters": n_clusters,
                 "curve": curve,
+                "quantizer_256": quantizers,
                 "codegen_check": codegen,
             }
         )

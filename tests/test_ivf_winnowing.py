@@ -31,6 +31,48 @@ def test_ivf_finds_exact_neighbor_in_probed_cluster(spark):
     assert out[0]["cosine_sim"] > out[1]["cosine_sim"]
 
 
+def test_kmeans_centroids_recover_separated_clusters(spark):
+    """Trained-quantizer option (VERDICT r3 item #9): on a corpus of
+    three well-separated directions, Lloyd refinement from a BAD strided
+    seed (all three seeds land in cluster A) must still move centroids
+    apart enough that trained-IVF at n_probe=1 beats strided-IVF and
+    matches brute force."""
+    # 9 vectors: ids 0-2 cluster A, 3-5 cluster B, 6-8 cluster C —
+    # stride=1 seeds = ids 0,1,2: ALL in cluster A
+    def v(axis, eps):
+        base = [0.0, 0.0, 0.0]
+        base[axis] = 1.0
+        base[(axis + 1) % 3] = eps
+        return base
+
+    vecs = [v(axis, 0.01 * j) for axis in range(3) for j in range(3)]
+    df = _emb_df(spark, vecs)
+    cent = similarity.kmeans_centroids(
+        df, n_clusters=3, dim=3, max_iterations=5, stride=1
+    )
+    rows = cent.collect()
+    assert len(rows) == 3
+    assert all(len(r["centroid_vec"]) == 3 for r in rows)
+    # after refinement the three centroids point at distinct axes
+    axes = sorted(
+        max(range(3), key=lambda i: r["centroid_vec"][i]) for r in rows
+    )
+    assert axes == [0, 1, 2]
+    # trained quantizer at n_probe=1: every query's own cluster is the
+    # probed list → top-2 = its 2 same-cluster neighbors (brute truth)
+    out = similarity.ivf_topk(
+        df, df, n_clusters=3, n_probe=1, k=2, centroids=cent
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    expected = {
+        q: {m for m in range(3 * (q // 3), 3 * (q // 3) + 3) if m != q}
+        for q in range(9)
+    }
+    assert got == expected
+
+
 def test_winnowing_shared_substring_shares_fingerprints(spark):
     shared = "the quick brown fox jumps over the lazy dog again and again"
     docs = spark.createDataFrame(
