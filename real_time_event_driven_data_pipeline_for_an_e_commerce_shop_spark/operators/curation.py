@@ -354,3 +354,53 @@ def token_pack(
             F.max("doc_id").alias("last_doc_id"),
         )
     )
+
+
+def token_pack_sharded(
+    documents: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    stratum_col: str = "lang",
+    seed: str = "p42",
+) -> DataFrame:
+    """:func:`token_pack`'s documented 100 TB scale path, delivered:
+    each stratum hash-splits into ``n_shards`` independent packing
+    domains and the prefix-sum window runs per ``(stratum, shard)``.
+
+    ``shard = md5(doc_id ':' seed) % n_shards`` — a pure function of
+    the row key, like :func:`stratified_sample_flags`, so sharding is
+    deterministic, repartition-stable, incrementally extendable, and
+    recomputable by the DuckDB oracle. Window parallelism becomes
+    strata × shards (vs strata), which is the whole point: the
+    sequential-by-design prefix sum is bounded by the largest SHARD,
+    not the largest stratum. Bins never span shards; the cost is ≤ 1
+    under-filled bin per (stratum, shard), exactly as the unsharded
+    docstring promises. Output adds ``shard`` to the group key —
+    shard manifests are per (stratum, shard, bin)."""
+    shard = md5_long(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
+    ) % n_shards
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("stratum", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = documents.select(
+        F.col(stratum_col).alias("stratum"),
+        shard.alias("shard"),
+        "doc_id",
+        n_tok.alias("n_tokens"),
+    ).withColumn("_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.withColumn(
+            "bin_id", F.floor(F.col("_start") / budget).cast("long")
+        )
+        .groupBy("stratum", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )

@@ -2549,6 +2549,50 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_pack(t["documents"], budget=512)
 
 
+def _token_pack_sharded_oracle(
+    budget: int = 512, n_shards: int = 8, seed: str = "p42"
+) -> str:
+    shard = sql_md5_long(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH d AS (
+        SELECT lang AS stratum,
+               ({shard} % {n_shards}) AS shard,
+               doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT stratum, shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY stratum, shard
+                                   ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start
+        FROM d
+    )
+    SELECT stratum, shard,
+           CAST(FLOOR(start / {budget}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM placed
+    GROUP BY stratum, shard, bin_id
+    """
+
+
+@query("token_pack_sharded", oracle=_token_pack_sharded_oracle())
+def q_token_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_pack's 100 TB scale path: deterministic md5 hash-sharding
+    inside each stratum (8 shards here) so the inherently sequential
+    prefix-sum packing parallelizes strata × shards; ≤ 1 under-filled
+    bin per shard, bins never span shards, fully oracle-checked."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.token_pack_sharded(t["documents"], budget=512, n_shards=8)
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -2568,6 +2612,7 @@ _SWEEP_PRIORITY = [
     "contamination_check",
     "stratified_sample",
     "token_pack",
+    "token_pack_sharded",  # new this round (sharded 100 TB scale path)
     "corpus_curation",
     "media_features",
     # clustering + approximate-ANN tier — never driver-swept
