@@ -1,5 +1,6 @@
 from .pipeline import run_event_driven_pipeline
 from .windows import (
+    category_kpi_streaming_update,
     dedup_events_stream,
     order_kpi_streaming_update,
     sessionized_stream,
@@ -7,6 +8,7 @@ from .windows import (
 )
 
 __all__ = [
+    "category_kpi_streaming_update",
     "dedup_events_stream",
     "run_event_driven_pipeline",
     "order_kpi_streaming_update",

@@ -98,6 +98,59 @@ def order_kpi_streaming_update(
     )
 
 
+def category_kpi_streaming_update(
+    items_stream: DataFrame,
+    products_dim: DataFrame,
+    watermark: str = "1 day",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Update-mode streaming twin of ``operators.kpi.category_kpi`` —
+    the stream-static join surface the order twin doesn't exercise.
+
+    ``products_dim`` is a STATIC DataFrame (``id`` + ``category``)
+    joined to the item stream as an explicit broadcast stream-static
+    join: Spark re-plans the static side per micro-batch, no state
+    store is involved in the join itself, and the stream side never
+    shuffles for it — the same J3 shape as batch, which is exactly how
+    a dimension lookup should ride on a 100 TB/day stream. The A9
+    null-category drop applies post-join, as in batch.
+
+    State per (open day × category) is one fixed-size HLL sketch for
+    the distinct-order denominator (same bounded-state argument as
+    ``order_kpi_streaming_update``); revenue and return counts are
+    exact, so ``daily_revenue`` matches batch to the cent while
+    ``avg_order_value`` / ``avg_return_rate`` carry the documented
+    ±rsd divergence of their denominator.
+    """
+    dim = products_dim.select(
+        F.col("id").alias("product_id"), "category"
+    )
+    enriched = items_stream.join(F.broadcast(dim), "product_id", "left")
+    return (
+        enriched.filter(F.col("category").isNotNull())
+        .withWatermark("created_at", watermark)
+        .groupBy(F.window("created_at", "1 day"), "category")
+        .agg(
+            exact_sum(det_round(F.col("sale_price"), 2), 2).alias(
+                "daily_revenue"
+            ),
+            F.approx_count_distinct("order_id", rsd).alias("_orders"),
+            F.sum(F.col("is_returned").cast("long")).alias("_returns"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("order_date"),
+            "category",
+            "daily_revenue",
+            det_round(
+                F.col("daily_revenue") / F.col("_orders"), 2
+            ).alias("avg_order_value"),
+            (det_round(ratio(F.col("_returns"), F.col("_orders")), 4) * 100).alias(
+                "avg_return_rate"
+            ),
+        )
+    )
+
+
 def dedup_events_stream(
     events_stream: DataFrame,
     keys: tuple[str, ...] = ("event_id",),

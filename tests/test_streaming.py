@@ -445,6 +445,78 @@ def test_streaming_kpi_values_converge_to_batch(spark, tmp_path):
         ), day
 
 
+def test_streaming_category_kpi_stream_static_join_parity(spark, tmp_path):
+    """category_kpi's streaming twin: the dim lookup is a stream-static
+    BROADCAST join (re-planned per micro-batch, no join state), and a
+    full ordered replay must converge to batch category_kpi — exactly
+    on daily_revenue, within HLL tolerance on the two
+    distinct-order-denominated metrics."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        kpi,
+        mapping,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        category_kpi_streaming_update,
+    )
+
+    t = load_testdata(spark, SF, ("orders", "lineitem", "part"))
+    fact = mapping.item_fact_from_tpch(t["lineitem"], t["orders"], t["part"])
+    stream_input = fact.select(
+        "id",
+        "order_id",
+        "product_id",
+        "sale_price",
+        "is_returned",
+        F.col("order_date").cast("timestamp").alias("created_at"),
+    )
+    products = mapping.products_from_tpch(t["part"])
+
+    src = str(tmp_path / "cat_parity_src")
+    ckpt = str(tmp_path / "cat_parity_ckpt")
+    cutoff = "1996-01-01"
+    stream_input.filter(F.col("created_at") < cutoff).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(stream_input.schema).parquet(src)
+    rsd = 0.05
+    q = (
+        category_kpi_streaming_update(stream, products, rsd=rsd)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cat_parity")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_input.filter(F.col("created_at") >= cutoff).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r["order_date"], r["category"]): r
+            for r in spark.sql("SELECT * FROM cat_parity").collect()
+        }
+    finally:
+        q.stop()
+
+    expected = {
+        (str(r["order_date"]), r["category"]): r
+        for r in kpi.category_kpi(fact).collect()
+    }
+    assert set(got) == set(expected)
+    tol = 3 * rsd
+    for key, exp in expected.items():
+        g = got[key]
+        assert g["daily_revenue"] == exp["daily_revenue"], key
+        assert abs(g["avg_order_value"] - exp["avg_order_value"]) <= max(
+            0.01, tol * exp["avg_order_value"]
+        ), key
+        assert abs(g["avg_return_rate"] - exp["avg_return_rate"]) <= max(
+            0.01, tol * max(exp["avg_return_rate"], 1.0)
+        ), key
+
+
 def test_update_mode_kpi_state_stays_flat(spark, tmp_path):
     """ROADMAP #4: the update-mode daily KPI keeps one HLL sketch per
     open day, so the state-store row count must NOT grow as thousands
