@@ -108,11 +108,15 @@ def _srp_plane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def srp_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Signed-random-projection bucket id: one bit per hyperplane."""
+def srp_bucket(
+    vec: Column, dim: int, n_planes: int = 16, plane_offset: int = 0
+) -> Column:
+    """Signed-random-projection bucket id: one bit per hyperplane.
+    ``plane_offset`` selects a disjoint plane set per hash table (table
+    t uses planes ``t*n_planes .. (t+1)*n_planes-1``)."""
     acc = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in _srp_plane(dim, p)])
+        plane = F.array(*[F.lit(w) for w in _srp_plane(dim, plane_offset + p)])
         bit = F.when(_dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
             F.lit(0).cast("long")
         )
@@ -128,26 +132,80 @@ def srp_topk(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only among same-SRP-bucket
-    candidates. Recall grows as ``n_planes`` shrinks (coarser buckets);
-    at scale, multiple hash tables would be OR-ed — here one table
-    keeps the plan a single equi-join."""
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cvec"),
-    ).withColumn("bucket", srp_bucket(F.col("cvec"), dim, n_planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qvec"),
-    ).withColumn("bucket", srp_bucket(F.col("qvec"), dim, n_planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("_sim")
+    candidates. Recall grows as ``n_planes`` shrinks (coarser buckets)
+    and as ``n_tables`` grows: with T tables each vector gets T bucket
+    ids from T disjoint plane sets, candidates are the UNION of
+    same-bucket pairs across tables (a pair is a candidate if it
+    collides in ANY table — the standard LSH OR-construction), and the
+    exact-cosine re-rank runs once on the deduplicated union. More
+    tables = linearly more bucketing work and candidate volume for
+    strictly-no-worse recall; per-query top-k cosines are monotonically
+    ≥ the single-table ones (candidate superset).
+
+    Plan shape: the T bucket ids ride one ``explode`` (no per-table
+    scan), the join key is ``(table, bucket)`` — still a single
+    equi-join — and ``dropDuplicates`` on the pair precedes the cosine
+    so each surviving pair is scored once. Deterministic and fully
+    DuckDB-oracle-mirrorable like the single-table path."""
+    if n_tables <= 1:
+        c = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cvec"),
+        ).withColumn("bucket", srp_bucket(F.col("cvec"), dim, n_planes))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qvec"),
+        ).withColumn("bucket", srp_bucket(F.col("qvec"), dim, n_planes))
+        scored = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("qvec"), F.col("cvec")).alias("_sim"),
+            )
         )
-    )
+    else:
+        def tables_col(vec: Column) -> Column:
+            return F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            srp_bucket(
+                                vec, dim, n_planes, plane_offset=t * n_planes
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+
+        c = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cvec"),
+        ).select("neighbor_id", "cvec", tables_col(F.col("cvec")).alias("b"))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qvec"),
+        ).select("query_id", "qvec", tables_col(F.col("qvec")).alias("b"))
+        scored = (
+            c.select("neighbor_id", "cvec", "b.tbl", "b.bucket")
+            .join(
+                F.broadcast(q.select("query_id", "qvec", "b.tbl", "b.bucket")),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("qvec"), F.col("cvec")).alias("_sim"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))

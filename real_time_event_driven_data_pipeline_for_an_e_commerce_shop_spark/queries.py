@@ -892,6 +892,71 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_multitable_oracle(
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    n_queries: int = 10,
+) -> str:
+    """DuckDB mirror of the multi-table OR-construction: one bucket per
+    table (disjoint plane sets via the plane offset), candidates =
+    pairs colliding in ANY table (OR join), then exact-cosine top-k —
+    identical pair set to Spark's union-of-equi-joins + dropDuplicates."""
+    def bucket(vec: str, offset: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = "[" + ", ".join(
+                repr(w) for w in similarity._srp_plane(dim, offset + p)
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, {plane}) >= 0"
+                f" THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    bucket_cols = ", ".join(
+        f"{bucket('vec', t * n_planes)} AS b{t}" for t in range(n_tables)
+    )
+    any_match = " OR ".join(f"a.b{t} = q.b{t}" for t in range(n_tables))
+    return f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    bk AS (SELECT vec_id, vec, {bucket_cols} FROM v),
+    scored AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               list_dot_product(a.vec, q.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec))
+                    * sqrt(list_dot_product(q.vec, q.vec))) AS sim
+        FROM bk a JOIN bk q ON ({any_match})
+        WHERE q.vec_id < {n_queries} AND a.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM scored
+    QUALIFY sim_rank <= {k}
+    """
+
+
+@query("ann_srp_multitable", oracle=_srp_multitable_oracle())
+def q_ann_srp_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP ANN (ROADMAP r4 #4): 2 hash tables of 8 planes
+    each, candidate union across tables (the LSH OR-construction) —
+    strictly-no-worse recall than one table at linear extra bucketing
+    cost; still one equi-join on (table, bucket), fully hash-checked."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return similarity.srp_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        dim=64,
+        k=5,
+        n_planes=8,
+        n_tables=2,
+    )
+
+
 # --- §2.5 completion: rollup / pivot / set ops / as-of / session window
 
 from .operators import asof as asof_ops  # noqa: E402
@@ -2618,6 +2683,7 @@ _SWEEP_PRIORITY = [
     # clustering + approximate-ANN tier — never driver-swept
     "dedup_clusters",
     "ann_ivf_topk",
+    "ann_srp_multitable",  # new this round (LSH OR-construction)
     "winnowing_fingerprint",
     # remaining never-swept registrations, original relative order
     "global_sales_opportunity",

@@ -73,6 +73,40 @@ def test_kmeans_centroids_recover_separated_clusters(spark):
     assert got == expected
 
 
+def test_srp_multitable_recall_monotone(spark):
+    """OR-construction guarantee: with 2 hash tables the candidate set
+    is a superset of table 0's (same planes), so each query's top-k by
+    true cosine is element-wise no worse — mean returned cosine per
+    query must be monotonically ≥ the single-table run."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources.readers import (
+        load_testdata,
+    )
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", ("embeddings",))[
+        "embeddings"
+    ]
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def by_rank(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], {})[r["sim_rank"]] = r["cosine_sim"]
+        return out
+
+    one = by_rank(similarity.srp_topk(emb, q, dim=64, k=5, n_planes=8))
+    two = by_rank(
+        similarity.srp_topk(emb, q, dim=64, k=5, n_planes=8, n_tables=2)
+    )
+    assert set(one) <= set(two)  # more tables can only add covered queries
+    # a query can have FEWER than k single-table candidates; the
+    # guarantee is per-rank: candidate superset ⇒ the i-th best cosine
+    # with 2 tables is ≥ the i-th best with 1 table, for every rank the
+    # single-table run filled
+    for qid, ranks in one.items():
+        for rank, cos1 in ranks.items():
+            assert two[qid][rank] >= cos1 - 1e-9, (qid, rank)
+
+
 def test_winnowing_shared_substring_shares_fingerprints(spark):
     shared = "the quick brown fox jumps over the lazy dog again and again"
     docs = spark.createDataFrame(
