@@ -32,7 +32,11 @@ import shutil
 from pyspark.sql import SparkSession
 
 from .operators import kpi, validate
-from .sinks.files import write_processed_zone, write_validated_zone
+from .sinks.files import (
+    write_processed_zone,
+    write_validated_zone,
+    write_validated_zone_bucketed,
+)
 from .sinks.kv import KeyedParquetUpsertSink
 from .sources.readers import load_ecommerce_csv, require_inputs
 
@@ -43,17 +47,30 @@ def run(
     out_dir: str,
     run_ts: str | None = None,
     materialize_validated: bool = False,
+    bucketed_validated: bool = False,
     archive: bool = False,
 ) -> dict[str, str]:
-    """Execute the full validate→transform pipeline; returns output paths."""
+    """Execute the full validate→transform pipeline; returns output paths.
+
+    ``bucketed_validated=True`` materializes the validated zone as
+    catalog tables ``bucketBy(order_id)`` (ROADMAP r4 #2, batch half):
+    the J2 items⋈orders shuffle is paid once here, at write time, and
+    every downstream KPI run against the zone joins Exchange-free
+    (``sinks.files.write_validated_zone_bucketed``; plan shape asserted
+    in tests/test_sources_bucketing.py, wall-clock payoff recorded in
+    BASELINE.md)."""
     require_inputs(raw_dir)  # S3 readiness gate
     raw = load_ecommerce_csv(spark, raw_dir)
     valid = validate.run_validation(raw["products"], raw["orders"], raw["order_items"])
 
     paths = {}
-    if materialize_validated:
+    if materialize_validated or bucketed_validated:
         vdir = os.path.join(out_dir, "validated")
-        write_validated_zone(valid, vdir)
+        if bucketed_validated:
+            tables = write_validated_zone_bucketed(valid, vdir)
+            paths["validated_tables"] = ",".join(sorted(tables.values()))
+        else:
+            write_validated_zone(valid, vdir)
         paths["validated"] = vdir
 
     kpis = kpi.run_transformation(valid["products"], valid["orders"], valid["order_items"])

@@ -79,6 +79,64 @@ def test_validated_zone_partition_pruning(spark, tmp_path):
     assert back.count() == 2
 
 
+def test_pipeline_batch_bucketed_validated_zone(spark, tmp_path):
+    """pipeline_batch.run(bucketed_validated=True) — ROADMAP r4 #2 batch
+    half: the validated zone lands as bucketed catalog tables, KPIs are
+    produced, and a fact⋈fact join read back from the zone runs with no
+    shuffle Exchange."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import (
+        pipeline_batch,
+    )
+
+    raw = tmp_path / "raw"
+    (raw / "orders").mkdir(parents=True)
+    (raw / "order_items").mkdir(parents=True)
+    (raw / "products.csv").write_text(
+        "id,sku,cost,category,name,brand,retail_price,department\n"
+        "1,A-1,5.0,Electronics,Widget,Acme,10.0,Gadgets\n"
+        "2,B-2,2.0,Books,Novel,Pub,8.0,Media\n"
+    )
+    (raw / "orders" / "part1.csv").write_text(
+        "order_id,user_id,status,created_at,returned_at,shipped_at,"
+        "delivered_at,num_of_item\n"
+        "1,100,delivered,2025-03-08T10:00:00,,2025-03-08T12:00:00,"
+        "2025-03-09T10:00:00,2\n"
+        "2,101,returned,2025-03-08T11:00:00,2025-03-10T09:00:00,"
+        "2025-03-08T13:00:00,2025-03-09T11:00:00,1\n"
+    )
+    (raw / "order_items" / "part1.csv").write_text(
+        "id,order_id,user_id,product_id,status,created_at,shipped_at,"
+        "delivered_at,returned_at,sale_price\n"
+        "10,1,100,1,delivered,2025-03-08T10:00:00,2025-03-08T12:00:00,"
+        "2025-03-09T10:00:00,,10.0\n"
+        "11,1,100,2,delivered,2025-03-08T10:00:00,2025-03-08T12:00:00,"
+        "2025-03-09T10:00:00,,8.0\n"
+        "12,2,101,1,returned,2025-03-08T11:00:00,2025-03-08T13:00:00,"
+        "2025-03-09T11:00:00,2025-03-10T09:00:00,10.0\n"
+    )
+    paths = pipeline_batch.run(
+        spark, str(raw), str(tmp_path / "out"), bucketed_validated=True
+    )
+    tables = paths["validated_tables"].split(",")
+    assert any("orders" in t for t in tables)
+    assert spark.read.parquet(paths["category_kpi"]).count() > 0
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        items = spark.table("validated_order_items")
+        orders = spark.table("validated_orders")
+        plan = (
+            items.hint("merge").join(orders.select("order_id"), "order_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_bucketed_validated_zone_kpi_join_no_shuffle(spark, tmp_path):
     """ROADMAP #3 / VERDICT r1 next #6: write the validated zone with
     write_validated_zone_bucketed, rebuild the item fact from the
