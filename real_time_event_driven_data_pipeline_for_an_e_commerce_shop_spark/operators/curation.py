@@ -45,23 +45,26 @@ from .text import tokens
 
 #: Redaction patterns, applied IN THIS ORDER (emails before phones so a
 #: digit-bearing local part is consumed as an email; IPv4 before the
-#: generic phone digits so dotted quads never half-match a phone).
+#: generic phone digits so dotted quads never half-match a phone; SSN
+#: last — its 3-2-4 dash shape cannot collide with the +-prefixed phone
+#: or dotted IPv4, so order is cosmetic there).
 #: Common Java-regex / RE2 subset only — no backreferences, no
 #: lookaround — so Spark and the DuckDB oracle match identically.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\+\d{1,2}-\d{3}-\d{3,10}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
 )
 
 
 def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / IPv4 addresses / international-format phone
-    numbers, reporting per-type match counts alongside the scrubbed
-    text. One projection, no shuffle; counts are taken BEFORE the
-    rewrite so each pattern reports what it saw in the original text
-    (the apply order only affects overlapping matches, which the
-    pattern order above resolves deterministically)."""
+    numbers / SSN-shaped tokens, reporting per-type match counts
+    alongside the scrubbed text. One projection, no shuffle; counts are
+    taken BEFORE the rewrite so each pattern reports what it saw in the
+    original text (the apply order only affects overlapping matches,
+    which the pattern order above resolves deterministically)."""
     col = F.col(text_col)
     counts = [
         F.regexp_count(col, F.lit(pat)).cast("long").alias(f"n_{name}")

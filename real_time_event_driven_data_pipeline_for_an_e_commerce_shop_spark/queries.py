@@ -2341,6 +2341,7 @@ def q_daily_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3,10}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
 
 
 def _pii_augmented_sql() -> str:
@@ -2364,6 +2365,12 @@ def _pii_augmented_sql() -> str:
                || CASE WHEN doc_id % 5 = 0
                        THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
                             || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' up'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' end'
                        ELSE '' END AS text
         FROM documents
     """
@@ -2375,6 +2382,7 @@ def _pii_redaction_oracle() -> str:
         (_PII_EMAIL, "<EMAIL>"),
         (_PII_IPV4, "<IP>"),
         (_PII_PHONE, "<PHONE>"),
+        (_PII_SSN, "<SSN>"),
     ):
         red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
     return f"""
@@ -2386,6 +2394,8 @@ def _pii_redaction_oracle() -> str:
                AS n_ipv4,
            CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
                AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT)
+               AS n_ssn,
            {red} AS redacted_text
     FROM aug
     """
@@ -2393,10 +2403,10 @@ def _pii_redaction_oracle() -> str:
 
 @query("pii_redaction", oracle=_pii_redaction_oracle())
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction over the corpus: per-doc email/IPv4/phone match
-    counts + the scrubbed text. Deterministic doc_id-derived PII is
-    planted first (the synthetic corpus is digit-free) so the gate
-    checks real redactions, not two all-zero columns. Narrow map, no
+    """PII redaction over the corpus: per-doc email/IPv4/phone/SSN
+    match counts + the scrubbed text. Deterministic doc_id-derived PII
+    is planted first (the synthetic corpus is digit-free) so the gate
+    checks real redactions, not all-zero columns. Narrow map, no
     shuffle — scan-bound at any scale."""
     from .operators import curation
 
@@ -2428,6 +2438,18 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(".0."),
                     (d % 200).cast("string"),
                     F.lit(" up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" ssn "),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((d % 100).cast("string"), 2, "0"),
+                    F.lit("-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                    F.lit(" end"),
                 ),
             ).otherwise(F.lit("")),
         ).alias("text"),
