@@ -260,6 +260,118 @@ def embedding_near_dups(
     )
 
 
+def kmeans_parallel_seeds(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    dim: int | None = None,
+    rounds: int = 3,
+    oversample: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """k-means|| oversampling initialization (Bahmani et al., VLDB'12)
+    — the proper distributed seeding for :func:`kmeans_centroids`,
+    deterministic end-to-end.
+
+    Per round: every point is scored by its cosine distance to the
+    current seed set (the same broadcast-argmax subplan as assignment —
+    one pass, no shuffle of vectors), and points enter the seed pool
+    independently with probability ``min(1, l·d/Σd)`` where
+    ``l = oversample·k``. The Bernoulli draw is the deterministic hash
+    coin ``md5_long(vec_id) / 2^48 < p`` — reproducible run-to-run like
+    every other "random" choice in this engine (cf.
+    ``stratified_sample_flags``). After ``rounds`` passes the pool
+    holds O(l·rounds) candidates — KBs — which are weighted by their
+    assignment counts (one aggregation) and reduced to ``n_clusters``
+    centroids driver-side by weighted farthest-first + Lloyd over the
+    tiny candidate set. At 100 TB each round is one linear scan;
+    nothing quadratic, nothing corpus-sized ever reaches the driver.
+
+    Returns ``[(cid, [float, ...]), ...]`` ready to seed
+    :func:`kmeans_centroids` via its ``seeds`` parameter.
+    """
+    spark = embeddings.sparkSession
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    corpus = embeddings.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+    )
+    first = corpus.orderBy("vid").limit(1).collect()[0]["vec"]
+    pool: list[list[float]] = [list(first)]
+    ell = max(1.0, oversample * n_clusters)
+    from ..functions.core import md5_long
+
+    coin = (
+        md5_long(F.col("vid").cast("string")) % F.lit(1 << 48)
+    ).cast("double") / float(1 << 48)
+    for _ in range(rounds):
+        cent_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(pool)],
+            "cid long, centroid_vec array<double>",
+        )
+        # cosine distance to the CLOSEST current seed, one broadcast pass
+        dist = (
+            corpus.join(F.broadcast(cent_df))
+            .select(
+                "vid",
+                "vec",
+                (1.0 - cosine(F.col("vec"), F.col("centroid_vec"))).alias("_d"),
+            )
+            .groupBy("vid")
+            .agg(F.min("_d").alias("d"), F.first("vec").alias("vec"))
+        )
+        total = dist.agg(F.sum("d").alias("s")).first()["s"] or 0.0
+        if total <= 0:
+            break
+        p = F.least(F.lit(1.0), F.lit(ell) * F.col("d") / F.lit(total))
+        drawn = dist.filter(coin < p).select("vec").collect()
+        pool.extend(list(r["vec"]) for r in drawn)
+    # weight candidates by how many points they'd absorb, then reduce
+    # driver-side (pool is O(l·rounds) — tiny by construction)
+    cand_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pool)],
+        "cid long, centroid_vec array<double>",
+    )
+    weights_rows = (
+        corpus.join(F.broadcast(cand_df))
+        .select(
+            "vid",
+            F.struct(
+                cosine(F.col("vec"), F.col("centroid_vec")).alias("s"),
+                (-F.col("cid")).alias("nc"),
+            ).alias("_cand"),
+        )
+        .groupBy("vid")
+        .agg(F.max("_cand").alias("_best"))
+        .groupBy((-F.col("_best.nc")).alias("cid"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    weights = {r["cid"]: r["w"] for r in weights_rows}
+
+    def _cos(a: list, b: list) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    # weighted farthest-first over the candidate pool: greedy, exact,
+    # deterministic; O(pool² · dim) on KB-sized input
+    order = sorted(range(len(pool)), key=lambda i: -weights.get(i, 0))
+    chosen = [order[0]]
+    while len(chosen) < min(n_clusters, len(pool)):
+        best_i, best_score = None, None
+        for i in order:
+            if i in chosen:
+                continue
+            nearest = max(_cos(pool[i], pool[c]) for c in chosen)
+            score = (1.0 - nearest) * weights.get(i, 1)
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        chosen.append(best_i)
+    return [(rank, pool[i]) for rank, i in enumerate(chosen)]
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_clusters: int = 16,
@@ -268,6 +380,7 @@ def kmeans_centroids(
     stride: int = 29,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: list | None = None,
 ) -> DataFrame:
     """Lloyd-refined coarse quantizer for :func:`ivf_topk` (VERDICT r3
     item #9): deterministic strided seeding (the same init the strided
@@ -294,6 +407,10 @@ def kmeans_centroids(
     the exact-value gate); recall is measured by
     ``scripts/ivf_recall_curve.py`` instead.
 
+    ``seeds`` (``[(cid, vector), ...]``, e.g. from
+    :func:`kmeans_parallel_seeds`) overrides the default strided-sample
+    initialization.
+
     Returns ``(cid long, centroid_vec array<double>)`` with cids
     relabeled ``0..n_clusters-1``.
     """
@@ -303,14 +420,17 @@ def kmeans_centroids(
     corpus = embeddings.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
     )
-    seeds = (
-        embeddings.filter(F.col(id_col) % stride == 0)
-        .orderBy(F.col(id_col))
-        .limit(n_clusters)
-        .select(as_double(F.col(vec_col)).alias("centroid_vec"))
-        .collect()
-    )
-    centroids = [(i, list(r["centroid_vec"])) for i, r in enumerate(seeds)]
+    if seeds is not None:
+        centroids = [(i, list(v)) for i, (_, v) in enumerate(seeds)]
+    else:
+        seed_rows = (
+            embeddings.filter(F.col(id_col) % stride == 0)
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(as_double(F.col(vec_col)).alias("centroid_vec"))
+            .collect()
+        )
+        centroids = [(i, list(r["centroid_vec"])) for i, r in enumerate(seed_rows)]
     for _ in range(max_iterations):
         cent_df = spark.createDataFrame(
             centroids, "cid long, centroid_vec array<double>"

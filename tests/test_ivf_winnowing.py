@@ -73,6 +73,44 @@ def test_kmeans_centroids_recover_separated_clusters(spark):
     assert got == expected
 
 
+def test_kmeans_parallel_seeds_cover_clusters(spark):
+    """k-means|| oversampling seeding: on three well-separated
+    directions the deterministic hash-coin sampling must pull seed
+    candidates from ALL clusters (distance-weighted probability), and
+    Lloyd from those seeds recovers the three axes — without relying on
+    a lucky strided init."""
+    def v(axis, eps):
+        base = [0.0, 0.0, 0.0]
+        base[axis] = 1.0
+        base[(axis + 1) % 3] = eps
+        return base
+
+    vecs = [v(axis, 0.01 * j) for axis in range(3) for j in range(3)]
+    df = _emb_df(spark, vecs)
+    seeds = similarity.kmeans_parallel_seeds(
+        df, n_clusters=3, dim=3, rounds=3, oversample=2.0
+    )
+    assert len(seeds) == 3
+    # deterministic: second run returns bit-identical seeds
+    again = similarity.kmeans_parallel_seeds(
+        df, n_clusters=3, dim=3, rounds=3, oversample=2.0
+    )
+    assert seeds == again
+    # farthest-first selection must have spread across all three axes
+    seed_axes = sorted(
+        max(range(3), key=lambda i: vec[i]) for _, vec in seeds
+    )
+    assert seed_axes == [0, 1, 2]
+    cent = similarity.kmeans_centroids(
+        df, n_clusters=3, dim=3, max_iterations=3, seeds=seeds
+    )
+    axes = sorted(
+        max(range(3), key=lambda i: r["centroid_vec"][i])
+        for r in cent.collect()
+    )
+    assert axes == [0, 1, 2]
+
+
 def test_srp_multitable_recall_monotone(spark):
     """OR-construction guarantee: with 2 hash tables the candidate set
     is a superset of table 0's (same planes), so each query's top-k by
