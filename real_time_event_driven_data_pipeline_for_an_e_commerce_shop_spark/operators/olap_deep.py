@@ -573,11 +573,18 @@ def waiting_suppliers(
     """TPC-H Q21 shape: suppliers who alone delayed a multi-supplier
     order. The correlated EXISTS / NOT-EXISTS pair collapses into one
     per-order aggregate — count suppliers and count *late* suppliers
-    per order — then keep late suppliers on orders where
-    ``n_suppliers > 1 AND n_late_suppliers = 1``. One shuffle on
-    orderkey; no correlated re-scans. (The testdata has no
-    receipt/commit dates, so "late" = shipped > ``late_days`` after
-    the order date.)"""
+    per order — and because the culprit order must have **exactly one**
+    late supplier, ``max(when(supp_late=1, l_suppkey))`` recovers that
+    supplier's id inside the same aggregate, so no join back to the
+    supplier-grain rows is needed at all. Plan: one shuffle for
+    lineitem⋈orders on orderkey, then BOTH aggregations reuse that
+    orderkey partitioning (hash-partitioning on a subset of the group
+    keys satisfies the clustering requirement — no Exchange), then one
+    tiny shuffle on suppkey for the final count. The previous
+    formulation joined two order-grain intermediates back together —
+    an extra sort-merge join over ~|orders| rows that dominated at
+    factor 100 (~31 s). (The testdata has no receipt/commit dates, so
+    "late" = shipped > ``late_days`` after the order date.)"""
     lines = lineitem.join(
         orders.select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -595,14 +602,13 @@ def waiting_suppliers(
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum("supp_late").alias("n_late"),
+        F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
     )
     culprits = (
-        per_supp.filter(F.col("supp_late") == 1)
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
-            "l_orderkey",
-        )
-        .groupBy("l_suppkey")
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy(F.col("late_supp").alias("l_suppkey"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return culprits.join(
