@@ -79,9 +79,12 @@ def load_testdata(
 
 
 def _read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan; ``events.ts`` is TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects — read nanos as long and floor-convert to
-    microsecond timestamps (the same truncation DuckDB applies)."""
+    """Parquet scan; ``events.ts`` has varied across testdata
+    generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects; read nanos as long and floor-convert, the same truncation
+    DuckDB applies) or zone-less ``timestamp[us]`` (surfaces as
+    TIMESTAMP_NTZ; cast to session-zone TIMESTAMP). Either way callers
+    see one stable type: microsecond TimestampType."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
@@ -92,6 +95,13 @@ def _read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # timestamp[us] without a zone surfaces as TIMESTAMP_NTZ; the
+        # engine contract is session-zone TIMESTAMP (sessions run UTC,
+        # so the cast is wall-clock identity — same values DuckDB sees)
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
