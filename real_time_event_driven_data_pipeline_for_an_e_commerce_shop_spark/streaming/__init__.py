@@ -1,4 +1,4 @@
-from .pipeline import run_event_driven_pipeline
+from .pipeline import run_bucketed_ingest, run_event_driven_pipeline
 from .windows import (
     category_kpi_streaming_update,
     dedup_events_stream,
@@ -10,6 +10,7 @@ from .windows import (
 __all__ = [
     "category_kpi_streaming_update",
     "dedup_events_stream",
+    "run_bucketed_ingest",
     "run_event_driven_pipeline",
     "order_kpi_streaming_update",
     "sessionized_stream",

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import kpi, validate
-from ..schemas import ORDER_ITEMS_SCHEMA
+from ..schemas import ORDER_ITEMS_SCHEMA, ORDERS_SCHEMA
 from ..sinks.kv import KeyedParquetUpsertSink
 from ..sources.readers import load_ecommerce_csv
 
@@ -105,3 +105,120 @@ def run_event_driven_pipeline(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def _append_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    bucket_col: str = "order_id",
+) -> None:
+    """Append a micro-batch into a bucketed catalog table (created on
+    first append). Every append re-clusters only the new rows — one
+    bucket file set per micro-batch — and the catalog keeps the bucket
+    spec, so downstream equi-joins on ``bucket_col`` between
+    co-bucketed tables stay Exchange-free no matter how many batches
+    have landed."""
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .mode("append")
+        .saveAsTable(table)
+    )
+
+
+def run_bucketed_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    zone_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    table_prefix: str = "streamed_",
+    await_termination: bool = True,
+) -> dict[str, str]:
+    """Stream the raw zone into the *bucketed* validated zone — the
+    streaming half of the batch pipeline's ``bucketed_validated=True``
+    (ROADMAP #2: micro-batches land bucketed, so downstream KPI runs
+    against the zone never re-shuffle facts that streamed in).
+
+    Two file-source streams run Task-1-style validation and land in
+    catalog tables ``bucketBy(n_buckets, order_id)``:
+
+    1. ``orders`` runs first to completion (``availableNow``) — the
+       Task1→Task2 sequencing of the reference's state machine means
+       an item file never precedes its order file within an upload
+       batch (``/root/reference/StateMachine.txt``);
+    2. ``order_items`` then validates each micro-batch's referential
+       integrity against the *zone's own* orders table (a
+       stream-static join — the static side is re-read per batch, so
+       it sees every order landed so far) and appends.
+
+    The checkpoint makes file processing exactly-once across restarts
+    (operator S4); the parquet append itself is not transactional — a
+    crash between the append and the checkpoint commit can duplicate
+    one micro-batch on restart. At 100 TB you'd land into an ACID
+    table format with the same bucket spec; row-level recovery dedup
+    is available via ``streaming.dedup_events_stream``'s pattern on
+    the item primary key.
+
+    Returns ``{name: catalog_table}`` like
+    ``sinks.files.write_validated_zone_bucketed``.
+    """
+    tables = {
+        "orders": f"{table_prefix}orders",
+        "order_items": f"{table_prefix}order_items",
+    }
+
+    def land_orders(new_orders: DataFrame, epoch_id: int) -> None:
+        if new_orders.isEmpty():
+            return
+        _append_bucketed(
+            validate.validate_orders(new_orders),
+            tables["orders"],
+            os.path.join(zone_dir, "orders"),
+            n_buckets,
+        )
+
+    def land_items(new_items: DataFrame, epoch_id: int) -> None:
+        if new_items.isEmpty():
+            return
+        # the orders appends ran on the micro-batch's cloned session;
+        # drop this session's cached file listing before reading
+        spark.catalog.refreshTable(tables["orders"])
+        landed_orders = spark.table(tables["orders"])
+        _append_bucketed(
+            validate.validate_order_items(new_items, landed_orders),
+            tables["order_items"],
+            os.path.join(zone_dir, "order_items"),
+            n_buckets,
+        )
+
+    for name, schema, land in (
+        ("orders", ORDERS_SCHEMA, land_orders),
+        ("order_items", ORDER_ITEMS_SCHEMA, land_items),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+            .option("maxFilesPerTrigger", 64)
+            .csv(os.path.join(raw_dir, name))
+        )
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # orders must finish before items validate against the zone
+        q.awaitTermination()
+    # appends ran on cloned micro-batch sessions whose catalog-cache
+    # invalidation does not propagate here — refresh so callers see
+    # every landed batch
+    for table in tables.values():
+        if spark.catalog.tableExists(table):
+            spark.catalog.refreshTable(table)
+    return tables

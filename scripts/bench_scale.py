@@ -100,16 +100,52 @@ def main() -> None:
         zone = tempfile.mkdtemp(prefix="scale_bucketed_zone_")
         try:
             t0 = time.perf_counter()
-            run_bucketed, tables = _bucketed_kpi_setup(spark, tmp, zone)
+            run_map, tables = _bucketed_kpi_setup(spark, tmp, zone)
+
+            # raw TPC-H facts co-bucketed on orderkey: the Q21-shape
+            # waiting_suppliers joins lineitem⋈orders on orderkey and
+            # every aggregate reuses that partitioning, so over the
+            # bucketed zone its ONLY shuffle is the final tiny suppkey
+            # count (plan asserted in tests/test_sources_bucketing.py)
+            n_buckets = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            for raw_name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+                table = f"scale_bucketed_{raw_name}"
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+                (
+                    spark.read.parquet(f"{tmp}/{raw_name}.parquet")
+                    .write.format("parquet")
+                    .bucketBy(n_buckets, key)
+                    .sortBy(key)
+                    .option("path", f"{zone}/raw_{raw_name}")
+                    .mode("overwrite")
+                    .saveAsTable(table)
+                )
             zone_write_s = round(time.perf_counter() - t0, 3)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                run_bucketed()
-                best = min(best, time.perf_counter() - t0)
-            timings["category_kpi_bucketed"] = round(best, 3)
+
+            from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+                olap_deep,
+            )
+
+            supplier = loaded["supplier"]
+            run_map = dict(run_map)
+            run_map["waiting_suppliers_bucketed"] = lambda: (
+                olap_deep.waiting_suppliers(
+                    spark.table("scale_bucketed_lineitem"),
+                    spark.table("scale_bucketed_orders"),
+                    supplier,
+                ).write.mode("overwrite").format("noop").save()
+            )
+            for bname, run_bucketed in run_map.items():
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    run_bucketed()
+                    best = min(best, time.perf_counter() - t0)
+                timings[bname] = round(best, 3)
             for t in tables.values():
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for raw_name in ("lineitem", "orders"):
+                spark.sql(f"DROP TABLE IF EXISTS scale_bucketed_{raw_name}")
         finally:
             shutil.rmtree(zone, ignore_errors=True)
 

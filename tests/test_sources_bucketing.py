@@ -194,3 +194,64 @@ def test_bucketed_validated_zone_kpi_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_waiting_suppliers_bucketed_single_shuffle(spark, tmp_path):
+    """Q21 shape over orderkey-co-bucketed facts: the lineitem⋈orders
+    join AND both orderkey-grain aggregates reuse the bucket
+    partitioning, so the whole plan carries exactly ONE shuffle — the
+    final tiny suppkey count. This is the scale path bench_scale.py
+    measures as waiting_suppliers_bucketed."""
+    import datetime as dt
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        olap_deep,
+    )
+
+    d0 = dt.date(2025, 1, 1)
+    late = dt.date(2025, 6, 1)  # > 60 days after d0
+    # order 1: suppliers 7 (late) + 8 (on time) → culprit 7
+    # order 2: suppliers 7 and 8 both late → no single culprit
+    # order 3: single-supplier order → excluded (needs n_supp > 1)
+    lineitem = spark.createDataFrame(
+        [
+            (1, 7, late), (1, 8, d0),
+            (2, 7, late), (2, 8, late),
+            (3, 7, late),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate date",
+    )
+    orders = spark.createDataFrame(
+        [(1, d0), (2, d0), (3, d0)], "o_orderkey long, o_orderdate date"
+    )
+    supplier = spark.createDataFrame(
+        [(7, "Supp7"), (8, "Supp8")], "s_suppkey long, s_name string"
+    )
+    for name, df, key in (
+        ("bq21_lineitem", lineitem, "l_orderkey"),
+        ("bq21_orders", orders, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(4, key).sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite").saveAsTable(name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the fact⋈fact SMJ path (at real scale neither side
+        # broadcasts); the supplier dim join stays broadcast via its
+        # explicit F.broadcast hint
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = olap_deep.waiting_suppliers(
+            spark.table("bq21_lineitem"), spark.table("bq21_orders"), supplier
+        )
+        # pre-execution plan: one copy of each node (the post-AQE final
+        # plan string re-prints cached subplans and double-counts)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SortMergeJoin" in plan, plan
+        rows = {r["s_suppkey"]: r["numwait"] for r in out.collect()}
+        assert rows == {7: 1}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bq21_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bq21_orders")

@@ -1,0 +1,86 @@
+"""Streaming ingest into the bucketed validated zone (ROADMAP #2):
+micro-batches land `bucketBy(order_id)` so downstream fact⋈fact joins
+over the streamed zone run Exchange-free — the streaming half of the
+batch pipeline's ``bucketed_validated=True``."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+    run_bucketed_ingest,
+)
+
+from test_streaming import ITEMS1_CSV, ITEMS2_CSV, ORDERS_CSV, _write
+
+# order 4 arrives in the second upload batch, with its item
+ORDERS2_CSV = """order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item
+4,103,delivered,2025-03-10T08:00:00,,2025-03-10T10:00:00,2025-03-11T09:00:00,1
+"""
+
+ITEMS3_CSV = """id,order_id,user_id,product_id,status,created_at,shipped_at,delivered_at,returned_at,sale_price
+14,4,103,1,delivered,2025-03-10T08:00:00,2025-03-10T10:00:00,2025-03-11T09:00:00,,10.0
+15,999,999,1,delivered,2025-03-10T08:00:00,,,,10.0
+"""
+
+
+def test_streamed_zone_lands_bucketed_and_joins_exchange_free(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    _write(f"{raw}/orders/part1.csv", ORDERS_CSV)
+    _write(f"{raw}/order_items/part1.csv", ITEMS1_CSV)
+    _write(f"{raw}/order_items/part2.csv", ITEMS2_CSV)
+
+    prefix = "streamed_zone_test_"
+    try:
+        tables = run_bucketed_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        items = spark.table(tables["order_items"])
+        orders = spark.table(tables["orders"])
+        assert orders.count() == 3 and items.count() == 4
+
+        # second upload batch: order 4 + its item; item 15 references a
+        # nonexistent order and must be dropped by the stream-static
+        # referential check against the zone's own orders table
+        _write(f"{raw}/orders/part2.csv", ORDERS2_CSV)
+        _write(f"{raw}/order_items/part3.csv", ITEMS3_CSV)
+        run_bucketed_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert spark.table(tables["orders"]).count() == 4
+        landed = spark.table(tables["order_items"])
+        assert landed.count() == 5
+        assert landed.filter(F.col("order_id") == 999).count() == 0
+
+        # exactly-once across restarts: re-running with no new files
+        # appends nothing
+        run_bucketed_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert spark.table(tables["order_items"]).count() == 5
+
+        # the whole point: the streamed zone join is Exchange-free even
+        # after three separate appends per table (multiple file sets
+        # per bucket — Spark re-sorts within buckets, never re-shuffles)
+        joined = (
+            spark.table(tables["order_items"])
+            .select("order_id", "id", "sale_price")
+            .hint("merge")
+            .join(spark.table(tables["orders"]).select("order_id", "user_id"),
+                  "order_id")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5
+
+        # bucket files actually landed under the zone dir
+        assert os.path.isdir(os.path.join(zone, "orders"))
+        assert os.path.isdir(os.path.join(zone, "order_items"))
+    finally:
+        for t in (f"{prefix}orders", f"{prefix}order_items"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
