@@ -71,3 +71,50 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(f"asof_{payload_cols[0]}").isNotNull())
     return out
+
+
+def interval_join_days(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_date: str,
+    window_days: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Bucketized interval (range) join — the second temporal join
+    Spark lacks natively: match each left row to every right row whose
+    day window ``[right_date, right_date + window_days)`` contains
+    ``left_time``. Both inputs must already share ``key``.
+
+    A naive range join is an equi-join on ``key`` followed by a
+    per-key cross filter — quadratic in the hot key's row count and
+    not an equi-join Catalyst can shuffle-partition on the time axis.
+    Instead the RIGHT side replicates into its ``window_days`` day
+    buckets (bounded ×``window_days`` fan-out, declared up front) and
+    the join becomes a plain equi-join on ``(key, day)``:
+
+    * shuffle volume is ``|right| × window_days + |left|`` — linear,
+      never quadratic, independent of key skew on the time axis;
+    * day-granular windows make the bucket match EXACT (``date(t) ∈
+      [d, d+w-1] ⟺ t ∈ [d 00:00, d+w 00:00)``) — no residual filter,
+      so no post-join row explosion to re-check;
+    * sub-day bounds would add one residual range predicate after the
+      same bucket join (the standard banded range-join shape) — the
+      plan and its scale behavior are unchanged.
+
+    At 100 TB: both sides hash-partition on ``(key, day)``, so a
+    single hot user spreads over ``window_days`` partitions rather
+    than one; AQE skew-join splits any residual hot bucket.
+    """
+    b_right = right.withColumn(
+        "_day",
+        F.explode(
+            F.sequence(
+                F.col(right_date).cast("date"),
+                F.date_add(F.col(right_date).cast("date"), window_days - 1),
+            )
+        ),
+    )
+    b_left = left.withColumn("_day", F.to_date(F.col(left_time)))
+    return b_left.join(b_right, on=[key, "_day"], how=how).drop("_day")

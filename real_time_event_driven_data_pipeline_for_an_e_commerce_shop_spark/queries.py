@@ -1117,6 +1117,42 @@ def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_order_window",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           COUNT(o.o_orderkey) AS n_orders_7d,
+           MAX(o.o_orderkey) AS last_orderkey_7d
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND CAST(e.ts AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP)
+     AND CAST(e.ts AS TIMESTAMP) <  CAST(o.o_orderdate AS TIMESTAMP)
+                                    + INTERVAL 7 DAY
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_events_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: orders placed in the 7 days up to each
+    event, per user — DuckDB runs it as a native non-equi range join;
+    Spark-side it is the bucketized day-window equi-join
+    (``operators/asof.py:interval_join_days``), linear in
+    ``|orders| × 7``, never quadratic in a hot user's rows."""
+    t = _t(spark, sf_dir, "orders", "events")
+    left = t["events"].select("event_id", "user_id", "ts")
+    right = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    joined = asof_ops.interval_join_days(
+        left, right, key="user_id", left_time="ts",
+        right_date="o_orderdate", window_days=7, how="left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("o_orderkey").alias("n_orders_7d"),
+        F.max("o_orderkey").alias("last_orderkey_7d"),
+    )
+
+
 # --- TPC-H-shaped OLAP breadth (round-1 widening) ---------------------
 
 
@@ -2692,6 +2728,8 @@ def q_token_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
 _SWEEP_PRIORITY = [
+    # round-5 additions — never driver-swept
+    "events_order_window",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",

@@ -121,3 +121,55 @@ def test_sessionize_invariants(spark, user_ts, gap):
             1 for a, b in zip(ts_sorted, ts_sorted[1:]) if b - a > gap
         )
         assert len(sessions) == expected_sessions
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 23)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 9),
+)
+@FAST
+def test_interval_join_days_matches_bruteforce(spark, left_rows, right_rows, w):
+    """The bucketized day-window equi-join == the brute-force range
+    predicate right_date <= left_ts < right_date + w days, for any
+    keys/days/hours and window width (boundary inclusivity exact)."""
+    import datetime as dt
+
+    base = dt.date(2025, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (i, k, dt.datetime(2025, 1, 1, h) + dt.timedelta(days=d))
+            for i, (k, d, h) in enumerate(left_rows)
+        ],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, k, base + dt.timedelta(days=d))
+            for j, (k, d) in enumerate(dict.fromkeys(right_rows))
+        ],
+        "rid long, k long, d date",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in asof.interval_join_days(
+            left, right, key="k", left_time="ts", right_date="d",
+            window_days=w, how="inner",
+        ).collect()
+    }
+    want = set()
+    for i, (lk, ld, lh) in enumerate(left_rows):
+        ts = dt.datetime(2025, 1, 1, lh) + dt.timedelta(days=ld)
+        for j, (rk, rd) in enumerate(dict.fromkeys(right_rows)):
+            d0 = dt.datetime(2025, 1, 1) + dt.timedelta(days=rd)
+            if lk == rk and d0 <= ts < d0 + dt.timedelta(days=w):
+                want.add((i, j))
+    assert got == want
