@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import det_round, md5_long, ratio
+from ..functions.core import det_round, md5_long, ratio, spread_small_input
 from .text import tokens
 
 # --- PII redaction ------------------------------------------------------
@@ -118,7 +118,7 @@ def chunk_dedup(documents: DataFrame, chunk_tokens: int = 4) -> DataFrame:
     ``md5(chunk)`` keys and whose hash aggregation absorbs ubiquitous
     chunks map-side.
     """
-    chunks = documents.select(
+    chunks = spread_small_input(documents).select(
         "doc_id", F.posexplode(_chunk_array(chunk_tokens)).alias("idx", "chunk")
     )
     w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
@@ -177,7 +177,10 @@ def chunk_dedup_hashed(documents: DataFrame, chunk_tokens: int = 4) -> DataFrame
     Within-doc repeats dedup globally exactly as in :func:`chunk_dedup`
     (one winner per distinct chunk, corpus-wide).
     """
-    docs_chunks = documents.select(
+    # tokenize/md5 are CPU-bound and BOTH plan branches (winner
+    # selection and join-back) recompute the chunking — spread a
+    # single-split scan across cores before paying that work twice
+    docs_chunks = spread_small_input(documents).select(
         "doc_id", _chunk_array(chunk_tokens).alias("chunks")
     )
     keyed = docs_chunks.select(
