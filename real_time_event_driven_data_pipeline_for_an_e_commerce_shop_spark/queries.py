@@ -672,6 +672,51 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
 
 
+@query(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE v AS (SELECT vec_id, label, {SQL_VEC} AS vec FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {round_sql(SQL_COS, 6)} >= 0.3
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    lab AS (
+        SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) dedup clusters: the near-dup pair
+    set feeds the same connected-components operator the MinHash
+    pipeline uses, labeling each vector with its cluster — SemDeDup-
+    style grouping where every cluster is a set of mutually-reachable
+    cosine near-duplicates. DuckDB resolves the identical pair set via
+    a recursive-CTE transitive closure."""
+    t = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
+    cc = dedup.connected_components(pairs, src_col="vec_a", dst_col="vec_b")
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("component_id").alias("cluster_id"),
+        F.col("component_size").alias("cluster_size"),
+    )
+
+
 # --- LSH family — fully oracle-checked (round-2): signatures are
 # md5-prefix-based so DuckDB recomputes the exact MinHash/SimHash
 # values, bucket structure, and verified pairs; SRP hyperplane weights
@@ -2730,6 +2775,7 @@ def q_token_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # round-5 additions — never driver-swept
     "events_order_window",
+    "embedding_dedup_clusters",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",
