@@ -202,3 +202,38 @@ def sessionized_stream(
             "session_value",
         )
     )
+
+
+def interval_joined_events_stream(
+    events_stream: DataFrame,
+    orders: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """Streaming twin of the batch interval join (`events_order_window`):
+    each arriving event is enriched with every order the same user
+    placed in the preceding ``window_days`` days — a stream-static join
+    against the orders zone.
+
+    STATELESS by construction: the day-bucket replication happens on
+    the STATIC side (``operators.asof.interval_join_days`` replicates
+    orders ×``window_days``), so the stream side needs no watermark and
+    Spark keeps no join state — the static side is re-read (and its
+    replication re-planned) per micro-batch, which also means newly
+    landed orders are visible to the next batch. Contrast with a
+    stream-stream range join, which would hold ``window_days`` of BOTH
+    sides in state stores.
+
+    Left-outer: events with no order in window pass through with null
+    order columns, so downstream per-event aggregation sees every
+    event exactly once (each event lives in exactly one micro-batch).
+    """
+    from ..operators import asof
+
+    left = events_stream.select("event_id", "user_id", "ts")
+    right = orders.select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return asof.interval_join_days(
+        left, right, key="user_id", left_time="ts",
+        right_date="o_orderdate", window_days=window_days, how="left",
+    )

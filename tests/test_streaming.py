@@ -575,3 +575,41 @@ def test_update_mode_kpi_state_stays_flat(spark, tmp_path):
         assert abs(row["unique_customers"] - 1500) <= 0.15 * 1500
     finally:
         q.stop()
+
+
+def test_interval_joined_stream_matches_batch(spark, events_stream, tmp_path):
+    """Stream-static interval join replayed to completion == the batch
+    events_order_window aggregation (stateless enrichment: every event
+    appears in exactly one micro-batch, so per-event aggregation over
+    the emitted rows is exact)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        interval_joined_events_stream,
+    )
+
+    stream, _ = events_stream
+    orders = load_testdata(spark, SF, ("orders",))["orders"]
+    q = (
+        interval_joined_events_stream(stream, orders, window_days=7)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ivj_out")
+        .option("checkpointLocation", str(tmp_path / "ck_ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["n"], r["mx"])
+        for r in spark.sql(
+            "SELECT event_id, COUNT(o_orderkey) AS n, MAX(o_orderkey) AS mx "
+            "FROM ivj_out GROUP BY event_id"
+        ).collect()
+    }
+    expected = {
+        r["event_id"]: (r["n_orders_7d"], r["last_orderkey_7d"])
+        for r in QUERIES["events_order_window"](spark, SF).collect()
+    }
+    assert got == expected and got
