@@ -70,6 +70,7 @@ HEADLINE = [
     "token_count_bpe",
     "click_attribution",
     "chunk_dedup_hashed",
+    "events_order_window",
 ]
 
 

@@ -159,10 +159,10 @@ def run_bucketed_ingest(
     The checkpoint makes file processing exactly-once across restarts
     (operator S4); the parquet append itself is not transactional — a
     crash between the append and the checkpoint commit can duplicate
-    one micro-batch on restart. At 100 TB you'd land into an ACID
-    table format with the same bucket spec; row-level recovery dedup
-    is available via ``streaming.dedup_events_stream``'s pattern on
-    the item primary key.
+    one micro-batch on restart. :func:`read_bucketed_zone_deduped`
+    restores exactly-once at read time with ZERO added shuffles (the
+    pk dedup rides the bucket partitioning); an ACID table format with
+    the same bucket spec is the deployment-grade equivalent.
 
     Returns ``{name: catalog_table}`` like
     ``sinks.files.write_validated_zone_bucketed``.
@@ -222,3 +222,34 @@ def run_bucketed_ingest(
         if spark.catalog.tableExists(table):
             spark.catalog.refreshTable(table)
     return tables
+
+
+def read_bucketed_zone_deduped(
+    spark: SparkSession, tables: dict[str, str], pk: dict[str, str] | None = None
+) -> dict[str, DataFrame]:
+    """Recovery-safe read of the streamed bucketed zone.
+
+    ``run_bucketed_ingest``'s parquet append is not transactional: a
+    crash between an append and its checkpoint commit replays that
+    micro-batch on restart, appending its rows twice. Validation is
+    deterministic per row, so replayed rows are exact duplicates of
+    their first landing — reader-side ``dropDuplicates`` on the
+    primary key restores exactly-once.
+
+    The point of doing it HERE rather than with a generic distinct:
+    the zone is bucketed by ``order_id``, and the dedup aggregates on a
+    key set containing the bucket column, so the catalog scan's bucket
+    partitioning already satisfies the aggregation's distribution —
+    the dedup adds NO Exchange, and its output keeps the bucket
+    partitioning, so downstream ``order_id`` joins stay Exchange-free
+    too (asserted in tests/test_streaming_bucketed.py). Exactly-once
+    reads cost zero extra shuffles.
+    """
+    keys = {"orders": ["order_id"], "order_items": ["order_id", "id"]}
+    if pk:
+        keys.update({k: [v] for k, v in pk.items()})
+    out: dict[str, DataFrame] = {}
+    for name, table in tables.items():
+        df = spark.table(table)
+        out[name] = df.dropDuplicates(keys.get(name, df.columns[:1]))
+    return out

@@ -84,3 +84,57 @@ def test_streamed_zone_lands_bucketed_and_joins_exchange_free(spark, tmp_path):
     finally:
         for t in (f"{prefix}orders", f"{prefix}order_items"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_recovery_dedup_read_is_exchange_free(spark, tmp_path):
+    """A crash between append and checkpoint commit replays one
+    micro-batch (duplicate rows). read_bucketed_zone_deduped restores
+    exactly-once — and because the pk dedup rides the zone's bucket
+    partitioning, it adds NO Exchange, and the downstream order_id
+    join stays Exchange-free too."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _append_bucketed,
+        read_bucketed_zone_deduped,
+    )
+
+    prefix = "recovery_test_"
+    orders = spark.createDataFrame(
+        [(1, "2025-03-08"), (2, "2025-03-08"), (3, "2025-03-09")],
+        "order_id long, order_date string",
+    )
+    items = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 8.0), (12, 2, 3.0), (13, 3, 9.0)],
+        "id long, order_id long, sale_price double",
+    )
+    try:
+        for name, df in (("orders", orders), ("order_items", items)):
+            path = str(tmp_path / name)
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{name}")
+            _append_bucketed(df, f"{prefix}{name}", path, n_buckets=4)
+        # replay the items micro-batch (the non-transactional append's
+        # failure mode): rows land twice
+        _append_bucketed(
+            items, f"{prefix}order_items", str(tmp_path / "order_items"), 4
+        )
+        spark.catalog.refreshTable(f"{prefix}order_items")
+        assert spark.table(f"{prefix}order_items").count() == 8
+
+        zone = read_bucketed_zone_deduped(
+            spark, {"orders": f"{prefix}orders",
+                    "order_items": f"{prefix}order_items"}
+        )
+        assert zone["order_items"].count() == 4
+        assert zone["orders"].count() == 3
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = zone["order_items"].join(zone["orders"], "order_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 4
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}orders")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}order_items")
