@@ -255,3 +255,53 @@ def test_waiting_suppliers_bucketed_single_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bq21_lineitem")
         spark.sql("DROP TABLE IF EXISTS bq21_orders")
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """The engine's stated skew story is "pre-salt when you must
+    (salted_join_agg), otherwise AQE skew-join splits hot partitions at
+    runtime". This asserts the second half actually fires: a join where
+    one key holds ~all fact rows, run with skew thresholds scaled to
+    test size, ends with AQE reporting a skew-join optimization and
+    more join tasks than the static plan would have had — and the
+    result is still exact."""
+    import pyspark.sql.functions as sf
+
+    skew_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in skew_conf}
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        # 200k fact rows on ONE key + 2k spread over 200 keys; the pad
+        # is incompressible (per-row sha2) so the hot partition's
+        # compressed shuffle size actually crosses the threshold
+        fact = spark.range(202_000).select(
+            sf.when(sf.col("id") < 200_000, sf.lit(7))
+            .otherwise(sf.col("id") % 200).alias("k"),
+            sf.sha2(sf.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(200).select(
+            sf.col("id").alias("k"), (sf.col("id") * 10).alias("v")
+        )
+        # no same-key aggregation downstream: splitting a skewed
+        # partition forfeits the join's hash-partitioning guarantee, so
+        # AQE only splits when nothing downstream still requires it —
+        # exactly the enrichment-join shape where skew actually hurts
+        joined = fact.join(dim, "k").select("k", "pad", "v")
+        # execute THIS DataFrame so its own adaptive plan finalizes
+        # (.count() would execute a different, agg-wrapped plan)
+        assert len(joined.collect()) == 202_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
