@@ -85,6 +85,60 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Logistic quality-model coefficients. Weights are DATA, not code: a
+#: coefficient vector trained offline (fastText / sklearn LR on labeled
+#: quality judgments) drops into ``quality_model_score(weights=...)``
+#: with zero plan change — the engine ships the deterministic scoring
+#: half of the classifier, entirely JVM-side.
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -1.5,
+    "len_factor": 2.2,
+    "stop_ratio": 1.8,
+    "punct_ratio": -2.5,
+    "ttr": 0.8,
+}
+
+
+def quality_model_score(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality scoring: a logistic layer over the heuristic
+    feature vector (length factor, stopword ratio, punctuation ratio,
+    type-token ratio) — ``sigmoid(w·x + b)`` as whole-stage-codegen
+    expressions, no UDF.
+
+    ``keep`` thresholds the ROUNDED score so the boolean is identical
+    cross-engine (a raw-float threshold could flip on a last-ulp
+    ``exp`` difference between libms). One scan, zero shuffles —
+    scan-fused like ``pii_redaction``.
+    """
+    w = {**QUALITY_MODEL_WEIGHTS, **(weights or {})}
+    t = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(t)
+    punct = F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    punct_ratio = ratio(punct, F.greatest(n_chars, F.lit(1)))
+    stop_ratio = ratio(stop_hits, F.greatest(n_tokens, F.lit(1)))
+    len_factor = ratio(F.least(n_chars, F.lit(500)), F.lit(500))
+    ttr = ratio(F.size(F.array_distinct(t)), F.greatest(n_tokens, F.lit(1)))
+    z = (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["len_factor"])) * len_factor
+        + F.lit(float(w["stop_ratio"])) * stop_ratio
+        + F.lit(float(w["punct_ratio"])) * punct_ratio
+        + F.lit(float(w["ttr"])) * ttr
+    )
+    score = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return documents.select(
+        "doc_id",
+        score.alias("model_quality"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-marker language heuristic.
 

@@ -535,6 +535,47 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(t["documents"])
 
 
+def _quality_model_oracle() -> str:
+    w = text.QUALITY_MODEL_WEIGHTS
+    n_chars = "length(text)"
+    n_tokens = f"len({SQL_TOKENS})"
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    punct_ratio = f"(CAST({punct} AS DOUBLE) / CAST(GREATEST({n_chars}, 1) AS DOUBLE))"
+    stop_hits = (
+        f"len(list_filter({SQL_TOKENS}, x -> list_contains({_STOPLIST_SQL}, x)))"
+    )
+    stop_ratio = (
+        f"(CAST({stop_hits} AS DOUBLE) / CAST(GREATEST({n_tokens}, 1) AS DOUBLE))"
+    )
+    len_factor = f"(CAST(LEAST({n_chars}, 500) AS DOUBLE) / CAST(500 AS DOUBLE))"
+    ttr = (
+        f"(CAST(len(list_distinct({SQL_TOKENS})) AS DOUBLE)"
+        f" / CAST(GREATEST({n_tokens}, 1) AS DOUBLE))"
+    )
+    z = (
+        f"({w['bias']} + {w['len_factor']} * {len_factor}"
+        f" + {w['stop_ratio']} * {stop_ratio}"
+        f" + {w['punct_ratio']} * {punct_ratio}"
+        f" + {w['ttr']} * {ttr})"
+    )
+    score = round_sql(f"(1.0 / (1.0 + exp(-{z})))", 4)
+    return f"""
+    SELECT doc_id,
+           {score} AS model_quality,
+           ({score} >= 0.5) AS keep
+    FROM documents
+    """
+
+
+@query("quality_model", oracle=_quality_model_oracle())
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality-model scoring (fixed published coefficients;
+    the deterministic scoring half of a trained quality classifier),
+    whole-stage-codegen expressions only."""
+    t = _t(spark, sf_dir, "documents")
+    return text.quality_model_score(t["documents"])
+
+
 def _lang_id_oracle() -> str:
     toks = f"list_distinct({_Q_TOKENS_LOWER})"
     score = {
@@ -2776,6 +2817,7 @@ _SWEEP_PRIORITY = [
     # round-5 additions — never driver-swept
     "events_order_window",
     "embedding_dedup_clusters",
+    "quality_model",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",
