@@ -118,3 +118,66 @@ def interval_join_days(
     )
     b_left = left.withColumn("_day", F.to_date(F.col(left_time)))
     return b_left.join(b_right, on=[key, "_day"], how=how).drop("_day")
+
+
+def interval_join_timestamps(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_start: str,
+    window_seconds: int,
+    bucket_seconds: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Banded range join with sub-day (timestamp) bounds: match left
+    rows where ``right_start <= left_time < right_start +
+    window_seconds`` — the residual-filter generalization
+    :func:`interval_join_days` documents.
+
+    The right side replicates into the fixed-width time buckets its
+    window covers (``ceil(window/bucket) + 1`` of them), both sides
+    equi-join on ``(key, bucket)``, and ONE residual range predicate
+    restores exactness. Bucket width defaults to the window width —
+    the fan-out is then ≤ 2×, and every true match shares a bucket
+    with its probe (a window never spans more than two window-sized
+    buckets). Same scale shape as the day variant: linear shuffle,
+    hot keys spread over adjacent buckets, AQE handles the rest.
+    """
+    bucket = int(bucket_seconds or window_seconds)
+    if bucket <= 0 or window_seconds <= 0:
+        raise ValueError("window_seconds and bucket_seconds must be positive")
+    n_buckets = window_seconds // bucket + 1  # covered buckets per right row
+    r_epoch = F.unix_timestamp(F.col(right_start).cast("timestamp"))
+    b_right = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(r_epoch / bucket),
+                F.floor(r_epoch / bucket) + F.lit(n_buckets - 1),
+            )
+        ),
+    )
+    l_epoch = F.unix_timestamp(F.col(left_time).cast("timestamp"))
+    b_left = left.withColumn("_bkt", F.floor(l_epoch / bucket))
+    residual = (
+        F.col(left_time).cast("timestamp")
+        >= F.col(right_start).cast("timestamp")
+    ) & (
+        F.unix_timestamp(F.col(left_time).cast("timestamp"))
+        < F.unix_timestamp(F.col(right_start).cast("timestamp"))
+        + F.lit(window_seconds)
+    )
+    if how != "inner":
+        # a left-outer here would emit one null row per PROBED bucket
+        # for a true non-match; collapsing those is caller-specific —
+        # run inner and re-attach unmatched left rows via left_anti
+        raise ValueError(
+            f"unsupported how={how!r}: only 'inner' (re-attach unmatched "
+            "left rows with a left_anti join if needed)"
+        )
+    return (
+        b_left.join(b_right, on=[key, "_bkt"], how="inner")
+        .filter(residual)
+        .drop("_bkt")
+    )

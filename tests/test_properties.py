@@ -173,3 +173,66 @@ def test_interval_join_days_matches_bruteforce(spark, left_rows, right_rows, w):
             if lk == rk and d0 <= ts < d0 + dt.timedelta(days=w):
                 want.add((i, j))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 600),
+    st.integers(0, 1),
+)
+@FAST
+def test_interval_join_timestamps_matches_bruteforce(
+    spark, left_rows, right_rows, window_s, narrow_bucket
+):
+    """The banded timestamp range join (bucket + ONE residual
+    predicate) == brute-force right_start <= t < right_start + w, for
+    arbitrary second offsets, window widths, and both the default
+    window-wide bucket and a narrower one."""
+    import datetime as dt
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        asof,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    bucket = max(1, window_s // 3) if narrow_bucket else None
+    left = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(seconds=s))
+            for i, (k, s) in enumerate(left_rows)
+        ],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, k, base + dt.timedelta(seconds=s))
+            for j, (k, s) in enumerate(dict.fromkeys(right_rows))
+        ],
+        "rid long, k long, start_ts timestamp",
+    )
+    rows = [
+        (r["lid"], r["rid"])
+        for r in asof.interval_join_timestamps(
+            left, right, key="k", left_time="ts", right_start="start_ts",
+            window_seconds=window_s, bucket_seconds=bucket,
+        ).collect()
+    ]
+    got = set(rows)
+    # each (left, right) match must be emitted exactly once — the left
+    # row lives in ONE bucket, so replication can't duplicate matches
+    assert len(rows) == len(got)
+    want = set()
+    for i, (lk, ls) in enumerate(left_rows):
+        for j, (rk, rs) in enumerate(dict.fromkeys(right_rows)):
+            if lk == rk and rs <= ls < rs + window_s:
+                want.add((i, j))
+    assert got == want
