@@ -305,3 +305,59 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_and_bucketed_zone_prunes_and_joins_shuffle_free(
+    spark, tmp_path
+):
+    """partition_by + bucketBy together: a date filter statically prunes
+    partition directories (PartitionFilters) AND the order_id join over
+    the same tables still runs with no shuffle Exchange — both layout
+    benefits from one write."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        read_validated_zone_bucketed,
+        write_validated_zone_bucketed,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, "2025-03-0%d" % (1 + i % 3)) for i in range(60)],
+        "order_id long, order_date string",
+    )
+    items = spark.createDataFrame(
+        [(100 + i, i % 60, "2025-03-0%d" % (1 + (i % 60) % 3), float(i))
+         for i in range(300)],
+        "id long, order_id long, order_date string, sale_price double",
+    )
+    names = write_validated_zone_bucketed(
+        {"orders": orders, "order_items": items},
+        str(tmp_path / "zone"),
+        n_buckets=4,
+        table_prefix="pb_zone_test_",
+        partition_by="order_date",
+    )
+    try:
+        back = read_validated_zone_bucketed(spark, names)
+        one_day = back["order_items"].filter(F.col("order_date") == "2025-03-02")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "order_date" in plan.split(
+            "PartitionFilters"
+        )[1][:200], plan
+        assert one_day.count() == 100
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = (
+                back["order_items"].select("id", "order_id", "sale_price")
+                .hint("merge")
+                .join(back["orders"].select("order_id"), "order_id")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 300
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
