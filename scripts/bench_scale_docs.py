@@ -1,0 +1,101 @@
+"""Scale-headroom bench for the TEXT tier: inflate the sf0.1 documents
+corpus ~N× (shifted doc_ids; each copy gets one extra distinct token so
+copies are LSH near-dups, not byte-exact dups) and run the LLM-pipeline
+operators there. Complements bench_scale.py, which inflates only the
+TPC-H facts — this is the harness that shows the dedup/fingerprint/
+curation tier's work scales with real overlap, not corpus².
+
+Usage: python scripts/bench_scale_docs.py [factor] [sf_dir]
+Prints one JSON line {"metric": "scale_bench_docs", "factor": N, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE_DOC_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "chunk_dedup_hashed",
+    "winnowing_fingerprint",
+    "corpus_curation",
+    "quality_model",
+    "token_count_bpe",
+]
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import (
+        get_spark,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources.readers import (
+        load_testdata,
+    )
+
+    spark = get_spark("bench-scale-docs")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_scale_docs_")
+    try:
+        docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+        max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_id))
+            # one extra distinct token per copy: copies are near-dups
+            # (high-Jaccard pairs for LSH to find), not byte-exact ones
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(f" copytag{i}")) if i else F.col("text"),
+            )
+            for i in range(factor)
+        ]
+        all_docs = parts[0]
+        for p in parts[1:]:
+            all_docs = all_docs.unionByName(p)
+        all_docs.repartition(32).write.mode("overwrite").parquet(
+            f"{tmp}/documents.parquet"
+        )
+        n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
+
+        # warm (codegen + python workers) without touching a headline plan
+        spark.read.parquet(f"{tmp}/documents.parquet").count()
+        timings: dict[str, float] = {}
+        for name in SCALE_DOC_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, tmp).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_bench_docs",
+                    "factor": factor,
+                    "documents_rows": n_docs,
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
