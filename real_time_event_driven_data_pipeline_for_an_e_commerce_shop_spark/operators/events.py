@@ -212,3 +212,62 @@ def click_attribution(
         F.count("c_ts").alias("n_clicks"),
         exact_sum(F.coalesce(F.col("c_value"), F.lit(0.0)), 2).alias("click_value"),
     )
+
+
+def daily_activity_vectors(
+    events: DataFrame, start_date: str = "2024-01-01", n_days: int = 30
+) -> DataFrame:
+    """Per-user daily activity time series as a dense z-normalized
+    vector — the feature-build step of time-series similarity search
+    (cosine over z-normalized series == Pearson correlation).
+
+    Determinism chain: daily sums go through the decimal ``exact_sum``
+    (order-independent), the dense vector is built by a ``transform``
+    over a day sequence with map lookup (no join explosion, no sort
+    ambiguity), and mean/variance fold left-to-right with
+    ``F.aggregate`` — DuckDB's ``list_reduce`` replays the identical
+    IEEE operation sequence, so vectors match bit-for-bit cross-engine.
+    Zero-variance users are dropped (correlation undefined).
+
+    Scale shape: one shuffle to (user, day) grain, one to user grain;
+    the dense vector is ``n_days`` doubles per user — at 100 TB of
+    events this reduces to |users| × n_days, the same reduction the
+    KPI pre-aggregation performs.
+    """
+    from ..functions.core import exact_sum
+
+    d = F.datediff(F.to_date("ts"), F.to_date(F.lit(start_date)))
+    daily = (
+        events.filter((d >= 0) & (d < n_days))
+        .groupBy(F.col("user_id"), d.alias("_d"))
+        .agg(exact_sum(F.col("value"), 4).alias("_v"))
+    )
+    per_user = daily.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("_d", "_v"))).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(n_days - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0.0)),
+    )
+    n = float(n_days)
+    staged = per_user.select("user_id", vec.alias("_vec")).withColumn(
+        "_mean",
+        F.aggregate("_vec", F.lit(0.0), lambda a, x: a + x) / F.lit(n),
+    )
+    staged = staged.withColumn(
+        "_std",
+        F.sqrt(
+            F.aggregate(
+                "_vec",
+                F.lit(0.0),
+                lambda a, x: a + (x - F.col("_mean")) * (x - F.col("_mean")),
+            )
+            / F.lit(n)
+        ),
+    ).filter(F.col("_std") > 0)
+    return staged.select(
+        "user_id",
+        F.transform(
+            "_vec", lambda x: (x - F.col("_mean")) / F.col("_std")
+        ).alias("activity_vec"),
+    )

@@ -714,6 +714,78 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "activity_similarity_topk",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               {exact_sum_sql("value", 4)} AS v
+        FROM events
+        WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 0
+          AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 30
+        GROUP BY 1, 2
+    ),
+    u AS (SELECT DISTINCT user_id FROM daily),
+    grid AS (SELECT u.user_id, gs.range AS d FROM u CROSS JOIN range(0, 30) gs),
+    filled AS (
+        SELECT g.user_id, g.d, COALESCE(dl.v, 0.0) AS v
+        FROM grid g LEFT JOIN daily dl
+          ON g.user_id = dl.user_id AND g.d = dl.d
+    ),
+    vecs AS (
+        SELECT user_id, list(v ORDER BY d) AS vec0
+        FROM filled GROUP BY user_id
+    ),
+    -- list_reduce folds left-to-right like Spark's F.aggregate with a
+    -- 0.0 init (0.0 + x0 == x0 exactly), so means/stds match bitwise
+    m AS (SELECT user_id, vec0,
+                 list_reduce(vec0, (a, x) -> a + x) / 30.0 AS mean
+          FROM vecs),
+    s AS (SELECT user_id, vec0, mean,
+                 sqrt(list_reduce(
+                     list_transform(vec0, x -> (x - mean) * (x - mean)),
+                     (a, x) -> a + x) / 30.0) AS std
+          FROM m),
+    z AS (SELECT user_id,
+                 list_transform(vec0, x -> (x - mean) / std) AS vec
+          FROM s WHERE std > 0),
+    scored AS (
+        SELECT b.user_id AS query_user, a.user_id AS neighbor_user,
+               {SQL_COS} AS sim
+        FROM z a JOIN z b ON b.user_id % 13 = 0 AND a.user_id <> b.user_id
+    )
+    SELECT query_user, neighbor_user,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_user
+                ORDER BY sim DESC, neighbor_user ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS correlation
+    FROM scored
+    QUALIFY sim_rank <= 5
+    """,
+)
+def q_activity_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: top-5 most-correlated users per
+    query user (every 13th user id), where correlation = cosine over
+    z-normalized daily activity vectors (Pearson). Feature build is
+    ``events.daily_activity_vectors``; the search is the shared exact
+    broadcast top-k operator."""
+    t = _t(spark, sf_dir, "events")
+    vecs = events.daily_activity_vectors(t["events"])
+    out = similarity.brute_force_topk(
+        vecs,
+        vecs.filter(F.col("user_id") % 13 == 0),
+        k=5,
+        id_col="user_id",
+        vec_col="activity_vec",
+    )
+    return out.select(
+        F.col("query_id").alias("query_user"),
+        F.col("neighbor_id").alias("neighbor_user"),
+        "sim_rank",
+        F.col("cosine_sim").alias("correlation"),
+    )
+
+
+@query(
     "embedding_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE v AS (SELECT vec_id, label, {SQL_VEC} AS vec FROM embeddings),
@@ -2818,6 +2890,7 @@ _SWEEP_PRIORITY = [
     "events_order_window",
     "embedding_dedup_clusters",
     "quality_model",
+    "activity_similarity_topk",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",
