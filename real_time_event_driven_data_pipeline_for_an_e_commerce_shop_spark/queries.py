@@ -785,6 +785,44 @@ def q_activity_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("activity_dtw_topk")  # no SQL oracle: DTW is a data-dependent DP
+def q_activity_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW re-rank of the correlation candidates: the top-5 correlated
+    neighbors per query user are re-scored by dynamic-time-warping
+    distance (shift-tolerant series similarity) and re-ranked.
+
+    Deliberately ORACLE-LESS — the one registry entry using the Arrow
+    escape hatch for an algorithm ANSI SQL cannot express (the DP
+    recurrence); the driver records a rows-only check, and the VALUE
+    gate is tests/test_timeseries.py (cell-exact parity with a
+    reference DP, symmetry/identity/warping properties)."""
+    from .operators import timeseries
+
+    t = _t(spark, sf_dir, "events")
+    vecs = events.daily_activity_vectors(t["events"])
+    candidates = similarity.brute_force_topk(
+        vecs,
+        vecs.filter(F.col("user_id") % 13 == 0),
+        k=5,
+        id_col="user_id",
+        vec_col="activity_vec",
+    ).select(
+        F.col("query_id").alias("query_user"),
+        F.col("neighbor_id").alias("neighbor_user"),
+    )
+    scored = timeseries.dtw_pairs(vecs, candidates)
+    w = Window.partitionBy("query_user").orderBy(
+        F.asc("dtw_distance"), F.asc("neighbor_user")
+    )
+    from .functions.core import det_round
+
+    return scored.select(
+        "query_user",
+        "neighbor_user",
+        det_round(F.col("dtw_distance"), 6).alias("dtw_distance"),
+    ).withColumn("dtw_rank", F.row_number().over(w).cast("long"))
+
+
 @query(
     "embedding_dedup_clusters",
     oracle=f"""
@@ -2891,6 +2929,7 @@ _SWEEP_PRIORITY = [
     "embedding_dedup_clusters",
     "quality_model",
     "activity_similarity_topk",
+    "activity_dtw_topk",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",

@@ -13,7 +13,7 @@ from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries i
 
 SF = "/root/testdata/sf0.001"
 
-ARROW_BATCHED_OK = {"media_features", "winnowing_fingerprint"}
+ARROW_BATCHED_OK = {"media_features", "winnowing_fingerprint", "activity_dtw_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
