@@ -271,3 +271,95 @@ def daily_activity_vectors(
             "_vec", lambda x: (x - F.col("_mean")) / F.col("_std")
         ).alias("activity_vec"),
     )
+
+
+def conversion_funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered conversion funnel: a user counts at step k when their
+    FIRST occurrences of the step events are time-ordered
+    ``first(step_0) <= first(step_1) <= … <= first(step_k)`` (the
+    standard "did A before first B" funnel semantics; ties allowed).
+
+    One shuffle: the per-user pivot ``min(when(type=s, ts))`` collapses
+    the event log to |users| rows with one timestamp per step — the
+    ordered-prefix test and the step counts are then a single tiny
+    aggregate. No self-joins, no window over the raw log: at 100 TB
+    the funnel costs one pass + one |users|-row reduce.
+    """
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"_t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    reached = F.lit(True)
+    counts = []
+    for i in range(len(steps)):
+        cond = F.col(f"_t{i}").isNotNull()
+        if i > 0:
+            cond = cond & (F.col(f"_t{i - 1}") <= F.col(f"_t{i}"))
+        reached = reached & cond
+        counts.append(F.sum(reached.cast("long")).alias(f"_n{i}"))
+    agg = firsts.agg(*counts)
+    per_step = [
+        F.struct(
+            F.lit(i).cast("long").alias("step_index"),
+            F.lit(s).alias("step"),
+            F.col(f"_n{i}").alias("n_users"),
+            det_round(ratio(F.col(f"_n{i}"), F.greatest(F.col("_n0"), F.lit(1))), 4).alias(
+                "pct_of_entry"
+            ),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return agg.select(
+        F.explode(F.array(*per_step)).alias("_s")
+    ).select("_s.step_index", "_s.step", "_s.n_users", "_s.pct_of_entry")
+
+
+def cohort_retention(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Weekly cohort retention: users grouped by the Monday-truncated
+    week of their first event; a cohort is "retained" in week offset w
+    when the user has ANY event in ``[first_day + 7w, first_day +
+    7(w+1))`` (offset relative to the user's own first day — the
+    rolling-retention definition that doesn't penalize mid-week
+    signups).
+
+    Shuffle shape: one user-grain aggregate for first days, one
+    broadcast-back join (user grain vs event grain on user_id), one
+    distinct to (user, offset) grain, one tiny (cohort, offset)
+    aggregate. Retention is a percentage of the cohort's size.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_first_day")
+    )
+    cohorts = firsts.withColumn(
+        "cohort", F.date_format(F.date_trunc("week", "_first_day"), "yyyy-MM-dd")
+    )
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    offsets = (
+        events.select("user_id", F.to_date("ts").alias("_day"))
+        .join(cohorts, "user_id")
+        .select(
+            "cohort",
+            "user_id",
+            F.floor(F.datediff("_day", "_first_day") / 7).alias("week_offset"),
+        )
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") < max_weeks))
+        .distinct()
+    )
+    agg = offsets.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    return agg.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        F.col("week_offset").cast("long").alias("week_offset"),
+        "active_users",
+        "cohort_size",
+        det_round(ratio(F.col("active_users"), F.col("cohort_size")), 4).alias(
+            "retention_pct"
+        ),
+    )

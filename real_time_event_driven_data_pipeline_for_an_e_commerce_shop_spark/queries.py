@@ -785,6 +785,83 @@ def q_activity_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "conversion_funnel",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT
+            SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
+            SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                      AND t0 <= t1 THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+                      AND t0 <= t1 AND t1 <= t2 THEN 1 ELSE 0 END) AS n2
+        FROM firsts
+    )
+    SELECT step_index, step, CAST(n_users AS BIGINT) AS n_users,
+           {round_sql("CAST(n_users AS DOUBLE) / CAST(GREATEST(entry, 1) AS DOUBLE)", 4)}
+               AS pct_of_entry
+    FROM (
+        SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step,
+               n0 AS n_users, n0 AS entry FROM agg
+        UNION ALL
+        SELECT 1, 'click', n1, n0 FROM agg
+        UNION ALL
+        SELECT 2, 'purchase', n2, n0 FROM agg
+    )
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (first-occurrence ordering,
+    one user-grain pivot + one tiny aggregate — no self-joins)."""
+    t = _t(spark, sf_dir, "events")
+    return events.conversion_funnel(t["events"])
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id, first_day,
+               strftime(date_trunc('week', first_day), '%Y-%m-%d') AS cohort
+        FROM firsts
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort),
+    offsets AS (
+        SELECT DISTINCT c.cohort, e.user_id,
+               CAST(FLOOR(date_diff('day', c.first_day, CAST(e.ts AS DATE)) / 7.0)
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        WHERE date_diff('day', c.first_day, CAST(e.ts AS DATE)) >= 0
+          AND date_diff('day', c.first_day, CAST(e.ts AS DATE)) < 8 * 7
+    ),
+    agg AS (
+        SELECT cohort, week_offset, COUNT(*) AS active_users
+        FROM offsets GROUP BY cohort, week_offset
+    )
+    SELECT a.cohort, a.week_offset, a.active_users, s.cohort_size,
+           {round_sql("CAST(a.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)", 4)}
+               AS retention_pct
+    FROM agg a JOIN sizes s ON a.cohort = s.cohort
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (cohort = Monday week of first event;
+    offset relative to the user's own first day)."""
+    t = _t(spark, sf_dir, "events")
+    return events.cohort_retention(t["events"], max_weeks=8)
+
+
 @query("activity_dtw_topk")  # no SQL oracle: DTW is a data-dependent DP
 def q_activity_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW re-rank of the correlation candidates: the top-5 correlated
@@ -2930,6 +3007,8 @@ _SWEEP_PRIORITY = [
     "quality_model",
     "activity_similarity_topk",
     "activity_dtw_topk",
+    "conversion_funnel",
+    "cohort_retention",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",
