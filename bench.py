@@ -71,6 +71,9 @@ HEADLINE = [
     "click_attribution",
     "chunk_dedup_hashed",
     "events_order_window",
+    "quality_model",
+    "conversion_funnel",
+    "cohort_retention",
 ]
 
 
