@@ -104,3 +104,57 @@ def write_processed_zone(
         if fmt == "csv":
             writer = writer.option("header", True)
         writer.save(f"{base_dir}/{run_ts}/{name}")
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    base_dir: str,
+    n_buckets: int = 32,
+    bucket_col: str = "order_id",
+    dedup_keys: list[str] | None = None,
+) -> str:
+    """Compact a streamed bucketed table's accumulated micro-batch file
+    sets into one clustered set — the small-files maintenance the
+    append-per-epoch ingest (`streaming.pipeline.run_bucketed_ingest`)
+    eventually needs: every append lands ``n_buckets`` new files, and a
+    bucket holding hundreds of epoch files pays per-file open/footer
+    cost and a per-file sort-merge on every read.
+
+    The rewrite reads THROUGH the catalog (keeping bucket metadata),
+    optionally folds the recovery dedup in (``dedup_keys`` — the same
+    primary keys ``read_bucketed_zone_deduped`` uses, so a crash-
+    replayed epoch is scrubbed during compaction instead of at every
+    read), writes a fresh bucketed table beside the old directory, and
+    swaps the catalog name last — readers resolve the table name to
+    either the old or the new complete data, never a half-written mix.
+    The old directory is left for the caller to reap (at 100 TB that's
+    the snapshot-expiry job, not the compactor).
+
+    Because the scan is bucket-partitioned and the writer buckets by
+    the same column/count, the rewrite itself is Exchange-free — a
+    per-bucket read-sort-write, embarrassingly parallel.
+
+    Returns the new data directory.
+    """
+    import uuid
+
+    df = spark.table(table)
+    if dedup_keys:
+        df = df.dropDuplicates(dedup_keys)
+    new_dir = f"{base_dir}_compact_{uuid.uuid4().hex[:8]}"
+    tmp_table = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", new_dir)
+        .mode("overwrite")
+        .saveAsTable(tmp_table)
+    )
+    # name swap: drop the old catalog entry (files stay on disk), then
+    # re-point the name at the compacted data
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
+    return new_dir

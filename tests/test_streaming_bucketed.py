@@ -138,3 +138,78 @@ def test_recovery_dedup_read_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}orders")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}order_items")
+
+
+def test_compaction_collapses_epoch_files_and_keeps_bucket_plan(spark, tmp_path):
+    """After several appends (plus one crash-replayed duplicate epoch),
+    compact_bucketed_table rewrites the accumulated per-epoch file sets
+    into one clustered set: file count drops to n_buckets, the replayed
+    rows are scrubbed (dedup folded into the rewrite), the catalog name
+    now serves the compacted data, and the bucket join is still
+    Exchange-free."""
+    import glob
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        compact_bucketed_table,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _append_bucketed,
+    )
+
+    table = "compact_test_items"
+    path = str(tmp_path / "items")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    batches = [
+        [(10 + i, (10 + i) % 3, float(i)) for i in range(4)],
+        [(20 + i, (20 + i) % 3, float(i)) for i in range(4)],
+        [(30 + i, (30 + i) % 3, float(i)) for i in range(4)],
+    ]
+    try:
+        for rows in batches:
+            df = spark.createDataFrame(
+                rows, "id long, order_id long, sale_price double"
+            )
+            _append_bucketed(df, table, path, n_buckets=4)
+        # crash-replay: batch 3 lands twice
+        _append_bucketed(
+            spark.createDataFrame(
+                batches[2], "id long, order_id long, sale_price double"
+            ),
+            table, path, n_buckets=4,
+        )
+        spark.catalog.refreshTable(table)
+        n_files_before = len(glob.glob(f"{path}/part-*.parquet"))
+        assert n_files_before > 4  # one file set per epoch
+        assert spark.table(table).count() == 16  # 12 + 4 replayed
+
+        new_dir = compact_bucketed_table(
+            spark, table, path, n_buckets=4,
+            dedup_keys=["order_id", "id"],
+        )
+        compacted = spark.table(table)
+        assert compacted.count() == 12  # replayed epoch scrubbed
+        n_files_after = len(glob.glob(f"{new_dir}/part-*.parquet"))
+        assert n_files_after <= 4, n_files_after
+
+        dim = spark.createDataFrame(
+            [(i, i * 10) for i in range(3)], "order_id long, v long"
+        )
+        spark.sql("DROP TABLE IF EXISTS compact_test_dim")
+        (dim.write.bucketBy(4, "order_id").sortBy("order_id")
+            .option("path", str(tmp_path / "dim"))
+            .mode("overwrite").saveAsTable("compact_test_dim"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = compacted.hint("merge").join(
+                spark.table("compact_test_dim"), "order_id"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+            assert joined.count() == 12
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql("DROP TABLE IF EXISTS compact_test_dim")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
