@@ -329,16 +329,19 @@ def cohort_retention(events: DataFrame, max_weeks: int = 8) -> DataFrame:
     Shuffle shape: one user-grain aggregate for first days, one
     broadcast-back join (user grain vs event grain on user_id), one
     distinct to (user, offset) grain, one tiny (cohort, offset)
-    aggregate. Retention is a percentage of the cohort's size.
+    aggregate. The cohort SIZE is recovered from the same aggregate —
+    every user's first event sits at offset 0, so ``active_users`` at
+    week 0 IS the cohort size, read via a window over the tiny result
+    instead of a second scan/branch (a separate ``sizes`` subplan
+    would make Catalyst re-scan events and re-run the user-grain
+    aggregate: plan branches don't share work without materialization).
+    Net: events is scanned twice total, never three times.
     """
     firsts = events.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("_first_day")
     )
     cohorts = firsts.withColumn(
         "cohort", F.date_format(F.date_trunc("week", "_first_day"), "yyyy-MM-dd")
-    )
-    sizes = cohorts.groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("cohort_size")
     )
     offsets = (
         events.select("user_id", F.to_date("ts").alias("_day"))
@@ -354,7 +357,12 @@ def cohort_retention(events: DataFrame, max_weeks: int = 8) -> DataFrame:
     agg = offsets.groupBy("cohort", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
-    return agg.join(F.broadcast(sizes), "cohort").select(
+    wc = Window.partitionBy("cohort")
+    sized = agg.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("week_offset") == 0, F.col("active_users"))).over(wc),
+    )
+    return sized.select(
         "cohort",
         F.col("week_offset").cast("long").alias("week_offset"),
         "active_users",
