@@ -237,3 +237,32 @@ def interval_joined_events_stream(
         left, right, key="user_id", left_time="ts",
         right_date="o_orderdate", window_days=window_days, how="left",
     )
+
+
+def funnel_firsts_streaming(
+    events_stream: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming half of ``operators.events.conversion_funnel``:
+    update-mode per-user first-occurrence timestamps.
+
+    ``min`` is incrementally mergeable, so the state is exactly
+    ``len(steps)`` timestamps per user — bounded, no watermark needed,
+    and each micro-batch emits only the users whose firsts changed.
+    The 3-row funnel summary is a trivial batch aggregate over this
+    compact user-grain table (chaining a second streaming aggregate
+    would need append-mode watermarking for no benefit — the state
+    table IS the useful product; the reference recomputes everything
+    per trigger, task_2.py:271-273).
+
+    Full-replay convergence to the batch pivot is asserted in
+    tests/test_streaming.py.
+    """
+    return events_stream.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
+                f"first_{s}"
+            )
+            for s in steps
+        ]
+    )

@@ -613,3 +613,68 @@ def test_interval_joined_stream_matches_batch(spark, events_stream, tmp_path):
         for r in QUERIES["events_order_window"](spark, SF).collect()
     }
     assert got == expected and got
+
+
+def test_funnel_firsts_streaming_converges_to_batch(spark, events_stream, tmp_path):
+    """Update-mode per-user first-occurrence state, replayed to
+    completion, equals the batch funnel pivot exactly — and the funnel
+    summary computed from the final state matches the batch
+    conversion_funnel row for row. The memory sink keeps every update;
+    min() per user over them recovers the final state (firsts only
+    ever decrease)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        funnel_firsts_streaming,
+    )
+
+    stream, batch = events_stream
+    q = (
+        funnel_firsts_streaming(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_firsts_out")
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.sql(
+        "SELECT user_id, MIN(first_view) AS t0, MIN(first_click) AS t1, "
+        "MIN(first_purchase) AS t2 FROM funnel_firsts_out GROUP BY user_id"
+    )
+    got_firsts = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"]) for r in final.collect()
+    }
+    expected_firsts = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t2"),
+        )
+        .collect()
+    }
+    assert got_firsts == expected_firsts and got_firsts
+
+    n0 = sum(1 for t in got_firsts.values() if t[0] is not None)
+    n1 = sum(
+        1
+        for t in got_firsts.values()
+        if t[0] is not None and t[1] is not None and t[0] <= t[1]
+    )
+    n2 = sum(
+        1
+        for t in got_firsts.values()
+        if t[0] is not None
+        and t[1] is not None
+        and t[2] is not None
+        and t[0] <= t[1] <= t[2]
+    )
+    batch_funnel = {
+        r["step"]: r["n_users"]
+        for r in QUERIES["conversion_funnel"](spark, SF).collect()
+    }
+    assert batch_funnel == {"view": n0, "click": n1, "purchase": n2}
