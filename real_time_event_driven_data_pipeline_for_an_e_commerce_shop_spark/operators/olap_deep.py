@@ -647,3 +647,38 @@ def salted_join_agg(
         F.count(F.lit(1)).alias("n_orders"),
         exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
     )
+
+
+def price_quantiles_accuracy(
+    lineitem: DataFrame, accuracy: int = 10_000, tolerance: float = 0.01
+) -> DataFrame:
+    """Accuracy gate for the sketch-quantile tier (the
+    ``approx_distinct_accuracy`` pattern applied to percentiles): the
+    exact histogram quartiles alongside a boolean asserting Spark's
+    ``percentile_approx`` (Greenwald-Khanna, mergeable, single-pass)
+    lands within ``tolerance`` relative error of each.
+
+    At 100 TB the GK sketch is the path for ad-hoc percentile queries
+    the cents-histogram wasn't pre-shaped for (arbitrary columns,
+    arbitrary probe points — no domain bound needed); its accuracy
+    contract becomes the hash-checked query result here, with the
+    oracle recomputing the exact side and emitting TRUE.
+    """
+    exact = price_quantiles(lineitem)
+    approx = lineitem.groupBy("l_linestatus").agg(
+        F.percentile_approx(
+            det_round(F.col("l_extendedprice"), 2),
+            [0.25, 0.5, 0.75],
+            accuracy,
+        ).alias("_a")
+    )
+    joined = exact.join(approx, "l_linestatus")
+    ok = F.lit(True)
+    for i, name in enumerate(("p25", "p50", "p75")):
+        ok = ok & (
+            F.abs(F.col("_a")[i] - F.col(name))
+            <= F.col(name) * F.lit(tolerance)
+        )
+    return joined.select(
+        "l_linestatus", "p25", "p50", "p75", ok.alias("gk_ok")
+    )

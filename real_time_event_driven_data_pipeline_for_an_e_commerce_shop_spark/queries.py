@@ -2059,6 +2059,29 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "price_quantiles_gk",
+    oracle=f"""
+    SELECT l_linestatus,
+           {round_sql("quantile_cont(" + round_sql("l_extendedprice", 2)
+                      + ", 0.25)", 4)} AS p25,
+           {round_sql("quantile_cont(" + round_sql("l_extendedprice", 2)
+                      + ", 0.5)", 4)} AS p50,
+           {round_sql("quantile_cont(" + round_sql("l_extendedprice", 2)
+                      + ", 0.75)", 4)} AS p75,
+           TRUE AS gk_ok
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_price_quantiles_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quantile accuracy gate: exact quartiles + a boolean
+    asserting percentile_approx (Greenwald-Khanna) lands within 1%
+    relative error — the sketch's contract is the hash-checked result
+    (the HLL accuracy-gate pattern applied to percentiles)."""
+    t = _t(spark, sf_dir, "lineitem")
+    return olap_deep.price_quantiles_accuracy(t["lineitem"])
+
+
+@query(
     "status_priority_cube",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
@@ -3009,6 +3032,7 @@ _SWEEP_PRIORITY = [
     "activity_dtw_topk",
     "conversion_funnel",
     "cohort_retention",
+    "price_quantiles_gk",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",
