@@ -361,3 +361,43 @@ def test_partitioned_and_bucketed_zone_prunes_and_joins_shuffle_free(
     finally:
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Spark's runtime bloom-filter join pruning (on by default in the
+    session) injects a might_contain() filter on the FACT side built
+    from the selective dim side — row groups that can't match are
+    dropped before the shuffle. The size thresholds are scaled down to
+    test scale (the default application-side gate is 10 GB — exactly
+    the 100 TB regime where this fires for free)."""
+    import pyspark.sql.functions as sf
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1MB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        fact = spark.range(500_000).select(
+            sf.col("id").alias("k"), sf.sha2(sf.col("id").cast("string"), 256).alias("pay")
+        )
+        dim = spark.range(500_000).select(
+            sf.col("id").alias("k"), (sf.col("id") % 100).alias("cat")
+        )
+        fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+        dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).filter(sf.col("cat") == 3)
+        joined = f.join(d, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert joined.count() == 5_000
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
