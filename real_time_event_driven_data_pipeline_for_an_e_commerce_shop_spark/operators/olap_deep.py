@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import det_round, exact_sum
+from ..functions.core import det_round, exact_sum, ratio
 
 def _revenue():
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -681,4 +681,67 @@ def price_quantiles_accuracy(
         )
     return joined.select(
         "l_linestatus", "p25", "p50", "p75", ok.alias("gk_ok")
+    )
+
+
+def market_basket_pairs(
+    lineitem: DataFrame, min_support: int = 3
+) -> DataFrame:
+    """Market-basket association: product pairs co-purchased in the
+    same order, with support counts and lift.
+
+    The pair generation is a within-order self-join — fan-out is
+    bounded by (items-per-order choose 2), a data constant (~6 for
+    4-item orders), NEVER |products|²: the classic a-priori first
+    pass, shuffled once on orderkey where both sides are already
+    co-clustered (bucketed zone ⇒ Exchange-free). The order total and
+    per-product order counts broadcast back onto the (much smaller)
+    surviving pair set. ``lift > 1`` ⇒ the pair co-occurs more often
+    than independence predicts.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_b")
+    )
+    pair_orders = (
+        a.join(b, on=[a["_o"] == b["_o"], a["part_a"] < b["part_b"]])
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= min_support)
+    )
+    per_product = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    totals = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("_total_orders")
+    )
+    joined = (
+        pair_orders.join(
+            F.broadcast(per_product.select(
+                F.col("l_partkey").alias("part_a"), F.col("_n").alias("_na")
+            )),
+            "part_a",
+        )
+        .join(
+            F.broadcast(per_product.select(
+                F.col("l_partkey").alias("part_b"), F.col("_n").alias("_nb")
+            )),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    lift = ratio(
+        F.col("pair_orders") * F.col("_total_orders"),
+        F.col("_na") * F.col("_nb"),
+    )
+    return joined.select(
+        "part_a",
+        "part_b",
+        "pair_orders",
+        F.col("_na").alias("orders_a"),
+        F.col("_nb").alias("orders_b"),
+        det_round(lift, 6).alias("lift"),
     )

@@ -2082,6 +2082,45 @@ def q_price_quantiles_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "market_basket",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_orders AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS pair_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    ),
+    per_product AS (
+        SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1
+    ),
+    totals AS (SELECT COUNT(DISTINCT l_orderkey) AS total_orders FROM items)
+    SELECT p.part_a, p.part_b,
+           CAST(p.pair_orders AS BIGINT) AS pair_orders,
+           CAST(pa.n AS BIGINT) AS orders_a,
+           CAST(pb.n AS BIGINT) AS orders_b,
+           {round_sql(
+               "CAST(p.pair_orders * t.total_orders AS DOUBLE)"
+               " / CAST(pa.n * pb.n AS DOUBLE)", 6)} AS lift
+    FROM pair_orders p
+    JOIN per_product pa ON p.part_a = pa.l_partkey
+    JOIN per_product pb ON p.part_b = pb.l_partkey
+    CROSS JOIN totals t
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs (within-order self-join — the
+    a-priori first pass; fan-out bounded by items-per-order², never
+    |products|²) with support and lift."""
+    t = _t(spark, sf_dir, "lineitem")
+    return olap_deep.market_basket_pairs(t["lineitem"], min_support=3)
+
+
+@query(
     "status_priority_cube",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
@@ -3033,6 +3072,7 @@ _SWEEP_PRIORITY = [
     "conversion_funnel",
     "cohort_retention",
     "price_quantiles_gk",
+    "market_basket",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",
