@@ -745,3 +745,45 @@ def market_basket_pairs(
         F.col("_nb").alias("orders_b"),
         det_round(lift, 6).alias("lift"),
     )
+
+
+def rfm_segments(orders: DataFrame, as_of: str = "1998-12-01") -> DataFrame:
+    """RFM customer segmentation: recency (days from last order to
+    ``as_of``), frequency (order count), monetary (exact decimal
+    spend), each quartile-bucketed with ``ntile(4)`` and the customer
+    id as the deterministic tie-break (equal metric values would
+    otherwise land in engine-dependent tiles — the same determinism
+    discipline as every rank in the engine).
+
+    One user-grain aggregate (single shuffle), then three window
+    passes over the compact user table. R is ordered ascending (most
+    recent = tile 1), F/M descending (heaviest = tile 1), so segment
+    '111' is the best-customer cell of the classic RFM grid.
+
+    Scale note: exact ``ntile`` over the whole population is an
+    unpartitioned window — one task sorts |users| rows. Fine to ~10⁷
+    users (the compact table is three numbers per user); past that,
+    swap the tiles for threshold assignment against the three
+    ``percentile_approx`` quartile cutoffs (the GK sketch path gated
+    by ``price_quantiles_gk``) — broadcast 9 scalars, zero sorts,
+    boundary users may shift one tile within the sketch's error.
+    """
+    per_user = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.datediff(
+            F.to_date(F.lit(as_of)), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum(F.col("o_totalprice"), 2).alias("monetary"),
+    )
+    tiles = {
+        "r_tile": Window.orderBy(F.asc("recency_days"), F.asc("user_id")),
+        "f_tile": Window.orderBy(F.desc("frequency"), F.asc("user_id")),
+        "m_tile": Window.orderBy(F.desc("monetary"), F.asc("user_id")),
+    }
+    out = per_user
+    for name, w in tiles.items():
+        out = out.withColumn(name, F.ntile(4).over(w).cast("long"))
+    return out.withColumn(
+        "segment",
+        F.concat(F.col("r_tile"), F.col("f_tile"), F.col("m_tile")),
+    )

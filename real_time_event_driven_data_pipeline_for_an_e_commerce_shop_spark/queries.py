@@ -2082,6 +2082,39 @@ def q_price_quantiles_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rfm_segments",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT o_custkey AS user_id,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         DATE '1998-12-01') AS recency_days,
+               COUNT(*) AS frequency,
+               {exact_sum_sql("o_totalprice", 2)} AS monetary
+        FROM orders GROUP BY 1
+    )
+    SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC)
+                AS BIGINT) AS r_tile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                AS BIGINT) AS f_tile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC)
+                AS BIGINT) AS m_tile,
+           CONCAT(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC),
+                  NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC),
+                  NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC))
+               AS segment
+    FROM per_user
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile tiles with user-id
+    tie-breaks (deterministic ntile)."""
+    t = _t(spark, sf_dir, "orders")
+    return olap_deep.rfm_segments(t["orders"])
+
+
+@query(
     "market_basket",
     oracle=f"""
     WITH items AS (
@@ -3073,6 +3106,7 @@ _SWEEP_PRIORITY = [
     "cohort_retention",
     "price_quantiles_gk",
     "market_basket",
+    "rfm_segments",
     # curation quintet + media plumbing — never driver-swept
     "pii_redaction",
     "chunk_dedup",
