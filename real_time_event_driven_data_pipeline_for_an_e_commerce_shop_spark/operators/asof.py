@@ -135,19 +135,25 @@ def interval_join_timestamps(
     window_seconds`` — the residual-filter generalization
     :func:`interval_join_days` documents.
 
-    The right side replicates into the fixed-width time buckets its
-    window covers (``ceil(window/bucket) + 1`` of them), both sides
-    equi-join on ``(key, bucket)``, and ONE residual range predicate
-    restores exactness. Bucket width defaults to the window width —
-    the fan-out is then ≤ 2×, and every true match shares a bucket
-    with its probe (a window never spans more than two window-sized
-    buckets). Same scale shape as the day variant: linear shuffle,
-    hot keys spread over adjacent buckets, AQE handles the rest.
+    The right side replicates into every fixed-width time bucket its
+    window can touch, both sides equi-join on ``(key, bucket)``, and
+    ONE residual range predicate restores exactness. A window of ``w``
+    integer seconds starting at offset ``r mod b`` inside a ``b``-wide
+    bucket spans ``floor((r mod b + w - 1) / b) + 1`` buckets; the
+    worst case over all offsets is ``floor((w + b - 2) / b) + 1`` —
+    note this is ≥ 2 whenever ``w ≥ 2``, even for ``b > w`` (a short
+    window can still straddle one bucket boundary; the previous
+    ``w // b + 1`` formula collapsed to 1 replica there and silently
+    dropped boundary-crossing matches — ADVICE r5). Bucket width
+    defaults to the window width, making the fan-out exactly 2×. Same
+    scale shape as the day variant: linear shuffle, hot keys spread
+    over adjacent buckets, AQE handles the rest.
     """
     bucket = int(bucket_seconds or window_seconds)
     if bucket <= 0 or window_seconds <= 0:
         raise ValueError("window_seconds and bucket_seconds must be positive")
-    n_buckets = window_seconds // bucket + 1  # covered buckets per right row
+    # worst-case covered buckets per right row (see docstring derivation)
+    n_buckets = (window_seconds + bucket - 2) // bucket + 1
     r_epoch = F.unix_timestamp(F.col(right_start).cast("timestamp"))
     b_right = right.withColumn(
         "_bkt",

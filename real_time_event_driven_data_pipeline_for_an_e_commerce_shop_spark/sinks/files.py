@@ -126,8 +126,14 @@ def compact_bucketed_table(
     primary keys ``read_bucketed_zone_deduped`` uses, so a crash-
     replayed epoch is scrubbed during compaction instead of at every
     read), writes a fresh bucketed table beside the old directory, and
-    swaps the catalog name last — readers resolve the table name to
-    either the old or the new complete data, never a half-written mix.
+    swaps the catalog name last. The swap is DROP + RENAME — two
+    catalog statements, NOT atomic: this is a single-writer,
+    no-concurrent-reader maintenance operation (a reader resolving the
+    name between the two statements sees table-not-found; a truly
+    atomic swap needs an ACID table format's commit log — the epoch
+    manifest in ``streaming/pipeline.py`` is the no-new-dependency
+    half of that). If the RENAME itself fails, the old table is
+    re-registered from its on-disk files so the name never dangles.
     The old directory is left for the caller to reap (at 100 TB that's
     the snapshot-expiry job, not the compactor).
 
@@ -154,7 +160,15 @@ def compact_bucketed_table(
         .saveAsTable(tmp_table)
     )
     # name swap: drop the old catalog entry (files stay on disk), then
-    # re-point the name at the compacted data
+    # re-point the name at the compacted data; if the RENAME fails the
+    # compacted table still exists under tmp_table and the original
+    # files under base_dir — re-register the original so the public
+    # name never dangles (as a plain parquet table: correct data,
+    # bucket metadata lost until a successful compaction re-creates it)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
+    except Exception:
+        spark.catalog.createTable(table, path=base_dir, source="parquet")
+        raise
     return new_dir

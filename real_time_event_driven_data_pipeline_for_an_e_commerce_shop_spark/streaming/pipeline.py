@@ -185,6 +185,17 @@ def run_bucketed_ingest(
     def land_items(new_items: DataFrame, epoch_id: int) -> None:
         if new_items.isEmpty():
             return
+        # items validate against the landed orders zone — if no orders
+        # ever landed (empty raw orders dir on a first run) the table
+        # does not exist; fail with the actual precondition rather
+        # than an opaque AnalysisException from spark.table
+        if not spark.catalog.tableExists(tables["orders"]):
+            raise RuntimeError(
+                f"bucketed zone table {tables['orders']!r} does not "
+                "exist: the orders stream must land at least one "
+                "micro-batch before order_items can be validated "
+                "against it"
+            )
         # the orders appends ran on the micro-batch's cloned session;
         # drop this session's cached file listing before reading
         spark.catalog.refreshTable(tables["orders"])
@@ -250,6 +261,230 @@ def read_bucketed_zone_deduped(
         keys.update({k: [v] for k, v in pk.items()})
     out: dict[str, DataFrame] = {}
     for name, table in tables.items():
+        if name not in keys:
+            # guessing a key (e.g. the first column) could silently
+            # collapse distinct rows that merely share that value —
+            # exactly-once is a per-table contract, so demand the pk
+            raise KeyError(
+                f"no primary key known for zone table {name!r}: pass "
+                "pk={" + f"{name!r}: '<key column>'" + "}"
+            )
+        out[name] = spark.table(table).dropDuplicates(keys[name])
+    return out
+
+
+# --- epoch manifest: the commit-log half of an ACID table format -------
+#
+# run_bucketed_ingest's parquet append is not transactional; its two
+# recovery stories so far both pay at read time (read_bucketed_zone_
+# deduped's pk aggregate) or at compaction (dedup_keys). The manifest
+# closes the gap at WRITE time with no new dependency (ROADMAP r5 #1):
+#
+# * every micro-batch lands as its own `_epoch=<id>` partition under
+#   the bucketed table (partition-under-bucket, the layout
+#   sinks.files.write_validated_zone_bucketed already supports);
+# * after the append returns, the epoch id is committed by writing a
+#   marker file and os.rename-ing it into the manifest directory —
+#   rename is atomic on POSIX and on HDFS; on S3 the same role is
+#   played by a conditional PUT (documented seam, not needed here);
+# * foreachBatch replay of a COMMITTED epoch is a no-op (idempotent);
+#   replay of an UNCOMMITTED epoch (crash between append and commit)
+#   first deletes that epoch's orphan partition directory, then
+#   re-appends — the partition dir scopes exactly the files the failed
+#   attempt produced, which a bare bucketed append cannot say;
+# * readers drop uncommitted epochs by partition pruning; in steady
+#   state there are none and the read is a plain bucketed-table scan —
+#   ZERO per-read dedup work, unlike read_bucketed_zone_deduped.
+
+
+def _manifest_dir(zone_dir: str, name: str) -> str:
+    return os.path.join(zone_dir, "_manifest", name)
+
+
+def committed_epochs(zone_dir: str, name: str) -> set[int]:
+    """Epoch ids whose append fully landed (marker present)."""
+    d = _manifest_dir(zone_dir, name)
+    if not os.path.isdir(d):
+        return set()
+    return {
+        int(f[: -len(".json")])
+        for f in os.listdir(d)
+        if f.endswith(".json")
+    }
+
+
+def _commit_epoch(zone_dir: str, name: str, epoch_id: int, n_rows: int) -> None:
+    """Atomically record an epoch as committed: write the marker
+    beside the manifest dir, then rename it in — readers either see
+    the complete marker or none."""
+    import json
+
+    d = _manifest_dir(zone_dir, name)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"._{epoch_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch_id, "rows": n_rows}, f)
+    os.rename(tmp, os.path.join(d, f"{epoch_id}.json"))
+
+
+def _on_disk_epochs(path: str) -> set[int]:
+    """Epoch partition directories present under a zone table path."""
+    if not os.path.isdir(path):
+        return set()
+    out = set()
+    for entry in os.listdir(path):
+        if entry.startswith("_epoch="):
+            try:
+                out.add(int(entry.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def _land_epoch(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    path: str,
+    zone_dir: str,
+    name: str,
+    epoch_id: int,
+    n_buckets: int,
+    bucket_col: str = "order_id",
+) -> None:
+    """Idempotent, crash-safe landing of one micro-batch epoch."""
+    import shutil
+
+    if epoch_id in committed_epochs(zone_dir, name):
+        return  # checkpoint replay of a fully-landed epoch: no-op
+    orphan = os.path.join(path, f"_epoch={epoch_id}")
+    if os.path.isdir(orphan):
+        # crash between append and commit: scrub the failed attempt's
+        # files (the partition dir scopes them exactly), then retry
+        shutil.rmtree(orphan)
+        if spark.catalog.tableExists(table):
+            spark.catalog.refreshTable(table)
+    staged = df.withColumn("_epoch", F.lit(epoch_id))
+    (
+        staged.write.format("parquet")
+        .partitionBy("_epoch")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .mode("append")
+        .saveAsTable(table)
+    )
+    spark.catalog.refreshTable(table)
+    n_rows = spark.table(table).filter(F.col("_epoch") == epoch_id).count()
+    _commit_epoch(zone_dir, name, epoch_id, n_rows)
+
+
+def run_bucketed_ingest_manifest(
+    spark: SparkSession,
+    raw_dir: str,
+    zone_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    table_prefix: str = "streamed_m_",
+    await_termination: bool = True,
+) -> dict[str, str]:
+    """:func:`run_bucketed_ingest` with the epoch manifest: every
+    micro-batch is an atomically-committed `_epoch` partition, so the
+    zone is exactly-once at WRITE time — a crash between append and
+    commit leaves an orphan partition that the replay scrubs and
+    readers prune, never duplicate rows. Read with
+    :func:`read_manifest_zone`.
+    """
+    tables = {
+        "orders": f"{table_prefix}orders",
+        "order_items": f"{table_prefix}order_items",
+    }
+    paths = {n: os.path.join(zone_dir, n) for n in tables}
+
+    def land_orders(new_orders: DataFrame, epoch_id: int) -> None:
+        if new_orders.isEmpty():
+            return
+        _land_epoch(
+            spark,
+            validate.validate_orders(new_orders),
+            tables["orders"],
+            paths["orders"],
+            zone_dir,
+            "orders",
+            epoch_id,
+            n_buckets,
+        )
+
+    def land_items(new_items: DataFrame, epoch_id: int) -> None:
+        if new_items.isEmpty():
+            return
+        if not spark.catalog.tableExists(tables["orders"]):
+            raise RuntimeError(
+                f"bucketed zone table {tables['orders']!r} does not "
+                "exist: the orders stream must land at least one "
+                "micro-batch before order_items can be validated "
+                "against it"
+            )
+        spark.catalog.refreshTable(tables["orders"])
+        landed_orders = read_manifest_zone(
+            spark, {"orders": tables["orders"]}, zone_dir
+        )["orders"]
+        _land_epoch(
+            spark,
+            validate.validate_order_items(new_items, landed_orders),
+            tables["order_items"],
+            paths["order_items"],
+            zone_dir,
+            "order_items",
+            epoch_id,
+            n_buckets,
+        )
+
+    for name, schema, land in (
+        ("orders", ORDERS_SCHEMA, land_orders),
+        ("order_items", ORDER_ITEMS_SCHEMA, land_items),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+            .option("maxFilesPerTrigger", 64)
+            .csv(os.path.join(raw_dir, name))
+        )
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    for table in tables.values():
+        if spark.catalog.tableExists(table):
+            spark.catalog.refreshTable(table)
+    return tables
+
+
+def read_manifest_zone(
+    spark: SparkSession, tables: dict[str, str], zone_dir: str
+) -> dict[str, DataFrame]:
+    """Exactly-once read of a manifest zone, at ZERO steady-state cost.
+
+    Uncommitted (orphan) epochs exist only in the window between a
+    crash mid-epoch and its replay; they are detected by a driver-side
+    directory listing (O(#epochs), no data touched). When there are
+    none — the steady state — the table is returned as-is: a plain
+    bucketed scan, no dedup aggregate, no filter. When orphans exist,
+    a NOT-IN filter on the tiny orphan list partition-prunes exactly
+    those directories; the scan's bucket metadata survives either way,
+    so downstream ``order_id`` joins stay Exchange-free.
+    """
+    out: dict[str, DataFrame] = {}
+    for name, table in tables.items():
         df = spark.table(table)
-        out[name] = df.dropDuplicates(keys.get(name, df.columns[:1]))
+        orphans = _on_disk_epochs(
+            os.path.join(zone_dir, name)
+        ) - committed_epochs(zone_dir, name)
+        if orphans:
+            df = df.filter(~F.col("_epoch").isin(sorted(orphans)))
+        out[name] = df
     return out

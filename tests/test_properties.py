@@ -187,16 +187,18 @@ def test_interval_join_days_matches_bruteforce(spark, left_rows, right_rows, w):
         max_size=40,
     ),
     st.integers(1, 600),
-    st.integers(0, 1),
+    st.integers(0, 2),
 )
 @FAST
 def test_interval_join_timestamps_matches_bruteforce(
-    spark, left_rows, right_rows, window_s, narrow_bucket
+    spark, left_rows, right_rows, window_s, bucket_mode
 ):
     """The banded timestamp range join (bucket + ONE residual
     predicate) == brute-force right_start <= t < right_start + w, for
-    arbitrary second offsets, window widths, and both the default
-    window-wide bucket and a narrower one."""
+    arbitrary second offsets, window widths, and the default
+    window-wide bucket, a narrower one, AND a coarser-than-window one
+    (the ADVICE r5 regression: a short window straddling one boundary
+    of a wide bucket must still replicate into both)."""
     import datetime as dt
 
     from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
@@ -204,7 +206,11 @@ def test_interval_join_timestamps_matches_bruteforce(
     )
 
     base = dt.datetime(2025, 1, 1)
-    bucket = max(1, window_s // 3) if narrow_bucket else None
+    bucket = {
+        0: None,
+        1: max(1, window_s // 3),
+        2: window_s * 3 + 1,
+    }[bucket_mode]
     left = spark.createDataFrame(
         [
             (i, k, base + dt.timedelta(seconds=s))
@@ -236,3 +242,31 @@ def test_interval_join_timestamps_matches_bruteforce(
             if lk == rk and rs <= ls < rs + window_s:
                 want.add((i, j))
     assert got == want
+
+
+def test_interval_join_coarse_bucket_boundary(spark):
+    """ADVICE r5 regression, pinned: bucket=10s, window=3s, right
+    window [9, 12) must match left_time=10 — the left row lives in
+    bucket 1, the right start in bucket 0, so the right side MUST
+    replicate into bucket 1 even though window < bucket (the old
+    ``w // b + 1`` replica count collapsed to 1 and lost this pair)."""
+    import datetime as dt
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        asof,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    left = spark.createDataFrame(
+        [(0, 1, base + dt.timedelta(seconds=10))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(0, 1, base + dt.timedelta(seconds=9))],
+        "rid long, k long, start_ts timestamp",
+    )
+    got = asof.interval_join_timestamps(
+        left, right, key="k", left_time="ts", right_start="start_ts",
+        window_seconds=3, bucket_seconds=10,
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in got] == [(0, 0)]

@@ -213,3 +213,126 @@ def test_compaction_collapses_epoch_files_and_keeps_bucket_plan(spark, tmp_path)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql("DROP TABLE IF EXISTS compact_test_dim")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+
+
+def test_manifest_zone_exactly_once_and_crash_replay(spark, tmp_path):
+    """Epoch manifest (ROADMAP r5 #1): micro-batches land as
+    atomically-committed `_epoch` partitions. Steady-state reads are
+    bare bucketed scans (no dedup aggregate, Exchange-free joins); a
+    crash between append and commit leaves an orphan partition that
+    readers prune and the replay scrubs — never duplicate rows."""
+    import pyspark.sql.functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _land_epoch,
+        committed_epochs,
+        read_manifest_zone,
+        run_bucketed_ingest_manifest,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    _write(f"{raw}/orders/part1.csv", ORDERS_CSV)
+    _write(f"{raw}/order_items/part1.csv", ITEMS1_CSV)
+    _write(f"{raw}/order_items/part2.csv", ITEMS2_CSV)
+
+    prefix = "manifest_zone_test_"
+    try:
+        tables = run_bucketed_ingest_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        z = read_manifest_zone(spark, tables, zone)
+        assert z["orders"].count() == 3 and z["order_items"].count() == 4
+
+        # steady state: no orphans → the read IS the table (no filter,
+        # no dedup) and the co-bucketed join is Exchange-free
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = (
+                z["order_items"].select("order_id", "id", "sale_price")
+                .join(z["orders"].select("order_id", "user_id"), "order_id")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 4
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # checkpoint replay with no new files: nothing lands twice
+        run_bucketed_ingest_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert read_manifest_zone(spark, tables, zone)[
+            "order_items"
+        ].count() == 4
+
+        # crash simulation: epoch 999's files land but the commit
+        # marker never gets written
+        extra = spark.createDataFrame(
+            [(90, 1, 101, 7.5), (91, 2, 102, 2.5)],
+            "id long, order_id long, user_id long, sale_price double",
+        )
+        base = spark.table(tables["order_items"]).drop("_epoch")
+        aligned = extra.select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in extra.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for f in base.schema
+            ]
+        ).withColumn("_epoch", F.lit(999))
+        (
+            aligned.write.format("parquet")
+            .partitionBy("_epoch")
+            .bucketBy(4, "order_id")
+            .sortBy("order_id")
+            .option("path", f"{zone}/order_items")
+            .mode("append")
+            .saveAsTable(tables["order_items"])
+        )
+        spark.catalog.refreshTable(tables["order_items"])
+        # the raw table now holds the orphan rows…
+        assert spark.table(tables["order_items"]).count() == 6
+        # …but the manifest read prunes them (uncommitted epoch)
+        assert read_manifest_zone(spark, tables, zone)[
+            "order_items"
+        ].count() == 4
+
+        # restart replays epoch 999: the orphan partition is scrubbed
+        # before re-append, so the rows land exactly once
+        _land_epoch(
+            spark,
+            aligned.drop("_epoch"),
+            tables["order_items"],
+            f"{zone}/order_items",
+            zone,
+            "order_items",
+            999,
+            4,
+        )
+        assert 999 in committed_epochs(zone, "order_items")
+        landed = read_manifest_zone(spark, tables, zone)["order_items"]
+        assert landed.count() == 6
+        assert landed.filter(F.col("id").isin(90, 91)).count() == 2
+
+        # a second replay of the now-committed epoch is a no-op
+        _land_epoch(
+            spark,
+            aligned.drop("_epoch"),
+            tables["order_items"],
+            f"{zone}/order_items",
+            zone,
+            "order_items",
+            999,
+            4,
+        )
+        assert read_manifest_zone(spark, tables, zone)[
+            "order_items"
+        ].count() == 6
+    finally:
+        for t in (f"{prefix}orders", f"{prefix}order_items"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
