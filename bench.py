@@ -74,6 +74,11 @@ HEADLINE = [
     "quality_model",
     "conversion_funnel",
     "cohort_retention",
+    "rfm_segments",
+    "market_basket",
+    "revenue_deciles",
+    "doc_repetition",
+    "embedding_quantize_int8",
 ]
 
 

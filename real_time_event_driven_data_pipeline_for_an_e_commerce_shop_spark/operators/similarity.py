@@ -585,3 +585,88 @@ def ivf_topk(
             det_round(F.col("_sim"), 6).alias("cosine_sim"),
         )
     )
+
+
+def quantize_int8(embeddings: DataFrame, err_digits: int = 9) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the ANN tier's storage
+    scale path (the compression every large-scale vector system applies
+    before the index: a 64-dim float32 vector shrinks 256 B → 64 B + 1
+    scale, a 4× cut in scan bytes AND in every downstream shuffle).
+
+    ``scale = max|v| / 127``; ``q_i = clamp(floor(v_i/scale + 0.5),
+    -127, 127)`` — the engine's half-up rounding discipline applied to
+    quantization, so the codes are bit-identical cross-engine (all
+    element math promotes float32 → double first; both engines then run
+    the same IEEE ops). Zero vectors quantize to all-zero codes.
+
+    Narrow staged projections, no shuffle, fully column-pruned: the
+    promoted vector, the scale, and the code array each materialize
+    ONCE in their own projection step — higher-order expressions get
+    no codegen CSE, so a single-select version would rebuild the full
+    quantization chain per output column. The audit row per vector
+    pins the full code array through three lenses: the L1 mass, a
+    position-weighted checksum (catches any element permutation a
+    plain sum would miss), and the max absolute reconstruction error
+    — which by construction is ≤ scale/2; the oracle re-deriving it
+    exactly IS the proof the codes match.
+    """
+    from ..functions.core import spread_small_input
+
+    staged = (
+        spread_small_input(embeddings)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
+        .select(
+            "vec_id",
+            "_v",
+            (
+                F.array_max(F.transform("_v", lambda x: F.abs(x)))
+                / F.lit(127.0)
+            ).alias("_scale"),
+        )
+        .select(
+            "vec_id",
+            "_v",
+            "_scale",
+            F.transform(
+                "_v",
+                lambda x: F.greatest(
+                    F.lit(-127.0),
+                    F.least(
+                        F.lit(127.0),
+                        F.when(
+                            F.col("_scale") > 0,
+                            F.floor(x / F.col("_scale") + F.lit(0.5)),
+                        )
+                        .otherwise(F.lit(0.0))
+                        .cast("double"),
+                    ),
+                ),
+            ).alias("_q"),
+        )
+    )
+    q, v, scale = F.col("_q"), F.col("_v"), F.col("_scale")
+    return staged.select(
+        "vec_id",
+        det_round(scale, err_digits).alias("scale"),
+        F.aggregate(
+            q, F.lit(0.0), lambda acc, qi: acc + F.abs(qi)
+        ).cast("long").alias("q_l1"),
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(1), F.size(q)),
+                lambda qi, i: qi * i.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("q_poschecksum"),
+        det_round(
+            F.array_max(F.zip_with(q, v, lambda qi, xi: F.abs(qi * scale - xi))),
+            err_digits,
+        ).alias("max_err"),
+    )

@@ -435,3 +435,58 @@ def curate_corpus(documents: DataFrame, min_quality: float = 0.5) -> DataFrame:
         F.min_by("lang", "doc_id").alias("lang"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def repetition_stats(
+    documents: DataFrame, k: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Gopher-style intra-document repetition filter: the fraction of
+    duplicate word ``k``-grams INSIDE each document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 drops docs whose duplicate-n-gram
+    share is high; C4 similarly drops boilerplate-repeating pages).
+    This is the within-doc complement of the cross-doc dedup tier —
+    a templated or looping document has high ``dup_fraction`` even
+    when no other document matches it.
+
+    Everything stays JVM-side — tokenize, slide a ``k``-window with
+    ``transform`` over a 1-based ``sequence`` (the same shingle
+    definition the dedup tier and its DuckDB oracle share), count
+    total vs distinct — so at 100 TB this is scan-bound with zero
+    shuffles and full column pruning: only ``doc_id`` and ``text``
+    are read. The gram array materializes in its own projection so
+    the two counts don't each rebuild it (higher-order expressions
+    get no codegen CSE), and ``repetitive`` compares the det-rounded
+    fraction so the boundary decision is identical cross-engine.
+    """
+    from ..functions.core import spread_small_input
+
+    t = tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda s: F.array_join(F.slice(t, s, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(t, " ")))
+    out = (
+        spread_small_input(documents)
+        .select("doc_id", grams.alias("_grams"))
+        .select(
+            "doc_id",
+            F.size("_grams").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("_grams")).cast("long").alias(
+                "n_distinct_grams"
+            ),
+        )
+    )
+    dup = det_round(
+        F.lit(1.0) - ratio(F.col("n_distinct_grams"), F.col("n_grams")), 6
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        dup.alias("dup_fraction"),
+        (dup > F.lit(threshold)).alias("repetitive"),
+    )

@@ -266,3 +266,88 @@ def funnel_firsts_streaming(
             for s in steps
         ]
     )
+
+
+def user_day_activity_streaming(events_stream: DataFrame) -> DataFrame:
+    """Streaming half of ``operators.events.cohort_retention``
+    (ROADMAP r5 #3): update-mode per-(user, day) activity counts.
+
+    ``count`` is incrementally mergeable, so the state is exactly one
+    row per distinct (user_id, active_day) — the same grain as the
+    batch operator's ``distinct`` — and each micro-batch emits only
+    the pairs it touched. Like the funnel twin, the state table IS
+    the product: retention derives from it in a trivial batch pass
+    (:func:`cohort_retention_from_activity`) instead of chaining a
+    second stateful aggregate (which would force append-mode
+    watermarking and delay results by the watermark).
+
+    At 100 TB: state grows one row per user per active day; a
+    deployment bounds it to the analysis horizon with a watermark +
+    state TTL (``spark.sql.streaming.stateStore.ttl``) — the
+    retention window itself (``max_weeks``) caps what the derivation
+    reads. Full-replay convergence to the batch ``cohort_retention``
+    query is asserted in tests/test_streaming.py.
+    """
+    return events_stream.groupBy(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def cohort_retention_from_activity(
+    activity: DataFrame, max_weeks: int = 8
+) -> DataFrame:
+    """Batch derivation of the weekly-cohort retention table from the
+    (user, day) activity state :func:`user_day_activity_streaming`
+    maintains — the same definition as ``operators.events.
+    cohort_retention`` (cohort = Monday week of the user's first
+    day; retained at offset w = any event in the user's personal
+    ``[first+7w, first+7w+7)`` day window), with the first-day
+    anchor recovered as ``min(active_day)`` — valid because the
+    state table contains every user's first active day by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import det_round, ratio
+
+    firsts = activity.groupBy("user_id").agg(
+        F.min("active_day").alias("_first_day")
+    )
+    cohorts = firsts.withColumn(
+        "cohort",
+        F.date_format(F.date_trunc("week", "_first_day"), "yyyy-MM-dd"),
+    )
+    offsets = (
+        activity.select("user_id", F.col("active_day").alias("_day"))
+        .join(cohorts, "user_id")
+        .select(
+            "cohort",
+            "user_id",
+            F.floor(F.datediff("_day", "_first_day") / 7).alias(
+                "week_offset"
+            ),
+        )
+        .filter(
+            (F.col("week_offset") >= 0) & (F.col("week_offset") < max_weeks)
+        )
+        .distinct()
+    )
+    agg = offsets.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    wc = Window.partitionBy("cohort")
+    sized = agg.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("week_offset") == 0, F.col("active_users"))
+        ).over(wc),
+    )
+    return sized.select(
+        "cohort",
+        F.col("week_offset").cast("long").alias("week_offset"),
+        "active_users",
+        "cohort_size",
+        det_round(
+            ratio(F.col("active_users"), F.col("cohort_size")), 4
+        ).alias("retention_pct"),
+    )

@@ -678,3 +678,51 @@ def test_funnel_firsts_streaming_converges_to_batch(spark, events_stream, tmp_pa
         for r in QUERIES["conversion_funnel"](spark, SF).collect()
     }
     assert batch_funnel == {"view": n0, "click": n1, "purchase": n2}
+
+
+def test_cohort_retention_streaming_converges_to_batch(spark, events_stream, tmp_path):
+    """The (user, day) activity state, replayed to completion and fed
+    through the batch derivation, equals the batch cohort_retention
+    query row for row — the retention twin of the funnel-firsts
+    convergence test. Update mode may emit a (user, day) key several
+    times as its count grows; only the key set feeds retention, so
+    DISTINCT over the sink recovers the final state."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        cohort_retention_from_activity,
+        user_day_activity_streaming,
+    )
+
+    stream, batch = events_stream
+    q = (
+        user_day_activity_streaming(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("uda_out")
+        .option("checkpointLocation", str(tmp_path / "ck_uda"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # localCheckpoint: the retention derivation self-joins the state,
+    # and the memory sink's MemoryPlan cannot deduplicate attributes
+    # across self-join branches (no MultiInstanceRelation); a
+    # checkpointed LogicalRDD can
+    state = spark.sql(
+        "SELECT DISTINCT user_id, active_day FROM uda_out"
+    ).localCheckpoint()
+    got = {
+        (r["cohort"], r["week_offset"]): (
+            r["active_users"], r["cohort_size"], r["retention_pct"],
+        )
+        for r in cohort_retention_from_activity(state, max_weeks=8).collect()
+    }
+    expected = {
+        (r["cohort"], r["week_offset"]): (
+            r["active_users"], r["cohort_size"], r["retention_pct"],
+        )
+        for r in QUERIES["cohort_retention"](spark, SF).collect()
+    }
+    assert got == expected and got
