@@ -327,6 +327,16 @@ def _commit_epoch(zone_dir: str, name: str, epoch_id: int, n_rows: int) -> None:
     os.rename(tmp, os.path.join(d, f"{epoch_id}.json"))
 
 
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Filesystem path a catalog table's data lives at (compaction
+    re-points tables at fresh directories, so zone paths must be
+    resolved through the catalog, never assumed)."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row.col_name or "").strip() == "Location":
+            return row.data_type.removeprefix("file:")
+    return None
+
+
 def _on_disk_epochs(path: str) -> set[int]:
     """Epoch partition directories present under a zone table path."""
     if not os.path.isdir(path):
@@ -352,28 +362,35 @@ def _land_epoch(
     n_buckets: int,
     bucket_col: str = "order_id",
 ) -> None:
-    """Idempotent, crash-safe landing of one micro-batch epoch."""
+    """Idempotent, crash-safe landing of one micro-batch epoch.
+
+    ``path`` is only the location for the CREATE on the first-ever
+    append; once the table exists its catalog location is
+    authoritative (compaction re-points it at a fresh directory).
+    """
     import shutil
 
     if epoch_id in committed_epochs(zone_dir, name):
         return  # checkpoint replay of a fully-landed epoch: no-op
-    orphan = os.path.join(path, f"_epoch={epoch_id}")
+    exists = spark.catalog.tableExists(table)
+    loc = (_table_location(spark, table) or path) if exists else path
+    orphan = os.path.join(loc, f"_epoch={epoch_id}")
     if os.path.isdir(orphan):
         # crash between append and commit: scrub the failed attempt's
         # files (the partition dir scopes them exactly), then retry
         shutil.rmtree(orphan)
-        if spark.catalog.tableExists(table):
+        if exists:
             spark.catalog.refreshTable(table)
     staged = df.withColumn("_epoch", F.lit(epoch_id))
-    (
+    writer = (
         staged.write.format("parquet")
         .partitionBy("_epoch")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
-        .option("path", path)
-        .mode("append")
-        .saveAsTable(table)
     )
+    if not exists:
+        writer = writer.option("path", path)
+    writer.mode("append").saveAsTable(table)
     spark.catalog.refreshTable(table)
     n_rows = spark.table(table).filter(F.col("_epoch") == epoch_id).count()
     _commit_epoch(zone_dir, name, epoch_id, n_rows)
@@ -464,6 +481,75 @@ def run_bucketed_ingest_manifest(
     return tables
 
 
+def compact_manifest_zone(
+    spark: SparkSession,
+    table: str,
+    zone_dir: str,
+    name: str,
+    n_buckets: int = 32,
+    bucket_col: str = "order_id",
+) -> str:
+    """Fold a manifest zone table's accumulated epoch partitions into
+    ONE — the small-files maintenance ``sinks.files.
+    compact_bucketed_table`` performs for the plain bucketed zone,
+    manifest-aware: only COMMITTED epochs are read (a crash orphan is
+    dropped by the rewrite instead of lingering), and the manifest is
+    reset to a single marker afterwards.
+
+    The compacted data keeps the epoch id ``max(committed)``: stream
+    epoch ids are the checkpoint's monotonically increasing batch ids,
+    so every future append lands strictly above it and the
+    skip-if-committed guard stays correct across compactions.
+
+    Same single-writer/no-concurrent-reader semantics as
+    ``compact_bucketed_table`` (the catalog DROP+RENAME pair and the
+    manifest-directory swap are each atomic, but not jointly); run it
+    from the maintenance job, not beside a live reader. The rewrite
+    reads through the catalog and writes with the same partition-by-
+    epoch-under-bucket spec, so it is a per-bucket read-sort-write and
+    downstream joins stay Exchange-free. Returns the new data dir.
+    """
+    import shutil
+    import uuid
+
+    committed = committed_epochs(zone_dir, name)
+    if not committed:
+        raise ValueError(f"nothing committed for zone table {name!r}")
+    keep_epoch = max(committed)
+    df = (
+        read_manifest_zone(spark, {name: table}, zone_dir)[name]
+        .drop("_epoch")
+        .withColumn("_epoch", F.lit(keep_epoch))
+    )
+    new_dir = os.path.join(zone_dir, f"{name}_compact_{uuid.uuid4().hex[:8]}")
+    tmp_table = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    (
+        df.write.format("parquet")
+        .partitionBy("_epoch")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", new_dir)
+        .mode("overwrite")
+        .saveAsTable(tmp_table)
+    )
+    n_rows = spark.table(tmp_table).count()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
+    except Exception:
+        spark.catalog.createTable(
+            table, path=os.path.join(zone_dir, name), source="parquet"
+        )
+        raise
+    # reset the manifest to exactly the surviving epoch (marker write
+    # is atomic per file; the rmtree+rewrite window is covered by the
+    # single-writer contract above)
+    shutil.rmtree(_manifest_dir(zone_dir, name), ignore_errors=True)
+    _commit_epoch(zone_dir, name, keep_epoch, n_rows)
+    return new_dir
+
+
 def read_manifest_zone(
     spark: SparkSession, tables: dict[str, str], zone_dir: str
 ) -> dict[str, DataFrame]:
@@ -481,9 +567,8 @@ def read_manifest_zone(
     out: dict[str, DataFrame] = {}
     for name, table in tables.items():
         df = spark.table(table)
-        orphans = _on_disk_epochs(
-            os.path.join(zone_dir, name)
-        ) - committed_epochs(zone_dir, name)
+        loc = _table_location(spark, table) or os.path.join(zone_dir, name)
+        orphans = _on_disk_epochs(loc) - committed_epochs(zone_dir, name)
         if orphans:
             df = df.filter(~F.col("_epoch").isin(sorted(orphans)))
         out[name] = df

@@ -336,3 +336,93 @@ def test_manifest_zone_exactly_once_and_crash_replay(spark, tmp_path):
     finally:
         for t in (f"{prefix}orders", f"{prefix}order_items"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_manifest_zone_compaction(spark, tmp_path):
+    """compact_manifest_zone folds committed epochs into one, drops
+    crash orphans during the rewrite, resets the manifest, keeps the
+    bucket spec (Exchange-free joins survive), and later epochs append
+    into the compacted table's NEW location correctly."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _land_epoch,
+        committed_epochs,
+        compact_manifest_zone,
+        read_manifest_zone,
+    )
+
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    prefix = "manifest_compact_test_"
+    orders_tbl = f"{prefix}orders"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "order_id long, order_date string"
+        )
+        # three committed epochs
+        for ep, rows in (
+            (0, [(1, "2025-03-08"), (2, "2025-03-08")]),
+            (1, [(3, "2025-03-09")]),
+            (2, [(4, "2025-03-09"), (5, "2025-03-10")]),
+        ):
+            _land_epoch(
+                spark, mk(rows), orders_tbl, f"{zone}/orders", zone,
+                "orders", ep, 4,
+            )
+        # plus one crash orphan (files, no marker)
+        (
+            mk([(99, "2025-03-11")]).withColumn("_epoch", F.lit(7))
+            .write.format("parquet").partitionBy("_epoch")
+            .bucketBy(4, "order_id").sortBy("order_id")
+            .mode("append").saveAsTable(orders_tbl)
+        )
+        spark.catalog.refreshTable(orders_tbl)
+        assert spark.table(orders_tbl).count() == 6
+
+        new_dir = compact_manifest_zone(
+            spark, orders_tbl, zone, "orders", n_buckets=4
+        )
+        # one epoch partition, orphan gone, manifest reset to max(committed)
+        assert committed_epochs(zone, "orders") == {2}
+        assert sorted(
+            e for e in os.listdir(new_dir) if e.startswith("_epoch=")
+        ) == ["_epoch=2"]
+        compacted = read_manifest_zone(
+            spark, {"orders": orders_tbl}, zone
+        )["orders"]
+        assert sorted(
+            r["order_id"] for r in compacted.collect()
+        ) == [1, 2, 3, 4, 5]
+
+        # post-compaction epochs append into the NEW location
+        _land_epoch(
+            spark, mk([(6, "2025-03-12")]), orders_tbl, f"{zone}/orders",
+            zone, "orders", 3, 4,
+        )
+        assert committed_epochs(zone, "orders") == {2, 3}
+        assert os.path.isdir(os.path.join(new_dir, "_epoch=3"))
+        after = read_manifest_zone(spark, {"orders": orders_tbl}, zone)[
+            "orders"
+        ]
+        assert after.count() == 6
+
+        # bucket metadata survived the rewrite: self-join Exchange-free
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            a = after.select("order_id", "order_date")
+            b = after.select("order_id", F.col("order_date").alias("d2"))
+            plan = (
+                a.join(b, "order_id")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}__compacting")
