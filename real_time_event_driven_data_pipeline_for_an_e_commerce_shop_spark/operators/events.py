@@ -371,3 +371,94 @@ def cohort_retention(events: DataFrame, max_weeks: int = 8) -> DataFrame:
             "retention_pct"
         ),
     )
+
+
+def daily_anomalies(events: DataFrame, z_thresh: float = 2.0) -> DataFrame:
+    """Daily anomaly detection per event type: z-score each day's total
+    value against that type's own distribution, flag |z| > threshold —
+    the monitoring query every event pipeline grows (traffic spike /
+    outage days), kept bit-deterministic cross-engine by the same
+    decimal-exact power-sum discipline as ``olap_deep.lineitem_stats``
+    (native stddev is an order-dependent float accumulation).
+
+    Plan: one (type, day) aggregate — the only data-sized shuffle —
+    then a per-type power-sum rollup over the tiny daily table and a
+    broadcast join back; z is derived per row from (n, Σx, Σx²). The
+    flag compares the det-rounded z so the boundary decision is
+    identical in the DuckDB oracle. Types with a single day emit null
+    z (no variance estimate), preserved as null in both engines.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(exact_sum(F.col("value"), 2).alias("day_value"))
+    v = F.col("day_value").cast("decimal(38,6)")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(v).cast("double").alias("_s1"),
+        F.sum(v * v).cast("double").alias("_s2"),
+    )
+    n, s1, s2 = F.col("_n"), F.col("_s1"), F.col("_s2")
+    mean = s1 / n
+    std = F.sqrt((n * s2 - s1 * s1) / (n * (n - F.lit(1.0))))
+    z = det_round((F.col("day_value") - mean) / std, 4)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            "day_value",
+            z.alias("z_score"),
+            (F.abs(z) > F.lit(z_thresh)).alias("is_anomaly"),
+        )
+    )
+
+
+def daily_trend(events: DataFrame) -> DataFrame:
+    """Per-type linear trend of daily total value: closed-form
+    least-squares over (day index, day value) — slope per day,
+    intercept, and the fitted next-day projection. The regression
+    sums (Σx, Σy, Σxy, Σx²) are decimal-exact, the closed-form
+    arithmetic is the same IEEE expression tree as the oracle, and x
+    is the day offset from the type's own first day (small integers —
+    exact in decimal and double alike).
+
+    Same shuffle shape as :func:`daily_anomalies`: one data-sized
+    (type, day) aggregate, then a per-type rollup of four sums — the
+    fit itself never sees row-grain data, so at 100 TB the cost IS
+    the daily rollup scan.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(exact_sum(F.col("value"), 2).alias("day_value"))
+    first = Window.partitionBy("event_type")
+    with_x = daily.withColumn(
+        "_x",
+        F.datediff(F.col("_day"), F.min("_day").over(first)).cast(
+            "decimal(38,6)"
+        ),
+    )
+    y = F.col("day_value").cast("decimal(38,6)")
+    sums = with_x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_x")).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(F.col("_x") * y).cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.max(F.col("_x")).cast("double").alias("_mx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col(c) for c in ["_n", "_sx", "_sy", "_sxy", "_sxx"]
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    # project at (last observed day offset) + 1 — with calendar gaps
+    # that is NOT n, so the max rides along in the same rollup
+    return sums.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n_days"),
+        det_round(slope, 4).alias("slope_per_day"),
+        det_round(intercept, 4).alias("intercept"),
+        det_round(
+            intercept + slope * (F.col("_mx") + F.lit(1.0)), 4
+        ).alias("next_day_projection"),
+    )

@@ -3202,6 +3202,91 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(t["embeddings"])
 
 
+_DAILY_CTE = f"""
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS _day,
+               {exact_sum_sql("value", 2)} AS day_value
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )"""
+
+
+@query(
+    "daily_anomalies",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(day_value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(day_value AS DECIMAL(38,6))
+                      * CAST(day_value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        FROM daily GROUP BY event_type
+    ),
+    z AS (
+        SELECT d.event_type, strftime(d._day, '%Y-%m-%d') AS day,
+               d.day_value,
+               {round_sql(
+                   "(d.day_value - s.s1 / s.n)"
+                   " / SQRT((s.n * s.s2 - s.s1 * s.s1)"
+                   " / (s.n * (s.n - 1.0)))", 4)} AS z_score
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+    )
+    SELECT event_type, day, day_value, z_score,
+           (ABS(z_score) > 2.0) AS is_anomaly
+    FROM z
+    """,
+)
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily z-score anomaly flags per event type — deterministic
+    stddev from decimal power sums, threshold compared on the
+    det-rounded z in both engines."""
+    t = _t(spark, sf_dir, "events")
+    return events.daily_anomalies(t["events"], z_thresh=2.0)
+
+
+@query(
+    "daily_trend",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    with_x AS (
+        SELECT event_type,
+               CAST(CAST(_day - MIN(_day) OVER (PARTITION BY event_type)
+                    AS INTEGER) AS DECIMAL(38,6)) AS x,
+               CAST(day_value AS DECIMAL(38,6)) AS y
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(MAX(x) AS DOUBLE) AS mx
+        FROM with_x GROUP BY event_type
+    ),
+    fit AS (
+        SELECT event_type, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               sx, sy, mx
+        FROM sums
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           {round_sql("slope", 4)} AS slope_per_day,
+           {round_sql("(sy - slope * sx) / n", 4)} AS intercept,
+           {round_sql(
+               "(sy - slope * sx) / n + slope * (mx + 1.0)", 4
+           )} AS next_day_projection
+    FROM fit
+    """,
+)
+def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-type linear trend of daily event value
+    (decimal-exact regression sums; projection at last day + 1)."""
+    t = _t(spark, sf_dir, "events")
+    return events.daily_trend(t["events"])
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3220,6 +3305,8 @@ _SWEEP_PRIORITY = [
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",
+    "daily_anomalies",
+    "daily_trend",
     "rfm_segments",  # rewritten on global_ntile this round
     "market_basket",  # rewritten pair generation this round
     "events_order_window",  # interval-join replica-count fix upstream
