@@ -387,10 +387,24 @@ def daily_anomalies(events: DataFrame, z_thresh: float = 2.0) -> DataFrame:
     flag compares the det-rounded z so the boundary decision is
     identical in the DuckDB oracle. Types with a single day emit null
     z (no variance estimate), preserved as null in both engines.
+
+    The daily rollup is exactly the state
+    ``streaming.windows.daily_value_rollup_streaming`` maintains, and
+    the z derivation is factored as :func:`anomalies_from_daily` so
+    the streaming twin shares it verbatim.
     """
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("_day")
     ).agg(exact_sum(F.col("value"), 2).alias("day_value"))
+    return anomalies_from_daily(daily, z_thresh)
+
+
+def anomalies_from_daily(
+    daily: DataFrame, z_thresh: float = 2.0
+) -> DataFrame:
+    """The z-score derivation of :func:`daily_anomalies` over an
+    already-built (event_type, _day, day_value) daily table — a
+    per-type power-sum rollup of the tiny table, broadcast back."""
     v = F.col("day_value").cast("decimal(38,6)")
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("_n"),

@@ -7,6 +7,7 @@ from .pipeline import (
 from .windows import (
     category_kpi_streaming_update,
     cohort_retention_from_activity,
+    daily_value_rollup_streaming,
     dedup_events_stream,
     funnel_firsts_streaming,
     interval_joined_events_stream,
@@ -19,6 +20,7 @@ from .windows import (
 __all__ = [
     "category_kpi_streaming_update",
     "cohort_retention_from_activity",
+    "daily_value_rollup_streaming",
     "dedup_events_stream",
     "funnel_firsts_streaming",
     "interval_joined_events_stream",

@@ -314,9 +314,19 @@ def committed_epochs(zone_dir: str, name: str) -> set[int]:
 
 
 def _commit_epoch(zone_dir: str, name: str, epoch_id: int, n_rows: int) -> None:
-    """Atomically record an epoch as committed: write the marker
-    beside the manifest dir, then rename it in — readers either see
-    the complete marker or none."""
+    """Default commit primitive: write the marker beside the manifest
+    dir, then rename it in — rename is atomic on POSIX and HDFS, so
+    readers either see the complete marker or none.
+
+    This is the ONE seam a different storage system swaps: an object
+    store without atomic rename (S3) commits the same marker with a
+    conditional PUT (`If-None-Match: *` — first writer wins, the
+    semantics the rename gives here), or records the epoch in a
+    transactional side table. Pass a replacement as ``commit_fn`` to
+    :func:`run_bucketed_ingest_manifest`; the contract is: durably
+    publish (name, epoch_id) exactly once, visible to
+    :func:`committed_epochs` afterwards, never partially.
+    """
     import json
 
     d = _manifest_dir(zone_dir, name)
@@ -361,6 +371,7 @@ def _land_epoch(
     epoch_id: int,
     n_buckets: int,
     bucket_col: str = "order_id",
+    commit_fn=None,
 ) -> None:
     """Idempotent, crash-safe landing of one micro-batch epoch.
 
@@ -393,7 +404,7 @@ def _land_epoch(
     writer.mode("append").saveAsTable(table)
     spark.catalog.refreshTable(table)
     n_rows = spark.table(table).filter(F.col("_epoch") == epoch_id).count()
-    _commit_epoch(zone_dir, name, epoch_id, n_rows)
+    (commit_fn or _commit_epoch)(zone_dir, name, epoch_id, n_rows)
 
 
 def run_bucketed_ingest_manifest(
@@ -404,6 +415,7 @@ def run_bucketed_ingest_manifest(
     n_buckets: int = 32,
     table_prefix: str = "streamed_m_",
     await_termination: bool = True,
+    commit_fn=None,
 ) -> dict[str, str]:
     """:func:`run_bucketed_ingest` with the epoch manifest: every
     micro-batch is an atomically-committed `_epoch` partition, so the
@@ -430,6 +442,7 @@ def run_bucketed_ingest_manifest(
             "orders",
             epoch_id,
             n_buckets,
+            commit_fn=commit_fn,
         )
 
     def land_items(new_items: DataFrame, epoch_id: int) -> None:
@@ -455,6 +468,7 @@ def run_bucketed_ingest_manifest(
             "order_items",
             epoch_id,
             n_buckets,
+            commit_fn=commit_fn,
         )
 
     for name, schema, land in (

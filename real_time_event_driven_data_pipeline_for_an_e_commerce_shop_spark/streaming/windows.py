@@ -351,3 +351,22 @@ def cohort_retention_from_activity(
             ratio(F.col("active_users"), F.col("cohort_size")), 4
         ).alias("retention_pct"),
     )
+
+
+def daily_value_rollup_streaming(events_stream: DataFrame) -> DataFrame:
+    """Streaming half of ``operators.events.daily_anomalies`` /
+    ``daily_trend``: the (event_type, day) total-value rollup as an
+    incrementally-merged aggregate — a decimal sum is mergeable, so
+    state is one exact sum per (type, day), the same grain both batch
+    derivations consume. Run it in complete mode into a small sink (the
+    state table is |types| × |days|) and feed the result to
+    ``events.anomalies_from_daily`` — the monitoring loop becomes:
+    stream maintains the rollup, each evaluation is a millisecond batch
+    pass over it. Full-replay parity vs the batch `daily_anomalies`
+    query is asserted in tests/test_streaming.py.
+    """
+    from ..functions.core import exact_sum
+
+    return events_stream.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(exact_sum(F.col("value"), 2).alias("day_value"))

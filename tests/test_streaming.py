@@ -726,3 +726,46 @@ def test_cohort_retention_streaming_converges_to_batch(spark, events_stream, tmp
         for r in QUERIES["cohort_retention"](spark, SF).collect()
     }
     assert got == expected and got
+
+
+def test_daily_anomalies_streaming_converges_to_batch(spark, events_stream, tmp_path):
+    """The (type, day) rollup state, streamed to completion in complete
+    mode and fed through anomalies_from_daily, equals the batch
+    daily_anomalies query row for row — the monitoring twin: the
+    stream maintains the rollup, each evaluation is a batch pass over
+    the tiny state table."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.events import (
+        anomalies_from_daily,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.windows import (
+        daily_value_rollup_streaming,
+    )
+
+    stream, batch = events_stream
+    q = (
+        daily_value_rollup_streaming(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("daily_rollup_out")
+        .option("checkpointLocation", str(tmp_path / "ck_dr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.sql("SELECT * FROM daily_rollup_out").localCheckpoint()
+    got = {
+        (r["event_type"], r["day"]): (
+            r["day_value"], r["z_score"], r["is_anomaly"],
+        )
+        for r in anomalies_from_daily(state, z_thresh=2.0).collect()
+    }
+    expected = {
+        (r["event_type"], r["day"]): (
+            r["day_value"], r["z_score"], r["is_anomaly"],
+        )
+        for r in QUERIES["daily_anomalies"](spark, SF).collect()
+    }
+    assert got == expected and got

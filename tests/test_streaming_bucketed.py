@@ -426,3 +426,40 @@ def test_manifest_zone_compaction(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}__compacting")
+
+
+def test_manifest_commit_fn_is_injectable(spark, tmp_path):
+    """The manifest commit primitive is the one storage-specific seam
+    (POSIX rename here; conditional PUT on an object store): a custom
+    commit_fn is called once per landed epoch with the full contract
+    args, and skip-on-replay consults what it published."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _commit_epoch,
+        _land_epoch,
+        committed_epochs,
+    )
+
+    zone = str(tmp_path / "zone")
+    table = "commitfn_test_orders"
+    calls = []
+
+    def recording_commit(zone_dir, name, epoch_id, n_rows):
+        calls.append((name, epoch_id, n_rows))
+        _commit_epoch(zone_dir, name, epoch_id, n_rows)
+
+    df = spark.createDataFrame(
+        [(1, "2025-03-08"), (2, "2025-03-09")],
+        "order_id long, order_date string",
+    )
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        for _ in range(2):  # second call = replay of a committed epoch
+            _land_epoch(
+                spark, df, table, f"{zone}/orders", zone, "orders", 0, 4,
+                commit_fn=recording_commit,
+            )
+        assert calls == [("orders", 0, 2)]  # exactly once, full args
+        assert committed_epochs(zone, "orders") == {0}
+        assert spark.table(table).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
