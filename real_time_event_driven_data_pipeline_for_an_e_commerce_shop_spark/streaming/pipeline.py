@@ -565,7 +565,10 @@ def compact_manifest_zone(
 
 
 def read_manifest_zone(
-    spark: SparkSession, tables: dict[str, str], zone_dir: str
+    spark: SparkSession,
+    tables: dict[str, str],
+    zone_dir: str,
+    as_of_epoch: int | None = None,
 ) -> dict[str, DataFrame]:
     """Exactly-once read of a manifest zone, at ZERO steady-state cost.
 
@@ -577,6 +580,15 @@ def read_manifest_zone(
     a NOT-IN filter on the tiny orphan list partition-prunes exactly
     those directories; the scan's bucket metadata survives either way,
     so downstream ``order_id`` joins stay Exchange-free.
+
+    ``as_of_epoch`` is the manifest's snapshot read (the time-travel
+    half of the commit log): only epochs ≤ the given id are visible —
+    an ``_epoch <= N`` filter that partition-prunes everything newer,
+    reproducing exactly the zone a reader saw when epoch N was the
+    tip. Epochs are append-only until :func:`compact_manifest_zone`
+    folds them; compaction truncates history to the fold point (the
+    same trade an ACID format's VACUUM makes — snapshots older than
+    the last compaction are gone).
     """
     out: dict[str, DataFrame] = {}
     for name, table in tables.items():
@@ -585,5 +597,7 @@ def read_manifest_zone(
         orphans = _on_disk_epochs(loc) - committed_epochs(zone_dir, name)
         if orphans:
             df = df.filter(~F.col("_epoch").isin(sorted(orphans)))
+        if as_of_epoch is not None:
+            df = df.filter(F.col("_epoch") <= F.lit(as_of_epoch))
         out[name] = df
     return out

@@ -186,6 +186,103 @@ def main() -> None:
         finally:
             shutil.rmtree(sorted_dir, ignore_errors=True)
 
+        # unified zone spec (ROADMAP r6 #3): date-partition UNDER the
+        # order_id buckets in ONE write — the validation stage already
+        # joins items⋈orders, so deriving the order year onto items is
+        # free there; the layout then gives a year-windowed KPI BOTH
+        # static partition pruning (two sides) and the Exchange-free
+        # join. The raw path must scan the full items table because
+        # without the enrichment items carry no date at all. Partition
+        # granularity is the YEAR deliberately: finer grains multiply
+        # (partitions x buckets) files until the write and the read
+        # both drown in file overhead (a month grain was measured at
+        # 288 s write / 2700 files per table at factor 10 — the
+        # too-many-small-files failure mode, kept out by design).
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+            kpi,
+            mapping,
+        )
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+            read_validated_zone_bucketed,
+            write_validated_zone_bucketed,
+        )
+
+        n_buckets = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        pz = tempfile.mkdtemp(prefix="scale_pb_zone_")
+        year = "1996"
+        try:
+            raw_orders = spark.read.parquet(f"{tmp}/orders.parquet")
+            raw_items = spark.read.parquet(f"{tmp}/lineitem.parquet")
+            z_orders = (
+                mapping.orders_from_tpch(raw_orders)
+                .withColumn("order_date", F.to_date("created_at"))
+                .withColumn(
+                    "order_year", F.date_format("created_at", "yyyy")
+                )
+            )
+            z_items = mapping.order_items_from_tpch(raw_items).join(
+                z_orders.select("order_id", "order_year"), "order_id"
+            )
+            t0 = time.perf_counter()
+            names = write_validated_zone_bucketed(
+                {"orders": z_orders, "order_items": z_items},
+                pz,
+                n_buckets=n_buckets,
+                table_prefix="scale_pb_",
+                partition_by="order_year",
+            )
+            pb_write_s = round(time.perf_counter() - t0, 3)
+            back = read_validated_zone_bucketed(spark, names)
+            products = mapping.products_from_tpch(
+                spark.read.parquet(f"{tmp}/part.parquet")
+            )
+
+            def pb_zone():
+                fact = kpi.build_item_fact(
+                    back["order_items"]
+                    .filter(F.col("order_year") == year)
+                    .drop("order_year"),
+                    back["orders"]
+                    .filter(F.col("order_year") == year)
+                    .drop("order_year"),
+                    products,
+                    extra_order_cols=("user_id",),
+                )
+                kpi.category_kpi(fact).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+
+            def pb_raw():
+                orders_m = (
+                    mapping.orders_from_tpch(raw_orders)
+                    .withColumn("order_date", F.to_date("created_at"))
+                    .filter(F.date_format("created_at", "yyyy") == year)
+                )
+                fact = kpi.build_item_fact(
+                    mapping.order_items_from_tpch(raw_items),
+                    orders_m,
+                    products,
+                    extra_order_cols=("user_id",),
+                )
+                kpi.category_kpi(fact).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+
+            for bname, run in (
+                ("year_kpi_raw", pb_raw),
+                ("year_kpi_partitioned_bucketed", pb_zone),
+            ):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    run()
+                    best = min(best, time.perf_counter() - t0)
+                timings[bname] = round(best, 3)
+            for t in names.values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        finally:
+            shutil.rmtree(pz, ignore_errors=True)
+
         print(
             json.dumps(
                 {
@@ -197,6 +294,7 @@ def main() -> None:
                     "queries": timings,
                     "bucketed_zone_write_sec": zone_write_s,
                     "sorted_zone_write_sec": sorted_write_s,
+                    "partitioned_zone_write_sec": pb_write_s,
                 }
             )
         )

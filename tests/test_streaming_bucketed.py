@@ -463,3 +463,45 @@ def test_manifest_commit_fn_is_injectable(spark, tmp_path):
         assert spark.table(table).count() == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_manifest_zone_snapshot_read(spark, tmp_path):
+    """as_of_epoch reproduces exactly the zone a reader saw when that
+    epoch was the tip — the time-travel half of the commit log — and
+    the snapshot filter partition-prunes newer epochs rather than
+    scanning and discarding them."""
+    import os
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _land_epoch,
+        read_manifest_zone,
+    )
+
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    table = "manifest_snapshot_test_orders"
+    mk = lambda rows: spark.createDataFrame(
+        rows, "order_id long, order_date string"
+    )
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        for ep, rows in (
+            (0, [(1, "2025-03-08")]),
+            (1, [(2, "2025-03-09")]),
+            (2, [(3, "2025-03-10")]),
+        ):
+            _land_epoch(
+                spark, mk(rows), table, f"{zone}/orders", zone, "orders",
+                ep, 4,
+            )
+        snap = read_manifest_zone(
+            spark, {"orders": table}, zone, as_of_epoch=1
+        )["orders"]
+        assert sorted(r["order_id"] for r in snap.collect()) == [1, 2]
+        # newer epoch directories are pruned at planning, not scanned
+        scan = snap._jdf.queryExecution().executedPlan().toString()
+        assert "_epoch=2" not in scan
+        full = read_manifest_zone(spark, {"orders": table}, zone)["orders"]
+        assert full.count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
