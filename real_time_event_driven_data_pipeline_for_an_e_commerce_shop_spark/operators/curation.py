@@ -410,3 +410,65 @@ def token_pack_sharded(
             F.max("doc_id").alias("last_doc_id"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 32, overlap: int = 8
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    token windows of ``chunk_tokens`` advancing by ``chunk_tokens -
+    overlap`` — the retrieval/embedding prep step every RAG corpus
+    build runs (overlap keeps sentence fragments from being cut dead
+    at chunk boundaries). Differs from :func:`_chunk_array` (disjoint
+    chunks, the dedup unit) by the stride.
+
+    Each output row is one chunk: ordinal within its doc, token
+    count, the chunk's md5 (the downstream dedup/embedding key), and
+    start offset in tokens. The LAST window starts at the final
+    stride position that still covers a new token, so every token is
+    in ≥ 1 chunk and no empty trailing window is emitted; documents
+    shorter than one window yield exactly one chunk.
+
+    Whole operator is one narrow JVM projection + explode — no
+    shuffle, no Python; at 100 TB it is scan-bound and the explode
+    fan-out is |tokens|/stride per doc, a data constant. The md5 is
+    computed on the joined token string, so the oracle re-derives it
+    byte-for-byte.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    t = tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    # number of windows: 1 + ceil(max(0, n - chunk) / stride)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_windows = (
+        F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.struct(
+            i.alias("chunk_index"),
+            (i * stride).alias("start_token"),
+            F.array_join(
+                F.slice(t, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    out = (
+        spread_small_input(documents)
+        .select("doc_id", F.explode(chunks).alias("_c"))
+        .select(
+            "doc_id",
+            F.col("_c.chunk_index").cast("long").alias("chunk_index"),
+            F.col("_c.start_token").cast("long").alias("start_token"),
+            F.col("_c.chunk_text").alias("_text"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        "start_token",
+        F.size(F.split("_text", r"\s+")).cast("long").alias("n_tokens"),
+        F.md5(F.col("_text").cast("binary")).alias("chunk_md5"),
+    )

@@ -3287,6 +3287,46 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.daily_trend(t["events"])
 
 
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    w AS (
+        SELECT doc_id, T,
+               1 + CAST(CEIL(GREATEST(len(T) - 32, 0) / 24.0) AS INT)
+                   AS n_windows
+        FROM toks
+    ),
+    c AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(0, n_windows), i -> {{
+                   'ci': i,
+                   'st': i * 24,
+                   'txt': array_to_string(T[i * 24 + 1 : i * 24 + 32], ' ')
+               }})) AS ch
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(ch.ci AS BIGINT) AS chunk_index,
+           CAST(ch.st AS BIGINT) AS start_token,
+           CAST(len(regexp_split_to_array(ch.txt, '\\s+')) AS BIGINT)
+               AS n_tokens,
+           md5(ch.txt) AS chunk_md5
+    FROM c
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking (32-token windows, 8-token
+    overlap): every token covered, no empty trailing window, chunk
+    md5s re-derived byte-for-byte by the oracle."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.chunk_documents(t["documents"], chunk_tokens=32, overlap=8)
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3307,6 +3347,7 @@ _SWEEP_PRIORITY = [
     "embedding_quantize_int8",
     "daily_anomalies",
     "daily_trend",
+    "chunk_documents",
     "rfm_segments",  # rewritten on global_ntile this round
     "market_basket",  # rewritten pair generation this round
     "events_order_window",  # interval-join replica-count fix upstream

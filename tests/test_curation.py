@@ -108,3 +108,43 @@ def test_chunk_dedup_hashed_plan_has_no_window(spark):
     )
     assert "Window" not in hashed_plan
     assert "Window" in window_plan
+
+
+def test_chunk_documents_window_invariants(spark):
+    """Sliding-window chunking boundary law: every token is covered,
+    the last window starts at the final stride position that still
+    adds a new token (no empty trailing chunk), and a doc shorter
+    than one window yields exactly one chunk."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(f"t{j}" for j in range(n)))
+
+    # n tokens around the stride boundaries for chunk=8, overlap=2
+    docs = spark.createDataFrame(
+        [doc(0, 3), doc(1, 8), doc(2, 9), doc(3, 14), doc(4, 15), doc(5, 20)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_by_doc = {0: 3, 1: 8, 2: 9, 3: 14, 4: 15, 5: 20}
+    for d, chunks in by_doc.items():
+        n = n_by_doc[d]
+        chunks.sort(key=lambda r: r["chunk_index"])
+        # expected window count: 1 + ceil(max(0, n - 8) / 6)
+        import math
+
+        assert len(chunks) == 1 + math.ceil(max(0, n - 8) / 6), (d, n)
+        # windows advance by the stride and every token is covered
+        for i, c in enumerate(chunks):
+            assert c["start_token"] == i * 6
+            assert c["n_tokens"] == min(8, n - c["start_token"])
+        last = chunks[-1]
+        assert last["start_token"] + last["n_tokens"] == n  # full coverage
+        assert last["n_tokens"] > 0  # never an empty trailing chunk
+    # one-chunk short doc
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["n_tokens"] == 3

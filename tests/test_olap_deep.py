@@ -138,14 +138,23 @@ def test_global_ntile_matches_window_ntile(spark):
         assert got == want, (n, k)
 
 
-def test_rfm_plan_has_no_unpartitioned_ntile(spark):
-    """rfm_segments' plan must not contain a window NTILE at all —
-    the VERDICT r5 scale flag (single-task sort of |users| rows). The
-    only surviving single-partition window runs over num_ranges
-    offset rows, never the user population."""
+def test_rfm_routes_by_population_and_distributed_path_has_no_ntile(spark):
+    """The population gate routes rfm's quartiles: above the threshold
+    the plan must not contain a window NTILE at all (VERDICT r5's
+    scale flag — single-task sort of |users| rows); at or below it the
+    plain window is DELIBERATE (measured-gate fast path, like the
+    dedup union-find gate) and both routes are bit-identical."""
     orders = spark.createDataFrame(
         [(i, i % 50, f"1998-0{1 + i % 9}-15", 10.0 * (i + 1)) for i in range(200)],
         "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
     )
-    plan = olap_deep.rfm_segments(orders)._jdf.queryExecution().executedPlan().toString()
+    big = olap_deep.rfm_segments(orders, small_threshold=0)
+    plan = big._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan.lower()
+    small = olap_deep.rfm_segments(orders)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" in plan_small.lower()
+    rows = lambda df: sorted(
+        (r["user_id"], r["segment"]) for r in df.collect()
+    )
+    assert rows(big) == rows(small)
