@@ -129,11 +129,19 @@ def interval_join_timestamps(
     window_seconds: int,
     bucket_seconds: int | None = None,
     how: str = "inner",
+    bounds: str = "[)",
 ) -> DataFrame:
     """Banded range join with sub-day (timestamp) bounds: match left
     rows where ``right_start <= left_time < right_start +
     window_seconds`` — the residual-filter generalization
-    :func:`interval_join_days` documents.
+    :func:`interval_join_days` documents. ``bounds`` flips the
+    inclusivity: ``"[)"`` (default) is the half-open interval above;
+    ``"(]"`` matches ``right_start < left_time <= right_start +
+    window_seconds`` — the shape of a *preceding*-window predicate
+    like click attribution (click strictly before the purchase,
+    purchase at most ``window`` after the click). Only the residual
+    predicate and the replica count change; the bucket equi-join —
+    and therefore the plan's scale behavior — is identical.
 
     The right side replicates into every fixed-width time bucket its
     window can touch, both sides equi-join on ``(key, bucket)``, and
@@ -152,8 +160,17 @@ def interval_join_timestamps(
     bucket = int(bucket_seconds or window_seconds)
     if bucket <= 0 or window_seconds <= 0:
         raise ValueError("window_seconds and bucket_seconds must be positive")
-    # worst-case covered buckets per right row (see docstring derivation)
-    n_buckets = (window_seconds + bucket - 2) // bucket + 1
+    if bounds not in ("[)", "(]"):
+        raise ValueError(f"bounds must be '[)' or '(]', got {bounds!r}")
+    # worst-case covered buckets per right row (see docstring
+    # derivation). The "(]" span reaches one second further right
+    # (r + w inclusive), so its worst case over offsets is
+    # floor((b - 1 + w) / b) + 1 — one more replica only when w is an
+    # exact multiple of the bucket width.
+    if bounds == "[)":
+        n_buckets = (window_seconds + bucket - 2) // bucket + 1
+    else:
+        n_buckets = (window_seconds + bucket - 1) // bucket + 1
     r_epoch = F.unix_timestamp(F.col(right_start).cast("timestamp"))
     b_right = right.withColumn(
         "_bkt",
@@ -166,14 +183,13 @@ def interval_join_timestamps(
     )
     l_epoch = F.unix_timestamp(F.col(left_time).cast("timestamp"))
     b_left = left.withColumn("_bkt", F.floor(l_epoch / bucket))
-    residual = (
-        F.col(left_time).cast("timestamp")
-        >= F.col(right_start).cast("timestamp")
-    ) & (
-        F.unix_timestamp(F.col(left_time).cast("timestamp"))
-        < F.unix_timestamp(F.col(right_start).cast("timestamp"))
-        + F.lit(window_seconds)
-    )
+    l_ts = F.col(left_time).cast("timestamp")
+    r_ts = F.col(right_start).cast("timestamp")
+    upper = F.unix_timestamp(r_ts) + F.lit(window_seconds)
+    if bounds == "[)":
+        residual = (l_ts >= r_ts) & (F.unix_timestamp(l_ts) < upper)
+    else:
+        residual = (l_ts > r_ts) & (F.unix_timestamp(l_ts) <= upper)
     if how != "inner":
         # a left-outer here would emit one null row per PROBED bucket
         # for a true non-match; collapsing those is caller-specific —

@@ -179,38 +179,68 @@ def approx_distinct_accuracy(
 
 
 def click_attribution(
-    events: DataFrame, window_hours: int = 24
+    events: DataFrame,
+    window_hours: int = 24,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Range join: for every purchase, the same user's click count and
-    click value over the preceding ``window_hours``. Executes as an
-    equi-join on ``user_id`` with the time range as a join-time filter
-    — the right plan when the equi-key bounds the pair space (events
-    per user per day, not |purchases| × |clicks|). At 100 TB the
-    refinement is bucketing both sides by (user_id, day) so a purchase
-    only meets clicks from its own and the previous day's bucket."""
+    click value over the preceding ``window_hours`` (click strictly
+    before the purchase, at most ``window_hours`` earlier).
+
+    Routed through :func:`~.asof.interval_join_timestamps` (VERDICT
+    r5 #4): clicks replicate into the time buckets their forward
+    window can reach, both sides equi-join on ``(user_id, bucket)``,
+    and one residual predicate with ``bounds="(]"`` restores the
+    exact preceding-window semantics. The old plan equi-joined on
+    ``user_id`` alone, so ONE hot user's entire click history met
+    every one of their purchases in a single task; here a hot user's
+    rows hash across (user, bucket) pairs and spread over as many
+    partitions as they have active buckets — plus AQE skew-split for
+    any residual hot bucket.
+
+    Purchases with no attributable click are re-attached by a left
+    join back on the purchase key (the banded join is inner-only by
+    design), emitting ``n_clicks = 0`` / ``click_value = 0.00`` —
+    identical to the previous left-join formulation.
+    """
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
         F.col("ts").alias("p_ts"),
     )
     clicks = events.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
+        F.col("user_id"),
         F.col("ts").alias("c_ts"),
         F.col("value").alias("c_value"),
     )
-    lo = F.col("p_ts") - F.make_interval(hours=F.lit(window_hours))
-    joined = purchases.join(
+    from .asof import interval_join_timestamps
+
+    # c_ts < p_ts <= c_ts + window  ⟺  the "(]" banded interval join
+    matched = interval_join_timestamps(
+        purchases,
         clicks,
-        on=[
-            F.col("user_id") == F.col("c_user_id"),
-            F.col("c_ts") >= lo,
-            F.col("c_ts") < F.col("p_ts"),
-        ],
-        how="left",
+        key="user_id",
+        left_time="p_ts",
+        right_start="c_ts",
+        window_seconds=window_hours * 3600,
+        bucket_seconds=bucket_seconds,
+        bounds="(]",
     )
-    return joined.groupBy("purchase_id", "user_id").agg(
-        F.count("c_ts").alias("n_clicks"),
-        exact_sum(F.coalesce(F.col("c_value"), F.lit(0.0)), 2).alias("click_value"),
+    agg = matched.groupBy("purchase_id", "user_id").agg(
+        F.count("c_ts").alias("_n"),
+        exact_sum(F.coalesce(F.col("c_value"), F.lit(0.0)), 2).alias("_v"),
+    )
+    return (
+        purchases.select("purchase_id", "user_id")
+        .join(agg, on=["purchase_id", "user_id"], how="left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce(F.col("_v"), F.lit(0.0))
+            .cast("double")
+            .alias("click_value"),
+        )
     )
 
 

@@ -30,6 +30,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .operators import kpi, validate
 from .sinks.files import (
@@ -49,6 +50,7 @@ def run(
     materialize_validated: bool = False,
     bucketed_validated: bool = False,
     archive: bool = False,
+    zone_partition_year: bool = True,
 ) -> dict[str, str]:
     """Execute the full validate→transform pipeline; returns output paths.
 
@@ -58,7 +60,21 @@ def run(
     every downstream KPI run against the zone joins Exchange-free
     (``sinks.files.write_validated_zone_bucketed``; plan shape asserted
     in tests/test_sources_bucketing.py, wall-clock payoff recorded in
-    BASELINE.md)."""
+    BASELINE.md).
+
+    The bucketed zone defaults to the UNIFIED layout (ROADMAP r6 #3):
+    ``partitionBy(order_year)`` UNDER the ``order_id`` buckets, in one
+    write. Orders derive the year from ``order_date``; items — which
+    carry no date of their own — pick it up via a join on the unique
+    ``order_id`` (row-preserving: items already passed the J1
+    semi-join against valid orders). Date-windowed readers then prune
+    whole year directories statically on BOTH fact tables AND still
+    join Exchange-free (``bench_scale.py`` ``year_kpi_*`` pair: 1.4×
+    over raw at factor 30, widening with scan share). The grain is the
+    YEAR deliberately — finer grains multiply (partitions × buckets)
+    files; a month grain measured 2,700 files/table at factor 10
+    (BASELINE.md). ``zone_partition_year=False`` restores the flat
+    bucketed layout."""
     require_inputs(raw_dir)  # S3 readiness gate
     raw = load_ecommerce_csv(spark, raw_dir)
     valid = validate.run_validation(raw["products"], raw["orders"], raw["order_items"])
@@ -67,7 +83,20 @@ def run(
     if materialize_validated or bucketed_validated:
         vdir = os.path.join(out_dir, "validated")
         if bucketed_validated:
-            tables = write_validated_zone_bucketed(valid, vdir)
+            zone = dict(valid)
+            partition_by = None
+            if zone_partition_year and "order_date" in zone["orders"].columns:
+                z_orders = zone["orders"].withColumn(
+                    "order_year", F.date_format("order_date", "yyyy")
+                )
+                zone["orders"] = z_orders
+                zone["order_items"] = zone["order_items"].join(
+                    z_orders.select("order_id", "order_year"), "order_id"
+                )
+                partition_by = "order_year"
+            tables = write_validated_zone_bucketed(
+                zone, vdir, partition_by=partition_by
+            )
             paths["validated_tables"] = ",".join(sorted(tables.values()))
         else:
             write_validated_zone(valid, vdir)

@@ -83,7 +83,10 @@ def test_pipeline_batch_bucketed_validated_zone(spark, tmp_path):
     """pipeline_batch.run(bucketed_validated=True) — ROADMAP r4 #2 batch
     half: the validated zone lands as bucketed catalog tables, KPIs are
     produced, and a fact⋈fact join read back from the zone runs with no
-    shuffle Exchange."""
+    shuffle Exchange. Since ROADMAP r6 #3 the default is the UNIFIED
+    layout: both facts additionally partitionBy(order_year) UNDER the
+    buckets — a year filter prunes directories statically while the
+    join stays Exchange-free."""
     from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import (
         pipeline_batch,
     )
@@ -131,6 +134,21 @@ def test_pipeline_batch_bucketed_validated_zone(spark, tmp_path):
         )
         assert "SortMergeJoin" in plan, plan
         assert "Exchange hashpartitioning" not in plan, plan
+        # unified layout: order_year partition dirs exist on BOTH facts
+        # and a year filter reaches PartitionFilters (static pruning)
+        for t in ("validated_orders", "validated_order_items"):
+            df = spark.table(t)
+            assert "order_year" in df.columns, t
+            pruned = df.filter(F.col("order_year") == "2025")
+            pplan = pruned._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters" in pplan and "order_year" in pplan.split(
+                "PartitionFilters"
+            )[1][:200], pplan
+        import os as _os
+        vdir = str(tmp_path / "out" / "validated" / "orders")
+        assert any(
+            d.startswith("order_year=") for d in _os.listdir(vdir)
+        ), _os.listdir(vdir)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in tables:
