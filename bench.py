@@ -79,6 +79,7 @@ HEADLINE = [
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",
+    "bm25_search",
 ]
 
 

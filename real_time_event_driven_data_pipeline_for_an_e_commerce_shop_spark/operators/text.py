@@ -490,3 +490,90 @@ def repetition_stats(
         dup.alias("dup_fraction"),
         (dup > F.lit(threshold)).alias("repetitive"),
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: rank documents against a bag of query
+    terms with the Robertson/Sparck-Jones scoring the classic search
+    stacks (Lucene, Elastic) default to —
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln((N − df + 0.5) / (df + 0.5) + 1)
+
+    The retrieval half of a RAG data pipeline (keyword recall next to
+    the ANN tier's vector recall), expressed as the inverted-index
+    plan, not a scan-per-query:
+
+    * tokens explode narrow and are filtered to the query vocabulary
+      BEFORE any shuffle — the tf aggregation only ever carries
+      |matched doc-term| rows, never the corpus token stream;
+    * document length and corpus stats (N, avgdl) are one map-side
+      aggregate; df-per-term and the two scalars broadcast (the query
+      has a handful of terms — the canonical small side);
+    * per-term contributions are det-rounded to 8 digits and summed
+      as DECIMAL so the score is independent of term arrival order —
+      the same determinism discipline as every money sum here;
+    * the top-k is ``orderBy().limit(k)`` — Spark plans
+      TakeOrderedAndProject (per-partition heap + driver merge of
+      k·partitions rows), NOT a global single-task sort; the rank
+      window then runs over k rows, not |matched docs|. A common term
+      can match the whole corpus and the plan does not care.
+
+    At 100 TB: two scans of the token stream (lengths, tf), both
+    collapsing map-side; everything after the tf groupBy is bounded
+    by |matched docs| rows of a few columns.
+    """
+    from pyspark.sql import Window
+
+    terms = sorted({t.lower() for t in query_terms})
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm_tf = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = det_round(idf * norm_tf, 8).cast("decimal(18,8)")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(contrib).cast("double").alias("_s"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    topk = per_doc.orderBy(F.desc("_s"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        topk.withColumn("bm25_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "bm25_rank",
+            "doc_id",
+            det_round(F.col("_s"), 6).alias("bm25_score"),
+            "n_terms_matched",
+        )
+    )

@@ -3327,6 +3327,60 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.chunk_documents(t["documents"], chunk_tokens=32, overlap=8)
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "merge", "vector")
+_BM25_CONTRIB = (
+    f"LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+    f" * (tf.tf * {_BM25_K1 + 1.0!r})"
+    f" / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}"
+    f" + {_BM25_B!r} * dl.dl / s.avgdl))"
+)
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    s AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN {str(_BM25_TERMS)}
+           GROUP BY doc_id, term),
+    d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST({round_sql(_BM25_CONTRIB, 8)} AS DECIMAL(18,8)) AS c
+        FROM tf JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN s
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS sc,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id ASC) AS BIGINT)
+               AS bm25_rank,
+           doc_id, {round_sql("sc", 6)} AS bm25_score, n_terms_matched
+    FROM per_doc
+    QUALIFY bm25_rank <= 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 keyword retrieval (the RAG stack's lexical recall
+    tier next to the ANN queries): inverted-index plan — query-term
+    filter before any shuffle, broadcast df/corpus stats, decimal
+    order-independent score sum, TakeOrderedAndProject top-k (never a
+    global sort)."""
+    t = _t(spark, sf_dir, "documents")
+    return text.bm25_topk(
+        t["documents"], list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3341,6 +3395,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # Group A — round-6 new queries + rewrites. Every entry whose code
     # changed after the r5 sweep must appear here (VERDICT r5 gap #2).
+    "bm25_search",
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",

@@ -265,3 +265,55 @@ def test_connected_components_paths_agree(spark):
     }
     assert fast == dist
     assert {r[0]: r[1] for r in fast}[12] == 10
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 invariants on a crafted corpus: a rare query term outranks
+    a common one (idf), more occurrences of the same term score higher
+    (tf, with saturation), a shorter doc outranks a longer doc with
+    identical tf (length normalization), non-matching docs are absent,
+    and ranks are contiguous from 1."""
+    docs = spark.createDataFrame(
+        [
+            # 'zebra' is rare (2 docs); 'apple' is common (5 docs)
+            (0, "zebra apple pie pie pie pie pie pie"),
+            (1, "apple pie pie pie pie pie pie pie"),
+            (2, "apple pie"),                       # short apple doc
+            (3, "apple apple pie pie pie pie pie pie"),  # tf=2 apple
+            (4, "apple zebra zebra pie pie pie pie pie"),
+            (5, "pie crust butter sugar flour salt rolling pin"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.bm25_topk(docs, ["zebra", "apple"], k=10)
+    rows = out.collect()
+    ranks = [r["bm25_rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert 5 not in by_doc, "doc without query terms must not appear"
+    # idf: doc 4 (two rare zebras + apple) beats every apple-only doc
+    assert by_doc[4]["bm25_rank"] == 1
+    # rare term dominates: zebra+apple (doc 0) beats apple-only of the
+    # same length (doc 1)
+    assert by_doc[0]["bm25_score"] > by_doc[1]["bm25_score"]
+    # tf: two apples (doc 3) beat one apple (doc 1), same length
+    assert by_doc[3]["bm25_score"] > by_doc[1]["bm25_score"]
+    # length norm: short apple doc (2) beats long apple doc (1)
+    assert by_doc[2]["bm25_score"] > by_doc[1]["bm25_score"]
+    assert by_doc[0]["n_terms_matched"] == 2
+    assert by_doc[1]["n_terms_matched"] == 1
+
+
+def test_bm25_topk_plan_has_no_global_sort(spark):
+    """The top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never an all-rows range-exchange
+    sort — the difference between 'works on 500 docs' and 'works on a
+    corpus where a common term matches everything'."""
+    docs = spark.createDataFrame(
+        [(i, "apple pie zebra") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = text.bm25_topk(docs, ["apple"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
