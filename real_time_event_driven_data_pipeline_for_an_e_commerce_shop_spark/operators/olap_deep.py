@@ -281,9 +281,13 @@ def top_supplier(
     date_to: str = "1996-04-01",
 ) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the maximum revenue in a
-    quarter. The max is a window over the per-supplier aggregate
-    (|suppliers| rows) — the classic correlated-scalar-subquery shape
-    without a second scan."""
+    quarter (ties kept). The max is a one-row broadcast joined back
+    onto the per-supplier aggregate — NOT a rank window, whose
+    required total ordering would sort all |suppliers| rows in one
+    task (the Sort-over-SinglePartition shape the engine-wide
+    tests/test_no_single_task_sorts.py meta-test bans). The scalar
+    max is a partial-agg reduce (no sort anywhere), the same
+    one-row-broadcast idiom as market_basket's totals."""
     rev = (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
@@ -292,8 +296,11 @@ def top_supplier(
         .groupBy("l_suppkey")
         .agg(_dsum(_revenue(), 4).alias("total_revenue"))
     )
-    w = Window.orderBy(F.desc("total_revenue"))
-    best = rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1).drop("rk")
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    best = (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
+    )
     return best.join(
         F.broadcast(supplier.select("s_suppkey", "s_name")),
         F.col("l_suppkey") == F.col("s_suppkey"),

@@ -29,6 +29,7 @@ SCALE_DOC_QUERIES = [
     "corpus_curation",
     "quality_model",
     "token_count_bpe",
+    "bm25_search",
 ]
 
 
