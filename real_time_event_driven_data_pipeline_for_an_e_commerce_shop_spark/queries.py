@@ -3381,6 +3381,43 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_dedup",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    snap AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 <> 0),
+    delta AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 = 0),
+    canon AS (SELECT fingerprint, MIN(doc_id) AS m FROM delta GROUP BY 1)
+    SELECT d.doc_id, d.fingerprint,
+           CASE WHEN s.fingerprint IS NOT NULL THEN 'dup_of_snapshot'
+                WHEN d.doc_id <> c.m THEN 'dup_in_delta'
+                ELSE 'new' END AS status,
+           CASE WHEN s.fingerprint IS NULL THEN c.m END AS canonical_id
+    FROM delta d
+    LEFT JOIN snap s USING (fingerprint)
+    JOIN canon c USING (fingerprint)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-snapshot dedup: docs with doc_id % 3 == 0 arrive as
+    today's delta; the rest stand in for the already-deduped corpus,
+    reduced to its fingerprint set. Per-run cost follows the DELTA,
+    not the corpus (bloom-pruned snapshot probe — dedup.py docstring);
+    the driver hash checks all three status classes."""
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    snapshot = dedup.exact_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0)
+    ).select("fingerprint")
+    return dedup.incremental_dedup(delta, snapshot)
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3396,6 +3433,7 @@ _SWEEP_PRIORITY = [
     # Group A — round-6 new queries + rewrites. Every entry whose code
     # changed after the r5 sweep must appear here (VERDICT r5 gap #2).
     "bm25_search",
+    "incremental_dedup",
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",

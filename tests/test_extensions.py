@@ -317,3 +317,36 @@ def test_bm25_topk_plan_has_no_global_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_incremental_dedup_status_classes(spark):
+    """Delta-vs-snapshot dedup: all three statuses, the min-doc_id
+    keeper rule inside the delta, the snapshot-dup priority when a
+    fingerprint is BOTH in the snapshot and repeated in the delta,
+    and NULL canonical for snapshot dups (the keeper lives in the
+    snapshot, addressed by fingerprint)."""
+    snapshot_docs = spark.createDataFrame(
+        [(100, "old news here"), (101, "evergreen content")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "Fresh  Story one"),       # new
+            (2, "fresh story one"),        # dup_in_delta of 1 (normalized)
+            (3, "OLD NEWS   here"),        # dup_of_snapshot
+            (4, "old news here"),          # dup_of_snapshot too (repeated
+                                           # in delta, snapshot wins)
+            (5, "another new doc"),        # new
+        ],
+        "doc_id long, text string",
+    )
+    snapshot = dedup.exact_dedup(snapshot_docs).select("fingerprint")
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup(delta, snapshot).collect()}
+    assert len(out) == 5
+    assert out[1]["status"] == "new" and out[1]["canonical_id"] == 1
+    assert out[2]["status"] == "dup_in_delta" and out[2]["canonical_id"] == 1
+    assert out[3]["status"] == "dup_of_snapshot"
+    assert out[4]["status"] == "dup_of_snapshot"
+    assert out[3]["canonical_id"] is None and out[4]["canonical_id"] is None
+    assert out[5]["status"] == "new" and out[5]["canonical_id"] == 5
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
