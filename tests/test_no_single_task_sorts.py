@@ -74,3 +74,42 @@ def test_query_plan_has_no_single_task_sort(spark, name):
         f"{name} sorts the full input in ONE task "
         f"(Sort over Exchange SinglePartition):\n{plan}"
     )
+
+
+#: name -> why the nested-loop join's build side is bounded there.
+ALLOWED_BNL_JOINS: dict[str, str] = {
+    "bm25_search": "one-row corpus stats (N, avgdl) broadcast",
+    "market_basket": "one-row order-count total broadcast",
+    "global_sales_opportunity": "one-row global threshold broadcast",
+    "important_parts": "per-part avg-quantity thresholds broadcast (Q17 shape)",
+    "ann_cosine_topk": (
+        "the documented EXACT baseline: the query side (a small probe "
+        "set) broadcasts against the corpus — the scale path is the "
+        "SRP/IVF bucketed tier"
+    ),
+    "activity_similarity_topk": "built on ann_cosine_topk's exact baseline",
+    "activity_dtw_topk": "built on ann_cosine_topk's exact baseline",
+    "ann_ivf_topk": "k centroid rows broadcast for the argmax assign",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_plan_has_no_unbounded_cartesian(spark, name):
+    """No registered plan may contain CartesianProduct (both sides
+    large — quadratic, full stop), and BroadcastNestedLoopJoin only
+    where the build side is provably tiny (one-row aggregates,
+    centroid tables, the documented exact-ANN baseline). A new query
+    that trips this either gets an equi-key (banding, bucketing,
+    LSH) or a justified allowlist entry — never silence."""
+    plan = (
+        QUERIES[name](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans an unbounded cartesian:\n{plan}"
+    )
+    if name not in ALLOWED_BNL_JOINS:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join without a documented "
+            f"bounded build side:\n{plan}"
+        )
