@@ -670,3 +670,52 @@ def quantize_int8(embeddings: DataFrame, err_digits: int = 9) -> DataFrame:
             err_digits,
         ).alias("max_err"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col_a: str = "rank_a",
+    rank_col_b: str = "rank_b",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    (Cormack et al.): given two independently-ranked candidate lists
+    (here: BM25 lexical recall and ANN vector recall), score each id
+
+        rrf(id) = Σ_lists 1 / (c + rank_in_list)
+
+    with a list contributing 0 where the id is absent, and return the
+    fused top-k. Rank-based (not score-based) fusion needs no
+    cross-list score calibration — exactly why RAG stacks default
+    to it.
+
+    Scale shape: both inputs are top-k lists ALREADY bounded by their
+    producers (the heavy lifting — inverted index, LSH/IVF buckets —
+    happened upstream), so the full-outer join and the fused top-k
+    run on k_a + k_b rows. Contributions are det-rounded and added in
+    a fixed expression order (coalesce(a)+coalesce(b)), so the score
+    is reproducible cross-engine; ties break by id; the final top-k
+    is orderBy().limit() — TakeOrderedAndProject, no global sort.
+    """
+    a = ranked_a.select(F.col(id_col), F.col(rank_col_a).alias("_ra"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col_b).alias("_rb"))
+    contrib_a = F.lit(1.0) / (F.lit(float(c)) + F.col("_ra").cast("double"))
+    contrib_b = F.lit(1.0) / (F.lit(float(c)) + F.col("_rb").cast("double"))
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        det_round(
+            F.coalesce(contrib_a, F.lit(0.0))
+            + F.coalesce(contrib_b, F.lit(0.0)),
+            8,
+        ).alias("rrf_score"),
+        F.col("_ra").alias("rank_a"),
+        F.col("_rb").alias("rank_b"),
+    )
+    topk = fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return topk.withColumn(
+        "rrf_rank", F.row_number().over(w).cast("long")
+    ).select("rrf_rank", id_col, "rrf_score", "rank_a", "rank_b")

@@ -3418,6 +3418,81 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(delta, snapshot)
 
 
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    s AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN {str(_BM25_TERMS)}
+           GROUP BY doc_id, term),
+    d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST({round_sql(_BM25_CONTRIB, 8)} AS DECIMAL(18,8)) AS cb
+        FROM tf JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN s
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY CAST(SUM(cb) AS DOUBLE) DESC, doc_id ASC)
+                   AS BIGINT) AS bm25_rank
+        FROM contrib GROUP BY doc_id
+        QUALIFY bm25_rank <= 50
+    ),
+    v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    ann AS (
+        SELECT a.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY {SQL_COS} DESC, a.vec_id ASC) AS BIGINT)
+                   AS ann_rank
+        FROM v a CROSS JOIN v b
+        WHERE b.vec_id = 0 AND a.vec_id != 0
+        QUALIFY ann_rank <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, ann.doc_id) AS doc_id,
+               {round_sql(
+                   "COALESCE(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), 0.0)"
+                   " + COALESCE(1.0 / (60.0 + CAST(ann_rank AS DOUBLE)), 0.0)",
+                   8)} AS rrf_score,
+               bm25_rank, ann_rank
+        FROM lex FULL OUTER JOIN ann ON lex.doc_id = ann.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                AS BIGINT) AS rrf_rank,
+           doc_id, rrf_score,
+           bm25_rank AS rank_a, ann_rank AS rank_b
+    FROM fused
+    QUALIFY rrf_rank <= 10
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with the exact
+    cosine top-50 of probe vector 0 (doc_id ≡ vec_id in the corpus)
+    by reciprocal-rank fusion — the RAG stack's two recall tiers
+    combined rank-wise, no score calibration. All heavy work happens
+    in the bounded producers; the fusion itself touches ≤100 rows."""
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    lex = text.bm25_topk(
+        t["documents"], list(_BM25_TERMS), k=50, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", "bm25_rank")
+    emb = t["embeddings"]
+    ann = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "sim_rank")
+    return similarity.rrf_fuse(
+        lex, ann, id_col="doc_id",
+        rank_col_a="bm25_rank", rank_col_b="sim_rank",
+        k=10, c=60,
+    )
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3434,6 +3509,7 @@ _SWEEP_PRIORITY = [
     # changed after the r5 sweep must appear here (VERDICT r5 gap #2).
     "bm25_search",
     "incremental_dedup",
+    "hybrid_search_rrf",
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",

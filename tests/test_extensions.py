@@ -350,3 +350,30 @@ def test_incremental_dedup_status_classes(spark):
     assert out[3]["canonical_id"] is None and out[4]["canonical_id"] is None
     assert out[5]["status"] == "new" and out[5]["canonical_id"] == 5
     assert out[1]["fingerprint"] == out[2]["fingerprint"]
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF invariants: an id on both lists beats a same-rank id on one
+    list; contribution is 1/(c+rank) summed with 0 for absence; ties
+    break by id; output bounded by k with contiguous ranks."""
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank_a long"
+    )
+    b = spark.createDataFrame(
+        [(1, 2), (4, 1), (5, 3)], "doc_id long, rank_b long"
+    )
+    out = similarity.rrf_fuse(
+        a, b, id_col="doc_id", rank_col_a="rank_a", rank_col_b="rank_b",
+        k=4, c=60,
+    ).collect()
+    assert len(out) == 4
+    assert [r["rrf_rank"] for r in out] == [1, 2, 3, 4]
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 1 on both lists (ranks 1, 2) wins over every single-list doc
+    assert out[0]["doc_id"] == 1
+    got = by_doc[1]["rrf_score"]
+    want = round(1.0 / 61 + 1.0 / 62, 8)
+    assert abs(got - want) < 1e-9, (got, want)
+    # single-list docs: rank_b=1 (doc 4) beats rank_a=2 (doc 2)
+    assert by_doc[4]["rrf_score"] > by_doc[2]["rrf_score"]
+    assert by_doc[4]["rank_a"] is None and by_doc[4]["rank_b"] == 1

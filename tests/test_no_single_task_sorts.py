@@ -90,6 +90,7 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
     "activity_similarity_topk": "built on ann_cosine_topk's exact baseline",
     "activity_dtw_topk": "built on ann_cosine_topk's exact baseline",
     "ann_ivf_topk": "k centroid rows broadcast for the argmax assign",
+    "hybrid_search_rrf": "built on ann_cosine_topk's exact baseline",
 }
 
 
