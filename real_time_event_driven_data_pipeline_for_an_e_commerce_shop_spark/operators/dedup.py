@@ -657,3 +657,86 @@ def incremental_dedup(
             ),
         )
     )
+
+
+def fuzzy_name_pairs(
+    names: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: all pairs of DISTINCT normalized
+    names within Levenshtein distance ``max_dist``, found by q-gram
+    blocking — the classic data-cleaning primitive (match "acme corp"
+    to "acme c0rp" across systems) as an inverted-index plan, never
+    the |names|² cross product.
+
+    1. Dedupe to name grain (min id per normalized name) — the pair
+       space is over DISTINCT strings, usually orders of magnitude
+       smaller than the row count.
+    2. Pad with q-1 ``#`` on both ends and explode positional
+       q-grams; candidate pairs are names SHARING a gram (inverted
+       postings join, ``id_a < id_b``).
+    3. Count-filter: within edit distance d, two padded strings must
+       share ≥ max(|grams_a|, |grams_b|) − q·d grams — candidates
+       below the bound drop before any edit-distance work.
+    4. Verify survivors with the built-in JVM ``levenshtein`` (no
+       Python), emit distance ≤ ``max_dist``.
+
+    The blocking is EXACT (no false negatives) whenever the step-3
+    bound stays ≥ 1 for true pairs — guaranteed at
+    ``len(name) + q − 1 > q·(d + 1) − 1``, e.g. names of ≥ 9 chars
+    for q=3, d=2; the registered query's oracle recomputes pairs by
+    BRUTE FORCE in DuckDB, so the hash gate proves the blocked plan
+    loses nothing on real data. At 100 TB grain: postings shuffle is
+    Σ|grams| rows; candidate volume is Σ_g df(g)² over shared grams —
+    bounded by gram selectivity, the same inverted-index discipline
+    as ngram_jaccard; verification cost is |candidates| short-string
+    edit distances inside codegen.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(name_col)), r"\s+", " "))
+    base = (
+        names.select(F.col(id_col).alias("_id"), norm.alias("_name"))
+        .groupBy("_name")
+        .agg(F.min("_id").alias("_id"))
+    )
+    pad = F.concat(F.lit("#" * (q - 1)), F.col("_name"), F.lit("#" * (q - 1)))
+    # positional q-grams; built via expr because the lambda needs the
+    # sequence index as the substring offset
+    gram_expr = (
+        "array_distinct(transform(sequence(1, greatest(length(_pad) - %d + 1, 1)),"
+        " i -> substring(_pad, i, %d)))" % (q, q)
+    )
+    sides = base.withColumn("_pad", pad).withColumn(
+        "_grams", F.expr(gram_expr)
+    ).select("_id", "_name", "_grams", F.size("_grams").alias("_ng"))
+    posts = sides.select(
+        "_id", "_name", "_ng", F.explode("_grams").alias("_g")
+    )
+    a = posts.select(
+        F.col("_id").alias("id_a"), F.col("_name").alias("name_a"),
+        F.col("_ng").alias("_na"), F.col("_g").alias("_g"),
+    )
+    b = posts.select(
+        F.col("_id").alias("id_b"), F.col("_name").alias("name_b"),
+        F.col("_ng").alias("_nb"), F.col("_g").alias("_g"),
+    )
+    cand = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "name_a", "_na", "id_b", "name_b", "_nb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(
+            F.col("_shared")
+            >= F.greatest(F.col("_na"), F.col("_nb")) - F.lit(q * max_dist)
+        )
+    )
+    return (
+        cand.withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+        .select("id_a", "name_a", "id_b", "name_b", "edit_distance")
+    )

@@ -3493,6 +3493,34 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_name_pairs",
+    oracle=r"""
+    WITH base AS (
+        SELECT trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS name,
+               MIN(p_partkey) AS id
+        FROM part GROUP BY 1
+    )
+    SELECT a.id AS id_a, a.name AS name_a, b.id AS id_b, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+    FROM base a JOIN base b ON a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join over part names: q-gram-blocked
+    Levenshtein pairs (distance ≤ 2). The ORACLE is deliberately the
+    BRUTE-FORCE cross join — the hash gate therefore proves the
+    blocked inverted-index plan (q-gram postings + count filter +
+    JVM levenshtein verify, never |names|²) loses no pairs on real
+    data. All distinct part names here satisfy the exactness bound
+    (len ≥ 5 for q=3, d=2 — dedup.py docstring)."""
+    t = _t(spark, sf_dir, "part")
+    return dedup.fuzzy_name_pairs(
+        t["part"], id_col="p_partkey", name_col="p_name", max_dist=2, q=3
+    )
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3510,6 +3538,7 @@ _SWEEP_PRIORITY = [
     "bm25_search",
     "incremental_dedup",
     "hybrid_search_rrf",
+    "fuzzy_name_pairs",
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",

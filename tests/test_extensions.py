@@ -377,3 +377,46 @@ def test_rrf_fuse_semantics(spark):
     # single-list docs: rank_b=1 (doc 4) beats rank_a=2 (doc 2)
     assert by_doc[4]["rrf_score"] > by_doc[2]["rrf_score"]
     assert by_doc[4]["rank_a"] is None and by_doc[4]["rank_b"] == 1
+
+
+def test_fuzzy_name_pairs_blocking_matches_bruteforce(spark):
+    """Entity-resolution fuzzy join: normalization folds case/space
+    variants to one name-grain row; q-gram blocking + count filter +
+    levenshtein verify finds exactly the brute-force pair set; pairs
+    past the distance bound are absent."""
+    rows = [
+        (1, "Acme Corp"), (2, "acme c0rp"), (3, "ACME  corp"),
+        (4, "Globex Industries"), (5, "globex industres"),
+        (6, "Wayne Enterprises"), (7, "Stark Industries"),
+        (8, "starc industries"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dedup.fuzzy_name_pairs(
+            df, "id", "name", max_dist=2, q=3
+        ).collect()
+    }
+    # brute force over normalized distinct names
+    import itertools
+    norm = {}
+    for i, n in rows:
+        key = " ".join(n.lower().split())
+        norm.setdefault(key, i)
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+    want = {}
+    for (na, ia), (nb, ib) in itertools.combinations(sorted(norm.items(), key=lambda kv: kv[1]), 2):
+        dd = lev(na, nb)
+        if dd <= 2:
+            want[(min(ia, ib), max(ia, ib))] = dd
+    assert out == want, (out, want)
+    assert (1, 2) in out and out[(1, 2)] == 1
+    assert (7, 8) in out and out[(7, 8)] == 1  # single k→c substitution
+    assert all(v <= 2 for v in out.values())
