@@ -80,6 +80,9 @@ HEADLINE = [
     "doc_repetition",
     "embedding_quantize_int8",
     "bm25_search",
+    "incremental_dedup",
+    "hybrid_search_rrf",
+    "fuzzy_name_pairs",
 ]
 
 

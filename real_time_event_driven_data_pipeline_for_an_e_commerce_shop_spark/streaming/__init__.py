@@ -9,6 +9,7 @@ from .windows import (
     cohort_retention_from_activity,
     daily_value_rollup_streaming,
     dedup_events_stream,
+    incremental_dedup_stream,
     funnel_firsts_streaming,
     interval_joined_events_stream,
     order_kpi_streaming_update,
@@ -22,6 +23,7 @@ __all__ = [
     "cohort_retention_from_activity",
     "daily_value_rollup_streaming",
     "dedup_events_stream",
+    "incremental_dedup_stream",
     "funnel_firsts_streaming",
     "interval_joined_events_stream",
     "read_manifest_zone",

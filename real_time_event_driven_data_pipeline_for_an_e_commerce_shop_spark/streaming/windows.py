@@ -370,3 +370,56 @@ def daily_value_rollup_streaming(events_stream: DataFrame) -> DataFrame:
     return events_stream.groupBy(
         "event_type", F.to_date("ts").alias("_day")
     ).agg(exact_sum(F.col("value"), 2).alias("day_value"))
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    snapshot_fingerprints: DataFrame,
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming half of ``operators.dedup.incremental_dedup`` — the
+    INGESTION-TIME dedup gate: documents stream in, each is hashed
+    (same normalized-md5 fingerprint as the batch operator), checked
+    against the static snapshot of the already-retained corpus, and
+    deduplicated within the stream itself.
+
+    Composition of two Spark-native pieces, no custom state:
+
+    * within-stream dups → ``dropDuplicatesWithinWatermark`` on the
+      fingerprint (bounded state: open fingerprints inside the
+      lateness window — the delivery-retry horizon, not history; the
+      FIRST arrival wins, matching the batch min-id keeper under
+      arrival order);
+    * corpus dups → a STREAM-STATIC left join against the snapshot
+      fingerprint set (Spark re-plans the static side per micro-batch;
+      at 100 TB the static side is the big table and the per-batch
+      probe is the small one — the same bloom-prunable asymmetry as
+      the batch operator, and a broadcast of the batch's fingerprints
+      when the optimizer sees the sizes).
+
+    Emits (doc_id, fingerprint, status) with status ∈
+    {'new', 'dup_of_snapshot'} — 'dup_in_delta' rows are DROPPED (the
+    gate's job), which is the one deliberate divergence from the batch
+    operator's audit-style output; convergence of the retained set is
+    asserted by full-replay parity in tests/test_streaming.py.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    hashed = docs_stream.select(
+        "doc_id",
+        F.col(event_time_col),
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+    )
+    first_seen = hashed.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
+    snap = snapshot_fingerprints.select("fingerprint").distinct().withColumn(
+        "_in_snap", F.lit(True)
+    )
+    return first_seen.join(snap, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("_in_snap").isNotNull(), F.lit("dup_of_snapshot"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )

@@ -769,3 +769,73 @@ def test_daily_anomalies_streaming_converges_to_batch(spark, events_stream, tmp_
         for r in QUERIES["daily_anomalies"](spark, SF).collect()
     }
     assert got == expected and got
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """The ingestion-time dedup gate replayed to completion converges
+    to the batch incremental_dedup at FINGERPRINT grain: one emitted
+    row per distinct delta fingerprint, dup_of_snapshot exactly where
+    the batch operator says the content already exists, 'new'
+    elsewhere — with planted within-delta duplicates collapsing to a
+    single survivor (which copy survives is arrival order, so parity
+    is asserted on the fingerprint, not the doc_id)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"]
+    delta_base = docs.filter(F.col("doc_id") % 3 == 0)
+    planted = delta_base.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    # ... and snapshot-content copies, so the dup_of_snapshot class is
+    # exercised (the synthetic corpus has no natural cross-split dups)
+    planted_snap = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .limit(4)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
+    )
+    delta = delta_base.unionByName(planted).unionByName(planted_snap)
+    snapshot = dedup.exact_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0)
+    ).select("fingerprint")
+
+    batch_rows = dedup.incremental_dedup(delta, snapshot).collect()
+    expected = {}
+    for r in batch_rows:
+        fp = r["fingerprint"]
+        expected[fp] = (
+            "dup_of_snapshot"
+            if r["status"] == "dup_of_snapshot"
+            else expected.get(fp, "new")
+        )
+
+    src = str(tmp_path / "delta_docs")
+    with_ts = delta.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    with_ts.write.parquet(src)
+    stream = spark.readStream.schema(with_ts.schema).parquet(src)
+    q = (
+        incremental_dedup_stream(stream, snapshot)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incdedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck_incdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.sql(
+        "SELECT doc_id, fingerprint, status FROM incdedup_out"
+    ).collect()
+    got = {r["fingerprint"]: r["status"] for r in got_rows}
+    # one survivor per distinct fingerprint, statuses agree with batch
+    assert len(got_rows) == len(got)
+    assert got == expected and got
+    assert "dup_of_snapshot" in set(got.values())
+    # the planted copies collapsed: fewer emitted rows than delta rows
+    assert len(got_rows) < delta.count()
