@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.core import det_round, ratio
+from ..functions.core import det_round, md5_long, ratio
 
 # deterministic mini stoplists per language for the n-gram/stopword
 # heuristic language classifier; ASCII-only on purpose (the heuristic
@@ -577,3 +577,94 @@ def bm25_topk(
             "n_terms_matched",
         )
     )
+
+
+def feature_hash_vectors(
+    documents: DataFrame, dim: int = 64
+) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al.): every token
+    maps to a bucket ``md5_48(term) mod dim`` with a ±1 sign drawn
+    from the next hash bit, signed counts accumulate per bucket, and
+    the bucket array L2-normalizes into a dense ``array<double>`` —
+    a model-free, training-free embedding that turns the corpus's
+    text into REAL vectors for the ANN / semantic-dedup tier (the
+    engine's own text→vector path, no external embedding service).
+
+    Determinism chain (the engine discipline): the md5-prefix hash is
+    cross-engine recomputable (``functions.core.md5_long``), signed
+    counts are exact integer sums, the squared norm is an exact
+    integer-valued double (sum of squares of longs), and each
+    component is one IEEE division by one correctly-rounded sqrt —
+    reproducible bit-for-bit with no rounding step.
+
+    Scale shape: explode → (doc, bucket) hash-agg (map-side combine
+    collapses the token stream to ≤ dim rows per doc), one dense-map
+    projection per doc — the same two-shuffle reduction as
+    ``daily_activity_vectors``. Zero-signal docs (all buckets cancel;
+    possible only for adversarial token sets) are dropped like
+    zero-variance series.
+    """
+    h = md5_long(F.col("term"))
+    per_bucket = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .select(
+            "doc_id",
+            F.pmod(h, F.lit(dim)).alias("_b"),
+            F.when(
+                F.pmod(F.floor(h / F.lit(dim)), F.lit(2)) == 0, F.lit(1)
+            ).otherwise(F.lit(-1)).alias("_s"),
+        )
+        .groupBy("doc_id", "_b")
+        .agg(F.sum("_s").alias("_c"))
+    )
+    per_doc = per_bucket.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0)).cast("double")
+        / F.sqrt(F.col("_s2").cast("double")),
+    )
+    return per_doc.filter(F.col("_s2") > 0).select(
+        "doc_id", vec.alias("feature_vec")
+    )
+
+
+def feature_hash_audit(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Hash-checkable scalar audit of :func:`feature_hash_vectors` —
+    arrays don't stringify identically across engines, so (like the
+    int8-quantization audit) the correctness gate rides per-doc
+    scalars computed from the SAME (doc, bucket) signed counts the
+    vector path aggregates: token count, nonzero buckets, the exact
+    pre-normalization L2 norm, and the position-weighted component
+    checksum Σ(bucket+1)·c / ‖c‖ — any bucket, sign, count, or
+    normalization divergence shifts at least one of them."""
+    h = md5_long(F.col("term"))
+    per_bucket = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .select(
+            "doc_id",
+            F.pmod(h, F.lit(dim)).alias("_b"),
+            F.when(
+                F.pmod(F.floor(h / F.lit(dim)), F.lit(2)) == 0, F.lit(1)
+            ).otherwise(F.lit(-1)).alias("_s"),
+        )
+        .groupBy("doc_id", "_b")
+        .agg(F.sum("_s").alias("_c"), F.count(F.lit(1)).alias("_n"))
+    )
+    return per_bucket.groupBy("doc_id").agg(
+        F.sum("_n").cast("long").alias("n_terms"),
+        F.sum((F.col("_c") != 0).cast("long")).alias("n_nonzero"),
+        det_round(F.sqrt(F.sum(F.col("_c") * F.col("_c")).cast("double")), 6)
+        .alias("l2_norm"),
+        det_round(
+            F.sum((F.col("_b") + 1) * F.col("_c")).cast("double")
+            / F.sqrt(F.sum(F.col("_c") * F.col("_c")).cast("double")),
+            6,
+        ).alias("weighted_checksum"),
+    ).filter(F.col("l2_norm") > 0)

@@ -3521,6 +3521,51 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FH_H = sql_md5_long("term")
+
+
+@query(
+    "feature_hash_audit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS term FROM documents
+    ),
+    hb AS (
+        SELECT doc_id,
+               ({_FH_H}) % 64 AS b,
+               CASE WHEN (({_FH_H}) // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM tok
+    ),
+    pb AS (
+        SELECT doc_id, b, SUM(s) AS c, COUNT(*) AS n
+        FROM hb GROUP BY doc_id, b
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_terms,
+               CAST(SUM(CASE WHEN c != 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonzero,
+               CAST(SUM(c * c) AS DOUBLE) AS s2,
+               CAST(SUM((b + 1) * c) AS DOUBLE) AS wsum
+        FROM pb GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, n_nonzero,
+           {round_sql("sqrt(s2)", 6)} AS l2_norm,
+           {round_sql("wsum / sqrt(s2)", 6)} AS weighted_checksum
+    FROM agg
+    WHERE sqrt(s2) > 0
+    """,
+)
+def q_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer gate: the per-doc scalar audit of
+    the hashing-trick embedding (bucket = md5_48 mod 64, ±1 sign from
+    the next hash bit, L2 normalize) — the engine's own text→vector
+    path for the ANN tier, hash-checked at every level the vector
+    itself can diverge."""
+    t = _t(spark, sf_dir, "documents")
+    return text.feature_hash_audit(t["documents"], dim=64)
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3539,6 +3584,7 @@ _SWEEP_PRIORITY = [
     "incremental_dedup",
     "hybrid_search_rrf",
     "fuzzy_name_pairs",
+    "feature_hash_audit",
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",

@@ -420,3 +420,63 @@ def test_fuzzy_name_pairs_blocking_matches_bruteforce(spark):
     assert (1, 2) in out and out[(1, 2)] == 1
     assert (7, 8) in out and out[(7, 8)] == 1  # single k→c substitution
     assert all(v <= 2 for v in out.values())
+
+
+def test_feature_hash_vectors_properties_and_audit_consistency(spark):
+    """Hashing-trick vectorizer: unit L2 norm, fixed dim, identical
+    text → identical vector; the scalar audit query recomputes
+    exactly from the emitted vectors (norm and position-weighted
+    checksum agree), so the hash-checked audit really gates the
+    vector path."""
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles the hash join"),
+            (1, "spark shuffles the hash join"),      # exact copy of 0
+            (2, "completely different words entirely here now"),
+            (3, "spark shuffles the hash join quickly"),  # near copy
+        ],
+        "doc_id long, text string",
+    )
+    vecs = {r["doc_id"]: r["feature_vec"] for r in
+            text.feature_hash_vectors(docs, dim=64).collect()}
+    assert set(vecs) == {0, 1, 2, 3}
+    for uid, v in vecs.items():
+        assert len(v) == 64
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9, uid
+    assert vecs[0] == vecs[1]
+    assert vecs[0] != vecs[2]
+    # cosine(near copy) > cosine(different doc)
+    cos = lambda a, b: sum(x * y for x, y in zip(a, b))
+    assert cos(vecs[0], vecs[3]) > cos(vecs[0], vecs[2])
+    # audit consistency: rebuild the audit scalars from the vectors
+    audit = {r["doc_id"]: r for r in
+             text.feature_hash_audit(docs, dim=64).collect()}
+    for uid, v in vecs.items():
+        a = audit[uid]
+        # weighted_checksum == Σ(bucket+1)·component over the UNIT vec
+        want = sum((i + 1) * x for i, x in enumerate(v))
+        got = a["weighted_checksum"]
+        assert abs(got - want) < 1e-5, (uid, got, want)
+        assert a["n_nonzero"] == sum(1 for x in v if x != 0.0)
+
+
+def test_feature_hash_vectors_feed_ann(spark):
+    """End-to-end text→vector→ANN: an exact-duplicate document is its
+    twin's cosine-1.0 nearest neighbor through brute_force_topk —
+    the engine's own embedding path composes with the similarity
+    tier."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta iota"),
+            (3, "alpha beta gamma epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = text.feature_hash_vectors(docs, dim=64)
+    top = similarity.brute_force_topk(
+        vecs, vecs.filter(F.col("doc_id") == 0), k=2,
+        id_col="doc_id", vec_col="feature_vec",
+    ).collect()
+    assert top[0]["neighbor_id"] == 1 and abs(top[0]["cosine_sim"] - 1.0) < 1e-9
