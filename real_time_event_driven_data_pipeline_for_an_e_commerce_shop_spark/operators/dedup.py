@@ -684,12 +684,15 @@ def fuzzy_name_pairs(
     4. Verify survivors with the built-in JVM ``levenshtein`` (no
        Python), emit distance ≤ ``max_dist``.
 
-    The blocking is EXACT (no false negatives) whenever the step-3
-    bound stays ≥ 1 for true pairs — guaranteed at
-    ``len(name) + q − 1 > q·(d + 1) − 1``, e.g. names of ≥ 9 chars
-    for q=3, d=2; the registered query's oracle recomputes pairs by
-    BRUTE FORCE in DuckDB, so the hash gate proves the blocked plan
-    loses nothing on real data. At 100 TB grain: postings shuffle is
+    The count bound is the classic q-gram filtering theorem stated
+    for gram MULTISETS; counting DISTINCT shared grams (what the
+    postings join yields) makes it slightly conservative-to-heuristic
+    on strings with heavy gram repetition — which is exactly why the
+    registered query's oracle recomputes pairs by BRUTE FORCE in
+    DuckDB: the hash gate PROVES the blocked plan loses nothing on
+    the real data, rather than asserting it from theory. (Blocking
+    itself — sharing ≥ 1 gram — holds for any true pair once names
+    reach ``q·d − q + 2`` chars, e.g. 5 for q=3, d=2.) At 100 TB grain: postings shuffle is
     Σ|grams| rows; candidate volume is Σ_g df(g)² over shared grams —
     bounded by gram selectivity, the same inverted-index discipline
     as ngram_jaccard; verification cost is |candidates| short-string

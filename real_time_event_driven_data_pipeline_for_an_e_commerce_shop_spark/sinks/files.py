@@ -172,3 +172,75 @@ def compact_bucketed_table(
         spark.catalog.createTable(table, path=base_dir, source="parquet")
         raise
     return new_dir
+
+
+def write_zordered_zone(
+    df: "DataFrame",
+    path: str,
+    cols: list[str],
+    n_ranges: int = 32,
+    bits: int = 12,
+    row_group_bytes: int | None = None,
+) -> dict[str, tuple[float, float]]:
+    """Z-order-clustered parquet zone: scale each clustering column
+    into a 2**bits grid (domains from ONE tiny min/max aggregate),
+    Morton-interleave them into a single z-value, range-partition +
+    sort on it, write. The multi-dimensional sibling of the
+    shipdate-sorted zone (`scripts/bench_scale.py`): a box predicate
+    on ANY clustered column — not just the first sort key — lands on
+    few row groups, because z-locality keeps every dimension's
+    min/max tight per group. Costs one full-data shuffle at write
+    time, same as any clustered layout; reads need no code change
+    (pruning is parquet stats, applied by every scan automatically).
+
+    Returns the per-column (min, max) domains used, so incremental
+    writers can reuse them (a drifted domain degrades clustering
+    quality gracefully — values clamp to edge cells — and never
+    affects correctness).
+
+    At 100 TB: the z-sort is `repartitionByRange` (each task sorts
+    |rows|/n_ranges — no single-task stage), and the interleave is
+    pure codegen bit arithmetic on the scan side of the exchange.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.core import scale_to_bits, zorder_value
+
+    stats_row = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).first()
+    import datetime as _dt
+
+    domains: dict[str, tuple[float, float]] = {}
+    scaled = []
+    epoch = _dt.date(1970, 1, 1)
+    for c in cols:
+        lo, hi = stats_row[f"_lo_{c}"], stats_row[f"_hi_{c}"]
+        if isinstance(lo, _dt.datetime):
+            lo, hi = lo.date(), hi.date()
+        if isinstance(lo, _dt.date):
+            # dates (and timestamps, at day grain) → days since epoch
+            col = F.datediff(
+                F.col(c).cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            lo_f, hi_f = float((lo - epoch).days), float((hi - epoch).days)
+        else:
+            col = F.col(c)
+            lo_f, hi_f = float(lo), float(hi)
+        domains[c] = (lo_f, hi_f)
+        scaled.append(scale_to_bits(col, lo_f, hi_f, bits))
+    z = zorder_value(scaled, bits)
+    writer = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_ranges, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+    )
+    if row_group_bytes:
+        # clustered zones want FINE row groups: pruning granularity is
+        # the row group, and z-locality is only visible below file size
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+    return domains
