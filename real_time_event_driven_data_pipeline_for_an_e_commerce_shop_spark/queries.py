@@ -3566,6 +3566,89 @@ def q_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.feature_hash_audit(t["documents"], dim=64)
 
 
+def _srp_bucket_sql(vec: str, dim: int, n_planes: int) -> str:
+    """SRP bucket expression with the engine's deterministic plane
+    weights embedded as repr'd double literals (same trick as
+    :func:`_srp_oracle`)."""
+    terms = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(
+            repr(w) for w in similarity._srp_plane(dim, p)
+        ) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {plane}) >= 0"
+            f" THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "text_semantic_neardup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS term FROM documents
+    ),
+    hb AS (
+        SELECT doc_id,
+               ({_FH_H}) % 64 AS b,
+               CASE WHEN (({_FH_H}) // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM tok
+    ),
+    pb AS (SELECT doc_id, b, SUM(s) AS c FROM hb GROUP BY doc_id, b),
+    s2 AS (SELECT doc_id, SUM(c * c) AS s2 FROM pb GROUP BY doc_id),
+    live AS (SELECT doc_id, s2 FROM s2 WHERE s2 > 0),
+    grid AS (
+        SELECT d.doc_id, gs.range AS b
+        FROM live d CROSS JOIN range(0, 64) gs
+    ),
+    filled AS (
+        SELECT g.doc_id, g.b, COALESCE(pb.c, 0) AS c
+        FROM grid g LEFT JOIN pb ON g.doc_id = pb.doc_id AND g.b = pb.b
+    ),
+    vz AS (
+        SELECT f.doc_id,
+               list(CAST(f.c AS DOUBLE) / sqrt(CAST(lv.s2 AS DOUBLE))
+                    ORDER BY f.b) AS vec
+        FROM filled f JOIN live lv ON f.doc_id = lv.doc_id
+        GROUP BY f.doc_id
+    ),
+    bk AS (
+        SELECT doc_id, vec, {_srp_bucket_sql("vec", 64, 8)} AS bucket
+        FROM vz
+    ),
+    pairs AS (
+        SELECT a.doc_id AS vec_a, b.doc_id AS vec_b,
+               {round_sql(SQL_COS, 6)} AS cosine_sim
+        FROM bk a JOIN bk b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE cosine_sim >= 0.8
+    """,
+)
+def q_text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full in-engine text→vector→semantic-dedup chain (ROADMAP
+    r6 #1): documents feature-hash into unit vectors, SRP-bucket into
+    LSH blocks, and near-dup pairs verify by exact cosine within
+    blocks only — corpus semantic dedup with NO external embedding
+    model, every stage md5/IEEE-deterministic so the whole pipeline
+    is one hash-checked oracle. Scale shape: the pair space is
+    per-SRP-bucket (never corpus²), vectors are 64 doubles, and the
+    verify join attaches vectors to the narrow pair list
+    (`similarity.embedding_near_dups`)."""
+    t = _t(spark, sf_dir, "documents")
+    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    bucketed = vecs.withColumn(
+        "block", similarity.srp_bucket(F.col("feature_vec"), dim=64, n_planes=8)
+    )
+    return similarity.embedding_near_dups(
+        bucketed,
+        threshold=0.8,
+        block_col="block",
+        id_col="doc_id",
+        vec_col="feature_vec",
+    )
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3585,6 +3668,7 @@ _SWEEP_PRIORITY = [
     "hybrid_search_rrf",
     "fuzzy_name_pairs",
     "feature_hash_audit",
+    "text_semantic_neardup",
     "revenue_deciles",
     "doc_repetition",
     "embedding_quantize_int8",

@@ -480,3 +480,31 @@ def test_feature_hash_vectors_feed_ann(spark):
         id_col="doc_id", vec_col="feature_vec",
     ).collect()
     assert top[0]["neighbor_id"] == 1 and abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_text_semantic_neardup_finds_exact_copies(spark):
+    """The composed text→feature-hash→SRP-block→cosine chain: exact
+    content copies always share a bucket (identical vectors, identical
+    sign bits) and emit a cosine-1.0 pair; unrelated docs don't reach
+    the threshold."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles the hash join across partitions"),
+            (2, "spark shuffles the hash join across partitions"),
+            (3, "roses are red and violets are blue entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = text.feature_hash_vectors(docs, dim=64)
+    bucketed = vecs.withColumn(
+        "block",
+        similarity.srp_bucket(F.col("feature_vec"), dim=64, n_planes=8),
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in similarity.embedding_near_dups(
+            bucketed, threshold=0.8, block_col="block",
+            id_col="doc_id", vec_col="feature_vec",
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1.0}, pairs
