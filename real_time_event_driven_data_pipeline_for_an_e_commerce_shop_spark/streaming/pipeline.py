@@ -601,3 +601,81 @@ def read_manifest_zone(
             df = df.filter(F.col("_epoch") <= F.lit(as_of_epoch))
         out[name] = df
     return out
+
+
+def run_corpus_ingest_dedup_manifest(
+    spark: SparkSession,
+    raw_dir: str,
+    zone_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    base_fingerprints: DataFrame | None = None,
+    n_buckets: int = 8,
+    table_prefix: str = "corpus_m_",
+    await_termination: bool = True,
+) -> dict[str, str]:
+    """Deduplicating corpus ingest (ROADMAP r6 #3): every arriving
+    micro-batch passes the ``operators.dedup.incremental_dedup`` gate
+    against the ALREADY-LANDED corpus (plus an optional external
+    ``base_fingerprints`` snapshot), and only ``status='new'`` rows —
+    batch-internal dups collapsed to the min-id keeper, corpus dups
+    dropped — land through the same atomic ``_epoch`` commit as
+    :func:`run_bucketed_ingest_manifest`.
+
+    The corpus fingerprint set is DERIVED from the committed zone at
+    gate time (one fingerprint projection of the corpus per
+    micro-batch) instead of materialized as a second table: one table
+    means ONE commit per epoch, so there is no cross-table atomicity
+    window — a crash replay re-reads the same committed corpus, runs
+    the same deterministic gate, and lands the identical epoch. At
+    100 TB the per-batch probe is the delta side of the bloom-pruned
+    join (`dedup.incremental_dedup` docstring); a deployment that
+    can't afford the corpus fingerprint scan per batch materializes
+    the fingerprint projection per epoch as a CACHE — it is always
+    recomputable from the committed zone, so it never becomes a
+    second source of truth.
+    """
+    from ..operators.dedup import incremental_dedup
+
+    name = "documents"
+    table = f"{table_prefix}documents"
+    path = os.path.join(zone_dir, name)
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs(zone_dir, name):
+            return  # checkpoint replay of a landed epoch
+        fps = None
+        if spark.catalog.tableExists(table):
+            corpus = read_manifest_zone(spark, {name: table}, zone_dir)[name]
+            norm = F.trim(
+                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+            )
+            fps = corpus.select(
+                F.md5(norm.cast("binary")).alias("fingerprint")
+            )
+        if base_fingerprints is not None:
+            snap = base_fingerprints.select("fingerprint")
+            fps = snap if fps is None else fps.unionByName(snap)
+        if fps is None:
+            fps = spark.createDataFrame([], "fingerprint string")
+        keep = batch_df.join(
+            incremental_dedup(batch_df, fps)
+            .filter(F.col("status") == "new")
+            .select("doc_id"),
+            "doc_id",
+        )
+        _land_epoch(
+            spark, keep, table, path, zone_dir, name, epoch_id,
+            n_buckets, bucket_col="doc_id",
+        )
+
+    stream = spark.readStream.schema(schema).parquet(raw_dir)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return {name: table}

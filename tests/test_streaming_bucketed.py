@@ -505,3 +505,74 @@ def test_manifest_zone_snapshot_read(spark, tmp_path):
         assert full.count() == 3
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_corpus_ingest_dedup_manifest_end_to_end(spark, tmp_path):
+    """Deduplicating corpus ingest: batch-internal dups collapse to
+    the min-id keeper, later batches drop content the committed zone
+    already holds, re-running with no new data is a no-op, and the
+    zone never contains two rows with the same fingerprint."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        read_manifest_zone,
+        run_corpus_ingest_dedup_manifest,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_corpus_gate_"
+    table = f"{prefix}documents"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        b1 = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "delta epsilon zeta"),
+                (3, "Alpha  BETA gamma"),   # in-batch dup of 1 (normalized)
+            ],
+            "doc_id long, text string",
+        )
+        b1.write.mode("append").parquet(raw)
+        run_corpus_ingest_dedup_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        zone_df = read_manifest_zone(spark, {"documents": table}, zone)[
+            "documents"
+        ]
+        assert {r["doc_id"] for r in zone_df.collect()} == {1, 2}
+
+        b2 = spark.createDataFrame(
+            [
+                (4, "delta epsilon zeta"),  # corpus dup of 2
+                (5, "eta theta iota"),      # new
+            ],
+            "doc_id long, text string",
+        )
+        b2.write.mode("append").parquet(raw)
+        run_corpus_ingest_dedup_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        zone_df = read_manifest_zone(spark, {"documents": table}, zone)[
+            "documents"
+        ]
+        assert {r["doc_id"] for r in zone_df.collect()} == {1, 2, 5}
+
+        # idempotent: third run with nothing new changes nothing
+        run_corpus_ingest_dedup_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        zone_df = read_manifest_zone(spark, {"documents": table}, zone)[
+            "documents"
+        ]
+        rows = zone_df.collect()
+        assert {r["doc_id"] for r in rows} == {1, 2, 5}
+        # fingerprint uniqueness — THE invariant of the gated zone
+        fp = F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+            ).cast("binary")
+        )
+        n_fp = zone_df.select(fp.alias("f")).distinct().count()
+        assert n_fp == len(rows) == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
