@@ -665,6 +665,7 @@ def fuzzy_name_pairs(
     name_col: str,
     max_dist: int = 2,
     q: int = 3,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Entity-resolution fuzzy join: all pairs of DISTINCT normalized
     names within Levenshtein distance ``max_dist``, found by q-gram
@@ -697,6 +698,17 @@ def fuzzy_name_pairs(
     bounded by gram selectivity, the same inverted-index discipline
     as ngram_jaccard; verification cost is |candidates| short-string
     edit distances inside codegen.
+
+    ``max_gram_df`` is the hot-gram guard for real name corpora — the
+    same Σdf² discipline as ``ngram_jaccard_pairs``' shingle cap: a
+    gram appearing in more than ``max_gram_df`` names ("##a" for
+    every a-initial name at |names| = 10⁶) leaves the blocking
+    vocabulary entirely, so its df² candidate explosion never
+    materializes; per-name gram counts are recomputed over the
+    SURVIVING vocabulary so the count filter stays consistent. Pairs
+    sharing ONLY capped grams are missed — the standard recall
+    trade, OFF by default (the registered query runs uncapped, which
+    is what lets its brute-force oracle prove exactness).
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(name_col)), r"\s+", " "))
     base = (
@@ -713,10 +725,19 @@ def fuzzy_name_pairs(
     )
     sides = base.withColumn("_pad", pad).withColumn(
         "_grams", F.expr(gram_expr)
-    ).select("_id", "_name", "_grams", F.size("_grams").alias("_ng"))
-    posts = sides.select(
-        "_id", "_name", "_ng", F.explode("_grams").alias("_g")
-    )
+    ).select("_id", "_name", F.explode("_grams").alias("_g"))
+    if max_gram_df is not None:
+        hot = (
+            sides.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("_g")
+        )
+        sides = sides.join(F.broadcast(hot), "_g", "left_anti")
+    # per-name gram count over the (possibly capped) vocabulary, so
+    # the count filter below is consistent with what the join can see
+    counts = sides.groupBy("_id").agg(F.count(F.lit(1)).alias("_ng"))
+    posts = sides.join(counts, "_id")
     a = posts.select(
         F.col("_id").alias("id_a"), F.col("_name").alias("name_a"),
         F.col("_ng").alias("_na"), F.col("_g").alias("_g"),

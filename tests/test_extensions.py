@@ -508,3 +508,30 @@ def test_text_semantic_neardup_finds_exact_copies(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 1.0}, pairs
+
+
+def test_fuzzy_name_pairs_gram_df_cap(spark):
+    """Hot-gram guard: a boilerplate prefix shared by every name (its
+    grams' df == |names|) is evicted from the blocking vocabulary by
+    max_gram_df, so the only candidate pairs left are those sharing a
+    DISCRIMINATIVE gram — and true near-dup pairs still surface
+    through their distinctive grams."""
+    rows = [(i, f"acme holdings unit{i:02d}") for i in range(20)]
+    rows.append((100, "acme holdings unit05x"))  # near-dup of unit05
+    df = spark.createDataFrame(rows, "id long, name string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.fuzzy_name_pairs(
+            df, "id", "name", max_dist=2, q=3, max_gram_df=10
+        ).collect()
+    }
+    # the planted pair survives via its "unit05"-specific grams
+    assert (5, 100) in capped
+    # uncapped finds at least as much (cap only removes candidates)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.fuzzy_name_pairs(
+            df, "id", "name", max_dist=2, q=3
+        ).collect()
+    }
+    assert capped <= uncapped
