@@ -7,9 +7,11 @@ entirely from JVM-side ``pyspark.sql.functions`` so they stay inside
 whole-stage codegen — no Python in the hot path.
 
 Cross-engine determinism: only +,-,*,/ on doubles, integer counts, and
-``floor``-based rounding (``functions/core.py``) — no transcendental
-functions whose libm rounding could differ between Spark and the
-DuckDB oracle.
+``floor``-based rounding (``functions/core.py``) in the hot paths; the
+two transcendental exceptions (``exp`` in the quality-model sigmoid,
+``ln`` in BM25's idf) are det-rounded before any comparison or decimal
+sum, which absorbs any last-ulp libm divergence between Spark and the
+DuckDB oracle (both hash-green every round).
 
 At 100 TB: every operator here is a narrow map over ``documents`` —
 no shuffle at all, fully pipelined with the parquet scan, so
@@ -668,3 +670,70 @@ def feature_hash_audit(documents: DataFrame, dim: int = 64) -> DataFrame:
             6,
         ).alias("weighted_checksum"),
     ).filter(F.col("l2_norm") > 0)
+
+
+def bm25_from_term_state(
+    term_state: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k derived from the (doc_id, term, tf) state table an
+    incrementally-maintained inverted index holds (streaming twin:
+    ``streaming.windows.doc_term_counts_streaming`` keeps exactly this
+    grain as an update-mode aggregate) — same scoring, same
+    determinism discipline, same TakeOrderedAndProject top-k as
+    :func:`bm25_topk`, so full-replay parity is row-exact. The corpus
+    stats (N, avgdl, df) that the scan-based operator computes from
+    raw text fall out of the state table with one aggregate each."""
+    from pyspark.sql import Window
+
+    terms = sorted({t.lower() for t in query_terms})
+    state = term_state.select("doc_id", "term", "tf")
+    doc_len = (
+        state.alias("len_side")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+    )
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        state.alias("tf_side")
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm_tf = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = det_round(idf * norm_tf, 8).cast("decimal(18,8)")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(contrib).cast("double").alias("_s"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    topk = per_doc.orderBy(F.desc("_s"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        topk.withColumn("bm25_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "bm25_rank",
+            "doc_id",
+            det_round(F.col("_s"), 6).alias("bm25_score"),
+            "n_terms_matched",
+        )
+    )

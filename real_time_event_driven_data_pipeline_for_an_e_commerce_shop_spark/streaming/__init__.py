@@ -9,6 +9,7 @@ from .windows import (
     cohort_retention_from_activity,
     daily_value_rollup_streaming,
     dedup_events_stream,
+    doc_term_counts_streaming,
     incremental_dedup_stream,
     funnel_firsts_streaming,
     interval_joined_events_stream,
@@ -23,6 +24,7 @@ __all__ = [
     "cohort_retention_from_activity",
     "daily_value_rollup_streaming",
     "dedup_events_stream",
+    "doc_term_counts_streaming",
     "incremental_dedup_stream",
     "funnel_firsts_streaming",
     "interval_joined_events_stream",

@@ -423,3 +423,30 @@ def incremental_dedup_stream(
         .otherwise(F.lit("new"))
         .alias("status"),
     )
+
+
+def doc_term_counts_streaming(docs_stream: DataFrame) -> DataFrame:
+    """Streaming half of the BM25 retrieval index
+    (``operators.text.bm25_topk``): the (doc_id, term, tf) grain as an
+    incrementally-merged update-mode aggregate — counts are mergeable,
+    so state is one row per distinct (doc, term), the exact inverted-
+    index grain ``text.bm25_from_term_state`` scores from. The
+    ingestion loop becomes: stream maintains term counts, each query
+    is a millisecond batch derivation over the state table — the
+    search-index maintenance pattern, with no reindex-the-corpus
+    step. Full-replay parity vs the scan-based ``bm25_topk`` is
+    asserted in tests/test_streaming.py (row-exact: same decimal
+    contribution sums, same tie-breaks).
+
+    At 100 TB: state is Σ|distinct terms per doc| rows — the size of
+    the inverted index itself; a deployment shards it by term hash
+    (state-store partitioning does this automatically) and snapshots
+    it through the same manifest zone as every other table."""
+    from ..operators.text import tokens
+
+    toks = docs_stream.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )

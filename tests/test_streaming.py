@@ -839,3 +839,55 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert "dup_of_snapshot" in set(got.values())
     # the planted copies collapsed: fewer emitted rows than delta rows
     assert len(got_rows) < delta.count()
+
+
+def test_streaming_bm25_index_matches_batch(spark, tmp_path):
+    """The incrementally-maintained retrieval index: stream documents
+    into the (doc, term, tf) update-mode state, derive BM25 from the
+    final state, and get the scan-based bm25_topk ranking ROW-EXACT
+    (same decimal contribution sums, same tie-breaks) — search-index
+    maintenance without a reindex step."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        doc_term_counts_streaming,
+    )
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        doc_term_counts_streaming(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bm25_state_out")
+        .option("checkpointLocation", str(tmp_path / "ck_bm25"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink keeps every update; counts only grow → max per key
+    # recovers the final state. Snapshot it to parquet before scoring
+    # — exactly what a deployment does (the index state lands in the
+    # zone per epoch), and it gives the scorer's self-joins a clean
+    # relation instead of a memory-view lineage.
+    snap = str(tmp_path / "bm25_state_snapshot")
+    spark.sql(
+        "SELECT doc_id, term, MAX(tf) AS tf FROM bm25_state_out "
+        "GROUP BY doc_id, term"
+    ).write.parquet(snap)
+    state = spark.read.parquet(snap)
+    terms = ["spark", "merge", "vector"]
+    got = [
+        (r["bm25_rank"], r["doc_id"], r["bm25_score"], r["n_terms_matched"])
+        for r in text.bm25_from_term_state(state, terms, k=10).collect()
+    ]
+    want = [
+        (r["bm25_rank"], r["doc_id"], r["bm25_score"], r["n_terms_matched"])
+        for r in text.bm25_topk(docs, terms, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
