@@ -30,6 +30,8 @@ SCALE_DOC_QUERIES = [
     "quality_model",
     "token_count_bpe",
     "bm25_search",
+    "incremental_dedup",
+    "text_semantic_neardup",
 ]
 
 
