@@ -83,6 +83,8 @@ HEADLINE = [
     "incremental_dedup",
     "hybrid_search_rrf",
     "fuzzy_name_pairs",
+    "lm_perplexity",
+    "source_quota_sample",
 ]
 
 

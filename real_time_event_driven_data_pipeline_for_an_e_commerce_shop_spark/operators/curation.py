@@ -472,3 +472,68 @@ def chunk_documents(
         F.size(F.split("_text", r"\s+")).cast("long").alias("n_tokens"),
         F.md5(F.col("_text").cast("binary")).alias("chunk_md5"),
     )
+
+
+def source_quota_sample(
+    documents: DataFrame,
+    quota: int = 50,
+    stratum_col: str = "source",
+    seed: str = "q42",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Exact per-source quota sampling — the domain-balancing pass a
+    web-scale corpus runs so no single crawl domain dominates the
+    training mix (the Common Crawl recipe caps documents per domain;
+    here ``source`` is the domain column). Keeps AT MOST ``quota``
+    docs per stratum, chosen by deterministic hash rank, so the result
+    is reproducible, auditable, and stable under re-partitioning and
+    incremental re-runs — the same discipline as
+    :func:`stratified_sample_flags`, which answers "keep X‰ of each
+    stratum"; this answers "keep at most N of each stratum".
+
+    Scale shape (the naive plan — ``row_number`` over every stratum —
+    single-task-sorts a hot domain's entire partition, exactly the
+    skew this engine bans):
+
+    1. per-stratum counts (one narrow aggregate) broadcast back;
+    2. hash PRE-FILTER: keep a row as *candidate* iff its 48-bit key
+       hash falls below ``min(1, oversample·quota/n)`` of the hash
+       space — a stateless scan-fused map that cuts a hot stratum
+       from |stratum| rows to ~``oversample·quota`` BEFORE any sort;
+    3. exact trim: ``row_number`` per stratum over (hash, doc_id) on
+       the surviving candidates only — every partition the window
+       sorts is O(oversample·quota), independent of stratum size.
+
+    The oversampling factor bounds the (astronomically small) chance a
+    stratum with > quota rows yields < quota candidates: candidates ~
+    Binomial(n, 4q/n), P(< q) < exp(-9q/8) by Chernoff — at q=50
+    that is e^-56; the DuckDB oracle mirrors the full pipeline
+    including the pre-filter, so even that tail case stays hash-green.
+    """
+    max_hash = float(1 << 48)  # md5_long(hex_chars=12) upper bound
+    key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
+    h = md5_long(key)
+    counts = documents.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_stratum")
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(oversample * quota)) / F.col("n_stratum").cast("double"),
+    )
+    cand = (
+        documents.select("doc_id", stratum_col)
+        .withColumn("_h", h)
+        .join(F.broadcast(counts), stratum_col)
+        .filter(F.col("_h").cast("double") < p * F.lit(max_hash))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= quota)
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            "n_stratum",
+            "sample_rank",
+            "doc_id",
+        )
+    )

@@ -737,3 +737,68 @@ def bm25_from_term_state(
             "n_terms_matched",
         )
     )
+
+
+def lm_perplexity(
+    documents: DataFrame, threshold: float = 800.0
+) -> DataFrame:
+    """Unigram language-model perplexity filter — the CCNet-style
+    quality signal: train a maximum-likelihood unigram LM on the
+    corpus ITSELF (one aggregate), score every document by its average
+    negative log-likelihood under that model, and flag outliers. Docs
+    whose token distribution diverges from the corpus (boilerplate,
+    lorem-ipsum runs, wrong-language fragments, token soup) score HIGH
+    perplexity; docs made of corpus-typical tokens score low. CCNet
+    ranks Common Crawl with a 5-gram KenLM the same way; the unigram
+    model is the deterministic, oracle-checkable core of that recipe
+    with the same plan shape an n-gram upgrade would use (the n-gram
+    table just gets a composite key).
+
+    No smoothing is needed: every scored token exists in the training
+    corpus by construction (the model trains on the same rows it
+    scores), so p(t) = count(t) / N is never zero.
+
+    Determinism: ln is the one transcendental; each per-term
+    contribution ``tf · ln(ct/N)`` is det-rounded to 8 digits and
+    summed as DECIMAL(28,8) (order-free), the same discipline as
+    BM25's idf — and ``exp`` at the end is det-rounded to 4.
+
+    At 100 TB: explode collapses map-side into the (doc, term) tf
+    aggregate (shuffle 1, carries |distinct doc-term| not the token
+    stream); term counts reduce from tf (shuffle 2, |vocab| rows); the
+    scoring join re-keys tf by term (shuffle 3 — vocab is unbounded at
+    corpus scale, so the model side is NOT broadcast; AQE picks the
+    join strategy and splits hot-term skew); the per-doc roll-up is
+    shuffle 4. Every stage is key-partitioned; the only scalar is the
+    one-row token total, broadcast like every corpus stat here.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = model.agg(F.sum("ct").cast("double").alias("n_total"))
+    contrib = det_round(
+        F.col("tf")
+        * F.log(F.col("ct").cast("double") / F.col("n_total")),
+        8,
+    ).cast("decimal(28,8)")
+    per_doc = (
+        tf.join(model, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(contrib).cast("double").alias("_s"),
+        )
+    )
+    avg_logp = F.col("_s") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        det_round(avg_logp, 6).alias("avg_logp"),
+        det_round(F.exp(-avg_logp), 4).alias("perplexity"),
+        (det_round(F.exp(-avg_logp), 4) > F.lit(threshold)).alias(
+            "high_perplexity"
+        ),
+    )

@@ -37,6 +37,7 @@ from .sinks.files import (
     write_processed_zone,
     write_validated_zone,
     write_validated_zone_bucketed,
+    write_zordered_zone,
 )
 from .sinks.kv import KeyedParquetUpsertSink
 from .sources.readers import load_ecommerce_csv, require_inputs
@@ -51,6 +52,7 @@ def run(
     bucketed_validated: bool = False,
     archive: bool = False,
     zone_partition_year: bool = True,
+    zone_layout: str | None = None,
 ) -> dict[str, str]:
     """Execute the full validate→transform pipeline; returns output paths.
 
@@ -74,13 +76,51 @@ def run(
     YEAR deliberately — finer grains multiply (partitions × buckets)
     files; a month grain measured 2,700 files/table at factor 10
     (BASELINE.md). ``zone_partition_year=False`` restores the flat
-    bucketed layout."""
+    bucketed layout.
+
+    ``zone_layout="zorder"`` (ROADMAP r6 #2) materializes the validated
+    zone Morton-clustered instead (``sinks.files.write_zordered_zone``):
+    orders on ``(order_date, user_id)``, items on ``(order_id,
+    product_id)`` — the layout for SCAN-heavy deployments, where box
+    probes on either clustered dimension (a date window × a user band,
+    an order range × a product band) prune row groups that a
+    single-column sort or a bucket layout cannot (pruning matrix in
+    BASELINE.md). Mutually exclusive with ``bucketed_validated``: a
+    table has ONE physical row order, and re-sorting by z-value inside
+    buckets would break the sortBy metadata the Exchange-free join
+    relies on. The per-table clustering domains come back in
+    ``paths["zorder_domains"]`` so incremental writers can reuse them.
+    """
+    if zone_layout not in (None, "zorder"):
+        raise ValueError(f"unknown zone_layout: {zone_layout!r}")
+    if zone_layout == "zorder" and bucketed_validated:
+        raise ValueError(
+            "zone_layout='zorder' and bucketed_validated are mutually "
+            "exclusive — one physical row order per table; pick the "
+            "join-bound (bucketed) or scan-bound (zorder) layout"
+        )
     require_inputs(raw_dir)  # S3 readiness gate
     raw = load_ecommerce_csv(spark, raw_dir)
     valid = validate.run_validation(raw["products"], raw["orders"], raw["order_items"])
 
     paths = {}
-    if materialize_validated or bucketed_validated:
+    if zone_layout == "zorder":
+        vdir = os.path.join(out_dir, "validated")
+        zcols = {
+            "orders": ["order_date", "user_id"],
+            "order_items": ["order_id", "product_id"],
+        }
+        domains: dict[str, dict] = {}
+        for name, df in valid.items():
+            dest = os.path.join(vdir, name)
+            cols = zcols.get(name)
+            if cols and all(c in df.columns for c in cols):
+                domains[name] = write_zordered_zone(df, dest, cols)
+            else:  # dimensions stay flat — nothing to cluster
+                df.write.mode("overwrite").parquet(dest)
+        paths["validated"] = vdir
+        paths["zorder_domains"] = repr(domains)
+    elif materialize_validated or bucketed_validated:
         vdir = os.path.join(out_dir, "validated")
         if bucketed_validated:
             zone = dict(valid)

@@ -3649,6 +3649,98 @@ def q_text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lm_perplexity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    model AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS ct FROM tf GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS n_total FROM model),
+    per_doc AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST({round_sql(
+                   "tf.tf * ln(CAST(m.ct AS DOUBLE) / t.n_total)", 8
+               )} AS DECIMAL(28,8))) AS DOUBLE) AS s
+        FROM tf JOIN model m USING (term) CROSS JOIN tot t
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {round_sql("s / n_tokens", 6)} AS avg_logp,
+           {round_sql("exp(-(s / n_tokens))", 4)} AS perplexity,
+           ({round_sql("exp(-(s / n_tokens))", 4)} > 800.0)
+               AS high_perplexity
+    FROM per_doc
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: corpus-self-trained unigram LM,
+    per-doc perplexity, outliers flagged. The deterministic core of
+    the KenLM filtering recipe — every contribution det-rounded and
+    decimal-summed so the transcendental ln/exp never break the
+    cross-engine hash."""
+    t = _t(spark, sf_dir, "documents")
+    return text.lm_perplexity(t["documents"], threshold=800.0)
+
+
+def _source_quota_oracle(
+    quota: int, seed: str, oversample: float
+) -> str:
+    h = sql_md5_long(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH n AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_stratum
+        FROM documents GROUP BY source
+    ),
+    h AS (
+        SELECT doc_id, source, {h} AS _h FROM documents
+    ),
+    cand AS (
+        SELECT h.doc_id, h.source, h._h, n.n_stratum
+        FROM h JOIN n USING (source)
+        WHERE CAST(h._h AS DOUBLE)
+              < LEAST(1.0, {float(oversample * quota)!r}
+                           / CAST(n.n_stratum AS DOUBLE))
+                * 281474976710656.0
+    ),
+    r AS (
+        SELECT source, n_stratum, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY _h ASC, doc_id ASC
+               ) AS BIGINT) AS sample_rank
+        FROM cand
+    )
+    SELECT source AS stratum, n_stratum, sample_rank, doc_id
+    FROM r WHERE sample_rank <= {quota}
+    """
+
+
+@query(
+    "source_quota_sample",
+    oracle=_source_quota_oracle(8, "q42", 2.0),
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balancing quota sampler: at most N docs per source,
+    picked by deterministic hash rank with an oversampled hash
+    pre-filter so no window ever sorts a hot domain's full partition
+    (oversample=2 makes the pre-filter non-vacuous at sf0.01: it
+    rejects ~36% of each 25-doc source before the ranking window)."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.source_quota_sample(
+        t["documents"], quota=8, stratum_col="source",
+        seed="q42", oversample=2.0,
+    )
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3663,6 +3755,8 @@ def q_text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # Group A — round-6 new queries + rewrites. Every entry whose code
     # changed after the r5 sweep must appear here (VERDICT r5 gap #2).
+    "lm_perplexity",
+    "source_quota_sample",
     "bm25_search",
     "incremental_dedup",
     "hybrid_search_rrf",

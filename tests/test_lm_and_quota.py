@@ -1,0 +1,226 @@
+"""Unit tests for the round-6 additions: the corpus-self-trained
+unigram-LM perplexity filter (CCNet-style quality signal) and the
+exact per-source quota sampler (domain balancing), plus the z-order
+validated-zone pipeline option.
+
+The quota sampler's gate is a full pure-Python mirror of the pipeline
+(hash, pre-filter, rank) — the same independent-recomputation
+discipline as the DuckDB oracles, so a hash, probability, or ranking
+drift fails loudly with the exact divergent rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    curation,
+    text,
+)
+
+
+def docs_df(spark, rows, sources=None):
+    sources = sources or ["src"] * len(rows)
+    return spark.createDataFrame(
+        [
+            (i, t, "en", s, len(t))
+            for i, (t, s) in enumerate(zip(rows, sources))
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+# --- lm_perplexity ------------------------------------------------------
+
+
+def test_lm_perplexity_hand_computed(spark):
+    # corpus: tokens a(2) b(1) c(1), N=4
+    # doc0 "a a b": probs .5 .5 .25 → ppl = (1/(0.5*0.5*0.25))^(1/3)
+    # doc1 "c":     prob .25        → ppl = 4
+    out = {
+        r["doc_id"]: r
+        for r in text.lm_perplexity(docs_df(spark, ["a a b", "c"])).collect()
+    }
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 1
+    assert out[0]["perplexity"] == pytest.approx(16 ** (1 / 3), abs=1e-3)
+    assert out[1]["perplexity"] == pytest.approx(4.0, abs=1e-4)
+    assert out[0]["avg_logp"] == pytest.approx(
+        (2 * math.log(0.5) + math.log(0.25)) / 3, abs=1e-5
+    )
+    assert not out[0]["high_perplexity"]
+
+
+def test_lm_perplexity_flags_corpus_atypical_docs(spark):
+    # 9 docs of corpus-typical tokens + 1 doc of tokens seen nowhere
+    # else: the outlier must carry the highest perplexity
+    rows = ["the cat sat on the mat"] * 9 + ["zyx qwv jkl pqr"]
+    out = text.lm_perplexity(docs_df(spark, rows)).collect()
+    by_ppl = sorted(out, key=lambda r: r["perplexity"])
+    assert by_ppl[-1]["doc_id"] == 9
+    assert by_ppl[-1]["perplexity"] > 10 * by_ppl[0]["perplexity"]
+
+
+# --- source_quota_sample ------------------------------------------------
+
+
+def _mirror(doc_rows, quota, seed, oversample):
+    """Pure-Python replica of the operator: 48-bit md5 hash,
+    per-stratum oversampled pre-filter, (hash, doc_id) rank trim."""
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for doc_id, source in doc_rows:
+        h = int(
+            hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:12], 16
+        )
+        by_src[source].append((h, doc_id))
+    expect = set()
+    for source, rows in by_src.items():
+        p = min(1.0, oversample * quota / len(rows))
+        cand = sorted(r for r in rows if r[0] < p * float(1 << 48))
+        for rank, (h, doc_id) in enumerate(cand[:quota], start=1):
+            expect.add((source, len(rows), rank, doc_id))
+    return expect
+
+
+def test_source_quota_sample_matches_python_mirror(spark):
+    rows = ["tok"] * 36
+    sources = ["big"] * 30 + ["mid"] * 5 + ["solo"]
+    df = docs_df(spark, rows, sources)
+    got = {
+        (r["stratum"], r["n_stratum"], r["sample_rank"], r["doc_id"])
+        for r in curation.source_quota_sample(
+            df, quota=3, seed="q42", oversample=4.0
+        ).collect()
+    }
+    expect = _mirror(
+        [(i, s) for i, s in enumerate(sources)], 3, "q42", 4.0
+    )
+    assert got == expect
+    # quota respected per stratum; strata smaller than quota keep all
+    per_src = {}
+    for s, _, _, _ in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert per_src["big"] == 3 and per_src["mid"] == 3
+    assert per_src["solo"] == 1
+
+
+def test_source_quota_sample_stable_under_repartition(spark):
+    rows = ["tok"] * 40
+    sources = [f"s{i % 4}" for i in range(40)]
+    df = docs_df(spark, rows, sources)
+    a = set(
+        map(
+            tuple,
+            curation.source_quota_sample(df, quota=5).collect(),
+        )
+    )
+    b = set(
+        map(
+            tuple,
+            curation.source_quota_sample(
+                df.repartition(7, "doc_id"), quota=5
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 20
+
+
+def test_source_quota_prefilter_actually_filters(spark):
+    # tight oversample on a hot stratum: the candidate pre-filter must
+    # reject rows BEFORE the ranking window (p = 1.5*4/200 = 3%), and
+    # the trim still returns exactly quota rows when enough survive
+    rows = ["tok"] * 200
+    df = docs_df(spark, rows, ["hot"] * 200)
+    out = curation.source_quota_sample(
+        df, quota=4, seed="q42", oversample=1.5
+    )
+    expect = _mirror([(i, "hot") for i in range(200)], 4, "q42", 1.5)
+    got = {
+        (r["stratum"], r["n_stratum"], r["sample_rank"], r["doc_id"])
+        for r in out.collect()
+    }
+    assert got == expect
+    assert len(got) <= 4
+    # the plan filters on the hash bound below the window (scan-fused),
+    # so the window never sees the full stratum
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "Filter" in plan
+
+
+# --- pipeline zone_layout="zorder" --------------------------------------
+
+
+def _write_raw(tmp_path):
+    raw = tmp_path / "raw"
+    (raw / "orders").mkdir(parents=True)
+    (raw / "order_items").mkdir(parents=True)
+    (raw / "products.csv").write_text(
+        "id,sku,cost,category,name,brand,retail_price,department\n"
+        "1,A-1,5.0,Electronics,Widget,Acme,10.0,Gadgets\n"
+        "2,B-2,2.0,Books,Novel,Pub,8.0,Media\n"
+    )
+    (raw / "orders" / "part1.csv").write_text(
+        "order_id,user_id,status,created_at,returned_at,shipped_at,"
+        "delivered_at,num_of_item\n"
+        + "".join(
+            f"{i},{100 + i % 7},delivered,2025-03-{8 + i % 20:02d}T10:00:00,,"
+            f"2025-03-28T12:00:00,2025-03-29T10:00:00,1\n"
+            for i in range(1, 41)
+        )
+    )
+    (raw / "order_items" / "part1.csv").write_text(
+        "id,order_id,user_id,product_id,status,created_at,shipped_at,"
+        "delivered_at,returned_at,sale_price\n"
+        + "".join(
+            f"{i + 9},{i},{100 + i % 7},{1 + i % 2},delivered,"
+            f"2025-03-{8 + i % 20:02d}T10:00:00,2025-03-28T12:00:00,"
+            f"2025-03-29T10:00:00,,10.0\n"
+            for i in range(1, 41)
+        )
+    )
+    return raw
+
+
+def test_pipeline_zorder_zone(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import (
+        pipeline_batch,
+    )
+
+    raw = _write_raw(tmp_path)
+    paths = pipeline_batch.run(
+        spark, str(raw), str(tmp_path / "out"), zone_layout="zorder"
+    )
+    orders = spark.read.parquet(paths["validated"] + "/orders")
+    items = spark.read.parquet(paths["validated"] + "/order_items")
+    assert orders.count() == 40 and items.count() == 40
+    domains = eval(paths["zorder_domains"])  # repr of plain dicts
+    assert set(domains) == {"orders", "order_items"}
+    assert set(domains["orders"]) == {"order_date", "user_id"}
+    lo, hi = domains["orders"]["user_id"]
+    assert lo == 100.0 and hi == 106.0
+    # KPIs still produced alongside the clustered zone
+    assert spark.read.parquet(paths["category_kpi"]).count() > 0
+
+
+def test_pipeline_zorder_excludes_bucketed(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import (
+        pipeline_batch,
+    )
+
+    raw = _write_raw(tmp_path)
+    with pytest.raises(ValueError, match="mutually"):
+        pipeline_batch.run(
+            spark,
+            str(raw),
+            str(tmp_path / "out2"),
+            zone_layout="zorder",
+            bucketed_validated=True,
+        )
+    with pytest.raises(ValueError, match="unknown zone_layout"):
+        pipeline_batch.run(
+            spark, str(raw), str(tmp_path / "out3"), zone_layout="hilbert"
+        )

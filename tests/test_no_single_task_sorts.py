@@ -79,6 +79,7 @@ def test_query_plan_has_no_single_task_sort(spark, name):
 #: name -> why the nested-loop join's build side is bounded there.
 ALLOWED_BNL_JOINS: dict[str, str] = {
     "bm25_search": "one-row corpus stats (N, avgdl) broadcast",
+    "lm_perplexity": "one-row corpus token total broadcast",
     "market_basket": "one-row order-count total broadcast",
     "global_sales_opportunity": "one-row global threshold broadcast",
     "important_parts": "per-part avg-quantity thresholds broadcast (Q17 shape)",
