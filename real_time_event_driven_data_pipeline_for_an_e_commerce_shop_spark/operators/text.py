@@ -776,6 +776,23 @@ def lm_perplexity(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return lm_perplexity_from_term_state(tf, threshold=threshold)
+
+
+def lm_perplexity_from_term_state(
+    term_state: DataFrame, threshold: float = 800.0
+) -> DataFrame:
+    """:func:`lm_perplexity` scored from a (doc_id, term, tf) state
+    table instead of raw text — the SAME grain the streaming inverted
+    index maintains (``streaming.windows.doc_term_counts_streaming``,
+    already feeding :func:`bm25_from_term_state`), so one update-mode
+    aggregate serves both the retrieval tier AND the LM quality
+    filter: stream keeps counts, each scoring run is a batch
+    derivation over the state with zero re-tokenization. Full-replay
+    parity vs the scan-based operator is row-exact by construction
+    (identical plan after the tf grain; asserted in
+    tests/test_streaming.py)."""
+    tf = term_state.select("doc_id", "term", "tf")
     model = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     total = model.agg(F.sum("ct").cast("double").alias("n_total"))
     contrib = det_round(

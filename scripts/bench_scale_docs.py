@@ -32,6 +32,8 @@ SCALE_DOC_QUERIES = [
     "bm25_search",
     "incremental_dedup",
     "text_semantic_neardup",
+    "lm_perplexity",
+    "source_quota_sample",
 ]
 
 

@@ -891,3 +891,49 @@ def test_streaming_bm25_index_matches_batch(spark, tmp_path):
         for r in text.bm25_topk(docs, terms, k=10).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_streaming_lm_perplexity_matches_batch(spark, tmp_path):
+    """One streamed state, two consumers: the SAME (doc, term, tf)
+    update-mode state that serves the BM25 index also scores the
+    unigram-LM perplexity filter — full-replay parity vs the
+    scan-based lm_perplexity must be row-exact (identical plan after
+    the tf grain)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        doc_term_counts_streaming,
+    )
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        doc_term_counts_streaming(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lm_state_out")
+        .option("checkpointLocation", str(tmp_path / "ck_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = str(tmp_path / "lm_state_snapshot")
+    spark.sql(
+        "SELECT doc_id, term, MAX(tf) AS tf FROM lm_state_out "
+        "GROUP BY doc_id, term"
+    ).write.parquet(snap)
+    state = spark.read.parquet(snap)
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in text.lm_perplexity_from_term_state(state).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in text.lm_perplexity(docs).collect()
+    }
+    assert got == want and len(got) == docs.count()
