@@ -509,6 +509,12 @@ def source_quota_sample(
     Binomial(n, 4q/n), P(< q) < exp(-9q/8) by Chernoff — at q=50
     that is e^-56; the DuckDB oracle mirrors the full pipeline
     including the pre-filter, so even that tail case stays hash-green.
+
+    Rows with a NULL stratum are excluded (the count join-back is an
+    equi-join, and SQL equi-joins drop null keys on both engines) —
+    matching the null-group-drop rule the KPI tier inherits from the
+    reference; pre-bucket nulls into a sentinel stratum upstream if
+    they must be kept.
     """
     max_hash = float(1 << 48)  # md5_long(hex_chars=12) upper bound
     key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
@@ -535,5 +541,61 @@ def source_quota_sample(
             "n_stratum",
             "sample_rank",
             "doc_id",
+        )
+    )
+
+
+def mixture_weights(
+    documents: DataFrame,
+    alpha: float = 0.3,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled corpus mixture weights — the rebalancing
+    recipe multilingual / multi-domain training mixes use (XLM-R's
+    exponentiated-smoothing, α≈0.3): a stratum holding data fraction
+    p_s trains with probability q_s ∝ p_s^α, which upweights rare
+    strata and damps dominant ones (α=1 → sample as-is, α=0 →
+    uniform). Emits, per stratum: the observed fraction ``p_data``,
+    the target fraction ``p_sample``, the per-doc ``sample_weight``
+    q/p a sampler or loss-weighting consumes, and ``target_docs`` at
+    an N-doc budget.
+
+    Pairs with :func:`source_quota_sample` / \
+    :func:`stratified_sample_flags`: this operator decides HOW MUCH of
+    each stratum the mix wants; those execute the per-row keep
+    decisions.
+
+    Determinism: ``pow`` is transcendental, so each p_s^α is
+    det-rounded to 8 digits and the normalizer Σ p_t^α is summed as
+    DECIMAL (strata summation order must not move the result — the
+    same rule as every money sum). Scale shape: one stratum aggregate
+    (strata can number millions of domains — stays distributed), two
+    one-row scalar broadcasts (corpus total, normalizer); nothing else
+    moves.
+    """
+    counts = documents.groupBy(
+        F.col(stratum_col).alias("stratum")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").cast("double").alias("n_total"))
+    pa = det_round(
+        F.pow(F.col("n_docs").cast("double") / F.col("n_total"), F.lit(alpha)),
+        8,
+    ).cast("decimal(18,8)")
+    with_pa = counts.crossJoin(F.broadcast(total)).withColumn("_pa", pa)
+    z = with_pa.agg(F.sum("_pa").cast("double").alias("_z"))
+    p_data = F.col("n_docs").cast("double") / F.col("n_total")
+    p_sample = F.col("_pa").cast("double") / F.col("_z")
+    q6 = det_round(p_sample, 6)
+    return (
+        with_pa.crossJoin(F.broadcast(z))
+        .select(
+            "stratum",
+            "n_docs",
+            det_round(p_data, 6).alias("p_data"),
+            q6.alias("p_sample"),
+            det_round(p_sample / p_data, 6).alias("sample_weight"),
+            F.floor(q6 * F.col("n_total") + F.lit(0.5))
+            .cast("long")
+            .alias("target_docs"),
         )
     )

@@ -3566,14 +3566,17 @@ def q_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.feature_hash_audit(t["documents"], dim=64)
 
 
-def _srp_bucket_sql(vec: str, dim: int, n_planes: int) -> str:
+def _srp_bucket_sql(
+    vec: str, dim: int, n_planes: int, plane_offset: int = 0
+) -> str:
     """SRP bucket expression with the engine's deterministic plane
     weights embedded as repr'd double literals (same trick as
-    :func:`_srp_oracle`)."""
+    :func:`_srp_oracle`). ``plane_offset`` mirrors
+    ``similarity.srp_bucket``'s disjoint-plane-set hash tables."""
     terms = []
     for p in range(n_planes):
         plane = "[" + ", ".join(
-            repr(w) for w in similarity._srp_plane(dim, p)
+            repr(w) for w in similarity._srp_plane(dim, plane_offset + p)
         ) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product({vec}, {plane}) >= 0"
@@ -3582,10 +3585,10 @@ def _srp_bucket_sql(vec: str, dim: int, n_planes: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-@query(
-    "text_semantic_neardup",
-    oracle=f"""
-    WITH tok AS (
+# shared CTE chain: documents → 64-dim L2-normalized feature-hash
+# vectors (mirror of text.feature_hash_vectors) — used by both
+# semantic-neardup oracles below
+_FH_VZ_CTES = f"""tok AS (
         SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS term FROM documents
     ),
     hb AS (
@@ -3611,7 +3614,13 @@ def _srp_bucket_sql(vec: str, dim: int, n_planes: int) -> str:
                     ORDER BY f.b) AS vec
         FROM filled f JOIN live lv ON f.doc_id = lv.doc_id
         GROUP BY f.doc_id
-    ),
+    )"""
+
+
+@query(
+    "text_semantic_neardup",
+    oracle=f"""
+    WITH {_FH_VZ_CTES},
     bk AS (
         SELECT doc_id, vec, {_srp_bucket_sql("vec", 64, 8)} AS bucket
         FROM vz
@@ -3741,6 +3750,94 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_neardup_scaled",
+    oracle=f"""
+    WITH {_FH_VZ_CTES},
+    bk AS (
+        SELECT doc_id, vec,
+               {_srp_bucket_sql("vec", 64, 12, 0)} AS b1,
+               {_srp_bucket_sql("vec", 64, 12, 12)} AS b2
+        FROM vz
+    ),
+    cand AS (
+        SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        FROM bk a JOIN bk b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        FROM bk a JOIN bk b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.vec_a, c.vec_b, {round_sql(SQL_COS, 6)} AS cosine_sim
+        FROM cand c
+        JOIN bk a ON c.vec_a = a.doc_id
+        JOIN bk b ON c.vec_b = b.doc_id
+    )
+    SELECT * FROM pairs WHERE cosine_sim >= 0.8
+    """,
+)
+def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup chain on its CORPUS-SCALE blocking: SRP
+    AND-OR construction — r planes × 2 disjoint-plane tables OR'd,
+    id-only candidates distinct-ed before one cosine verify. r=12
+    here (≈ log2 n at sf0.01, and the oracle must pin the plane set);
+    at a ×30 corpus the same rule gives r=18, measured 181.6 s vs the
+    8-plane single-table gate's 912.7 s (BASELINE.md) — blocking cost
+    tracks corpus size only through the r ≈ log2(n) contract, while
+    recall at sf0.01 RISES vs the 8-plane gate (1037 vs 813 pairs:
+    two OR'd tables beat one wider-bucket table)."""
+    t = _t(spark, sf_dir, "documents")
+    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    return similarity.embedding_near_dups_multitable(
+        vecs,
+        threshold=0.8,
+        dim=64,
+        n_planes=12,
+        n_tables=2,
+        id_col="doc_id",
+        vec_col="feature_vec",
+    )
+
+
+@query(
+    "mixture_weights",
+    oracle=f"""
+    WITH c AS (
+        SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total FROM c),
+    pw AS (
+        SELECT c.stratum, c.n_docs, t.n_total,
+               CAST({round_sql(
+                   "pow(CAST(c.n_docs AS DOUBLE) / t.n_total, 0.3)", 8
+               )} AS DECIMAL(18,8)) AS pa
+        FROM c CROSS JOIN t
+    ),
+    z AS (SELECT CAST(SUM(pa) AS DOUBLE) AS z FROM pw)
+    SELECT stratum, n_docs,
+           {round_sql("CAST(n_docs AS DOUBLE) / n_total", 6)} AS p_data,
+           {round_sql("CAST(pa AS DOUBLE) / z.z", 6)} AS p_sample,
+           {round_sql(
+               "(CAST(pa AS DOUBLE) / z.z)"
+               " / (CAST(n_docs AS DOUBLE) / n_total)", 6
+           )} AS sample_weight,
+           CAST(FLOOR({round_sql("CAST(pa AS DOUBLE) / z.z", 6)}
+                      * n_total + 0.5) AS BIGINT) AS target_docs
+    FROM pw CROSS JOIN z
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.3, XLM-R-style) per-source mixture
+    weights: q_s ∝ p_s^0.3 upweights rare domains; the pow
+    transcendental is det-rounded and the normalizer decimal-summed
+    so the hash survives cross-engine libm."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.mixture_weights(t["documents"], alpha=0.3)
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3757,6 +3854,8 @@ _SWEEP_PRIORITY = [
     # changed after the r5 sweep must appear here (VERDICT r5 gap #2).
     "lm_perplexity",
     "source_quota_sample",
+    "mixture_weights",
+    "semantic_neardup_scaled",
     "bm25_search",
     "incremental_dedup",
     "hybrid_search_rrf",

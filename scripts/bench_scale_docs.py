@@ -31,10 +31,14 @@ SCALE_DOC_QUERIES = [
     "token_count_bpe",
     "bm25_search",
     "incremental_dedup",
-    "text_semantic_neardup",
+    "semantic_neardup_scaled",
     "lm_perplexity",
     "source_quota_sample",
 ]
+# text_semantic_neardup (8-plane single-table) is deliberately NOT in
+# the default list: its 256 buckets stop blocking once the corpus
+# outgrows them (measured once at factor 30: 912.7 s vs the scaled
+# AND-OR blocking — BASELINE.md); re-add manually to reproduce.
 
 
 def main() -> None:
@@ -85,6 +89,32 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, tmp).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+
+        # corpus-sized blocking: r ≈ log2(n) planes (the registered
+        # query pins r=12 for its sf0.01 oracle; at 150k docs the
+        # right r is 16-17) — measures the sizing rule the operator
+        # docstring prescribes
+        import math as _math
+
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+            similarity as _sim,
+            text as _text,
+        )
+
+        r = min(24, int(_math.ceil(_math.log2(max(n_docs, 2)))))
+        t0 = time.perf_counter()
+        _sim.embedding_near_dups_multitable(
+            _text.feature_hash_vectors(
+                spark.read.parquet(f"{tmp}/documents.parquet"), dim=64
+            ),
+            threshold=0.8,
+            dim=64,
+            n_planes=r,
+            n_tables=2,
+            id_col="doc_id",
+            vec_col="feature_vec",
+        ).write.mode("overwrite").format("noop").save()
+        timings[f"semantic_neardup_r{r}"] = round(time.perf_counter() - t0, 3)
 
         print(
             json.dumps(

@@ -535,3 +535,41 @@ def test_fuzzy_name_pairs_gram_df_cap(spark):
         ).collect()
     }
     assert capped <= uncapped
+
+
+def test_multitable_neardup_or_construction(spark):
+    """AND-OR SRP blocking (the corpus-scale semantic-dedup path):
+    exact copies collide in EVERY table (identical sign bits) and emit
+    exactly one cosine-1.0 pair despite colliding twice (distinct
+    before verify); adding tables can only ADD pairs (OR monotonicity)
+    relative to the same planes' first table."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles the hash join across partitions"),
+            (2, "spark shuffles the hash join across partitions"),
+            (3, "roses are red and violets are blue entirely"),
+            (4, "completely different tokens about gardening soil"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = text.feature_hash_vectors(docs, dim=64)
+
+    def pairs(n_tables):
+        return {
+            (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+            for r in similarity.embedding_near_dups_multitable(
+                vecs, threshold=0.8, dim=64, n_planes=12,
+                n_tables=n_tables, id_col="doc_id", vec_col="feature_vec",
+            ).collect()
+        }
+
+    one, two = pairs(1), pairs(2)
+    assert two == {(1, 2): 1.0}, two
+    assert set(one).issubset(set(two))  # OR-construction monotone
+    # verify-once: the (1,2) pair collides in both tables but the
+    # distinct()-before-verify emits it exactly once
+    rows = similarity.embedding_near_dups_multitable(
+        vecs, threshold=0.8, dim=64, n_planes=12, n_tables=2,
+        id_col="doc_id", vec_col="feature_vec",
+    ).collect()
+    assert len(rows) == len({(r["vec_a"], r["vec_b"]) for r in rows})

@@ -224,3 +224,40 @@ def test_pipeline_zorder_excludes_bucketed(spark, tmp_path):
         pipeline_batch.run(
             spark, str(raw), str(tmp_path / "out3"), zone_layout="hilbert"
         )
+
+
+# --- mixture_weights ----------------------------------------------------
+
+
+def test_mixture_weights_alpha_law(spark):
+    # strata 80/16/4: alpha<1 upweights rare, damps dominant;
+    # fractions must renormalize to 1 and targets to ~N
+    rows = ["tok"] * 100
+    sources = ["big"] * 80 + ["mid"] * 16 + ["rare"] * 4
+    df = docs_df(spark, rows, sources)
+    out = {
+        r["stratum"]: r
+        for r in curation.mixture_weights(df, alpha=0.3).collect()
+    }
+    assert out["big"]["sample_weight"] < 1 < out["rare"]["sample_weight"]
+    assert out["rare"]["sample_weight"] > out["mid"]["sample_weight"]
+    assert sum(r["p_sample"] for r in out.values()) == pytest.approx(1, abs=1e-4)
+    assert sum(r["target_docs"] for r in out.values()) == pytest.approx(100, abs=2)
+    # hand-check one value: q_rare = .04^.3 / (.8^.3 + .16^.3 + .04^.3)
+    z = 0.8**0.3 + 0.16**0.3 + 0.04**0.3
+    assert out["rare"]["p_sample"] == pytest.approx(0.04**0.3 / z, abs=1e-5)
+
+
+def test_mixture_weights_alpha_one_is_identity(spark):
+    rows = ["tok"] * 50
+    sources = ["a"] * 30 + ["b"] * 20
+    out = {
+        r["stratum"]: r
+        for r in curation.mixture_weights(
+            docs_df(spark, rows, sources), alpha=1.0
+        ).collect()
+    }
+    for r in out.values():
+        assert r["sample_weight"] == pytest.approx(1.0, abs=1e-5)
+        assert r["p_sample"] == pytest.approx(r["p_data"], abs=1e-5)
+    assert out["a"]["target_docs"] == 30 and out["b"]["target_docs"] == 20
