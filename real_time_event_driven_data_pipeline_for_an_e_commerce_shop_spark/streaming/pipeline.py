@@ -564,6 +564,75 @@ def compact_manifest_zone(
     return new_dir
 
 
+def vacuum_manifest_zone(
+    spark: SparkSession,
+    table: str,
+    zone_dir: str,
+    name: str,
+    min_age_seconds: float = 24 * 3600,
+) -> dict[str, list[str]]:
+    """Reclaim a manifest zone's dead files — the VACUUM half of the
+    commit log (Delta/Iceberg's retention-guarded file reaper), closing
+    the loop the compactor leaves open on purpose ("the old directory
+    is left for the caller to reap"). Reaps, under one retention guard:
+
+    * **crash-orphan epochs** — on-disk ``_epoch=`` directories with no
+      commit marker. Readers already partition-prune them
+      (:func:`read_manifest_zone`), so they cost a driver-side listing
+      per read and disk forever; after reaping, reads are back to the
+      zero-cost steady state.
+    * **superseded data directories** — previous ``{name}_compact_*``
+      generations, and the original pre-compaction ``{name}`` directory
+      once the catalog points elsewhere. These hold the snapshots
+      ``as_of_epoch`` can no longer reach anyway (compaction truncates
+      history), so only dead weight is removed.
+
+    ``min_age_seconds`` (default 24 h) is the same defense Delta's
+    VACUUM retention window provides: an in-flight epoch being written
+    by a LIVE stream looks exactly like a crash orphan until its marker
+    lands, so only directories older than the guard are touched — pass
+    0 only when the writer is provably stopped (maintenance window).
+    Returns ``{"orphan_epochs": [...], "stale_dirs": [...]}`` of
+    reaped paths. Never touches the manifest directory itself or the
+    current table location; catalog state is never modified, so a
+    concurrent reader of the CURRENT snapshot is unaffected (readers of
+    pre-compaction snapshots lost them at compaction time, not here).
+    """
+    import glob
+    import shutil
+    import time
+
+    loc = os.path.abspath(
+        _table_location(spark, table) or os.path.join(zone_dir, name)
+    )
+    committed = committed_epochs(zone_dir, name)
+    now = time.time()
+    reaped: dict[str, list[str]] = {"orphan_epochs": [], "stale_dirs": []}
+
+    def old_enough(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) >= min_age_seconds
+        except OSError:
+            return False
+
+    for e in sorted(_on_disk_epochs(loc) - committed):
+        p = os.path.join(loc, f"_epoch={e}")
+        if old_enough(p):
+            shutil.rmtree(p, ignore_errors=True)
+            reaped["orphan_epochs"].append(p)
+
+    candidates = glob.glob(os.path.join(zone_dir, f"{name}_compact_*"))
+    original = os.path.join(zone_dir, name)
+    if os.path.isdir(original):
+        candidates.append(original)
+    for d in candidates:
+        d_abs = os.path.abspath(d)
+        if d_abs != loc and old_enough(d_abs):
+            shutil.rmtree(d_abs, ignore_errors=True)
+            reaped["stale_dirs"].append(d_abs)
+    return reaped
+
+
 def read_manifest_zone(
     spark: SparkSession,
     tables: dict[str, str],

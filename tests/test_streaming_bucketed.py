@@ -576,3 +576,90 @@ def test_corpus_ingest_dedup_manifest_end_to_end(spark, tmp_path):
         assert n_fp == len(rows) == 3
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_manifest_zone_vacuum(spark, tmp_path):
+    """vacuum_manifest_zone — the retention-guarded file reaper: young
+    directories survive (a live writer's in-flight epoch looks like an
+    orphan until its marker lands), aged crash orphans and superseded
+    data generations are reaped, the current snapshot never changes,
+    and the manifest/catalog are untouched."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _land_epoch,
+        committed_epochs,
+        compact_manifest_zone,
+        read_manifest_zone,
+        vacuum_manifest_zone,
+    )
+
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    tbl = "manifest_vacuum_test_orders"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "order_id long, order_date string"
+        )
+        for ep, rows in ((0, [(1, "2025-03-08")]), (1, [(2, "2025-03-09")])):
+            _land_epoch(
+                spark, mk(rows), tbl, f"{zone}/orders", zone, "orders", ep, 4
+            )
+        old_dir = str(tmp_path / "zone" / "orders")
+
+        new_dir = compact_manifest_zone(spark, tbl, zone, "orders", n_buckets=4)
+        # a fresh crash orphan in the LIVE location (files, no marker)
+        (
+            mk([(99, "2025-03-11")]).withColumn("_epoch", F.lit(9))
+            .write.format("parquet").partitionBy("_epoch")
+            .bucketBy(4, "order_id").sortBy("order_id")
+            .mode("append").saveAsTable(tbl)
+        )
+        spark.catalog.refreshTable(tbl)
+        orphan_dir = os.path.join(new_dir, "_epoch=9")
+        assert os.path.isdir(orphan_dir) and os.path.isdir(old_dir)
+
+        # retention guard: everything is seconds old — nothing reaped
+        guarded = vacuum_manifest_zone(
+            spark, tbl, zone, "orders", min_age_seconds=10_000
+        )
+        assert guarded == {"orphan_epochs": [], "stale_dirs": []}
+        assert os.path.isdir(orphan_dir) and os.path.isdir(old_dir)
+
+        # maintenance window (writer stopped): reap everything dead
+        reaped = vacuum_manifest_zone(
+            spark, tbl, zone, "orders", min_age_seconds=0
+        )
+        assert not os.path.isdir(orphan_dir)
+        assert not os.path.isdir(old_dir)
+        assert os.path.isdir(new_dir)  # live location untouched
+        assert [os.path.basename(p) for p in reaped["orphan_epochs"]] == [
+            "_epoch=9"
+        ]
+        assert os.path.abspath(old_dir) in reaped["stale_dirs"]
+        # snapshot identical after vacuum; manifest untouched
+        spark.catalog.refreshTable(tbl)
+        got = read_manifest_zone(spark, {"orders": tbl}, zone)["orders"]
+        assert sorted(r["order_id"] for r in got.collect()) == [1, 2]
+        assert committed_epochs(zone, "orders") == {1}
+
+        # a second compaction strands the first compact dir → reaped next
+        _land_epoch(
+            spark, mk([(3, "2025-03-12")]), tbl, f"{zone}/orders", zone,
+            "orders", 2, 4,
+        )
+        newer_dir = compact_manifest_zone(spark, tbl, zone, "orders", n_buckets=4)
+        reaped2 = vacuum_manifest_zone(
+            spark, tbl, zone, "orders", min_age_seconds=0
+        )
+        assert os.path.abspath(new_dir) in reaped2["stale_dirs"]
+        assert not os.path.isdir(new_dir) and os.path.isdir(newer_dir)
+        spark.catalog.refreshTable(tbl)
+        got2 = read_manifest_zone(spark, {"orders": tbl}, zone)["orders"]
+        assert sorted(r["order_id"] for r in got2.collect()) == [1, 2, 3]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
