@@ -85,6 +85,8 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "lm_perplexity",
     "source_quota_sample",
+    "mixture_weights",
+    "semantic_neardup_scaled",
 ]
 
 

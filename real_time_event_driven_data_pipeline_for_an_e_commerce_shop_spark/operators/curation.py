@@ -46,8 +46,11 @@ from .text import tokens
 #: Redaction patterns, applied IN THIS ORDER (emails before phones so a
 #: digit-bearing local part is consumed as an email; IPv4 before the
 #: generic phone digits so dotted quads never half-match a phone; SSN
-#: last — its 3-2-4 dash shape cannot collide with the +-prefixed phone
-#: or dotted IPv4, so order is cosmetic there).
+#: last among the dashed-digit shapes — its 3-2-4 dash shape cannot
+#: collide with the +-prefixed phone or dotted IPv4, so order is
+#: cosmetic there; card numbers (4-4-4-4) are disjoint from all of the
+#: above — the SSN's \b\d{3}- can never anchor inside a 4-digit group,
+#: so card order is cosmetic too).
 #: Common Java-regex / RE2 subset only — no backreferences, no
 #: lookaround — so Spark and the DuckDB oracle match identically.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
@@ -55,6 +58,7 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\+\d{1,2}-\d{3}-\d{3,10}\b", "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ccard", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "<CC>"),
 )
 
 
@@ -576,6 +580,19 @@ def mixture_weights(
     counts = documents.groupBy(
         F.col(stratum_col).alias("stratum")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+    return mixture_weights_from_counts(counts, alpha=alpha)
+
+
+def mixture_weights_from_counts(
+    counts: DataFrame, alpha: float = 0.3
+) -> DataFrame:
+    """:func:`mixture_weights` derived from an existing per-stratum
+    ``(stratum, n_docs)`` count table — the grain an update-mode
+    streaming aggregate maintains for free (counts are mergeable), so
+    a live ingest keeps stratum counts and the mixture rebalancing is
+    a millisecond batch derivation over that state, never a corpus
+    re-scan (full-replay parity vs the scan-based operator asserted in
+    tests/test_streaming.py, same twin pattern as the BM25/LM state)."""
     total = counts.agg(F.sum("n_docs").cast("double").alias("n_total"))
     pa = det_round(
         F.pow(F.col("n_docs").cast("double") / F.col("n_total"), F.lit(alpha)),

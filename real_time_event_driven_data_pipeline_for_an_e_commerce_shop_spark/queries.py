@@ -2746,6 +2746,7 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3,10}\b"
 _PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_CCARD = r"\b\d{4}-\d{4}-\d{4}-\d{4}\b"
 
 
 def _pii_augmented_sql() -> str:
@@ -2775,6 +2776,11 @@ def _pii_augmented_sql() -> str:
                             || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
                             || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                             || ' end'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' card 4111-1111-1111-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ok'
                        ELSE '' END AS text
         FROM documents
     """
@@ -2787,6 +2793,7 @@ def _pii_redaction_oracle() -> str:
         (_PII_IPV4, "<IP>"),
         (_PII_PHONE, "<PHONE>"),
         (_PII_SSN, "<SSN>"),
+        (_PII_CCARD, "<CC>"),
     ):
         red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
     return f"""
@@ -2800,6 +2807,8 @@ def _pii_redaction_oracle() -> str:
                AS n_phone,
            CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT)
                AS n_ssn,
+           CAST(len(regexp_extract_all(text, '{_PII_CCARD}')) AS BIGINT)
+               AS n_ccard,
            {red} AS redacted_text
     FROM aug
     """
@@ -2854,6 +2863,14 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("-"),
                     F.lpad((d % 10000).cast("string"), 4, "0"),
                     F.lit(" end"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" card 4111-1111-1111-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                    F.lit(" ok"),
                 ),
             ).otherwise(F.lit("")),
         ).alias("text"),
@@ -3856,6 +3873,7 @@ _SWEEP_PRIORITY = [
     "source_quota_sample",
     "mixture_weights",
     "semantic_neardup_scaled",
+    "pii_redaction",         # n_ccard column added after the r5 sweep
     "bm25_search",
     "incremental_dedup",
     "hybrid_search_rrf",

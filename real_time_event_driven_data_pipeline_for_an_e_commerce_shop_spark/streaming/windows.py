@@ -450,3 +450,20 @@ def doc_term_counts_streaming(docs_stream: DataFrame) -> DataFrame:
     return toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
+
+
+def stratum_counts_streaming(
+    docs_stream: DataFrame, stratum_col: str = "source"
+) -> DataFrame:
+    """Per-stratum document counts as an update-mode streaming
+    aggregate — one state row per stratum (domains can number
+    millions; counts are mergeable, so state never grows past
+    |strata|). The grain ``curation.mixture_weights_from_counts``
+    derives the temperature-scaled mixture rebalancing from, making
+    the training-mix weights a millisecond batch derivation over live
+    ingest state instead of a corpus re-scan (full-replay parity vs
+    the scan-based ``mixture_weights`` asserted in
+    tests/test_streaming.py)."""
+    return docs_stream.groupBy(
+        F.col(stratum_col).alias("stratum")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -71,25 +71,34 @@ def test_chunk_dedup_hashed_ubiquitous_chunk_skew(spark):
     assert all(v[1] == v[0] - 1 for k, v in a.items() if k > 0)
 
 
-def test_pii_redaction_covers_all_four_types(spark):
-    # emails, IPv4, phones, SSNs all counted (pre-rewrite) and redacted;
-    # the SSN 3-2-4 shape must not be half-eaten by the phone pattern
+def test_pii_redaction_covers_all_five_types(spark):
+    # emails, IPv4, phones, SSNs, card numbers all counted
+    # (pre-rewrite) and redacted; the SSN 3-2-4 shape must not be
+    # half-eaten by the phone pattern, and the SSN pattern must not
+    # anchor inside a 4-4-4-4 card number
     corpus = docs_df(
         spark,
         [
             "mail a.b@x.io or 1.2.3.4 then +1-555-12345 and 123-45-6789 done",
             "no pii here at all",
+            "pay 4111-1111-1111-1234 thanks",
         ],
     )
     rows = {r["doc_id"]: r for r in curation.redact_pii(corpus).collect()}
     r = rows[0]
     assert (r["n_email"], r["n_ipv4"], r["n_phone"], r["n_ssn"]) == (1, 1, 1, 1)
+    assert r["n_ccard"] == 0
     assert r["redacted_text"] == (
         "mail <EMAIL> or <IP> then <PHONE> and <SSN> done"
     )
     z = rows[1]
-    assert (z["n_email"], z["n_ipv4"], z["n_phone"], z["n_ssn"]) == (0, 0, 0, 0)
+    assert (z["n_email"], z["n_ipv4"], z["n_phone"], z["n_ssn"], z["n_ccard"]) == (
+        0, 0, 0, 0, 0,
+    )
     assert z["redacted_text"] == "no pii here at all"
+    c = rows[2]
+    assert (c["n_ccard"], c["n_ssn"]) == (1, 0)  # no SSN inside the card
+    assert c["redacted_text"] == "pay <CC> thanks"
 
 
 def test_chunk_dedup_hashed_plan_has_no_window(spark):

@@ -937,3 +937,46 @@ def test_streaming_lm_perplexity_matches_batch(spark, tmp_path):
         for r in text.lm_perplexity(docs).collect()
     }
     assert got == want and len(got) == docs.count()
+
+
+def test_streaming_mixture_weights_matches_batch(spark, tmp_path):
+    """Mixture rebalancing off live ingest state: stream documents
+    into the per-stratum count aggregate, derive temperature-scaled
+    mixture weights from the final state, and match the scan-based
+    mixture_weights row-exact."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        stratum_counts_streaming,
+    )
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"].select(
+        "doc_id", "source"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, source string").parquet(src)
+    q = (
+        stratum_counts_streaming(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mix_state_out")
+        .option("checkpointLocation", str(tmp_path / "ck_mix"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.sql(
+        "SELECT stratum, MAX(n_docs) AS n_docs FROM mix_state_out "
+        "GROUP BY stratum"
+    )
+    got = {
+        r["stratum"]: tuple(r)[1:]
+        for r in curation.mixture_weights_from_counts(state, alpha=0.3).collect()
+    }
+    want = {
+        r["stratum"]: tuple(r)[1:]
+        for r in curation.mixture_weights(docs, alpha=0.3).collect()
+    }
+    assert got == want and len(got) > 1
