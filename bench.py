@@ -84,6 +84,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "fuzzy_name_pairs",
     "lm_perplexity",
+    "lm_perplexity_bigram",
     "source_quota_sample",
     "mixture_weights",
     "semantic_neardup_scaled",

@@ -3701,7 +3701,7 @@ def q_text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens,
            {round_sql("s / n_tokens", 6)} AS avg_logp,
            {round_sql("exp(-(s / n_tokens))", 4)} AS perplexity,
-           ({round_sql("exp(-(s / n_tokens))", 4)} > 800.0)
+           ({round_sql("exp(-(s / n_tokens))", 4)} > 35.0)
                AS high_perplexity
     FROM per_doc
     """,
@@ -3711,9 +3711,66 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc perplexity, outliers flagged. The deterministic core of
     the KenLM filtering recipe — every contribution det-rounded and
     decimal-summed so the transcendental ln/exp never break the
-    cross-engine hash."""
+    cross-engine hash. The 35.0 cutoff sits in the synthetic corpus's
+    upper tail (sf0.01 range ≈ 29–40) so the boolean gate is
+    NON-vacuous — both flag values occur (the vacuous-gate trap,
+    ADVICE r1 #1); a real deployment tunes the cutoff per corpus."""
     t = _t(spark, sf_dir, "documents")
-    return text.lm_perplexity(t["documents"], threshold=800.0)
+    return text.lm_perplexity(t["documents"], threshold=35.0)
+
+
+@query(
+    "lm_perplexity_bigram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(2, len(T) + 1),
+                          i -> {{'w1': T[i-1], 'w2': T[i]}})) AS u
+            FROM toks WHERE len(T) >= 2
+        )
+    ),
+    tf AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bg GROUP BY doc_id, w1, w2
+    ),
+    m2 AS (
+        SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS ct2
+        FROM tf GROUP BY w1, w2
+    ),
+    m1 AS (SELECT w1, CAST(SUM(ct2) AS BIGINT) AS ct1 FROM m2 GROUP BY w1),
+    per_doc AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST({round_sql(
+                   "tf.tf * ln(CAST(m2.ct2 AS DOUBLE)"
+                   " / CAST(m1.ct1 AS DOUBLE))", 8
+               )} AS DECIMAL(28,8))) AS DOUBLE) AS s
+        FROM tf
+        JOIN m2 USING (w1, w2)
+        JOIN m1 USING (w1)
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           {round_sql("s / n_bigrams", 6)} AS avg_logp,
+           {round_sql("exp(-(s / n_bigrams))", 4)} AS perplexity,
+           ({round_sql("exp(-(s / n_bigrams))", 4)} > 35.0)
+               AS high_perplexity
+    FROM per_doc
+    """,
+)
+def q_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram upgrade the unigram LM's docstring promises: same
+    four-stage plan, model key widened to (w1, w2), normalizer = the
+    per-context marginal. Conditional perplexity separates
+    corpus-typical WORDS from corpus-typical WORD ORDER — the Wenzek
+    et al. filtering axis at the 2-gram point. Cutoff 35.0 flags the
+    sf0.01 upper tail (range ≈ 26–38), so both flag values occur."""
+    t = _t(spark, sf_dir, "documents")
+    return text.lm_perplexity_bigram(t["documents"], threshold=35.0)
 
 
 def _source_quota_oracle(
@@ -3870,6 +3927,7 @@ _SWEEP_PRIORITY = [
     # Group A — round-6 new queries + rewrites. Every entry whose code
     # changed after the r5 sweep must appear here (VERDICT r5 gap #2).
     "lm_perplexity",
+    "lm_perplexity_bigram",
     "source_quota_sample",
     "mixture_weights",
     "semantic_neardup_scaled",

@@ -261,3 +261,39 @@ def test_mixture_weights_alpha_one_is_identity(spark):
         assert r["sample_weight"] == pytest.approx(1.0, abs=1e-5)
         assert r["p_sample"] == pytest.approx(r["p_data"], abs=1e-5)
     assert out["a"]["target_docs"] == 30 and out["b"]["target_docs"] == 20
+
+
+# --- lm_perplexity_bigram -----------------------------------------------
+
+
+def test_lm_perplexity_bigram_hand_computed(spark):
+    # bigrams: (a,b)x2, (a,c)x1; c(a,.) = 3
+    # docs 0,1 "a b": ppl = 1/(2/3) = 1.5 ; doc 2 "a c": ppl = 3
+    out = {
+        r["doc_id"]: r
+        for r in text.lm_perplexity_bigram(
+            docs_df(spark, ["a b", "a b", "a c"])
+        ).collect()
+    }
+    assert out[0]["n_bigrams"] == 1
+    assert out[0]["perplexity"] == pytest.approx(1.5, abs=1e-4)
+    assert out[2]["perplexity"] == pytest.approx(3.0, abs=1e-4)
+
+
+def test_lm_perplexity_bigram_detects_word_order(spark):
+    # same WORDS, reversed ORDER: invisible to the unigram model,
+    # flagged by the bigram model — the conditional-LM signal
+    rows = ["a b c d"] * 10 + ["d c b a"]
+    uni = {r["doc_id"]: r["perplexity"]
+           for r in text.lm_perplexity(docs_df(spark, rows)).collect()}
+    bi = {r["doc_id"]: r["perplexity"]
+          for r in text.lm_perplexity_bigram(docs_df(spark, rows)).collect()}
+    assert uni[10] == pytest.approx(uni[0], abs=1e-3)  # unigram: blind
+    assert bi[10] > 3 * bi[0]  # bigram: the shuffled doc is an outlier
+
+
+def test_lm_perplexity_bigram_drops_sub_bigram_docs(spark):
+    out = text.lm_perplexity_bigram(
+        docs_df(spark, ["solo", "two tokens"])
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]  # 1-token doc has no row
