@@ -296,9 +296,9 @@ def embedding_near_dups_multitable(
     Measured at the ×30 corpus (150k docs, ≈2.2M true near-dup
     pairs): 8-plane single table 912.7 s; r=12 ×2 tables 705.2 s
     (4096 buckets still saturate at this n); r=⌈log2 n⌉=18 ×2 tables
-    181.6 s — within ~2× of ngram_jaccard's 98 s floor for verifying
-    the same true-pair set (BASELINE.md). The sizing rule is the
-    operator's contract: pass ``n_planes ≈ log2(corpus)``.
+    181.6–187.0 s — inside ngram_jaccard's 98–220 s run-to-run band
+    for verifying the same true-pair set (BASELINE.md). The sizing
+    rule is the operator's contract: pass ``n_planes ≈ log2(corpus)``.
     """
     v = embeddings.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")

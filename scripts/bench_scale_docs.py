@@ -33,6 +33,7 @@ SCALE_DOC_QUERIES = [
     "incremental_dedup",
     "semantic_neardup_scaled",
     "lm_perplexity",
+    "lm_perplexity_bigram",
     "source_quota_sample",
 ]
 # text_semantic_neardup (8-plane single-table) is deliberately NOT in
