@@ -88,6 +88,7 @@ HEADLINE = [
     "source_quota_sample",
     "mixture_weights",
     "semantic_neardup_scaled",
+    "source_token_drift",
 ]
 
 

@@ -894,3 +894,64 @@ def lm_perplexity_bigram(
             "high_perplexity"
         ),
     )
+
+
+def source_token_drift(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Per-source token-distribution drift: KL(p_source ‖ p_corpus)
+    over each source's unigram distribution against the whole-corpus
+    distribution — the monitoring pass a continuously-ingesting
+    training pipeline runs to catch a domain whose content shifted
+    (spam flood, template rollout, scraper breakage) before it
+    pollutes the mix. Complements :func:`~..operators.curation.
+    mixture_weights` (which rebalances by VOLUME; this flags by
+    CONTENT) and the daily z-score anomalies (numeric series; this is
+    the token-distribution analogue).
+
+        KL_s = Σ_t p(t|s) · ln( p(t|s) / p(t) )
+
+    summed over terms PRESENT in the source (0·ln0 = 0 terms vanish;
+    p(t) > 0 always — the corpus model is a superset of every source).
+    KL ≥ 0, = 0 iff the source mirrors the corpus exactly.
+
+    Determinism: each term's contribution is det-rounded to 9 and
+    decimal-summed, the engine's transcendental discipline. Scale
+    shape: (stratum, term) counts collapse map-side (shuffle 1), the
+    corpus model reduces from them (shuffle 2, |vocab| rows), the
+    scoring join re-keys by term (shuffle 3 — model NOT broadcast,
+    vocab unbounded), the per-source roll-up is shuffle 4 — the exact
+    plan of :func:`lm_perplexity` with ``doc_id`` swapped for the
+    stratum.
+    """
+    toks = documents.select(
+        F.col(stratum_col).alias("stratum"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    st = toks.groupBy("stratum", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    model = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    s_tot = st.groupBy("stratum").agg(F.sum("c_st").alias("n_s"))
+    total = model.agg(F.sum("c_t").cast("double").alias("n_total"))
+    p_st = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    p_t = F.col("c_t").cast("double") / F.col("n_total")
+    contrib = det_round(p_st * F.log(p_st / p_t), 9).cast("decimal(28,9)")
+    per_source = (
+        st.join(model, "term")
+        .join(s_tot, "stratum")
+        .crossJoin(F.broadcast(total))
+        .groupBy("stratum")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(contrib).cast("double").alias("_kl"),
+        )
+    )
+    return per_source.select(
+        "stratum",
+        "n_tokens",
+        "n_terms",
+        det_round(F.col("_kl"), 6).alias("kl_divergence"),
+        (det_round(F.col("_kl"), 6) > F.lit(threshold)).alias("drifted"),
+    )

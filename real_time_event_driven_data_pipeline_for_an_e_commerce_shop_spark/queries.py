@@ -3912,6 +3912,58 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mixture_weights(t["documents"], alpha=0.3)
 
 
+_KL_PST = "(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+_KL_PT = "(CAST(c_t AS DOUBLE) / n_total)"
+
+
+@query(
+    "source_token_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source AS stratum, unnest({_Q_TOKENS_LOWER}) AS term
+        FROM documents
+    ),
+    st AS (
+        SELECT stratum, term, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM tok GROUP BY stratum, term
+    ),
+    model AS (
+        SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY term
+    ),
+    s_tot AS (
+        SELECT stratum, CAST(SUM(c_st) AS BIGINT) AS n_s
+        FROM st GROUP BY stratum
+    ),
+    tot AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS n_total FROM model),
+    per AS (
+        SELECT st.stratum,
+               CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(CAST({round_sql(
+                   f"{_KL_PST} * ln({_KL_PST} / {_KL_PT})", 9
+               )} AS DECIMAL(28,9))) AS DOUBLE) AS kl
+        FROM st
+        JOIN model USING (term)
+        JOIN s_tot USING (stratum)
+        CROSS JOIN tot
+        GROUP BY st.stratum
+    )
+    SELECT stratum, n_tokens, n_terms,
+           {round_sql("kl", 6)} AS kl_divergence,
+           ({round_sql("kl", 6)} > 0.012) AS drifted
+    FROM per
+    """,
+)
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-drift monitor: KL(p_source ‖ p_corpus) over
+    unigram distributions — flags a domain whose CONTENT diverges from
+    the mix (mixture_weights rebalances by volume; this watches what
+    the tokens actually are). Cutoff 0.012 sits mid-range at sf0.01
+    (0.007–0.015), so both flag values occur."""
+    t = _t(spark, sf_dir, "documents")
+    return text.source_token_drift(t["documents"], threshold=0.012)
+
+
 # --- driver-sweep ordering (keep this block LAST in the module) --------
 #
 # The driver's correctness sweep covers the first 50 registry entries in
@@ -3929,6 +3981,7 @@ _SWEEP_PRIORITY = [
     "lm_perplexity",
     "lm_perplexity_bigram",
     "source_quota_sample",
+    "source_token_drift",
     "mixture_weights",
     "semantic_neardup_scaled",
     "pii_redaction",         # n_ccard column added after the r5 sweep

@@ -31,15 +31,16 @@ SCALE_DOC_QUERIES = [
     "token_count_bpe",
     "bm25_search",
     "incremental_dedup",
-    "semantic_neardup_scaled",
     "lm_perplexity",
     "lm_perplexity_bigram",
     "source_quota_sample",
 ]
-# text_semantic_neardup (8-plane single-table) is deliberately NOT in
-# the default list: its 256 buckets stop blocking once the corpus
-# outgrows them (measured once at factor 30: 912.7 s vs the scaled
-# AND-OR blocking — BASELINE.md); re-add manually to reproduce.
+# text_semantic_neardup (8-plane single-table) and the r=12-pinned
+# semantic_neardup_scaled gate are deliberately NOT in the default
+# list: fixed-r blocking saturates once the corpus outgrows 2^r
+# buckets (measured at factor 30: 912.7 s and 705–862 s respectively,
+# vs ~185 s for the corpus-sized r=log2(n) run below — BASELINE.md);
+# re-add manually to reproduce the saturation numbers.
 
 
 def main() -> None:

@@ -297,3 +297,37 @@ def test_lm_perplexity_bigram_drops_sub_bigram_docs(spark):
         docs_df(spark, ["solo", "two tokens"])
     ).collect()
     assert [r["doc_id"] for r in out] == [1]  # 1-token doc has no row
+
+
+# --- source_token_drift -------------------------------------------------
+
+
+def test_source_token_drift_flags_divergent_source(spark):
+    # two sources drawn from the same phrase + one source of alien
+    # tokens: the alien source must carry (much) higher KL; identical
+    # sources score identically; KL >= 0 everywhere
+    rows = (["the cat sat on the mat"] * 10
+            + ["the cat sat on the mat"] * 10
+            + ["zq wx kv jn pf lr"] * 2)
+    sources = ["a"] * 10 + ["b"] * 10 + ["alien"] * 2
+    out = {
+        r["stratum"]: r
+        for r in text.source_token_drift(
+            docs_df(spark, rows, sources), threshold=0.1
+        ).collect()
+    }
+    assert out["a"]["kl_divergence"] == out["b"]["kl_divergence"]
+    assert out["alien"]["kl_divergence"] > 10 * max(
+        out["a"]["kl_divergence"], 1e-9
+    )
+    assert out["alien"]["drifted"] and not out["a"]["drifted"]
+    assert all(r["kl_divergence"] >= 0 for r in out.values())
+    assert out["alien"]["n_tokens"] == 12 and out["alien"]["n_terms"] == 6
+
+
+def test_source_token_drift_zero_for_single_source(spark):
+    # one source IS the corpus: p_source == p_corpus, KL exactly 0
+    out = text.source_token_drift(
+        docs_df(spark, ["a b c", "a b"], ["only", "only"])
+    ).collect()
+    assert len(out) == 1 and out[0]["kl_divergence"] == 0.0

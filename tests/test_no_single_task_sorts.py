@@ -81,6 +81,7 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
     "bm25_search": "one-row corpus stats (N, avgdl) broadcast",
     "lm_perplexity": "one-row corpus token total broadcast",
     "mixture_weights": "one-row corpus-total and normalizer broadcasts",
+    "source_token_drift": "one-row corpus token total broadcast",
     "market_basket": "one-row order-count total broadcast",
     "global_sales_opportunity": "one-row global threshold broadcast",
     "important_parts": "per-part avg-quantity thresholds broadcast (Q17 shape)",
