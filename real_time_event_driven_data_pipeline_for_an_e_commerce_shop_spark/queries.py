@@ -55,6 +55,18 @@ def _t(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
     return load_testdata(spark, sf_dir, tables)
 
 
+def _scratch_zone(name: str) -> str:
+    """Fresh scratch directory for a query-local zone materialization
+    (the materialize-vectors seam). A NEW temp dir per invocation —
+    never a content-keyed cache — so a re-run can never read a stale
+    table if the input parquet changed between runs; the tables are
+    tiny (narrow state grain, e.g. n_docs × 520 B for 64-dim
+    vectors) so the churn is noise next to one corpus scan."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+
+
 # --- shared SQL fragments (DuckDB oracle side) -------------------------
 
 # mirror of operators/mapping.py — canonical item-grain fact
@@ -3660,9 +3672,15 @@ def q_text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one hash-checked oracle. Scale shape: the pair space is
     per-SRP-bucket (never corpus²), vectors are 64 doubles, and the
     verify join attaches vectors to the narrow pair list
-    (`similarity.embedding_near_dups`)."""
+    (`similarity.embedding_near_dups`). The vector subplan is
+    materialized to a scratch zone first (VERDICT r6 #1) so the
+    bucketing branch and the two verify join-backs scan the narrow
+    (doc_id, 64-double) parquet instead of re-deriving the
+    tokenize→hash→normalize corpus scan per branch."""
     t = _t(spark, sf_dir, "documents")
-    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    vecs = text.materialize_feature_hash_vectors(
+        t["documents"], _scratch_zone("fh_vectors"), dim=64
+    )
     bucketed = vecs.withColumn(
         "block", similarity.srp_bucket(F.col("feature_vec"), dim=64, n_planes=8)
     )
@@ -3859,14 +3877,88 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-plane single-table gate's 912.7 s (BASELINE.md) — blocking cost
     tracks corpus size only through the r ≈ log2(n) contract, while
     recall at sf0.01 RISES vs the 8-plane gate (1037 vs 813 pairs:
-    two OR'd tables beat one wider-bucket table)."""
+    two OR'd tables beat one wider-bucket table). Round 7: the vector
+    subplan materializes to a scratch zone first (VERDICT r6 #1) —
+    the 2 per-table bucket branches + 2 verify join-backs now scan
+    the narrow vector parquet instead of re-deriving the full
+    tokenize→hash→normalize corpus scan ~6×."""
     t = _t(spark, sf_dir, "documents")
-    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    vecs = text.materialize_feature_hash_vectors(
+        t["documents"], _scratch_zone("fh_vectors_scaled"), dim=64
+    )
     return similarity.embedding_near_dups_multitable(
         vecs,
         threshold=0.8,
         dim=64,
         n_planes=12,
+        n_tables=2,
+        id_col="doc_id",
+        vec_col="feature_vec",
+    )
+
+
+@query(
+    "semantic_neardup_auto",
+    oracle=f"""
+    WITH {_FH_VZ_CTES},
+    nn AS (
+        SELECT LEAST(24, GREATEST(8,
+            CASE WHEN COUNT(*) > 1
+                 THEN LENGTH(BIN(COUNT(*) - 1)) ELSE 1 END
+        )) AS r
+        FROM vz
+    ),
+    fb AS (
+        SELECT doc_id, vec,
+               {_srp_bucket_sql("vec", 64, 24, 0)} AS f1,
+               {_srp_bucket_sql("vec", 64, 24, 32)} AS f2
+        FROM vz
+    ),
+    bk AS (
+        SELECT doc_id, vec,
+               f1 & ((CAST(1 AS BIGINT) << nn.r) - 1) AS b1,
+               f2 & ((CAST(1 AS BIGINT) << nn.r) - 1) AS b2
+        FROM fb CROSS JOIN nn
+    ),
+    cand AS (
+        SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        FROM bk a JOIN bk b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        FROM bk a JOIN bk b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.vec_a, c.vec_b, {round_sql(SQL_COS, 6)} AS cosine_sim
+        FROM cand c
+        JOIN bk a ON c.vec_a = a.doc_id
+        JOIN bk b ON c.vec_b = b.doc_id
+    )
+    SELECT * FROM pairs WHERE cosine_sim >= 0.8
+    """,
+)
+def q_semantic_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_neardup_scaled` with the r ≈ log2(n) sizing rule
+    applied BY THE OPERATOR (VERDICT r6 #4): ``n_planes=None`` makes
+    `embedding_near_dups_multitable` derive r from one count() of the
+    materialized vector zone (integer bit-length, clamped to
+    [8, 24]) — the registered query is saturation-proof at any sf
+    without the caller knowing the rule. Auto mode pins each table's
+    plane set to a FIXED stride-32 window (table t = planes
+    [32t, 32t+r)), so the oracle mirrors it exactly: full 24-plane
+    buckets per table, masked to the low r bits with r derived in
+    SQL from the same vz count via ``LENGTH(BIN(n-1))``. At sf0.01
+    (500 live vectors) the rule lands r=9 — coarser than the pinned
+    r=12 twin, so this entry also exercises the recall-vs-candidates
+    trade at a second operating point."""
+    t = _t(spark, sf_dir, "documents")
+    vecs = text.materialize_feature_hash_vectors(
+        t["documents"], _scratch_zone("fh_vectors_auto"), dim=64
+    )
+    return similarity.embedding_near_dups_multitable(
+        vecs,
+        threshold=0.8,
+        dim=64,
+        n_planes=None,
         n_tables=2,
         id_col="doc_id",
         vec_col="feature_vec",

@@ -158,3 +158,113 @@ def test_rfm_routes_by_population_and_distributed_path_has_no_ntile(spark):
         (r["user_id"], r["segment"]) for r in df.collect()
     )
     assert rows(big) == rows(small)
+
+
+def test_market_basket_count_joins_are_shuffled_not_broadcast(spark):
+    """VERDICT r6 #2: the per-product count table has one row per
+    distinct product in the fact — a build side that scales with
+    |products| (~20 B rows at TPC-H sf100k), so it must never be the
+    build side of a broadcast join. The two count attachments are
+    pinned to shuffled hash joins; the only broadcast allowed in the
+    plan is the one-row order-count total. Also pins correctness on a
+    skewed basket (one hot product in every order)."""
+    # 40 orders; product 1 in every order (hot), plus a rotating pair
+    rows = []
+    for o in range(40):
+        rows.append((o, 1))
+        rows.append((o, 2 + o % 3))
+    lineitem = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = olap_deep.market_basket_pairs(lineitem, min_support=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") == 2, plan
+    # the only broadcast is the one-row totals attach (BNLJ, cross)
+    assert "BroadcastHashJoin" not in plan, plan
+    got = {(r["part_a"], r["part_b"]): r for r in out.collect()}
+    # product 1 co-occurs with each of 2/3/4 in ~13-14 orders
+    assert set(got) == {(1, 2), (1, 3), (1, 4)}
+    r12 = got[(1, 2)]
+    assert r12["orders_a"] == 40 and r12["pair_orders"] == 14
+    # lift = pair * total / (na * nb) = 14*40/(40*14) = 1.0
+    assert abs(r12["lift"] - 1.0) < 1e-9
+
+
+def test_global_ntile_multi_matches_window_ntile_and_single_exchange(spark):
+    """global_ntile_multi batches k orderings into ONE range exchange
+    (VERDICT r6 #5): bit-identical to per-metric window NTILE on
+    mixed asc/desc metrics with heavy ties, and the plan contains
+    exactly one full-population RangePartitioning exchange (the
+    chained form pays one per metric)."""
+    from pyspark.sql import Window
+
+    n = 157
+    rows = [(i, i % 5, float((i * 7) % 11), 100.0 - (i % 13)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, a long, b double, m double")
+    got_df = olap_deep.global_ntile_multi(
+        df,
+        4,
+        {"a_t": ("a", "asc"), "b_t": ("b", "desc"), "m_t": ("m", "desc")},
+        tie_col="id",
+        num_ranges=5,
+    )
+    got = {r["id"]: (r["a_t"], r["b_t"], r["m_t"]) for r in got_df.collect()}
+    w = lambda cols: Window.orderBy(*cols)
+    want_df = (
+        df.withColumn(
+            "a_t", F.ntile(4).over(w([F.asc("a"), F.asc("id")])).cast("long")
+        )
+        .withColumn(
+            "b_t", F.ntile(4).over(w([F.desc("b"), F.asc("id")])).cast("long")
+        )
+        .withColumn(
+            "m_t", F.ntile(4).over(w([F.desc("m"), F.asc("id")])).cast("long")
+        )
+    )
+    want = {r["id"]: (r["a_t"], r["b_t"], r["m_t"]) for r in want_df.collect()}
+    assert got == want
+    # ONE physical range exchange over the melted population — not
+    # three (chained form), and not two independently-sampled
+    # instances (the shared-boundaries invariant: counts pass and
+    # rank pass must see the same sampled partition boundaries, so
+    # the keys-only exchange must canonicalize to a single reused
+    # plan_id).
+    import re
+
+    final = (
+        got_df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    ids = set(re.findall(r"rangepartitioning[^\[]*\[plan_id=(\d+)\]", final))
+    assert len(ids) == 1, final
+
+
+def test_global_ntile_payload_exchange_is_reused_and_keys_only(spark):
+    """Shared-boundaries invariant for single-metric global_ntile with
+    a payload column: before r7 the offsets branch pruned the payload
+    below the range exchange, breaking canonical reuse — two live
+    rangepartitioning instances with independent boundary samples
+    (latent mis-ranking at sampled scale). Keys-only exchange makes
+    reuse structural; payload columns survive via the join-back."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), i * 2) for i in range(300)],
+        "id long, v double, payload long",
+    )
+    out = olap_deep.global_ntile(
+        df, 4, [F.desc("v"), F.asc("id")], "tile", num_ranges=5
+    )
+    rows = {r["id"]: (r["tile"], r["payload"]) for r in out.collect()}
+    assert all(rows[i][1] == i * 2 for i in range(300))
+    final = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    ids = set(re.findall(r"rangepartitioning[^\[]*\[plan_id=(\d+)\]", final))
+    assert len(ids) == 1, final
+    # payload must not ride the range exchange
+    for m in re.finditer(r"Exchange rangepartitioning[^\n]*\n([^\n]*)", final):
+        assert "payload" not in m.group(1)
