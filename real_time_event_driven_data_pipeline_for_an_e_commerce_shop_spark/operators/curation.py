@@ -510,9 +510,17 @@ def source_quota_sample(
 
     The oversampling factor bounds the (astronomically small) chance a
     stratum with > quota rows yields < quota candidates: candidates ~
-    Binomial(n, 4q/n), P(< q) < exp(-9q/8) by Chernoff — at q=50
-    that is e^-56; the DuckDB oracle mirrors the full pipeline
-    including the pre-filter, so even that tail case stays hash-green.
+    Binomial(n, c·q/n) for factor c, and Chernoff gives
+    P(< q) < exp(-q·(c-1)²/(2c)) — at the default c=4, q=50 that is
+    e^-56; at c=2 it is e^-12.5 (~4e-6), and the bound VANISHES as
+    c → 1 (the pre-filter keeps exactly-quota expected rows, so
+    undershoot is a coin flip). ``oversample`` is therefore validated
+    ≥ 1.5 (ADVICE r6) — below that the operator's at-most-quota
+    contract silently degrades to usually-close-to-quota; callers
+    trading a thinner window for a fatter shortfall tail must stay in
+    the regime where the tail is still exponentially small. The
+    DuckDB oracle mirrors the full pipeline including the pre-filter,
+    so even a realized tail case stays hash-green.
 
     Rows with a NULL stratum are excluded (the count join-back is an
     equi-join, and SQL equi-joins drop null keys on both engines) —
@@ -520,6 +528,12 @@ def source_quota_sample(
     reference; pre-bucket nulls into a sentinel stratum upstream if
     they must be kept.
     """
+    if oversample < 1.5:
+        raise ValueError(
+            f"oversample={oversample} < 1.5: the Chernoff shortfall "
+            f"bound exp(-q(c-1)^2/2c) is no longer negligible; raise "
+            f"the factor or accept < quota rows explicitly upstream"
+        )
     max_hash = float(1 << 48)  # md5_long(hex_chars=12) upper bound
     key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
     h = md5_long(key)

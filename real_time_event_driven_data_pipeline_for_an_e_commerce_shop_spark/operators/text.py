@@ -950,6 +950,13 @@ def source_token_drift(
     p(t) > 0 always — the corpus model is a superset of every source).
     KL ≥ 0, = 0 iff the source mirrors the corpus exactly.
 
+    NULL-stratum rows are excluded BEFORE the corpus model is built
+    (ADVICE r6): they can produce no output row (no stratum to score),
+    so letting their tokens inflate p(t) and n_total would skew every
+    scored source against a reference distribution no row represents.
+    The sibling :func:`~..operators.curation.source_quota_sample`
+    documents the same NULL-drop; here it is enforced at the scan.
+
     Determinism: each term's contribution is det-rounded to 9 and
     decimal-summed, the engine's transcendental discipline. Scale
     shape: (stratum, term) counts collapse map-side (shuffle 1), the
@@ -959,7 +966,7 @@ def source_token_drift(
     plan of :func:`lm_perplexity` with ``doc_id`` swapped for the
     stratum.
     """
-    toks = documents.select(
+    toks = documents.filter(F.col(stratum_col).isNotNull()).select(
         F.col(stratum_col).alias("stratum"),
         F.explode(tokens(F.lower(F.col("text")))).alias("term"),
     )

@@ -26,6 +26,7 @@ Differences from the reference, on purpose (SURVEY.md §3/§7):
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import os
 import shutil
 
@@ -119,7 +120,11 @@ def run(
             else:  # dimensions stay flat — nothing to cluster
                 df.write.mode("overwrite").parquet(dest)
         paths["validated"] = vdir
-        paths["zorder_domains"] = repr(domains)
+        # JSON, not repr: callers must never eval() a returned string
+        # (ADVICE r6); tuples become 2-element lists on the wire.
+        paths["zorder_domains"] = json.dumps(
+            {t: {c: list(d) for c, d in dd.items()} for t, dd in domains.items()}
+        )
     elif materialize_validated or bucketed_validated:
         vdir = os.path.join(out_dir, "validated")
         if bucketed_validated:

@@ -4014,6 +4014,7 @@ _KL_PT = "(CAST(c_t AS DOUBLE) / n_total)"
     WITH tok AS (
         SELECT source AS stratum, unnest({_Q_TOKENS_LOWER}) AS term
         FROM documents
+        WHERE source IS NOT NULL
     ),
     st AS (
         SELECT stratum, term, CAST(COUNT(*) AS BIGINT) AS c_st

@@ -597,14 +597,31 @@ def vacuum_manifest_zone(
     current table location; catalog state is never modified, so a
     concurrent reader of the CURRENT snapshot is unaffected (readers of
     pre-compaction snapshots lost them at compaction time, not here).
+
+    Safety preconditions (ADVICE r6): deletion decisions key entirely
+    off the CATALOG location, so if ``DESCRIBE FORMATTED`` cannot
+    resolve one, the reaper raises instead of guessing — a fallback to
+    ``zone_dir/name`` would, after a compaction re-pointed the table
+    at a ``{name}_compact_*`` dir, treat the LIVE directory as a
+    superseded generation and delete the current snapshot. And the
+    superseded-generation glob matches only the compactor's exact
+    ``_compact_<8 hex>`` suffix, so a caller-named sibling zone table
+    that happens to start with ``{name}_compact_`` is never touched.
     """
     import glob
+    import re
     import shutil
     import time
 
-    loc = os.path.abspath(
-        _table_location(spark, table) or os.path.join(zone_dir, name)
-    )
+    resolved = _table_location(spark, table)
+    if resolved is None:
+        raise ValueError(
+            f"vacuum_manifest_zone: catalog location for table "
+            f"{table!r} could not be resolved; refusing to reap "
+            f"(a zone_dir/name fallback could delete the live "
+            f"post-compaction snapshot)"
+        )
+    loc = os.path.abspath(resolved)
     committed = committed_epochs(zone_dir, name)
     now = time.time()
     reaped: dict[str, list[str]] = {"orphan_epochs": [], "stale_dirs": []}
@@ -621,7 +638,14 @@ def vacuum_manifest_zone(
             shutil.rmtree(p, ignore_errors=True)
             reaped["orphan_epochs"].append(p)
 
-    candidates = glob.glob(os.path.join(zone_dir, f"{name}_compact_*"))
+    generation = re.compile(
+        re.escape(name) + r"_compact_[0-9a-f]{8}"
+    )  # exactly what compact_manifest_zone emits (uuid4 hex[:8])
+    candidates = [
+        d
+        for d in glob.glob(os.path.join(zone_dir, f"{name}_compact_*"))
+        if generation.fullmatch(os.path.basename(d))
+    ]
     original = os.path.join(zone_dir, name)
     if os.path.isdir(original):
         candidates.append(original)

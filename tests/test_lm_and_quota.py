@@ -197,7 +197,9 @@ def test_pipeline_zorder_zone(spark, tmp_path):
     orders = spark.read.parquet(paths["validated"] + "/orders")
     items = spark.read.parquet(paths["validated"] + "/order_items")
     assert orders.count() == 40 and items.count() == 40
-    domains = eval(paths["zorder_domains"])  # repr of plain dicts
+    import json
+
+    domains = json.loads(paths["zorder_domains"])  # JSON on the wire
     assert set(domains) == {"orders", "order_items"}
     assert set(domains["orders"]) == {"order_date", "user_id"}
     lo, hi = domains["orders"]["user_id"]

@@ -663,3 +663,50 @@ def test_manifest_zone_vacuum(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+
+
+def test_manifest_zone_vacuum_safety_guards(spark, tmp_path):
+    """ADVICE r6 guards: (a) an unresolvable catalog location RAISES
+    instead of falling back to zone_dir/name (the fallback could
+    delete the live post-compaction snapshot); (b) a sibling zone
+    table whose caller-chosen name merely STARTS with
+    '{name}_compact_' is not mistaken for a superseded generation —
+    only the compactor's exact _compact_<8 hex> suffix is reaped."""
+    import os
+
+    import pytest as _pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _land_epoch,
+        vacuum_manifest_zone,
+    )
+
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    tbl = "manifest_vacuum_guard_orders"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        df = spark.createDataFrame(
+            [(1, "2025-03-08")], "order_id long, order_date string"
+        )
+        _land_epoch(spark, df, tbl, f"{zone}/orders", zone, "orders", 0, 4)
+
+        # (b) sibling zone tables that LOOK like generations but are not
+        for sibling in ("orders_compact_archive", "orders_compact_0"):
+            os.makedirs(os.path.join(zone, sibling))
+        reaped = vacuum_manifest_zone(
+            spark, tbl, zone, "orders", min_age_seconds=0
+        )
+        assert reaped["stale_dirs"] == []
+        for sibling in ("orders_compact_archive", "orders_compact_0"):
+            assert os.path.isdir(os.path.join(zone, sibling))
+
+        # (a) unresolvable location (temp view: DESCRIBE FORMATTED has
+        # no Location row) -> refuse to reap
+        spark.range(1).createOrReplaceTempView("vacuum_guard_view")
+        with _pytest.raises(ValueError, match="could not be resolved"):
+            vacuum_manifest_zone(
+                spark, "vacuum_guard_view", zone, "orders", min_age_seconds=0
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
