@@ -772,3 +772,179 @@ def run_corpus_ingest_dedup_manifest(
     if await_termination:
         q.awaitTermination()
     return {name: table}
+
+
+def run_corpus_ingest_semantic_dedup_manifest(
+    spark: SparkSession,
+    raw_dir: str,
+    zone_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold: float = 0.8,
+    drop_dups: bool = True,
+    n_buckets: int = 8,
+    table_prefix: str = "corpus_s_",
+    await_termination: bool = True,
+) -> dict[str, str]:
+    """:func:`run_corpus_ingest_dedup_manifest` lifted from the
+    exact-fingerprint tier to the SEMANTIC tier (VERDICT r6 #6): every
+    arriving micro-batch feature-hashes into unit vectors
+    (``operators.text.feature_hash_vectors`` — model-free, so a doc's
+    vector never depends on corpus state and incremental maintenance
+    is exact), SRP-buckets, and probes the committed corpus'
+    MATERIALIZED VECTOR ZONE for near-dup pairs (cosine ≥ threshold
+    within LSH blocks — the streaming twin of the batch
+    ``text_semantic_neardup`` chain, same planes, same verify).
+
+    Three manifest-committed zone tables, one epoch id across all:
+
+    * ``{prefix}doc_vectors`` — the vector zone, appended
+      INCREMENTALLY (only the batch's kept vectors; the corpus is
+      never re-vectorized — the materialize-vectors seam's streaming
+      form). Committed BEFORE the docs table; the probe only trusts
+      vector epochs whose DOCS epoch also committed, so a crash in
+      the window leaves a self-healing cache entry, never phantom
+      corpus members.
+    * ``{prefix}neardup_pairs`` — every detected pair
+      ``(vec_a, vec_b, cosine_sim)``, id-ordered. With
+      ``drop_dups=False`` the union over epochs is row-identical to
+      the batch operator on the same corpus (replay-parity-gated):
+      a same-bucket pair lands in the later doc's epoch — via the
+      in-batch self-join if both arrived together, via the zone
+      probe otherwise.
+    * ``{prefix}documents`` — the corpus; with ``drop_dups=True`` a
+      batch doc is dropped when it near-dups ANY committed doc, or a
+      smaller-id doc in its own batch (greedy per-edge keeper —
+      deterministic; on a within-batch chain x~y, y~z, x<z<y it can
+      keep z where the batch connected-components keeper would not,
+      the documented delta vs ``dedup.dedup_clusters``). Zero-signal
+      docs (no vector) are always kept.
+
+    At 100 TB: the per-batch probe scans the narrow vector zone
+    (n_docs × ~520 B — ~0.5 % of a 100 KB/doc corpus), buckets
+    JVM-side, and joins on the 8-byte bucket; within-batch work is
+    |batch|-bounded. The replay key is the DOCS manifest — vectors
+    and pairs land first and are idempotent under their own
+    manifests, so a crash replay reconverges to the identical zone.
+    """
+    from ..functions.core import det_round
+    from ..operators.similarity import cosine, srp_bucket
+    from ..operators.text import feature_hash_vectors
+
+    name = "documents"
+    doc_table = f"{table_prefix}documents"
+    vec_table = f"{table_prefix}doc_vectors"
+    pair_table = f"{table_prefix}neardup_pairs"
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs(zone_dir, name):
+            return  # checkpoint replay of a fully-landed epoch
+        bucket = lambda v: srp_bucket(v, dim, n_planes)
+        bv = feature_hash_vectors(batch_df, dim=dim).select(
+            "doc_id", "feature_vec", bucket(F.col("feature_vec")).alias("_bk")
+        )
+        # within-batch same-bucket pairs, id-ordered
+        within = (
+            bv.alias("a")
+            .join(
+                bv.alias("b"),
+                on=[
+                    F.col("a._bk") == F.col("b._bk"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.col("a.doc_id").alias("vec_a"),
+                F.col("b.doc_id").alias("vec_b"),
+                # round BEFORE the threshold, exactly like the batch
+                # operator (embedding_near_dups) — parity at the
+                # boundary depends on it
+                det_round(
+                    cosine(F.col("a.feature_vec"), F.col("b.feature_vec")), 6
+                ).alias("_sim"),
+            )
+        )
+        docs_committed = sorted(committed_epochs(zone_dir, name))
+        cross = None
+        if docs_committed and spark.catalog.tableExists(vec_table):
+            corpus_v = (
+                read_manifest_zone(
+                    spark, {"doc_vectors": vec_table}, zone_dir
+                )["doc_vectors"]
+                .filter(F.col("_epoch").isin(docs_committed))
+                .select(
+                    F.col("doc_id").alias("c_id"),
+                    F.col("feature_vec").alias("c_vec"),
+                )
+                .withColumn("_bk", bucket(F.col("c_vec")))
+            )
+            cross = (
+                corpus_v.join(bv, "_bk")
+                .select(
+                    F.least("c_id", "doc_id").alias("vec_a"),
+                    F.greatest("c_id", "doc_id").alias("vec_b"),
+                    det_round(
+                        cosine(F.col("c_vec"), F.col("feature_vec")), 6
+                    ).alias("_sim"),
+                    F.col("doc_id").alias("_batch_id"),
+                )
+            )
+        within_hits = within.filter(F.col("_sim") >= threshold)
+        cross_hits = (
+            cross.filter(F.col("_sim") >= threshold)
+            if cross is not None
+            else None
+        )
+        pairs = within_hits.select("vec_a", "vec_b", "_sim")
+        if cross_hits is not None:
+            pairs = pairs.unionByName(
+                cross_hits.select("vec_a", "vec_b", "_sim")
+            )
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"]).select(
+            "vec_a", "vec_b", F.col("_sim").alias("cosine_sim")
+        )
+        keep = batch_df
+        if drop_dups:
+            dropped = within_hits.select(F.col("vec_b").alias("doc_id"))
+            if cross_hits is not None:
+                dropped = dropped.unionByName(
+                    cross_hits.select(F.col("_batch_id").alias("doc_id"))
+                )
+            keep = batch_df.join(
+                dropped.distinct(), "doc_id", "left_anti"
+            )
+        kept_vecs = bv.join(
+            keep.select("doc_id"), "doc_id"
+        ).select("doc_id", "feature_vec")
+        _land_epoch(
+            spark, kept_vecs, vec_table,
+            os.path.join(zone_dir, "doc_vectors"), zone_dir, "doc_vectors",
+            epoch_id, n_buckets, bucket_col="doc_id",
+        )
+        _land_epoch(
+            spark, pairs, pair_table,
+            os.path.join(zone_dir, "neardup_pairs"), zone_dir,
+            "neardup_pairs", epoch_id, n_buckets, bucket_col="vec_a",
+        )
+        _land_epoch(
+            spark, keep, doc_table,
+            os.path.join(zone_dir, name), zone_dir, name, epoch_id,
+            n_buckets, bucket_col="doc_id",
+        )
+
+    stream = spark.readStream.schema(schema).parquet(raw_dir)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return {
+        name: doc_table,
+        "doc_vectors": vec_table,
+        "neardup_pairs": pair_table,
+    }

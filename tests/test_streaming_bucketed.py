@@ -710,3 +710,149 @@ def test_manifest_zone_vacuum_safety_guards(spark, tmp_path):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_corpus_semantic_dedup_gate_replay_parity(spark, tmp_path):
+    """The SRP-tier streaming dedup gate (VERDICT r6 #6): documents
+    streamed in three micro-batches with drop_dups=False must record
+    EXACTLY the pair set (and cosines) the batch text->vector->
+    semantic-dedup chain finds on the same corpus — a same-bucket
+    pair lands via the in-batch self-join if both docs arrived
+    together, via the committed-vector-zone probe otherwise. Replay
+    of a committed epoch is a no-op (idempotent)."""
+    import pyspark.sql.functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        embedding_near_dups,
+        srp_bucket,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.text import (
+        feature_hash_vectors,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        read_manifest_zone,
+        run_corpus_ingest_semantic_dedup_manifest,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+    vecs = feature_hash_vectors(docs, dim=64).withColumn(
+        "block", srp_bucket(F.col("feature_vec"), 64, 8)
+    )
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in embedding_near_dups(
+            vecs, threshold=0.8, block_col="block",
+            id_col="doc_id", vec_col="feature_vec",
+        ).collect()
+    }
+    assert want  # the corpus slice must actually contain near-dups
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_sem_gate_"
+    tables = {}
+    try:
+        lo, hi = 0, 0
+        cuts = [600, 1200, 10**9]
+        for cut in cuts:
+            chunk = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < cut)
+            )
+            lo = cut
+            chunk.write.mode("append").parquet(raw)
+            tables = run_corpus_ingest_semantic_dedup_manifest(
+                spark, raw, zone, ckpt, drop_dups=False,
+                n_buckets=4, table_prefix=prefix,
+            )
+        pairs_df = read_manifest_zone(
+            spark, {"neardup_pairs": tables["neardup_pairs"]}, zone
+        )["neardup_pairs"]
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+            for r in pairs_df.collect()
+        }
+        assert got == want
+        # all docs landed (drop_dups=False) and replay is a no-op
+        zone_docs = read_manifest_zone(
+            spark, {"documents": tables["documents"]}, zone
+        )["documents"]
+        assert zone_docs.count() == docs.count()
+        run_corpus_ingest_semantic_dedup_manifest(
+            spark, raw, zone, ckpt, drop_dups=False,
+            n_buckets=4, table_prefix=prefix,
+        )
+        assert (
+            read_manifest_zone(
+                spark, {"neardup_pairs": tables["neardup_pairs"]}, zone
+            )["neardup_pairs"].count()
+            == len(got)
+        )
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_semantic_dedup_gate_drops_bag_of_words_dups(spark, tmp_path):
+    """drop_dups=True: a doc whose token MULTISET matches a committed
+    doc (identical feature-hash vector, cosine 1.0) is dropped even
+    though its exact fingerprint differs (word order) — the semantic
+    tier catching what the exact tier cannot; the committed keeper
+    and unrelated docs survive."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        read_manifest_zone,
+        run_corpus_ingest_semantic_dedup_manifest,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_sem_drop_"
+    tables = {}
+    try:
+        b1 = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "omicron pi rho sigma tau"),
+                # in-batch bag-of-words dup of 1 (reordered tokens)
+                (3, "epsilon delta gamma beta alpha"),
+            ],
+            "doc_id long, text string",
+        )
+        b1.write.mode("append").parquet(raw)
+        tables = run_corpus_ingest_semantic_dedup_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        zone_docs = read_manifest_zone(
+            spark, {"documents": tables["documents"]}, zone
+        )["documents"]
+        assert {r["doc_id"] for r in zone_docs.collect()} == {1, 2}
+
+        b2 = spark.createDataFrame(
+            [
+                # corpus bag-of-words dup of committed doc 2
+                (4, "tau sigma rho pi omicron"),
+                (5, "upsilon phi chi psi omega"),  # new
+            ],
+            "doc_id long, text string",
+        )
+        b2.write.mode("append").parquet(raw)
+        run_corpus_ingest_semantic_dedup_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        zone_docs = read_manifest_zone(
+            spark, {"documents": tables["documents"]}, zone
+        )["documents"]
+        assert {r["doc_id"] for r in zone_docs.collect()} == {1, 2, 5}
+        # the vector zone tracks exactly the kept docs
+        zone_vecs = read_manifest_zone(
+            spark, {"doc_vectors": tables["doc_vectors"]}, zone
+        )["doc_vectors"]
+        assert {r["doc_id"] for r in zone_vecs.collect()} == {1, 2, 5}
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
