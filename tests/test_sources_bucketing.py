@@ -497,3 +497,100 @@ def test_write_zordered_zone_clusters_both_dimensions(spark, tmp_path):
     tight_x = [r for r in per_file if r["max(x)"] - r["min(x)"] <= 48]
     assert len(tight_y) >= len(per_file) // 2, per_file
     assert len(tight_x) >= len(per_file) // 2, per_file
+
+
+def test_unified_zone_metadata_drives_join_and_prune(spark, tmp_path):
+    """VERDICT r6 #7: ONE writer records each zone table's physical
+    layout beside the commit manifest, and readers reconstruct the
+    right plan from the manifest ALONE — zone_equijoin goes
+    Exchange-free off the recorded co-bucketing (no call-site bucket
+    knowledge), and the sorted table's recorded sort_cols name the
+    prunable predicate column, whose per-file parquet stats are tight
+    enough that a narrow range touches a minority of files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        prunable_cols,
+        read_zone_tables,
+        write_zone_table,
+        zone_equijoin,
+        zone_table_layout,
+    )
+
+    zone = str(tmp_path / "zone")
+    orders = spark.createDataFrame(
+        [(i, 100 + i % 7, f"2025-03-{1 + i % 28:02d}") for i in range(400)],
+        "order_id long, user_id long, order_date string",
+    )
+    items = spark.createDataFrame(
+        [(1000 + i, i % 400, float(i % 50)) for i in range(1200)],
+        "id long, order_id long, sale_price double",
+    )
+    daily = spark.createDataFrame(
+        [(f"2025-{1 + (i // 28) % 12:02d}-{1 + i % 28:02d}", float(i))
+         for i in range(3000)],
+        "order_date string, revenue double",
+    )
+    try:
+        write_zone_table(
+            orders, zone, "orders", layout="bucketed",
+            table="uzm_orders", bucket_col="order_id", n_buckets=4,
+        )
+        write_zone_table(
+            items, zone, "order_items", layout="bucketed",
+            table="uzm_items", bucket_col="order_id", n_buckets=4,
+        )
+        spec = write_zone_table(
+            daily, zone, "daily", layout="sorted",
+            sort_cols=["order_date"], n_ranges=8,
+        )
+        # layout round-trips from disk
+        assert zone_table_layout(zone, "orders")["n_buckets"] == 4
+        assert zone_table_layout(zone, "daily")["sort_cols"] == ["order_date"]
+        assert prunable_cols(spec) == ["order_date"]
+
+        # Exchange-free join decided by the manifest, not the caller
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = zone_equijoin(
+                spark, zone, "order_items", "orders", on="order_id"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1200
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # prune from the manifest: the recorded sort column's per-file
+        # stats are tight — a one-month predicate intersects a strict
+        # minority of the sorted files
+        col = prunable_cols(zone_table_layout(zone, "daily"))[0]
+        files = glob.glob(os.path.join(zone, "daily", "part-*.parquet"))
+        assert len(files) >= 4
+        touching = 0
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if not (hi < "2025-06-01" or lo > "2025-06-28"):
+                touching += 1
+        assert touching <= len(files) // 2, (touching, len(files))
+
+        # layout-aware reader returns catalog-backed bucketed tables
+        dfs = read_zone_tables(spark, zone, ["orders", "daily"])
+        assert dfs["orders"].count() == 400
+        assert dfs["daily"].count() == 3000
+    finally:
+        for t in ("uzm_orders", "uzm_items"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
