@@ -630,3 +630,151 @@ def mixture_weights_from_counts(
             .alias("target_docs"),
         )
     )
+
+
+# --- DSIR importance resampling ----------------------------------------
+
+
+def hashed_ngram_features(
+    df: DataFrame, id_col: str = "doc_id", n_buckets: int = 4096
+) -> DataFrame:
+    """Hashed unigram + bigram feature stream (the DSIR feature space,
+    Xie et al. 2023): every token and every adjacent token pair maps to
+    ``md5_48(feature) mod n_buckets``. One JVM ``transform`` builds the
+    bigrams from the token array (no self-join), one explode emits the
+    combined stream — scan-fused, no shuffle. Returns
+    ``(id_col, bucket)`` rows, one per feature OCCURRENCE."""
+    arr = tokens(F.lower(F.col("text")))
+    uni = df.select(F.col(id_col), arr.alias("_t")).select(
+        id_col, F.explode("_t").alias("_f")
+    )
+    bg = (
+        df.select(F.col(id_col), arr.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("_t")),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("_t", i - F.lit(1)),
+                        F.element_at("_t", i),
+                    ),
+                )
+            ).alias("_f"),
+        )
+    )
+    return uni.unionByName(bg).select(
+        id_col, F.pmod(md5_long(F.col("_f")), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) — the quality-targeting selection pass between a raw crawl
+    and a training mix: fit bag-of-hashed-ngram models on a small
+    TARGET corpus (the distribution you want more of) and on the RAW
+    corpus, weight every raw document by how much more likely its
+    features are under the target model,
+
+        log w(d) = Σ_f c_d(f) · ln( p_target(f) / p_raw(f) ),
+
+    and keep the top-k. Hashing collapses the unbounded n-gram space
+    to ``n_buckets`` — the paper's trick, and also what makes BOTH
+    model tables bounded by construction (≤ n_buckets rows), hence
+    broadcast-SAFE at any corpus size, unlike a raw vocab model
+    (:func:`~.text.lm_perplexity` must shuffle-join its unbounded
+    vocab; this operator broadcasts because B is a constant).
+    Add-one smoothing on both sides keeps target-unseen features
+    finite: p(f) = (c(f)+1) / (N+B).
+
+    Determinism: the log-ratio collapses to ONE ``ln`` of an exact
+    integer ratio — (c_t+1)(N_r+B) and (c_r+1)(N_t+B) are integer
+    products < 2^53, IEEE-exact as doubles — det-rounded to 8 and
+    decimal-summed per doc; the final score rounds to 6 with doc_id
+    ranking ties.
+
+    Output: every scored doc with ``n_feats``, ``log_importance``,
+    ``sel_rank`` (dense global ordering, ties broken by id) and
+    ``selected`` = rank ≤ k. At 100 TB: feature streams are
+    scan-fused, per-doc counts collapse map-side, the two model
+    aggregates move ≤ B rows each, scoring is a broadcast join, and
+    the top-k rank rides the same TakeOrdered-style bounded sort the
+    retrieval tier uses — no stage keys on anything unbounded except
+    the per-doc hash-agg.
+    """
+    doc_feats = (
+        hashed_ngram_features(documents, id_col, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+    )
+    raw_model = doc_feats.groupBy("bucket").agg(
+        F.sum("c_doc").alias("c_raw")
+    )
+    tgt_model = (
+        hashed_ngram_features(target, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    n_raw = raw_model.agg(F.sum("c_raw").alias("n_raw"))
+    n_tgt = tgt_model.agg(F.sum("c_tgt").alias("n_tgt"))
+    b = F.lit(n_buckets).cast("long")
+    # numerator/denominator as exact LONG products (mirrors the
+    # oracle's integer arithmetic bit-for-bit; < 2^63 up to ~10^12
+    # target-corpus tokens x 10^6-count features — past that, move
+    # both engines to double products, where det_round(ln, 8)
+    # absorbs the last-ulp divergence)
+    scored = (
+        doc_feats.join(F.broadcast(raw_model), "bucket")
+        .join(F.broadcast(tgt_model), "bucket", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            id_col,
+            "c_doc",
+            det_round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1))
+                        * (F.col("n_raw") + b)
+                    ).cast("double")
+                    / (
+                        (F.col("c_raw") + F.lit(1))
+                        * (F.col("n_tgt") + b)
+                    ).cast("double")
+                ),
+                8,
+            # (18,8) not (28,8): Spark sizes a decimal product at
+            # p1+p2+1 digits and TRUNCATES SCALE past 38 — a long
+            # (20,0) times (28,8) silently became (38,6), shaving
+            # every contribution to 6 decimals. (9,0)x(18,8) = (28,8)
+            # stays exact; |ln ratio| < 10^10 and per-(doc,bucket)
+            # counts < 10^9 by a huge margin.
+            ).cast("decimal(18,8)").alias("_lr"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("c_doc").cast("long").alias("n_feats"),
+        F.sum(F.col("c_doc").cast("decimal(9,0)") * F.col("_lr"))
+        .cast("double")
+        .alias("_s"),
+    )
+    w = Window.orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        per_doc.withColumn("_score", det_round(F.col("_s"), 6))
+        .withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .select(
+            id_col,
+            "n_feats",
+            F.col("_score").alias("log_importance"),
+            "sel_rank",
+            (F.col("sel_rank") <= k).alias("selected"),
+        )
+    )

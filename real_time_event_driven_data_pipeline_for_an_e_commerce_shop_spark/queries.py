@@ -3898,6 +3898,92 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(T) AS f FROM toks),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(2, len(T) + 1),
+                      i -> T[i-1] || ' ' || T[i])) AS f
+        FROM toks WHERE len(T) >= 2
+    ),
+    feats AS (
+        SELECT doc_id, ({sql_md5_long("f")}) % 4096 AS bucket
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)
+    ),
+    doc_feats AS (
+        SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c_doc
+        FROM feats GROUP BY doc_id, bucket
+    ),
+    raw_model AS (
+        SELECT bucket, CAST(SUM(c_doc) AS BIGINT) AS c_raw
+        FROM doc_feats GROUP BY bucket
+    ),
+    tgt_model AS (
+        SELECT f.bucket, CAST(COUNT(*) AS BIGINT) AS c_tgt
+        FROM feats f JOIN documents d USING (doc_id)
+        WHERE d.source IN ('src0', 'src1', 'src2')
+        GROUP BY f.bucket
+    ),
+    nr AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw FROM raw_model),
+    nt AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM tgt_model),
+    scored AS (
+        SELECT df.doc_id, df.c_doc,
+               CAST({round_sql(
+                   "ln(CAST((COALESCE(tm.c_tgt, 0) + 1)"
+                   " * (nr.n_raw + 4096) AS DOUBLE)"
+                   " / CAST((rm.c_raw + 1)"
+                   " * (nt.n_tgt + 4096) AS DOUBLE))", 8
+               )} AS DECIMAL(28,8)) AS lr
+        FROM doc_feats df
+        JOIN raw_model rm USING (bucket)
+        LEFT JOIN tgt_model tm USING (bucket)
+        CROSS JOIN nr CROSS JOIN nt
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c_doc) AS BIGINT) AS n_feats,
+               CAST(SUM(c_doc * lr) AS DOUBLE) AS s
+        FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, n_feats,
+               {round_sql("s", 6)} AS log_importance,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY {round_sql("s", 6)} DESC, doc_id ASC
+               ) AS BIGINT) AS sel_rank
+        FROM per_doc
+    )
+    SELECT doc_id, n_feats, log_importance, sel_rank,
+           (sel_rank <= 100) AS selected
+    FROM ranked
+    """,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram models (B=4096 buckets) fit on a 3-source target
+    slice vs the whole corpus; every doc weighted by
+    Σ c(f)·ln(p_tgt(f)/p_raw(f)) with add-one smoothing, top-100
+    selected. The quality-TARGETING selector beside the quality-
+    FILTERING perplexity tier: lm_perplexity drops what no model
+    likes, DSIR keeps what the target distribution likes. Both model
+    tables are ≤ B rows by construction — the broadcast-join scoring
+    plan a raw-vocab model could never use safely."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    target = t["documents"].filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    return curation.dsir_importance_weights(
+        t["documents"], target, n_buckets=4096, k=100
+    )
+
+
+@query(
     "semantic_neardup_auto",
     oracle=f"""
     WITH {_FH_VZ_CTES},

@@ -118,6 +118,31 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         timings[f"semantic_neardup_r{r}"] = round(time.perf_counter() - t0, 3)
 
+        # materialize-vectors seam (VERDICT r6 #1) + self-sizing r
+        # (r6 #4): vectors land in a zone table ONCE, the AND-OR
+        # blocking + verify compose from the narrow parquet, and r
+        # derives inside the operator from the zone count. The delta
+        # vs the plan-pure line above is exactly the cost of the ~6
+        # redundant tokenize->hash corpus derivations the seam removes.
+        t0 = time.perf_counter()
+        zvecs = _text.materialize_feature_hash_vectors(
+            spark.read.parquet(f"{tmp}/documents.parquet"),
+            f"{tmp}/fh_vectors_zone",
+            dim=64,
+        )
+        _sim.embedding_near_dups_multitable(
+            zvecs,
+            threshold=0.8,
+            dim=64,
+            n_planes=None,
+            n_tables=2,
+            id_col="doc_id",
+            vec_col="feature_vec",
+        ).write.mode("overwrite").format("noop").save()
+        timings["semantic_neardup_auto_materialized"] = round(
+            time.perf_counter() - t0, 3
+        )
+
         print(
             json.dumps(
                 {

@@ -157,3 +157,43 @@ def test_chunk_documents_window_invariants(spark):
         assert last["n_tokens"] > 0  # never an empty trailing chunk
     # one-chunk short doc
     assert len(by_doc[0]) == 1 and by_doc[0][0]["n_tokens"] == 3
+
+
+def test_dsir_ranks_target_like_docs_first_and_broadcasts_models(spark):
+    """DSIR importance weights: docs sharing the target slice's
+    hashed n-grams outrank docs that don't; both model joins are
+    broadcasts (model tables are <= n_buckets rows BY CONSTRUCTION —
+    the bounded-build-side rule that lets this operator broadcast
+    where the raw-vocab LM must shuffle)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat sat on the mat"),
+            (2, "cat ate the fish"),
+            (3, "stock market index fell"),
+            (4, "bond yields rose sharply"),
+            (5, "cat sat on the fish"),  # target-like n-grams, novel doc
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id <= 2")  # cat-world target
+    out = curation.dsir_importance_weights(
+        docs, target, n_buckets=256, k=2
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 5
+    cat_scores = [rows[i]["log_importance"] for i in (1, 2, 5)]
+    fin_scores = [rows[i]["log_importance"] for i in (3, 4)]
+    assert min(cat_scores) > max(fin_scores)
+    assert {i for i, r in rows.items() if r["selected"]} == {
+        r["doc_id"]
+        for r in sorted(
+            rows.values(), key=lambda r: (-r["log_importance"], r["doc_id"])
+        )[:2]
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
