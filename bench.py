@@ -89,6 +89,8 @@ HEADLINE = [
     "mixture_weights",
     "semantic_neardup_scaled",
     "source_token_drift",
+    "semantic_neardup_auto",
+    "dsir_selection",
 ]
 
 

@@ -852,9 +852,63 @@ def global_ntile(
     trivial, and the payload join-back is one hash shuffle on the
     key tuple — no stage touches the whole population in one task.
     """
+    key_names = _order_col_names(order_cols)
+    keyed = _keyed_rank_total(df, order_cols, key_names, num_ranges)
+    r = F.col("_grank")
+    n = F.col("_gtotal")
+    k = F.lit(n_tiles).cast("long")
+    rem = F.pmod(n, k)
+    base = ((n - rem) / k).cast("long")
+    big = base + F.lit(1)  # size of the first `rem` (larger) tiles
+    tile = F.when(
+        r <= rem * big, F.floor((r - F.lit(1)) / big) + F.lit(1)
+    ).otherwise(
+        rem
+        + F.floor((r - rem * big - F.lit(1)) / F.greatest(base, F.lit(1)))
+        + F.lit(1)
+    )
+    keyed_tiles = keyed.withColumn(out_col, tile.cast("long")).drop(
+        "_grank", "_gtotal"
+    )
+    return _join_back_payload(df, keyed_tiles, key_names, [out_col])
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rank",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over a total ordering without the
+    single-task sort an unpartitioned ``row_number`` window costs —
+    :func:`global_ntile`'s rank reconstruction (same keys-only range
+    exchange, same shared-boundaries invariant) surfaced directly for
+    the consumers that need the RANK itself: top-k selection flags
+    (DSIR), leaderboards, exact percentile positions. Largest task
+    sorts |rows| / num_ranges key rows; payload joins back on the
+    unique key tuple."""
+    key_names = _order_col_names(order_cols)
+    keyed = _keyed_rank_total(df, order_cols, key_names, num_ranges)
+    ranked = keyed.withColumn(out_col, F.col("_grank").cast("long")).drop(
+        "_grank", "_gtotal"
+    )
+    return _join_back_payload(df, ranked, key_names, [out_col])
+
+
+def _keyed_rank_total(
+    df: DataFrame,
+    order_cols: list,
+    key_names: list[str],
+    num_ranges: int | None,
+) -> DataFrame:
+    """Shared core of :func:`global_ntile` / :func:`global_rank`: the
+    keys-only range exchange (counts pass and rank pass provably
+    reuse ONE shuffle — see global_ntile's shared-boundaries
+    invariant), zip-with-index local positions, and the broadcast
+    offsets join. Returns the key columns + ``_grank`` (1-based exact
+    global rank) + ``_gtotal`` (population)."""
     spark = df.sparkSession
     parts = num_ranges or spark.sparkContext.defaultParallelism
-    key_names = _order_col_names(order_cols)
     slim = df.select(*key_names)
     ranged = slim.repartitionByRange(parts, *order_cols)
     pid_w = Window.orderBy("_rpid")
@@ -878,33 +932,32 @@ def global_ntile(
         )
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
     )
-    r = F.col("_offset") + F.col("_lrn") + F.lit(1)
-    n = F.col("_total")
-    k = F.lit(n_tiles).cast("long")
-    rem = F.pmod(n, k)
-    base = ((n - rem) / k).cast("long")
-    big = base + F.lit(1)  # size of the first `rem` (larger) tiles
-    tile = F.when(
-        r <= rem * big, F.floor((r - F.lit(1)) / big) + F.lit(1)
-    ).otherwise(
-        rem
-        + F.floor((r - rem * big - F.lit(1)) / F.greatest(base, F.lit(1)))
-        + F.lit(1)
-    )
-    keyed_tiles = (
+    return (
         tagged.join(F.broadcast(offsets), "_rpid")
-        .withColumn(out_col, tile.cast("long"))
+        .withColumn(
+            "_grank", F.col("_offset") + F.col("_lrn") + F.lit(1)
+        )
+        .withColumn("_gtotal", F.col("_total"))
         .drop("_rpid", "_offset", "_total", "_mid", "_lrn")
     )
+
+
+def _join_back_payload(
+    df: DataFrame,
+    keyed_out: DataFrame,
+    key_names: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """Reattach non-key columns after a keys-only rank pass; skipped
+    when the input was already keys-only. eqNullSafe join on the
+    (unique, by the total-ordering contract) key tuple."""
     if set(key_names) == set(df.columns):
-        return keyed_tiles.select(*df.columns, out_col)
-    # payload join-back on the (unique, by the total-ordering
-    # contract) key tuple; eqNullSafe so a null key still rejoins
-    renamed = keyed_tiles.select(
-        *[F.col(n).alias(f"_k_{n}") for n in key_names], out_col
+        return keyed_out.select(*df.columns, *out_cols)
+    renamed = keyed_out.select(
+        *[F.col(n).alias(f"_k_{n}") for n in key_names], *out_cols
     )
     cond = [df[n].eqNullSafe(renamed[f"_k_{n}"]) for n in key_names]
-    return df.join(renamed, cond).select(*df.columns, out_col)
+    return df.join(renamed, cond).select(*df.columns, *out_cols)
 
 
 def _order_col_names(order_cols: list) -> list[str]:

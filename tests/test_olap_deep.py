@@ -268,3 +268,37 @@ def test_global_ntile_payload_exchange_is_reused_and_keys_only(spark):
     # payload must not ride the range exchange
     for m in re.finditer(r"Exchange rangepartitioning[^\n]*\n([^\n]*)", final):
         assert "payload" not in m.group(1)
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """global_rank (the rank-surfaced form of global_ntile's
+    reconstruction) is bit-identical to ROW_NUMBER over the same
+    total ordering, payload preserved, one physical range exchange."""
+    import re
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 7), f"p{i}") for i in range(211)],
+        "id long, v double, payload string",
+    )
+    out = olap_deep.global_rank(
+        df, [F.desc("v"), F.asc("id")], out_col="r", num_ranges=5
+    )
+    got = {r["id"]: (r["r"], r["payload"]) for r in out.collect()}
+    want_df = df.withColumn(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.desc("v"), F.asc("id")))
+        .cast("long"),
+    )
+    want = {r["id"]: (r["r"], r["payload"]) for r in want_df.collect()}
+    assert got == want
+    final = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    ids = set(re.findall(r"rangepartitioning[^\[]*\[plan_id=(\d+)\]", final))
+    assert len(ids) == 1, final
