@@ -77,11 +77,27 @@ def write_validated_zone_bucketed(
             .format("parquet")
             .option("path", f"{base_dir}/{name}")
         )
+        spec: dict = {
+            "layout": "flat",
+            "path": f"{base_dir}/{name}",
+            "format": "parquet",
+            "table": table,
+        }
         if partition_by and partition_by in df.columns and bucket_col in df.columns:
             writer = writer.partitionBy(partition_by)
+            spec["partition_by"] = [partition_by]
         if bucket_col in df.columns:
             writer = writer.bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+            spec |= {
+                "layout": "bucketed",
+                "bucket_col": bucket_col,
+                "n_buckets": n_buckets,
+            }
         writer.saveAsTable(table)
+        # self-describing zone (VERDICT r6 #7): the physical spec lands
+        # beside the data so readers (zone_equijoin, prunable_cols)
+        # reconstruct the plan from the manifest, not the call site
+        record_zone_layout(base_dir, name, spec)
         out[name] = table
     return out
 
@@ -243,6 +259,19 @@ def write_zordered_zone(
         # the row group, and z-locality is only visible below file size
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     writer.parquet(path)
+    import os as _os
+
+    record_zone_layout(
+        _os.path.dirname(_os.path.abspath(path)),
+        _os.path.basename(_os.path.abspath(path)),
+        {
+            "layout": "zorder",
+            "path": path,
+            "format": "parquet",
+            "zorder_cols": list(cols),
+            "zorder_domains": {c: list(d) for c, d in domains.items()},
+        },
+    )
     return domains
 
 

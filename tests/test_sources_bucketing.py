@@ -594,3 +594,49 @@ def test_unified_zone_metadata_drives_join_and_prune(spark, tmp_path):
     finally:
         for t in ("uzm_orders", "uzm_items"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pipeline_batch_zone_is_self_describing(spark, tmp_path):
+    """pipeline_batch's bucketed validated zone records its layout spec
+    in the zone manifest (write_validated_zone_bucketed now publishes
+    it), so a later reader session needs NO call-site knowledge:
+    zone_table_layout round-trips the spec and zone_equijoin joins the
+    facts Exchange-free from the manifest alone."""
+    import os
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import (
+        pipeline_batch,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        zone_equijoin,
+        zone_table_layout,
+    )
+
+    from test_lm_and_quota import _write_raw
+
+    raw = str(_write_raw(tmp_path))
+    out = str(tmp_path / "out")
+    try:
+        pipeline_batch.run(spark, raw, out, bucketed_validated=True)
+        vdir = os.path.join(out, "validated")
+        spec_o = zone_table_layout(vdir, "orders")
+        spec_i = zone_table_layout(vdir, "order_items")
+        assert spec_o["layout"] == "bucketed"
+        assert spec_o["bucket_col"] == "order_id"
+        assert spec_o["n_buckets"] == spec_i["n_buckets"]
+        assert spec_o["partition_by"] == ["order_year"]
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = zone_equijoin(
+                spark, vdir, "order_items", "orders", on="order_id"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in ("validated_orders", "validated_order_items",
+                  "validated_products"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
