@@ -716,14 +716,45 @@ def dsir_importance_weights(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c_doc"))
     )
-    raw_model = doc_feats.groupBy("bucket").agg(
-        F.sum("c_doc").alias("c_raw")
-    )
     tgt_model = (
         hashed_ngram_features(target, id_col, n_buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c_tgt"))
     )
+    return dsir_from_feature_state(
+        doc_feats,
+        tgt_model,
+        n_buckets=n_buckets,
+        k=k,
+        id_col=id_col,
+        small_threshold=small_threshold,
+    )
+
+
+def dsir_from_feature_state(
+    doc_feats: DataFrame,
+    tgt_model: DataFrame,
+    n_buckets: int = 4096,
+    k: int = 100,
+    id_col: str = "doc_id",
+    small_threshold: int = 2_000_000,
+) -> DataFrame:
+    """:func:`dsir_importance_weights` derived from the
+    ``(doc_id, bucket, c_doc)`` feature-count STATE grain — the same
+    state-table seam as ``text.bm25_from_term_state``: a stream
+    maintains hashed-ngram counts as an update-mode aggregate
+    (``streaming.windows.doc_feature_counts_streaming``), and the
+    selector becomes a millisecond batch derivation over live ingest
+    state instead of a corpus re-scan. The raw model falls out of the
+    state with one ≤ n_buckets-row aggregate; the target model is
+    whatever (bucket, c_tgt) table the caller pins (a fixed target
+    corpus scored once, or its own streamed state). Full-replay
+    parity vs the scan-based operator is row-exact (identical plan
+    after the count grain)."""
+    raw_model = doc_feats.groupBy("bucket").agg(
+        F.sum("c_doc").alias("c_raw")
+    )
+    tgt_model = tgt_model.select("bucket", "c_tgt")
     n_raw = raw_model.agg(F.sum("c_raw").alias("n_raw"))
     n_tgt = tgt_model.agg(F.sum("c_tgt").alias("n_tgt"))
     b = F.lit(n_buckets).cast("long")

@@ -467,3 +467,29 @@ def stratum_counts_streaming(
     return docs_stream.groupBy(
         F.col(stratum_col).alias("stratum")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def doc_feature_counts_streaming(
+    docs_stream: DataFrame, n_buckets: int = 4096
+) -> DataFrame:
+    """Streaming half of the DSIR selector
+    (``operators.curation.dsir_importance_weights``): the
+    (doc_id, bucket, c_doc) hashed-ngram feature grain as an
+    incrementally-merged update-mode aggregate — counts are mergeable,
+    so state is one row per distinct (doc, bucket), capped at
+    n_buckets rows per doc. ``curation.dsir_from_feature_state``
+    derives the full importance ranking from the final state (raw
+    model = one ≤ n_buckets-row aggregate over it; target model
+    pinned by the caller), making quality-targeted data selection a
+    millisecond batch derivation over live ingest state — the same
+    state-table seam as the BM25 index (full-replay parity asserted
+    row-exact in tests/test_streaming.py).
+
+    At 100 TB: state is Σ min(distinct features per doc, n_buckets)
+    rows, hash-sharded by the state store; the raw-model aggregate
+    moves ≤ n_buckets rows regardless of corpus size."""
+    from ..operators.curation import hashed_ngram_features
+
+    return hashed_ngram_features(docs_stream, "doc_id", n_buckets).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("c_doc"))

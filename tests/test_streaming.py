@@ -980,3 +980,61 @@ def test_streaming_mixture_weights_matches_batch(spark, tmp_path):
         for r in curation.mixture_weights(docs, alpha=0.3).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_streaming_dsir_state_matches_batch(spark, tmp_path):
+    """One streamed hashed-ngram feature state, selector derived from
+    it: stream documents into the (doc_id, bucket, c_doc) update-mode
+    state, derive DSIR importance ranks from the final state with a
+    pinned target model, and get the scan-based
+    dsir_importance_weights output ROW-EXACT — quality-targeted data
+    selection over live ingest state, no corpus re-scan."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        doc_feature_counts_streaming,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"].select(
+        "doc_id", "text", "source"
+    )
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    tgt_model = (
+        curation.hashed_ngram_features(target, "doc_id", 512)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    src = str(tmp_path / "dsir_src")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        doc_feature_counts_streaming(stream, n_buckets=512)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dsir_state_out")
+        .option("checkpointLocation", str(tmp_path / "ck_dsir"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = str(tmp_path / "dsir_state_snapshot")
+    spark.sql(
+        "SELECT doc_id, bucket, MAX(c_doc) AS c_doc FROM dsir_state_out "
+        "GROUP BY doc_id, bucket"
+    ).write.parquet(snap)
+    state = spark.read.parquet(snap)
+    got = [
+        tuple(r)
+        for r in curation.dsir_from_feature_state(
+            state, tgt_model, n_buckets=512, k=20
+        ).orderBy("sel_rank").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in curation.dsir_importance_weights(
+            docs.select("doc_id", "text"), target, n_buckets=512, k=20
+        ).orderBy("sel_rank").collect()
+    ]
+    assert got == want and len(got) > 0
