@@ -641,32 +641,29 @@ def hashed_ngram_features(
     """Hashed unigram + bigram feature stream (the DSIR feature space,
     Xie et al. 2023): every token and every adjacent token pair maps to
     ``md5_48(feature) mod n_buckets``. One JVM ``transform`` builds the
-    bigrams from the token array (no self-join), one explode emits the
-    combined stream — scan-fused, no shuffle. Returns
-    ``(id_col, bucket)`` rows, one per feature OCCURRENCE."""
+    bigrams from the token array (no self-join), the unigram and bigram
+    arrays concatenate BEFORE the single explode — ONE corpus scan
+    (a first cut unioned two exploded scans), scan-fused, no shuffle.
+    Returns ``(id_col, bucket)`` rows, one per feature OCCURRENCE."""
     arr = tokens(F.lower(F.col("text")))
-    uni = df.select(F.col(id_col), arr.alias("_t")).select(
-        id_col, F.explode("_t").alias("_f")
-    )
-    bg = (
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("_t")),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("_t", i - F.lit(1)),
+                F.element_at("_t", i),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
         df.select(F.col(id_col), arr.alias("_t"))
-        .filter(F.size("_t") >= 2)
+        .select(id_col, F.explode(F.concat("_t", bigrams)).alias("_f"))
         .select(
             id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(2), F.size("_t")),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("_t", i - F.lit(1)),
-                        F.element_at("_t", i),
-                    ),
-                )
-            ).alias("_f"),
+            F.pmod(md5_long(F.col("_f")), F.lit(n_buckets)).alias("bucket"),
         )
-    )
-    return uni.unionByName(bg).select(
-        id_col, F.pmod(md5_long(F.col("_f")), F.lit(n_buckets)).alias("bucket")
     )
 
 
