@@ -91,6 +91,7 @@ HEADLINE = [
     "source_token_drift",
     "semantic_neardup_auto",
     "dsir_selection",
+    "ngram_novelty",
 ]
 
 

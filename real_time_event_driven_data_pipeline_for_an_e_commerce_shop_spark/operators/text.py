@@ -929,6 +929,70 @@ def lm_perplexity_bigram(
     )
 
 
+def ngram_novelty(
+    documents: DataFrame, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Duplicated-n-gram audit — the memorization/duplication risk
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): for every document, the fraction of its
+    n-gram OCCURRENCES that appear ≥ 2 times corpus-wide (counting
+    self-repeats — intra-doc loops are memorization fuel too, and
+    `repetition_stats` isolates that component). High
+    ``dup_fraction`` docs are boilerplate/templates/near-copies that
+    exact dedup missed and LSH hasn't paired yet; a corpus-level mean
+    of this column is the standard before/after metric a dedup pass
+    reports.
+
+    Only docs with ≥ n tokens are scored (a shorter doc has no
+    n-gram — mirrored by the oracle's WHERE).
+
+    Scale shape: sliding shingles via the O(k)-evaluation ``zip_with``
+    chain (``dedup.shingles``' trick, occurrences kept — no
+    ``array_distinct``), one (doc, 48-bit-hash) map-side-combined
+    count, corpus totals as ONE hash aggregate over it, and the
+    totals join back by shuffle on the hash key (the corpus n-gram
+    table is unbounded — the same never-broadcast rule as
+    ``lm_perplexity``'s vocab). No pair join anywhere: cost is
+    Σ n-grams, never n-grams².
+    """
+    t = tokens(F.lower(F.col("text")))
+    sz = F.size(t)
+    sh = t
+    for j in range(1, n):
+        shifted = F.slice(t, j + 1, F.greatest(sz - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    occ = (
+        documents.select("doc_id", t.alias("_t"), full.alias("_sh"))
+        .filter(F.size("_t") >= n)
+        .select("doc_id", F.explode("_sh").alias("_sgl"))
+        .select("doc_id", md5_long(F.col("_sgl")).alias("_h"))
+    )
+    tf = occ.groupBy("doc_id", "_h").agg(F.count(F.lit(1)).alias("_tf"))
+    corpus = tf.groupBy("_h").agg(F.sum("_tf").alias("_ct"))
+    per_doc = (
+        tf.join(corpus, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_tf").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("_ct") >= 2, F.col("_tf")).otherwise(0))
+            .cast("long")
+            .alias("n_duplicated"),
+        )
+    )
+    frac = det_round(
+        F.col("n_duplicated").cast("double") / F.col("n_ngrams").cast("double"),
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        "n_duplicated",
+        frac.alias("dup_fraction"),
+        (frac > F.lit(threshold)).alias("memorization_risk"),
+    )
+
+
 def source_token_drift(
     documents: DataFrame,
     stratum_col: str = "source",

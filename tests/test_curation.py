@@ -203,3 +203,36 @@ def test_dsir_ranks_target_like_docs_first_and_broadcasts_models(spark):
 
     for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan):
         assert "bucket" not in m.group(2), plan
+
+
+def test_ngram_novelty_counts_self_repeats_and_cross_doc_dups(spark):
+    """Semantics pin: a 5-gram occurrence is 'duplicated' when the
+    corpus-wide count (self-repeats included) is >= 2; short docs
+    (< n tokens) produce no row."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z w v"),       # 5-gram 'a b c d e' shared w/ 2
+            (2, "a b c d e q r s t u"),
+            (3, "m m m m m m m m m m"),       # 6 identical self-repeat 5-grams
+            (4, "unique tokens only here now five six"),
+            (5, "too short"),                  # < 5 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text_ops.ngram_novelty(docs, n=5, threshold=0.5).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    # docs 1/2: 6 5-grams each, exactly one shared -> 1/6 duplicated
+    for d in (1, 2):
+        assert rows[d]["n_ngrams"] == 6 and rows[d]["n_duplicated"] == 1
+        assert not rows[d]["memorization_risk"]
+    # doc 3: all six occurrences are the same 5-gram -> all duplicated
+    assert rows[3]["n_duplicated"] == rows[3]["n_ngrams"] == 6
+    assert rows[3]["memorization_risk"]
+    assert rows[4]["n_duplicated"] == 0 and not rows[4]["memorization_risk"]
