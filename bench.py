@@ -92,6 +92,7 @@ HEADLINE = [
     "semantic_neardup_auto",
     "dsir_selection",
     "ngram_novelty",
+    "copurchase_pagerank",
 ]
 
 

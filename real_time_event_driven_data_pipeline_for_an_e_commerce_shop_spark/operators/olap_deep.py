@@ -691,6 +691,44 @@ def price_quantiles_accuracy(
     )
 
 
+def copurchase_pair_counts(
+    lineitem: DataFrame, min_support: int = 3
+) -> DataFrame:
+    """Support-filtered co-purchase pair counts ``(part_a, part_b,
+    pair_orders)`` with ``part_a < part_b`` — the a-priori first pass
+    shared by :func:`market_basket_pairs` (lift table) and
+    ``graph.copurchase_edges`` (PageRank edge list). ONE
+    ``collect_set`` aggregate per order, ordered pairs exploded
+    JVM-side from the sorted array (fan-out (items-per-order choose
+    2), never |products|²), counts map-side combined."""
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("_parts")
+    )
+    return (
+        per_order.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_parts",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "_parts", i + F.lit(2), F.size("_parts")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .select("_p.part_a", "_p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= min_support)
+    )
+
+
 def market_basket_pairs(
     lineitem: DataFrame, min_support: int = 3
 ) -> DataFrame:
@@ -725,29 +763,7 @@ def market_basket_pairs(
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("_parts")
     )
-    pair_orders = (
-        per_order.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "_parts",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                "_parts", i + F.lit(2), F.size("_parts")
-                            ),
-                            lambda y: F.struct(
-                                x.alias("part_a"), y.alias("part_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("_p")
-        )
-        .select("_p.part_a", "_p.part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("pair_orders"))
-        .filter(F.col("pair_orders") >= min_support)
-    )
+    pair_orders = copurchase_pair_counts(lineitem, min_support)
     per_product = (
         per_order.select(F.explode("_parts").alias("l_partkey"))
         .groupBy("l_partkey")

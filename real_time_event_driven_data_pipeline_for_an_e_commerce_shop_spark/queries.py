@@ -3897,6 +3897,100 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(
+    min_support: int = 2,
+    damping: float = 0.85,
+    iterations: int = 5,
+    k: int = 20,
+) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain — each iteration
+    replays graph.pagerank's arithmetic exactly (det-round-12 per-edge
+    contribution, DECIMAL(28,12) sum, det-round-12 damped combine)."""
+    r12 = lambda x: round_sql(x, 12)
+    iters = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+    r{i} AS (
+        SELECT nodes.node,
+               {r12(
+                   f"(1.0 - {damping}) / nn.n + {damping}"
+                   " * COALESCE(c.s, 0.0)"
+               )} AS r
+        FROM (SELECT DISTINCT src AS node FROM edges) nodes
+        CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST({r12("r.r * e.p")}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS s
+            FROM e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst
+        ) c USING (node)
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_support}
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst, w FROM pairs
+        UNION ALL
+        SELECT pb AS src, pa AS dst, w FROM pairs
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM edges),
+    e AS (
+        SELECT edges.src, edges.dst,
+               CAST(edges.w AS DOUBLE) / CAST(outw.ow AS DOUBLE) AS p
+        FROM edges JOIN outw USING (src)
+    ),
+    r0 AS (
+        SELECT DISTINCT src AS node, 1.0 / nn.n AS r
+        FROM edges CROSS JOIN nn
+    ),{",".join(iters)}
+    SELECT node AS product_id,
+           {round_sql("r", 9)} AS pagerank,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY {round_sql("r", 9)} DESC, node ASC
+           ) AS BIGINT) AS pr_rank
+    FROM {prev}
+    QUALIFY pr_rank <= {k}
+    """
+
+
+@query("copurchase_pagerank", oracle=_pagerank_oracle(2, 0.85, 5, 20))
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-purchase product graph (5 damped
+    iterations, fixed count so the oracle unrolls to 5 CTEs replaying
+    the identical det-rounded arithmetic) — product centrality for
+    recommendation ranking, the engine's iterative-algorithm tier
+    beside the dedup tier's label propagation. Top-20 by stationary
+    probability, product-id tie-break, TakeOrdered (never a global
+    sort)."""
+    from .operators import graph
+
+    t = _t(spark, sf_dir, "lineitem")
+    edges = graph.copurchase_edges(t["lineitem"], min_support=2)
+    ranks = graph.pagerank(edges, damping=0.85, iterations=5)
+    topk = ranks.orderBy(F.desc("pagerank"), F.asc("node")).limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pagerank"), F.asc("node"))
+    return (
+        topk.withColumn("pr_rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("node").alias("product_id"), "pagerank", "pr_rank"
+        )
+    )
+
+
 @query(
     "ngram_novelty",
     oracle=f"""
@@ -4207,6 +4301,7 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # Group A - round-7 new queries + rewrites (every entry whose
     # code changed after the r6 sweep).
+    "copurchase_pagerank",
     "ngram_novelty",
     "dsir_selection",
     "semantic_neardup_auto",

@@ -302,3 +302,52 @@ def test_global_rank_matches_window_row_number(spark):
     )
     ids = set(re.findall(r"rangepartitioning[^\[]*\[plan_id=(\d+)\]", final))
     assert len(ids) == 1, final
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """graph.pagerank equals a plain-Python power iteration running
+    the SAME det-rounded arithmetic on a small weighted digraph, and
+    ranks respect structure (the hub every node points at ranks
+    first)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    # hub node 1: everyone links to it heavily; 2-3 exchange lightly
+    rows = [
+        (2, 1, 4), (1, 2, 4),
+        (3, 1, 4), (1, 3, 4),
+        (4, 1, 2), (1, 4, 2),
+        (2, 3, 1), (3, 2, 1),
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank(edges, damping=0.85, iterations=5).collect()
+    }
+
+    def det_round(x, d):
+        import math
+
+        s = float(10**d)
+        return math.floor(x * s + 0.5) / s
+
+    outw = {}
+    for s_, d_, w_ in rows:
+        outw[s_] = outw.get(s_, 0) + w_
+    nodes = sorted(outw)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in nodes}
+        for s_, d_, w_ in rows:
+            contrib[d_] += det_round(r[s_] * (w_ / outw[s_]), 12)
+        r = {
+            v: det_round((1.0 - 0.85) / n + 0.85 * contrib[v], 12)
+            for v in nodes
+        }
+    want = {v: det_round(r[v], 9) for v in nodes}
+    assert got == want
+    ranked = sorted(got, key=lambda v: -got[v])
+    assert ranked[0] == 1  # the hub
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # probability mass
