@@ -93,6 +93,7 @@ HEADLINE = [
     "dsir_selection",
     "ngram_novelty",
     "copurchase_pagerank",
+    "curation_funnel",
 ]
 
 

@@ -822,3 +822,91 @@ def dsir_from_feature_state(
         "sel_rank",
         (F.col("sel_rank") <= k).alias("selected"),
     )
+
+
+# --- end-to-end curation funnel ----------------------------------------
+
+
+def curation_funnel(
+    documents: DataFrame,
+    quality_threshold: float = 0.5,
+    novelty_threshold: float = 0.5,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """The curation pipeline's before/after report, one row per stage:
+    ingested → quality-filtered (heuristic score ≥ threshold) →
+    exact-dedup keeper (normalized-fingerprint min-id, the
+    `incremental_dedup` rule) → n-gram-novel (duplicated-n-gram
+    fraction ≤ threshold, `text.ngram_novelty`; short docs with no
+    n-gram pass trivially). Stages are CUMULATIVE — each counts docs
+    surviving every earlier gate — and ``dropped`` is the per-stage
+    loss, so the table reads as the funnel a data-curation run logs.
+
+    Scale shape: the three per-doc signal subplans (scan-fused quality
+    map; fingerprint hash-agg + join-back; the novelty count join)
+    each key on doc_id or a 16-byte hash, then ONE aggregate collapses
+    the corpus to four counters and a 4-row unpivot emits the funnel —
+    output is O(stages), never O(docs).
+    """
+    from .text import ngram_novelty, quality_score
+
+    q = quality_score(documents).select(
+        "doc_id",
+        (F.col("quality_score") >= F.lit(quality_threshold)).alias("_q"),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = documents.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("_fp")
+    )
+    keeper = fp.groupBy("_fp").agg(F.min("doc_id").alias("_keep_id"))
+    kd = fp.join(keeper, "_fp").select(
+        "doc_id", (F.col("doc_id") == F.col("_keep_id")).alias("_k")
+    )
+    nv = ngram_novelty(documents, n=ngram_n).select(
+        "doc_id",
+        (F.col("dup_fraction") <= F.lit(novelty_threshold)).alias("_n"),
+    )
+    flags = (
+        q.join(kd, "doc_id")
+        .join(nv, "doc_id", "left")
+        .select(
+            "_q", "_k", F.coalesce(F.col("_n"), F.lit(True)).alias("_n")
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(F.col("_q").cast("long")).alias("c1"),
+        F.sum((F.col("_q") & F.col("_k")).cast("long")).alias("c2"),
+        F.sum((F.col("_q") & F.col("_k") & F.col("_n")).cast("long")).alias(
+            "c3"
+        ),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).cast("long").alias("stage_id"),
+            F.lit("ingested").alias("stage"),
+            F.col("c0").cast("long").alias("docs"),
+            F.lit(0).cast("long").alias("dropped"),
+        ),
+        F.struct(
+            F.lit(2).cast("long").alias("stage_id"),
+            F.lit("quality").alias("stage"),
+            F.col("c1").cast("long").alias("docs"),
+            (F.col("c0") - F.col("c1")).cast("long").alias("dropped"),
+        ),
+        F.struct(
+            F.lit(3).cast("long").alias("stage_id"),
+            F.lit("exact_dedup").alias("stage"),
+            F.col("c2").cast("long").alias("docs"),
+            (F.col("c1") - F.col("c2")).cast("long").alias("dropped"),
+        ),
+        F.struct(
+            F.lit(4).cast("long").alias("stage_id"),
+            F.lit("ngram_novel").alias("stage"),
+            F.col("c3").cast("long").alias("docs"),
+            (F.col("c2") - F.col("c3")).cast("long").alias("dropped"),
+        ),
+    )
+    return agg.select(F.explode(stages).alias("_s")).select(
+        "_s.stage_id", "_s.stage", "_s.docs", "_s.dropped"
+    )

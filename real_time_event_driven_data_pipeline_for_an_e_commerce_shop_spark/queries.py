@@ -3897,6 +3897,113 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_funnel_oracle(
+    quality_threshold: float = 0.5,
+    novelty_threshold: float = 0.5,
+    n: int = 5,
+) -> str:
+    """Mirror of curation.curation_funnel: heuristic quality score
+    (the text_quality fragment), normalized-fingerprint min-id keeper
+    (the dedup_exact fragment), duplicated-n-gram fraction (the
+    ngram_novelty fragment), one 4-counter aggregate, 4-row unpivot."""
+    n_chars = "length(text)"
+    n_tokens = f"len({SQL_TOKENS})"
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    punct_ratio = (
+        f"(CAST({punct} AS DOUBLE) / CAST(GREATEST({n_chars}, 1) AS DOUBLE))"
+    )
+    stop_hits = (
+        f"len(list_filter({SQL_TOKENS}, x -> list_contains({_STOPLIST_SQL}, x)))"
+    )
+    stop_ratio = (
+        f"(CAST({stop_hits} AS DOUBLE) / CAST(GREATEST({n_tokens}, 1) AS DOUBLE))"
+    )
+    len_factor = f"(CAST(LEAST({n_chars}, 500) AS DOUBLE) / CAST(500 AS DOUBLE))"
+    score = round_sql(
+        f"(({len_factor} + {stop_ratio} + (1.0 - {punct_ratio})) / 3.0)", 4
+    )
+    mk = " ".join(f"T[i+{j}]," for j in range(n)).rstrip(",")
+    return f"""
+    WITH q AS (
+        SELECT doc_id, ({score} >= {quality_threshold}) AS ok_q
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    keep AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+    kd AS (
+        SELECT fp.doc_id, (fp.doc_id = keep.keep_id) AS ok_k
+        FROM fp JOIN keep USING (f)
+    ),
+    toks AS (SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents),
+    occ AS (
+        SELECT doc_id, ({sql_md5_long("sgl")}) AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(T) - {n - 2}),
+                          i -> concat_ws(' ', {mk}))) AS sgl
+            FROM toks WHERE len(T) >= {n}
+        )
+    ),
+    tf AS (
+        SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM occ GROUP BY doc_id, h
+    ),
+    c AS (SELECT h, CAST(SUM(tf) AS BIGINT) AS ct FROM tf GROUP BY h),
+    nv AS (
+        SELECT doc_id,
+               ({round_sql(
+                   "CAST(SUM(CASE WHEN ct >= 2 THEN tf ELSE 0 END) AS DOUBLE)"
+                   " / CAST(SUM(tf) AS DOUBLE)", 6
+               )} <= {novelty_threshold}) AS ok_n
+        FROM tf JOIN c USING (h) GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT q.ok_q, kd.ok_k, COALESCE(nv.ok_n, TRUE) AS ok_n
+        FROM q JOIN kd USING (doc_id) LEFT JOIN nv USING (doc_id)
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN ok_q THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN ok_q AND ok_k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN ok_q AND ok_k AND ok_n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c3
+        FROM flags
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_id, 'ingested' AS stage,
+           c0 AS docs, CAST(0 AS BIGINT) AS dropped FROM agg
+    UNION ALL
+    SELECT 2, 'quality', c1, c0 - c1 FROM agg
+    UNION ALL
+    SELECT 3, 'exact_dedup', c2, c1 - c2 FROM agg
+    UNION ALL
+    SELECT 4, 'ngram_novel', c3, c2 - c3 FROM agg
+    """
+
+
+@query("curation_funnel", oracle=_curation_funnel_oracle(0.5, 0.5, 5))
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel report: ingested → quality ≥ 0.5 →
+    exact-dedup keeper → duplicated-5-gram fraction ≤ 0.5, cumulative
+    doc counts + per-stage drops — the before/after table a curation
+    run logs, composed from three existing per-doc signals and
+    collapsed to one aggregate + a 4-row unpivot (output O(stages),
+    never O(docs))."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.curation_funnel(
+        t["documents"],
+        quality_threshold=0.5,
+        novelty_threshold=0.5,
+        ngram_n=5,
+    )
+
+
 def _pagerank_oracle(
     min_support: int = 2,
     damping: float = 0.85,
@@ -4301,6 +4408,7 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # Group A - round-7 new queries + rewrites (every entry whose
     # code changed after the r6 sweep).
+    "curation_funnel",
     "copurchase_pagerank",
     "ngram_novelty",
     "dsir_selection",
