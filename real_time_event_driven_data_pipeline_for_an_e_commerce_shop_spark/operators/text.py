@@ -969,6 +969,21 @@ def ngram_novelty(
         .select("doc_id", md5_long(F.col("_sgl")).alias("_h"))
     )
     tf = occ.groupBy("doc_id", "_h").agg(F.count(F.lit(1)).alias("_tf"))
+    return ngram_novelty_from_shingle_state(tf, threshold=threshold)
+
+
+def ngram_novelty_from_shingle_state(
+    shingle_state: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`ngram_novelty` derived from the ``(doc_id, _h, _tf)``
+    shingle-count STATE grain — the same state-table seam as
+    ``bm25_from_term_state`` / ``dsir_from_feature_state``: a stream
+    maintains n-gram-hash counts as an update-mode aggregate
+    (``streaming.windows.doc_shingle_counts_streaming``) and the
+    memorization audit becomes a derivation over live ingest state
+    (corpus totals fall out with one hash aggregate). Full-replay
+    parity vs the scan-based operator is row-exact."""
+    tf = shingle_state.select("doc_id", "_h", "_tf")
     corpus = tf.groupBy("_h").agg(F.sum("_tf").alias("_ct"))
     per_doc = (
         tf.join(corpus, "_h")

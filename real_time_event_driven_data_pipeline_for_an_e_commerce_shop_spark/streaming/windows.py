@@ -493,3 +493,35 @@ def doc_feature_counts_streaming(
     return hashed_ngram_features(docs_stream, "doc_id", n_buckets).groupBy(
         "doc_id", "bucket"
     ).agg(F.count(F.lit(1)).alias("c_doc"))
+
+
+def doc_shingle_counts_streaming(
+    docs_stream: DataFrame, n: int = 5
+) -> DataFrame:
+    """Streaming half of the duplicated-n-gram memorization audit
+    (``operators.text.ngram_novelty``): the (doc_id, _h, _tf)
+    n-gram-hash count grain as an incrementally-merged update-mode
+    aggregate. ``text.ngram_novelty_from_shingle_state`` derives the
+    full audit from the final state — corpus totals are one hash
+    aggregate over it — so the before/after dedup metric updates with
+    ingest instead of re-shingling the corpus (full-replay parity
+    asserted row-exact in tests/test_streaming.py). Docs with < n
+    tokens contribute no state, matching the batch cutoff."""
+    from ..functions.core import md5_long
+    from ..operators.text import tokens
+
+    t = tokens(F.lower(F.col("text")))
+    sz = F.size(t)
+    sh = t
+    for j in range(1, n):
+        shifted = F.slice(t, j + 1, F.greatest(sz - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    return (
+        docs_stream.select("doc_id", t.alias("_t"), full.alias("_sh"))
+        .filter(F.size("_t") >= n)
+        .select("doc_id", F.explode("_sh").alias("_sgl"))
+        .select("doc_id", md5_long(F.col("_sgl")).alias("_h"))
+        .groupBy("doc_id", "_h")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )

@@ -34,6 +34,9 @@ SCALE_DOC_QUERIES = [
     "lm_perplexity",
     "lm_perplexity_bigram",
     "source_quota_sample",
+    "dsir_selection",
+    "ngram_novelty",
+    "curation_funnel",
 ]
 # text_semantic_neardup (8-plane single-table) and the r=12-pinned
 # semantic_neardup_scaled gate are deliberately NOT in the default

@@ -1038,3 +1038,43 @@ def test_streaming_dsir_state_matches_batch(spark, tmp_path):
         ).orderBy("sel_rank").collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_streaming_ngram_novelty_state_matches_batch(spark, tmp_path):
+    """Stream documents into the (doc_id, shingle-hash, tf)
+    update-mode state and derive the duplicated-n-gram audit from the
+    final state: row-exact vs the scan-based ngram_novelty — the
+    before/after dedup metric maintained by ingest, not re-shingling."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        doc_shingle_counts_streaming,
+    )
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "nov_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        doc_shingle_counts_streaming(stream, n=5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("novelty_state_out")
+        .option("checkpointLocation", str(tmp_path / "ck_nov"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = str(tmp_path / "nov_state_snapshot")
+    spark.sql(
+        "SELECT doc_id, _h, MAX(_tf) AS _tf FROM novelty_state_out "
+        "GROUP BY doc_id, _h"
+    ).write.parquet(snap)
+    state = spark.read.parquet(snap)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    got = key(text.ngram_novelty_from_shingle_state(state, threshold=0.5))
+    want = key(text.ngram_novelty(docs, n=5, threshold=0.5))
+    assert got == want and len(got) > 0
