@@ -94,6 +94,7 @@ HEADLINE = [
     "ngram_novelty",
     "copurchase_pagerank",
     "curation_funnel",
+    "quality_logreg_train",
 ]
 
 

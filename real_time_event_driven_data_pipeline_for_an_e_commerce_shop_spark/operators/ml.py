@@ -1,0 +1,173 @@
+"""Distributed model TRAINING — the train-side sibling of the engine's
+iterative tier (``graph.pagerank`` ranks, this fits weights).
+
+``logistic_regression_train`` runs full-batch gradient descent as plain
+DataFrame aggregates: one narrow scan + a (d+1)-scalar aggregate per
+iteration, weights flowing between iterations as a one-row broadcast.
+The quality-model tier already SCORES with fixed published
+coefficients (``text.quality_model_score``); this closes the loop by
+FITTING such coefficients in-engine — the shape a production pipeline
+uses to refresh its quality classifier on fresh labels without leaving
+the cluster.
+
+Oracle discipline for iterative training (same as PageRank): FIXED
+iteration count, every per-row term det-rounded then decimal-summed,
+weights det-rounded after each update — so the DuckDB mirror unrolls to
+one CTE per iteration replaying the identical arithmetic. Full-batch
+(not SGD): mini-batch order is engine-dependent, full-batch sums are
+order-independent, which is what makes the fit reproducible
+bit-for-bit. A few fixed damped iterations is also how large-scale
+linear probes are fit in practice (convex problem, geometric
+convergence; ``grad_norm`` is the convergence signal a caller
+monitors).
+
+At 100 TB: the feature table should be MATERIALIZED once (the
+materialize-vectors seam — ``featurize_quality`` emits the narrow
+(doc_id, x…, y) table to land in a zone) so each iteration scans d+2
+doubles per row instead of re-deriving text features; per-iteration
+network cost is one partial-aggregate reduction of d+1 scalars — no
+shuffle of data rows at all. Gradient descent's sequential dependency
+means iterations cannot parallelize with each other; the parallelism
+lives INSIDE the aggregate, which is exactly Spark's partial-agg tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import det_round
+
+#: feature order is part of the contract (weights report in this order)
+QUALITY_FEATURES = ("len_factor", "stop_ratio", "punct_ratio", "ttr")
+
+
+def featurize_quality(documents: DataFrame) -> DataFrame:
+    """The quality-model feature vector as a narrow numeric table
+    ``(doc_id, len_factor, stop_ratio, punct_ratio, ttr, y)`` with the
+    label distilled from the heuristic quality score (≥ 0.5 ⇒ 1.0) —
+    the distillation shape; production swaps in human/LLM labels.
+    Features det-round to 6 so the (materializable) table is
+    bit-stable across engines. One scan-fused projection + the
+    quality-score join on doc_id."""
+    from .text import STOPWORDS, quality_score, tokens
+
+    t = tokens(F.lower(F.col("text")))
+    n_chars = F.length("text")
+    n_tokens = F.size(t)
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(
+        n_chars, F.lit(1)
+    ).cast("double")
+    stop_hits = F.size(
+        F.filter(t, lambda x: x.isin(*[F.lit(w) for w in STOPWORDS]))
+    )
+    stop_ratio = stop_hits.cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    ttr = F.size(F.array_distinct(t)).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    feats = documents.select(
+        "doc_id",
+        det_round(
+            F.least(n_chars, F.lit(500)).cast("double") / F.lit(500.0), 6
+        ).alias("len_factor"),
+        det_round(stop_ratio, 6).alias("stop_ratio"),
+        det_round(punct_ratio, 6).alias("punct_ratio"),
+        det_round(ttr, 6).alias("ttr"),
+    )
+    label = quality_score(documents).select(
+        "doc_id",
+        F.when(F.col("quality_score") >= 0.5, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    return feats.join(label, "doc_id")
+
+
+def logistic_regression_train(
+    features: DataFrame,
+    feature_cols: tuple[str, ...] = QUALITY_FEATURES,
+    label_col: str = "y",
+    lr: float = 2.0,
+    iterations: int = 3,
+) -> DataFrame:
+    """Full-batch logistic-regression gradient descent, fixed
+    iteration count, cross-engine deterministic.
+
+        p_i  = σ(b + Σ_j w_j·x_ij)      (det-round 8)
+        g_j  = Σ_i (p_i − y_i)·x_ij     (per-term det-round 12,
+                                         decimal-summed)
+        w_j ← w_j − lr·g_j / n          (det-round 12)
+
+    from w = 0 (σ = 0.5 everywhere, so iteration 1's gradient is the
+    class-balance direction). Returns one row per coefficient
+    (``bias`` first, then ``feature_cols`` order) with the fitted
+    weight and ``grad_norm`` — the L2 norm of the LAST update's
+    gradient, the convergence signal.
+
+    Plan shape: weights live in a one-row DataFrame; each iteration
+    cross-joins it onto the features (bounded broadcast — the
+    engine's scalar-attach rule), reduces d+1 gradient scalars with
+    one partial aggregate, and derives the next weight row. The whole
+    fit is one lazy plan; n comes from one count (bounded driver
+    scalar, the SRP auto-r discipline).
+    """
+    d = len(feature_cols)
+    n = features.count()
+    spark = features.sparkSession
+    wdf = spark.range(1).select(
+        *[F.lit(0.0).alias(f"_w{j}") for j in range(d + 1)]
+    )
+    for _ in range(iterations):
+        scored = features.crossJoin(F.broadcast(wdf))
+        z = F.col("_w0")
+        for j, c in enumerate(feature_cols):
+            z = z + F.col(f"_w{j + 1}") * F.col(c)
+        # sigmoid rounds at 8, not 12: the round must absorb the
+        # one-ulp libm exp() divergence between engines, and at 12
+        # decimals a ~1e-16 relative difference flips a boundary with
+        # probability ~2e-4 per value (too hot for thousands of rows);
+        # at 8 decimals the flip probability is ~2e-8 and the gradient
+        # precision loss is irrelevant
+        p = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+        err = p - F.col(label_col)
+        xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+        aggs = [
+            F.sum(det_round(err * xj, 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias(f"_g{j}")
+            for j, xj in enumerate(xs)
+        ]
+        aggs += [F.first(F.col(f"_w{j}")).alias(f"_pw{j}") for j in range(d + 1)]
+        g_row = scored.agg(*aggs)
+        wdf = g_row.select(
+            *[
+                det_round(
+                    F.col(f"_pw{j}")
+                    - F.lit(lr) * F.col(f"_g{j}") / F.lit(float(n)),
+                    12,
+                ).alias(f"_w{j}")
+                for j in range(d + 1)
+            ],
+            *[F.col(f"_g{j}") for j in range(d + 1)],
+        )
+    gn = None
+    for j in range(d + 1):
+        sq = F.col(f"_g{j}") * F.col(f"_g{j}")
+        gn = sq if gn is None else gn + sq
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("coef_id"),
+                F.lit(name).alias("coef"),
+                F.col(f"_w{i}").alias("weight"),
+                det_round(F.sqrt(gn), 9).alias("grad_norm"),
+            )
+            for i, name in enumerate(["bias", *feature_cols])
+        ]
+    )
+    return wdf.select(F.explode(rows).alias("_r")).select(
+        "_r.coef_id", "_r.coef", "_r.weight", "_r.grad_norm"
+    )

@@ -3897,6 +3897,105 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_oracle(lr: float = 2.0, iterations: int = 3) -> str:
+    """Mirror of ml.logistic_regression_train over
+    ml.featurize_quality: the feature CTE (det-round-6 features +
+    heuristic-distilled label), then one unrolled CTE pair per
+    iteration replaying σ(det-round-8) → per-term det-round-12 →
+    DECIMAL(28,12) gradient sums → det-round-12 weight update, with
+    z built in the same left-associated order as the Spark loop."""
+    n_chars = "length(text)"
+    n_tokens = f"len({SQL_TOKENS})"
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    punct_ratio = (
+        f"(CAST({punct} AS DOUBLE) / CAST(GREATEST({n_chars}, 1) AS DOUBLE))"
+    )
+    stop_hits = (
+        f"len(list_filter({SQL_TOKENS}, x -> list_contains({_STOPLIST_SQL}, x)))"
+    )
+    stop_ratio = (
+        f"(CAST({stop_hits} AS DOUBLE) / CAST(GREATEST({n_tokens}, 1) AS DOUBLE))"
+    )
+    len_factor = f"(CAST(LEAST({n_chars}, 500) AS DOUBLE) / CAST(500 AS DOUBLE))"
+    ttr = (
+        f"(CAST(len(list_distinct({SQL_TOKENS})) AS DOUBLE)"
+        f" / CAST(GREATEST({n_tokens}, 1) AS DOUBLE))"
+    )
+    score = round_sql(
+        f"(({len_factor} + {stop_ratio} + (1.0 - {punct_ratio})) / 3.0)", 4
+    )
+    names = ["len_factor", "stop_ratio", "punct_ratio", "ttr"]
+    r12 = lambda x: round_sql(x, 12)
+    f_cte = f"""f AS (
+        SELECT doc_id,
+               {round_sql(len_factor, 6)} AS len_factor,
+               {round_sql(stop_ratio, 6)} AS stop_ratio,
+               {round_sql(punct_ratio, 6)} AS punct_ratio,
+               {round_sql(ttr, 6)} AS ttr,
+               (CASE WHEN {score} >= 0.5 THEN 1.0 ELSE 0.0 END) AS y
+        FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+    w0 AS (SELECT {", ".join(f"0.0 AS w{j}" for j in range(5))})"""
+    iters = []
+    prev = "w0"
+    for k in range(1, iterations + 1):
+        z = "w.w0"
+        for j, c in enumerate(names):
+            z = f"{z} + w.w{j + 1} * f.{c}"
+        p = round_sql(f"(1.0 / (1.0 + exp(-({z}))))", 8)
+        xs = ["1.0"] + [f"f.{c}" for c in names]
+        gs = ",\n               ".join(
+            f"CAST(SUM(CAST({r12(f'(({p}) - f.y) * {x}')}"
+            f" AS DECIMAL(28,12))) AS DOUBLE) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        iters.append(f"""
+    g{k} AS (
+        SELECT {gs}
+        FROM f CROSS JOIN {prev} w
+    ),
+    w{k} AS (
+        SELECT {", ".join(
+            r12(f"w.w{j} - {lr} * g.g{j} / nn.n") + f" AS w{j}"
+            for j in range(5)
+        )},
+               {", ".join(f"g.g{j} AS g{j}" for j in range(5))}
+        FROM g{k} g CROSS JOIN {prev} w CROSS JOIN nn
+    )""")
+        prev = f"w{k}"
+    gnorm = round_sql(
+        "sqrt(" + " + ".join(f"g{j} * g{j}" for j in range(5)) + ")", 9
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS coef_id, '{name}' AS coef, "
+        f"w{i} AS weight, {gnorm} AS grad_norm FROM {prev}"
+        for i, name in enumerate(["bias", *names])
+    )
+    return f"""
+    WITH {f_cte},{",".join(iters)}
+    {selects}
+    """
+
+
+@query("quality_logreg_train", oracle=_logreg_oracle(2.0, 3))
+def q_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine model TRAINING: full-batch logistic-regression GD
+    (3 fixed iterations, lr=2) fitting quality-classifier weights from
+    the det-round-6 feature table with heuristic-distilled labels —
+    the train-side sibling of the PageRank tier, oracle-checked by an
+    unrolled per-iteration CTE chain replaying the identical
+    det-rounded arithmetic. Per iteration: one narrow feature scan +
+    a 5-scalar partial aggregate; weights ride a one-row broadcast."""
+    from .operators import ml
+
+    t = _t(spark, sf_dir, "documents")
+    feats = ml.featurize_quality(t["documents"])
+    return ml.logistic_regression_train(
+        feats, feature_cols=ml.QUALITY_FEATURES, lr=2.0, iterations=3
+    )
+
+
 def _curation_funnel_oracle(
     quality_threshold: float = 0.5,
     novelty_threshold: float = 0.5,
@@ -4408,6 +4507,7 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # Group A - round-7 new queries + rewrites (every entry whose
     # code changed after the r6 sweep).
+    "quality_logreg_train",
     "curation_funnel",
     "copurchase_pagerank",
     "ngram_novelty",

@@ -106,6 +106,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "models themselves are bounded <= n_buckets rows and ride "
         "equi-key broadcast hash joins"
     ),
+    "quality_logreg_train": (
+        "one-row weight-vector broadcast per GD iteration (d+1 "
+        "scalars) — the scalar-attach rule; data rows never join "
+        "anything unbounded"
+    ),
 }
 
 

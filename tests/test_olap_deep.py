@@ -351,3 +351,34 @@ def test_pagerank_matches_reference_power_iteration(spark):
     ranked = sorted(got, key=lambda v: -got[v])
     assert ranked[0] == 1  # the hub
     assert abs(sum(got.values()) - 1.0) < 1e-6  # probability mass
+
+
+def test_logreg_learns_separable_direction(spark):
+    """logistic_regression_train on linearly separable data: the
+    discriminative feature gets a positive weight, the anti-feature
+    negative, and grad_norm shrinks vs iteration 1 (descent is
+    descending). Weight broadcast stays a one-row build side."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        ml,
+    )
+
+    rows = [(i, 1.0 if i % 2 else 0.0, 1.0 - (1.0 if i % 2 else 0.0),
+             1.0 if i % 2 else 0.0) for i in range(400)]
+    feats = spark.createDataFrame(
+        rows, "doc_id long, pos double, neg double, y double"
+    )
+    out = {
+        r["coef"]: r
+        for r in ml.logistic_regression_train(
+            feats, feature_cols=("pos", "neg"), lr=2.0, iterations=3
+        ).collect()
+    }
+    assert set(out) == {"bias", "pos", "neg"}
+    assert out["pos"]["weight"] > 0 > out["neg"]["weight"]
+    one_iter = {
+        r["coef"]: r
+        for r in ml.logistic_regression_train(
+            feats, feature_cols=("pos", "neg"), lr=2.0, iterations=1
+        ).collect()
+    }
+    assert out["pos"]["grad_norm"] < one_iter["pos"]["grad_norm"]
