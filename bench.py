@@ -95,6 +95,7 @@ HEADLINE = [
     "copurchase_pagerank",
     "curation_funnel",
     "quality_logreg_train",
+    "quality_logreg_scored",
 ]
 
 

@@ -114,6 +114,39 @@ def logistic_regression_train(
     fit is one lazy plan; n comes from one count (bounded driver
     scalar, the SRP auto-r discipline).
     """
+    wdf = _fit(features, feature_cols, label_col, lr, iterations)
+    d = len(feature_cols)
+    gn = None
+    for j in range(d + 1):
+        sq = F.col(f"_g{j}") * F.col(f"_g{j}")
+        gn = sq if gn is None else gn + sq
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("coef_id"),
+                F.lit(name).alias("coef"),
+                F.col(f"_w{i}").alias("weight"),
+                det_round(F.sqrt(gn), 9).alias("grad_norm"),
+            )
+            for i, name in enumerate(["bias", *feature_cols])
+        ]
+    )
+    return wdf.select(F.explode(rows).alias("_r")).select(
+        "_r.coef_id", "_r.coef", "_r.weight", "_r.grad_norm"
+    )
+
+
+def _fit(
+    features: DataFrame,
+    feature_cols: tuple[str, ...],
+    label_col: str,
+    lr: float,
+    iterations: int,
+) -> DataFrame:
+    """The GD loop itself: returns the one-row weight DataFrame
+    ``(_w0.._wd, _g0.._gd)`` — shared by the coefficient report
+    (:func:`logistic_regression_train`) and the train-then-score
+    composition (:func:`train_and_score`)."""
     d = len(feature_cols)
     n = features.count()
     spark = features.sparkSession
@@ -153,21 +186,37 @@ def logistic_regression_train(
             ],
             *[F.col(f"_g{j}") for j in range(d + 1)],
         )
-    gn = None
-    for j in range(d + 1):
-        sq = F.col(f"_g{j}") * F.col(f"_g{j}")
-        gn = sq if gn is None else gn + sq
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("coef_id"),
-                F.lit(name).alias("coef"),
-                F.col(f"_w{i}").alias("weight"),
-                det_round(F.sqrt(gn), 9).alias("grad_norm"),
-            )
-            for i, name in enumerate(["bias", *feature_cols])
-        ]
-    )
-    return wdf.select(F.explode(rows).alias("_r")).select(
-        "_r.coef_id", "_r.coef", "_r.weight", "_r.grad_norm"
+    return wdf
+
+
+def train_and_score(
+    features: DataFrame,
+    feature_cols: tuple[str, ...] = QUALITY_FEATURES,
+    label_col: str = "y",
+    lr: float = 2.0,
+    iterations: int = 3,
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """Fit the logistic model, then score every row with the FITTED
+    weights — the train→score loop in one plan: the fitted one-row
+    weight vector broadcasts back onto the feature table (the same
+    scalar-attach as each GD iteration) and each doc gets its
+    predicted keep-probability plus the keep decision. Output
+    ``(doc_id, model_quality, keep, label_agrees)``;
+    ``label_agrees`` compares the model's decision with the training
+    label — the aggregate of that column is the training accuracy a
+    fit report logs."""
+    wdf = _fit(features, feature_cols, label_col, lr, iterations)
+    scored = features.crossJoin(F.broadcast(wdf))
+    z = F.col("_w0")
+    for j, c in enumerate(feature_cols):
+        z = z + F.col(f"_w{j + 1}") * F.col(c)
+    p = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+    return scored.select(
+        "doc_id",
+        p.alias("model_quality"),
+        (p >= F.lit(keep_threshold)).alias("keep"),
+        ((p >= F.lit(keep_threshold)) == (F.col(label_col) >= F.lit(0.5))).alias(
+            "label_agrees"
+        ),
     )

@@ -3978,6 +3978,29 @@ def _logreg_oracle(lr: float = 2.0, iterations: int = 3) -> str:
     """
 
 
+def _logreg_scored_oracle(
+    lr: float = 2.0, iterations: int = 3, keep: float = 0.5
+) -> str:
+    """Mirror of ml.train_and_score: the same unrolled fit CTEs, then
+    every doc scored with the FITTED weights (σ det-round-8) plus the
+    keep decision and training-label agreement."""
+    body = _logreg_oracle(lr, iterations)
+    # reuse everything up to the final coefficient SELECTs
+    ctes = body.split("\n    SELECT CAST(0")[0]
+    names = ["len_factor", "stop_ratio", "punct_ratio", "ttr"]
+    z = "w.w0"
+    for j, c in enumerate(names):
+        z = f"{z} + w.w{j + 1} * f.{c}"
+    p = round_sql(f"(1.0 / (1.0 + exp(-({z}))))", 8)
+    return f"""{ctes}
+    SELECT f.doc_id,
+           {p} AS model_quality,
+           ({p} >= {keep}) AS keep,
+           (({p} >= {keep}) = (f.y >= 0.5)) AS label_agrees
+    FROM f CROSS JOIN w{iterations} w
+    """
+
+
 @query("quality_logreg_train", oracle=_logreg_oracle(2.0, 3))
 def q_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine model TRAINING: full-batch logistic-regression GD
@@ -3992,6 +4015,23 @@ def q_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "documents")
     feats = ml.featurize_quality(t["documents"])
     return ml.logistic_regression_train(
+        feats, feature_cols=ml.QUALITY_FEATURES, lr=2.0, iterations=3
+    )
+
+
+@query("quality_logreg_scored", oracle=_logreg_scored_oracle(2.0, 3, 0.5))
+def q_quality_logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→score loop in one plan: fit the logistic quality
+    model (same 3-iteration GD as quality_logreg_train), broadcast
+    the fitted one-row weight vector back onto the feature table, and
+    emit every doc's predicted keep-probability, keep decision, and
+    training-label agreement (whose mean is the fit's training
+    accuracy)."""
+    from .operators import ml
+
+    t = _t(spark, sf_dir, "documents")
+    feats = ml.featurize_quality(t["documents"])
+    return ml.train_and_score(
         feats, feature_cols=ml.QUALITY_FEATURES, lr=2.0, iterations=3
     )
 
@@ -4508,6 +4548,7 @@ _SWEEP_PRIORITY = [
     # Group A - round-7 new queries + rewrites (every entry whose
     # code changed after the r6 sweep).
     "quality_logreg_train",
+    "quality_logreg_scored",
     "curation_funnel",
     "copurchase_pagerank",
     "ngram_novelty",

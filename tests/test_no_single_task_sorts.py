@@ -111,6 +111,10 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "scalars) — the scalar-attach rule; data rows never join "
         "anything unbounded"
     ),
+    "quality_logreg_scored": (
+        "same one-row weight-vector broadcasts as the fit, plus the "
+        "final fitted-weights scalar attach for scoring"
+    ),
 }
 
 
