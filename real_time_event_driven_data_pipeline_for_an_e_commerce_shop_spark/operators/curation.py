@@ -1,8 +1,10 @@
 """Training-data curation operators — the pre-tokenization passes a
 large-scale LLM data pipeline runs between raw corpus and training
 shards: PII redaction, chunk-level (C4-style line-level) dedup,
-benchmark-contamination checks, deterministic stratified sampling, and
-token-budget packing.
+benchmark-contamination checks, deterministic stratified sampling,
+token-budget packing, per-source quota sampling and mixture weights,
+DSIR importance resampling (hashed-ngram models, broadcast-safe by
+construction), and the end-to-end curation funnel report.
 
 The reference pipeline has no text surface at all (SURVEY.md §2.6);
 these extend the ``documents`` table tier mandated by BASELINE.json's

@@ -13,10 +13,15 @@ two transcendental exceptions (``exp`` in the quality-model sigmoid,
 sum, which absorbs any last-ulp libm divergence between Spark and the
 DuckDB oracle (both hash-green every round).
 
-At 100 TB: every operator here is a narrow map over ``documents`` —
-no shuffle at all, fully pipelined with the parquet scan, so
-throughput is scan-bound. ``split`` on ``\\s+`` is the tokenizer
-everywhere so token counts agree across operators and engines.
+At 100 TB: the scoring operators (quality, lang-id, fingerprints,
+token stats) are narrow maps over ``documents`` — no shuffle, fully
+pipelined with the parquet scan, scan-bound. The corpus-model
+operators (BM25, LM perplexity, source drift, n-gram novelty) add
+key-partitioned aggregates and one model join each — always a SHUFFLE
+join on the model side (vocab/shingle tables are unbounded, never
+broadcast), with map-side combine collapsing the token stream first.
+``split`` on ``\\s+`` is the tokenizer everywhere so token counts
+agree across operators and engines.
 """
 
 from __future__ import annotations
