@@ -391,3 +391,70 @@ def test_click_attribution_banded_plan_spreads_hot_user(spark):
         .count()
     )
     assert n_buckets >= 5
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(2, 7),
+    st.integers(1, 6),
+)
+@FAST
+def test_global_ntile_property_matches_window(spark, vals, k, ranges):
+    """global_ntile == window NTILE over generated (heavily tied,
+    negative-valued) populations for any tile count and range count —
+    the shared-boundaries reconstruction is exact, not approximate."""
+    from pyspark.sql import Window
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.olap_deep import (
+        global_ntile,
+    )
+
+    rows = [(i, v1, float(v2)) for i, (v1, v2) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, a long, b double")
+    order = [F.asc("a"), F.desc("b"), F.asc("id")]
+    got = {
+        r["id"]: r["t"]
+        for r in global_ntile(df, k, order, "t", num_ranges=ranges).collect()
+    }
+    want = {
+        r["id"]: r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(k).over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(-500, 500), min_size=1, max_size=60),
+    st.integers(1, 5),
+)
+@FAST
+def test_global_rank_property_matches_row_number(spark, vals, ranges):
+    """global_rank == ROW_NUMBER over generated tied data for any
+    range count; payload survives the join-back."""
+    from pyspark.sql import Window
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.olap_deep import (
+        global_rank,
+    )
+
+    rows = [(i, v, f"p{i}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long, payload string")
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: (r["rk"], r["payload"])
+        for r in global_rank(df, order, "rk", num_ranges=ranges).collect()
+    }
+    want = {
+        r["id"]: (r["rk"], r["payload"])
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(*order)).cast("long"),
+        ).collect()
+    }
+    assert got == want
