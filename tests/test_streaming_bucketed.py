@@ -856,3 +856,91 @@ def test_corpus_semantic_dedup_gate_drops_bag_of_words_dups(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_semantic_gate_heals_vector_docs_commit_window(spark, tmp_path):
+    """Crash between the vector-zone commit and the docs commit: the
+    vectors epoch is committed but the docs epoch is not. On replay
+    the gate must re-land the docs epoch (vectors/pairs land first and
+    are idempotent no-ops under their own manifests) and the zone must
+    converge to the same state as an uninterrupted run — the
+    self-healing-cache property the land order buys."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        committed_epochs,
+        read_manifest_zone,
+        run_corpus_ingest_semantic_dedup_manifest,
+        _manifest_dir,
+        _table_location,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_sem_heal_"
+    tables = {}
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "omicron pi rho sigma tau"),
+                (3, "epsilon delta gamma beta alpha"),  # dup of 1
+            ],
+            "doc_id long, text string",
+        )
+        docs.write.mode("append").parquet(raw)
+        tables = run_corpus_ingest_semantic_dedup_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        zone_docs = read_manifest_zone(
+            spark, {"documents": tables["documents"]}, zone
+        )["documents"]
+        want_ids = {r["doc_id"] for r in zone_docs.collect()}
+        assert want_ids == {1, 2}
+        n_pairs = read_manifest_zone(
+            spark, {"neardup_pairs": tables["neardup_pairs"]}, zone
+        )["neardup_pairs"].count()
+
+        # simulate the crash window: docs epoch 0 uncommitted + its
+        # data gone; vectors and pairs epochs stay committed
+        os.remove(os.path.join(_manifest_dir(zone, "documents"), "0.json"))
+        doc_loc = _table_location(spark, tables["documents"])
+        shutil.rmtree(os.path.join(doc_loc, "_epoch=0"))
+        spark.catalog.refreshTable(tables["documents"])
+        assert committed_epochs(zone, "documents") == set()
+        assert committed_epochs(zone, "doc_vectors") == {0}
+
+        # replay: fresh checkpoint redelivers the files as epoch 0
+        shutil.rmtree(ckpt)
+        run_corpus_ingest_semantic_dedup_manifest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        spark.catalog.refreshTable(tables["documents"])
+        healed = read_manifest_zone(
+            spark, {"documents": tables["documents"]}, zone
+        )["documents"]
+        assert {r["doc_id"] for r in healed.collect()} == want_ids
+        assert committed_epochs(zone, "documents") == {0}
+        # vectors and pairs were idempotent no-ops: still one epoch,
+        # same pair count, vector set matches the kept docs
+        assert committed_epochs(zone, "doc_vectors") == {0}
+        assert (
+            read_manifest_zone(
+                spark, {"neardup_pairs": tables["neardup_pairs"]}, zone
+            )["neardup_pairs"].count()
+            == n_pairs
+        )
+        vec_ids = {
+            r["doc_id"]
+            for r in read_manifest_zone(
+                spark, {"doc_vectors": tables["doc_vectors"]}, zone
+            )["doc_vectors"].collect()
+        }
+        assert vec_ids == want_ids
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
