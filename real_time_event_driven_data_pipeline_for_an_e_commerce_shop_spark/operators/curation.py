@@ -834,6 +834,7 @@ def curation_funnel(
     quality_threshold: float = 0.5,
     novelty_threshold: float = 0.5,
     ngram_n: int = 5,
+    shingle_state: DataFrame | None = None,
 ) -> DataFrame:
     """The curation pipeline's before/after report, one row per stage:
     ingested → quality-filtered (heuristic score ≥ threshold) →
@@ -844,36 +845,50 @@ def curation_funnel(
     surviving every earlier gate — and ``dropped`` is the per-stage
     loss, so the table reads as the funnel a data-curation run logs.
 
-    Scale shape: the three per-doc signal subplans (scan-fused quality
-    map; fingerprint hash-agg + join-back; the novelty count join)
-    each key on doc_id or a 16-byte hash, then ONE aggregate collapses
-    the corpus to four counters and a 4-row unpivot emits the funnel —
-    output is O(stages), never O(docs).
+    Scale shape: the quality predicate and the exact-dedup fingerprint
+    share ONE corpus scan (``quality_score(keep_cols=...)`` carries
+    the md5 through its projection) and the min-id keeper rides a
+    narrow (doc_id, 16-byte-fp, flag) window on the fingerprint — no
+    join-back. The novelty signal adds the shingle aggregation: its
+    count table feeds two consumers (per-doc join + corpus totals),
+    which the composed plan may derive as two scans (exchange reuse is
+    best-effort under composition); pass ``shingle_state`` — the
+    (doc_id, _h, _tf) table the streaming/zone tier already maintains
+    (``doc_shingle_counts_streaming``) — and the funnel derives
+    novelty from the state with ZERO extra corpus scans (the same
+    state seam every corpus-model operator exposes). Then ONE
+    aggregate collapses the corpus to four counters and a 4-row
+    unpivot emits the funnel — output is O(stages), never O(docs).
     """
-    from .text import ngram_novelty, quality_score
+    from .text import (
+        ngram_novelty,
+        ngram_novelty_from_shingle_state,
+        quality_score,
+    )
 
-    q = quality_score(documents).select(
-        "doc_id",
-        (F.col("quality_score") >= F.lit(quality_threshold)).alias("_q"),
-    )
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    fp = documents.select(
-        "doc_id", F.md5(norm.cast("binary")).alias("_fp")
+    pre = documents.withColumn("_fp", F.md5(norm.cast("binary")))
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    qk = (
+        quality_score(pre, keep_cols=("_fp",))
+        .select(
+            "doc_id",
+            "_fp",
+            (F.col("quality_score") >= F.lit(quality_threshold)).alias("_q"),
+        )
+        .withColumn("_k", F.row_number().over(w) == 1)
     )
-    keeper = fp.groupBy("_fp").agg(F.min("doc_id").alias("_keep_id"))
-    kd = fp.join(keeper, "_fp").select(
-        "doc_id", (F.col("doc_id") == F.col("_keep_id")).alias("_k")
+    novelty = (
+        ngram_novelty_from_shingle_state(shingle_state)
+        if shingle_state is not None
+        else ngram_novelty(documents, n=ngram_n)
     )
-    nv = ngram_novelty(documents, n=ngram_n).select(
+    nv = novelty.select(
         "doc_id",
         (F.col("dup_fraction") <= F.lit(novelty_threshold)).alias("_n"),
     )
-    flags = (
-        q.join(kd, "doc_id")
-        .join(nv, "doc_id", "left")
-        .select(
-            "_q", "_k", F.coalesce(F.col("_n"), F.lit(True)).alias("_n")
-        )
+    flags = qk.join(nv, "doc_id", "left").select(
+        "_q", "_k", F.coalesce(F.col("_n"), F.lit(True)).alias("_n")
     )
     agg = flags.agg(
         F.count(F.lit(1)).alias("c0"),

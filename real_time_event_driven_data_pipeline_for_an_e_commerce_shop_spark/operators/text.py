@@ -66,9 +66,14 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(
+    documents: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic quality scoring: length, punctuation density, stopword
-    density, and a deterministic compound score in [0, ~1]."""
+    density, and a deterministic compound score in [0, ~1].
+    ``keep_cols`` pass extra input columns through the projection so a
+    composed pipeline (e.g. the curation funnel's fingerprint) shares
+    THIS scan instead of re-reading the corpus."""
     t = tokens(F.col("text"))
     n_chars = F.length("text")
     n_tokens = F.size(t)
@@ -82,6 +87,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     len_factor = ratio(F.least(n_chars, F.lit(500)), F.lit(500))
     return documents.select(
         "doc_id",
+        *keep_cols,
         n_chars.cast("long").alias("n_chars_measured"),
         n_tokens.cast("long").alias("n_tokens"),
         det_round(punct_ratio, 4).alias("punct_ratio"),

@@ -236,3 +236,56 @@ def test_ngram_novelty_counts_self_repeats_and_cross_doc_dups(spark):
     assert rows[3]["n_duplicated"] == rows[3]["n_ngrams"] == 6
     assert rows[3]["memorization_risk"]
     assert rows[4]["n_duplicated"] == 0 and not rows[4]["memorization_risk"]
+
+
+def test_curation_funnel_state_path_matches_plan_pure(spark, tmp_path):
+    """curation_funnel(shingle_state=...) — the state seam — produces
+    the identical funnel as the plan-pure path, with zero extra
+    corpus scans for the novelty signal (the state table replaces the
+    shingle aggregation)."""
+    import re
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.core import (
+        md5_long,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.text import (
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # build the (doc_id, _h, _tf) state exactly as the streaming twin
+    # maintains it, snapshot it to parquet (the zone form)
+    n = 5
+    t = tokens(F.lower(F.col("text")))
+    sz = F.size(t)
+    sh = t
+    for j in range(1, n):
+        shifted = F.slice(t, j + 1, F.greatest(sz - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    state_path = str(tmp_path / "shingle_state")
+    (
+        docs.select("doc_id", t.alias("_t"), full.alias("_sh"))
+        .filter(F.size("_t") >= n)
+        .select("doc_id", F.explode("_sh").alias("_sgl"))
+        .select("doc_id", md5_long(F.col("_sgl")).alias("_h"))
+        .groupBy("doc_id", "_h")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .write.parquet(state_path)
+    )
+    state = spark.read.parquet(state_path)
+    from_state = curation.curation_funnel(docs, shingle_state=state)
+    plan_pure = curation.curation_funnel(docs)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(from_state) == key(plan_pure)
+    final = (
+        from_state._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    doc_scans = re.findall(r"FileScan parquet[^\n]*documents", final)
+    assert len(doc_scans) == 1, final  # quality+fp scan only
