@@ -52,7 +52,12 @@ def featurize_quality(documents: DataFrame) -> DataFrame:
     quality-score join on doc_id."""
     from .text import STOPWORDS, quality_score, tokens
 
-    t = tokens(F.lower(F.col("text")))
+    # NOT lowercased: the shared token definition (text.tokens) is
+    # case-preserving, and the feature table must agree byte-for-byte
+    # with quality_score / quality_model_score and the DuckDB oracle —
+    # a lowered tokenizer silently diverges stop_ratio/ttr on any
+    # mixed-case doc (ADVICE r7, high).
+    t = tokens(F.col("text"))
     n_chars = F.length("text")
     n_tokens = F.size(t)
     punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))

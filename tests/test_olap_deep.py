@@ -382,3 +382,23 @@ def test_logreg_learns_separable_direction(spark):
         ).collect()
     }
     assert out["pos"]["grad_norm"] < one_iter["pos"]["grad_norm"]
+
+
+def test_featurize_quality_is_case_sensitive(spark):
+    """ADVICE r7 (high): featurize_quality must tokenize with the
+    shared case-PRESERVING text.tokens — not a lowered variant —
+    so stop_ratio/ttr agree with quality_score / quality_model_score
+    and the DuckDB oracle on mixed-case docs. 'The the' has exactly
+    one lowercase stopword hit (stop_ratio 0.5) and two DISTINCT
+    case-sensitive tokens (ttr 1.0); a lowering tokenizer would
+    report 1.0 / 0.5 instead."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        ml,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "The the")], "doc_id long, text string"
+    )
+    row = ml.featurize_quality(docs).collect()[0]
+    assert row["stop_ratio"] == 0.5
+    assert row["ttr"] == 1.0
