@@ -811,7 +811,16 @@ def dsir_from_feature_state(
         "_score", det_round(F.col("_s"), 6)
     ).drop("_s")
     order = [F.desc("_score"), F.asc(id_col)]
-    if small_threshold and scored_docs.count() <= small_threshold:
+    # Route-picking count on the PRE-JOIN grain (ADVICE r7 / VERDICT
+    # #3): distinct doc ids in doc_feats equal the scored-doc
+    # cardinality exactly (the bucket joins never drop a doc — every
+    # bucket hits raw_model by construction), but counting here is a
+    # narrow hash-agg over the state table instead of a full extra
+    # execution of the two-broadcast-join scoring subplan.
+    if (
+        small_threshold
+        and doc_feats.select(id_col).distinct().count() <= small_threshold
+    ):
         ranked = scored_docs.withColumn(
             "sel_rank", F.row_number().over(Window.orderBy(*order)).cast("long")
         )
@@ -838,12 +847,15 @@ def curation_funnel(
 ) -> DataFrame:
     """The curation pipeline's before/after report, one row per stage:
     ingested → quality-filtered (heuristic score ≥ threshold) →
-    exact-dedup keeper (normalized-fingerprint min-id, the
-    `incremental_dedup` rule) → n-gram-novel (duplicated-n-gram
-    fraction ≤ threshold, `text.ngram_novelty`; short docs with no
-    n-gram pass trivially). Stages are CUMULATIVE — each counts docs
-    surviving every earlier gate — and ``dropped`` is the per-stage
-    loss, so the table reads as the funnel a data-curation run logs.
+    exact-dedup keeper (normalized-fingerprint min-id AMONG QUALITY
+    SURVIVORS — standard quality-then-dedup semantics: a dup group
+    whose min-id member failed the quality gate still keeps its
+    best-id passing member, ADVICE r7) → n-gram-novel
+    (duplicated-n-gram fraction ≤ threshold, `text.ngram_novelty`;
+    short docs with no n-gram pass trivially). Stages are
+    CUMULATIVE — each counts docs surviving every earlier gate — and
+    ``dropped`` is the per-stage loss, so the table reads as the
+    funnel a data-curation run logs.
 
     Scale shape: the quality predicate and the exact-dedup fingerprint
     share ONE corpus scan (``quality_score(keep_cols=...)`` carries
@@ -868,7 +880,10 @@ def curation_funnel(
 
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     pre = documents.withColumn("_fp", F.md5(norm.cast("binary")))
-    w = Window.partitionBy("_fp").orderBy("doc_id")
+    # keeper = min doc_id among QUALITY SURVIVORS of the fingerprint
+    # group (conditional min over an unordered partition window — no
+    # sort, still one narrow (doc_id, fp, flag) window pass)
+    w = Window.partitionBy("_fp")
     qk = (
         quality_score(pre, keep_cols=("_fp",))
         .select(
@@ -876,7 +891,14 @@ def curation_funnel(
             "_fp",
             (F.col("quality_score") >= F.lit(quality_threshold)).alias("_q"),
         )
-        .withColumn("_k", F.row_number().over(w) == 1)
+        .withColumn(
+            "_k",
+            F.coalesce(
+                F.col("doc_id")
+                == F.min(F.when(F.col("_q"), F.col("doc_id"))).over(w),
+                F.lit(False),
+            ),
+        )
     )
     novelty = (
         ngram_novelty_from_shingle_state(shingle_state)

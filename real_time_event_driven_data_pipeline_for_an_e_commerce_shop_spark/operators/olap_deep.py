@@ -981,8 +981,10 @@ def _order_col_names(order_cols: list) -> list[str]:
     ordering list (also accepts plain strings). The keys-only range
     exchange needs the NAMES to project/join; directions stay with
     the original Column objects. Restricted to simple named columns —
-    every engine caller qualifies, and the assert keeps a computed
-    expression from silently breaking the join-back."""
+    every engine caller qualifies, and the raise keeps a computed
+    expression from silently breaking the join-back (a bare assert
+    would be stripped under ``python -O`` and the Column-repr parse
+    is PySpark-version-dependent — ADVICE r7)."""
     import re
 
     names = []
@@ -991,7 +993,11 @@ def _order_col_names(order_cols: list) -> list[str]:
             names.append(c)
             continue
         m = re.match(r"Column<'([A-Za-z_][A-Za-z0-9_]*)(?: ASC| DESC|').*", str(c))
-        assert m, f"global_ntile needs simple named order columns, got {c}"
+        if not m:
+            raise ValueError(
+                "global_ntile needs simple named order columns "
+                f"(plain strings or F.asc/F.desc of a column name), got {c}"
+            )
         names.append(m.group(1))
     return names
 

@@ -4043,8 +4043,9 @@ def _curation_funnel_oracle(
 ) -> str:
     """Mirror of curation.curation_funnel: heuristic quality score
     (the text_quality fragment), normalized-fingerprint min-id keeper
-    (the dedup_exact fragment), duplicated-n-gram fraction (the
-    ngram_novelty fragment), one 4-counter aggregate, 4-row unpivot."""
+    AMONG QUALITY SURVIVORS (quality-then-dedup semantics),
+    duplicated-n-gram fraction (the ngram_novelty fragment), one
+    4-counter aggregate, 4-row unpivot."""
     n_chars = "length(text)"
     n_tokens = f"len({SQL_TOKENS})"
     punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
@@ -4072,10 +4073,16 @@ def _curation_funnel_oracle(
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
         FROM documents
     ),
-    keep AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+    keep AS (
+        SELECT f, MIN(doc_id) AS keep_id
+        FROM fp JOIN q USING (doc_id)
+        WHERE q.ok_q
+        GROUP BY f
+    ),
     kd AS (
-        SELECT fp.doc_id, (fp.doc_id = keep.keep_id) AS ok_k
-        FROM fp JOIN keep USING (f)
+        SELECT fp.doc_id,
+               COALESCE(fp.doc_id = keep.keep_id, FALSE) AS ok_k
+        FROM fp LEFT JOIN keep USING (f)
     ),
     toks AS (SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents),
     occ AS (

@@ -437,15 +437,19 @@ def zone_equijoin(
     """Equi-join two zone tables with the plan the recorded layouts
     earn: when both sides are bucketed on the join key with the same
     bucket count, the catalog read alone makes the join Exchange-free
-    (plan-asserted in tests) — decided from the manifest, not the
-    call site. Any other combination falls through to a plain join
-    and lets Catalyst/AQE pick the strategy."""
+    (plan-asserted in tests) — the catalog read carries the bucket
+    metadata, so the co-bucketed plan needs no hint here. Any OTHER
+    combination gets an explicit SHUFFLE_HASH hint: a zone⋈zone fact
+    join without co-located buckets must shuffle anyway, and the
+    shuffle-hash build skips the sort-merge sorts and can never
+    misestimate a fact table into a broadcast. The manifest spec now
+    actually decides the plan (ADVICE r7: the branch was dead)."""
     dfs = read_zone_tables(spark, zone_dir, [left, right])
     specs = [zone_table_layout(zone_dir, n) for n in (left, right)]
     co_bucketed = all(
         s and s.get("bucket_col") == on and s.get("n_buckets") for s in specs
     ) and specs[0]["n_buckets"] == specs[1]["n_buckets"]
-    joined = dfs[left].join(dfs[right], on)
     if co_bucketed:
-        return joined  # bucket metadata already removes both Exchanges
-    return joined
+        # bucket metadata already removes both Exchanges
+        return dfs[left].join(dfs[right], on)
+    return dfs[left].join(dfs[right].hint("SHUFFLE_HASH"), on)

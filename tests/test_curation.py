@@ -289,3 +289,25 @@ def test_curation_funnel_state_path_matches_plan_pure(spark, tmp_path):
     )
     doc_scans = re.findall(r"FileScan parquet[^\n]*documents", final)
     assert len(doc_scans) == 1, final  # quality+fp scan only
+
+
+def test_curation_funnel_keeper_among_quality_survivors(spark):
+    """ADVICE r7: the exact-dedup keeper is chosen AMONG QUALITY
+    SURVIVORS (quality-then-dedup), not corpus-wide. Docs 1 and 2
+    share a normalized fingerprint ('a b'); doc 1 (min id) fails the
+    quality gate (3 chars -> len_factor ~0), doc 2 passes (500+ chars
+    of padding whitespace -> len_factor 1.0, score 2/3). Corpus-wide
+    min-id keeper would drop the whole group at exact_dedup; the
+    survivor-scoped keeper keeps doc 2."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a" + " " * 500 + "b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["stage"]: r
+        for r in curation.curation_funnel(docs, quality_threshold=0.5).collect()
+    }
+    assert rows["ingested"]["docs"] == 2
+    assert rows["quality"]["docs"] == 1
+    assert rows["exact_dedup"]["docs"] == 1  # doc 2 is the keeper
+    assert rows["ngram_novel"]["docs"] == 1

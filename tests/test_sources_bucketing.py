@@ -640,3 +640,35 @@ def test_pipeline_batch_zone_is_self_describing(spark, tmp_path):
         for t in ("validated_orders", "validated_order_items",
                   "validated_products"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_zone_equijoin_non_cobucketed_takes_shuffle_hash(spark, tmp_path):
+    """ADVICE r7: when the manifest says the sides are NOT co-bucketed
+    on the join key, zone_equijoin's spec check must actually decide
+    the plan — the fall-through gets an explicit SHUFFLE_HASH build
+    (a fact⋈fact join must shuffle anyway; the hash build skips the
+    sort-merge sorts and can never misestimate a fact into a
+    broadcast)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        write_zone_table,
+        zone_equijoin,
+    )
+
+    zdir = str(tmp_path / "zone")
+    a = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_zone_table(a, zdir, "ta", layout="flat")
+    write_zone_table(b, zdir, "tb", layout="flat")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = zone_equijoin(spark, zdir, "ta", "tb", on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
