@@ -221,20 +221,35 @@ def main() -> None:
         shutil.rmtree(zone_dir, ignore_errors=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "iterations": iterations,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Key ORDER is load-bearing (VERDICT r7 #5): the driver records only
+    # the TAIL of this line, so the steady-state numbers — the ones
+    # BASELINE.md comparisons need — go LAST (cold first, warm + value
+    # last) and the full artifact is also written to the repo so every
+    # number survives regardless of truncation.
+    record = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "iterations": iterations,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold_total": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "value": round(sum(warm.values()), 3),
+        "queries": warm,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = [
+            int(f[len("BENCH_r"): -len(".json")])
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r"): -len(".json")].isdigit()
+        ]
+        n = max(rounds, default=0) + 1
+        with open(os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json"), "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line is still complete
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,19 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, tmp).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+        # interleaved min-of-2 for the LONG entries (ROADMAP r7 #1):
+        # >60 s runs show a ±10 % AQE/GC-phase band, so a single sample
+        # can't distinguish a regression from noise. The re-run pass is
+        # interleaved (full sweep order, not back-to-back repeats) so
+        # both samples of a query land in different GC phases; min is
+        # the steady-state estimator, same as bench.py.
+        slow = [n for n in SCALE_DOC_QUERIES if timings[n] > 60.0]
+        for name in slow:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, tmp).write.mode("overwrite").format("noop").save()
+            timings[name] = min(
+                timings[name], round(time.perf_counter() - t0, 3)
+            )
 
         # corpus-sized blocking: r ≈ log2(n) planes (the registered
         # query pins r=12 for its sf0.01 oracle; at 150k docs the
@@ -107,18 +120,22 @@ def main() -> None:
         )
 
         r = min(24, int(_math.ceil(_math.log2(max(n_docs, 2)))))
+
+        def _run_sized():
+            _sim.embedding_near_dups_multitable(
+                _text.feature_hash_vectors(
+                    spark.read.parquet(f"{tmp}/documents.parquet"), dim=64
+                ),
+                threshold=0.8,
+                dim=64,
+                n_planes=r,
+                n_tables=2,
+                id_col="doc_id",
+                vec_col="feature_vec",
+            ).write.mode("overwrite").format("noop").save()
+
         t0 = time.perf_counter()
-        _sim.embedding_near_dups_multitable(
-            _text.feature_hash_vectors(
-                spark.read.parquet(f"{tmp}/documents.parquet"), dim=64
-            ),
-            threshold=0.8,
-            dim=64,
-            n_planes=r,
-            n_tables=2,
-            id_col="doc_id",
-            vec_col="feature_vec",
-        ).write.mode("overwrite").format("noop").save()
+        _run_sized()
         timings[f"semantic_neardup_r{r}"] = round(time.perf_counter() - t0, 3)
 
         # materialize-vectors seam (VERDICT r6 #1) + self-sizing r
@@ -127,24 +144,40 @@ def main() -> None:
         # derives inside the operator from the zone count. The delta
         # vs the plan-pure line above is exactly the cost of the ~6
         # redundant tokenize->hash corpus derivations the seam removes.
+        def _run_materialized():
+            zvecs = _text.materialize_feature_hash_vectors(
+                spark.read.parquet(f"{tmp}/documents.parquet"),
+                f"{tmp}/fh_vectors_zone",
+                dim=64,
+            )
+            _sim.embedding_near_dups_multitable(
+                zvecs,
+                threshold=0.8,
+                dim=64,
+                n_planes=None,
+                n_tables=2,
+                id_col="doc_id",
+                vec_col="feature_vec",
+            ).write.mode("overwrite").format("noop").save()
+
         t0 = time.perf_counter()
-        zvecs = _text.materialize_feature_hash_vectors(
-            spark.read.parquet(f"{tmp}/documents.parquet"),
-            f"{tmp}/fh_vectors_zone",
-            dim=64,
-        )
-        _sim.embedding_near_dups_multitable(
-            zvecs,
-            threshold=0.8,
-            dim=64,
-            n_planes=None,
-            n_tables=2,
-            id_col="doc_id",
-            vec_col="feature_vec",
-        ).write.mode("overwrite").format("noop").save()
+        _run_materialized()
         timings["semantic_neardup_auto_materialized"] = round(
             time.perf_counter() - t0, 3
         )
+
+        # interleaved second sample for the long semantic pair too
+        specials = [
+            (f"semantic_neardup_r{r}", _run_sized),
+            ("semantic_neardup_auto_materialized", _run_materialized),
+        ]
+        for sname, thunk in specials:
+            if timings[sname] > 60.0:
+                t0 = time.perf_counter()
+                thunk()
+                timings[sname] = min(
+                    timings[sname], round(time.perf_counter() - t0, 3)
+                )
 
         print(
             json.dumps(
