@@ -96,6 +96,8 @@ HEADLINE = [
     "curation_funnel",
     "quality_logreg_train",
     "quality_logreg_scored",
+    "dsir_selection_state",
+    "curation_funnel_state",
 ]
 
 

@@ -1,0 +1,269 @@
+"""Single-scan multi-state corpus ingest (VERDICT r7 #1).
+
+The engine maintains four corpus state tables, each the narrow grain
+one family of operators derives from:
+
+* **term state** ``(doc_id, term, tf)`` — the inverted-index grain
+  (:func:`~.text.bm25_from_term_state`,
+  :func:`~.text.lm_perplexity_from_term_state`);
+* **feature state** ``(doc_id, bucket, c_doc)`` — hashed uni+bigram
+  counts (:func:`~.curation.dsir_from_feature_state`);
+* **shingle state** ``(doc_id, _h, _tf)`` — n-gram-hash counts
+  (:func:`~.text.ngram_novelty_from_shingle_state`);
+* **feature-hash vectors** ``(doc_id, feature_vec)`` — the text→vector
+  zone the ANN / semantic-dedup tier composes from
+  (:func:`~.text.materialize_feature_hash_vectors`).
+
+Maintained independently, a full curation+retrieval refresh scans the
+raw corpus four times — and at 100 TB the corpus scan IS the cost
+(every one of these states is a tiny fraction of the corpus bytes; the
+text read dominates end to end). This module collapses the refresh to
+ONE corpus scan:
+
+1. one projection tokenizes each document ONCE and builds three
+   derived arrays JVM-side — tokens, adjacent bigrams, n-gram
+   shingles — exactly as the per-state operators do;
+2. the arrays concatenate into a single TAGGED event array
+   (``kind`` ∈ t/b/s) and explode once: one token-stream-shaped pass,
+   ~3× the token count, instead of four separate explodes over four
+   separate scans;
+3. one map-side-combined hash aggregate collapses the stream to the
+   ``(doc_id, kind, s, c)`` distinct-count grain — the ONLY shuffle
+   that ever carries corpus-scale data;
+4. every state table is then a cheap re-aggregation of that grain
+   (hash the string, re-key, sum the already-collapsed counts) —
+   bounded by Σ|distinct strings per doc|, never the token stream.
+
+The three event spaces cannot collide as strings (tokens contain no
+whitespace; bigrams contain exactly one space; n≥3-gram shingles
+contain n−1), but ``kind`` stays in the key anyway — the grain is a
+contract, not a probabilistic fact.
+
+Bit-parity with the independent operators is exact, not approximate:
+grouping occurrences by string first and summing counts afterwards is
+the same integer arithmetic the per-state aggregates run, and the
+md5-prefix hashes (:func:`~..functions.core.md5_long`) are applied to
+the same strings. ``tests/test_corpus_state.py`` asserts row-exact
+equality for all four states and plan-asserts the one-scan property.
+
+Streaming twin: ``streaming.windows.token_event_counts_streaming``
+maintains the same (doc_id, kind, s, c) grain as ONE update-mode
+aggregate, so live ingest feeds all four state families through a
+single stateful operator instead of four parallel streams over the
+same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import md5_long
+
+
+def _tagged_events(text_col: Column, shingle_n: int) -> Column:
+    """The tagged event array for one document: tokens (kind 't'),
+    adjacent bigrams ('b'), and ``shingle_n``-gram shingles ('s'),
+    each built with the SAME expressions the independent operators
+    use (``text.tokens`` lowered; ``curation.hashed_ngram_features``'s
+    sequence bigrams; ``dedup.shingles``' zip_with chain) so every
+    derived state is bit-identical to its scan-based twin."""
+    from .text import tokens
+
+    t = tokens(F.lower(text_col))
+    sz = F.size(t)
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(2), sz),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i - F.lit(1)), F.element_at(t, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = t
+    for j in range(1, shingle_n):
+        shifted = F.slice(t, j + 1, F.greatest(sz - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    shingles = F.slice(sh, 1, F.greatest(sz - (shingle_n - 1), F.lit(0)))
+
+    def tag(arr: Column, kind: str) -> Column:
+        return F.transform(
+            arr,
+            lambda x: F.struct(
+                F.lit(kind).alias("kind"), x.alias("s")
+            ),
+        )
+
+    return F.concat(tag(t, "t"), tag(bigrams, "b"), tag(shingles, "s"))
+
+
+def token_event_counts(
+    documents: DataFrame, shingle_n: int = 5
+) -> DataFrame:
+    """The unified ``(doc_id, kind, s, c)`` corpus grain: ONE scan,
+    one explode of the tagged event array, one map-side-combined
+    count. Everything every corpus state table needs, in one pass."""
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(_tagged_events(F.col("text"), shingle_n)).alias("_e"),
+        )
+        .select("doc_id", F.col("_e.kind").alias("kind"), F.col("_e.s").alias("s"))
+        .groupBy("doc_id", "kind", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def term_state_from_event_counts(counts: DataFrame) -> DataFrame:
+    """``(doc_id, term, tf)`` — the BM25/LM inverted-index grain: the
+    't' slice of the event grain IS the term state (one filter +
+    rename, no re-aggregation — (doc, 't', s) is already per-term)."""
+    return counts.filter(F.col("kind") == "t").select(
+        "doc_id", F.col("s").alias("term"), F.col("c").alias("tf")
+    )
+
+
+def feature_state_from_event_counts(
+    counts: DataFrame, n_buckets: int = 4096
+) -> DataFrame:
+    """``(doc_id, bucket, c_doc)`` — the DSIR hashed uni+bigram grain:
+    tokens and bigrams hash into ``n_buckets`` and their
+    already-collapsed counts sum per bucket. The re-aggregation moves
+    Σ|distinct (doc, string)| rows, never the token stream."""
+    return (
+        counts.filter(F.col("kind").isin("t", "b"))
+        .select(
+            "doc_id",
+            F.pmod(md5_long(F.col("s")), F.lit(n_buckets)).alias("bucket"),
+            "c",
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("c").cast("long").alias("c_doc"))
+    )
+
+
+def shingle_state_from_event_counts(counts: DataFrame) -> DataFrame:
+    """``(doc_id, _h, _tf)`` — the memorization-audit grain: shingle
+    strings hash to 48 bits and counts sum per hash (the same
+    hash-then-merge the scan-based ``ngram_novelty`` performs)."""
+    return (
+        counts.filter(F.col("kind") == "s")
+        .select("doc_id", md5_long(F.col("s")).alias("_h"), "c")
+        .groupBy("doc_id", "_h")
+        .agg(F.sum("c").cast("long").alias("_tf"))
+    )
+
+
+def vectors_from_event_counts(
+    counts: DataFrame, dim: int = 64
+) -> DataFrame:
+    """``(doc_id, feature_vec)`` — the hashing-trick unit vectors
+    (:func:`~.text.feature_hash_vectors`) from the 't' slice: each
+    distinct term contributes ``c × sign`` to its bucket (exact
+    integer arithmetic — identical to summing per occurrence), then
+    the same map-assembly and one-division-per-component
+    normalization as the scan-based operator. Bit-identical doubles:
+    integer sums, integer-valued squared norm, one IEEE division by
+    one correctly-rounded sqrt."""
+    h = md5_long(F.col("s"))
+    per_bucket = (
+        counts.filter(F.col("kind") == "t")
+        .select(
+            "doc_id",
+            F.pmod(h, F.lit(dim)).alias("_b"),
+            (
+                F.col("c")
+                * F.when(
+                    F.pmod(F.floor(h / F.lit(dim)), F.lit(2)) == 0, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias("_sc"),
+        )
+        .groupBy("doc_id", "_b")
+        .agg(F.sum("_sc").alias("_c"))
+    )
+    per_doc = per_bucket.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0)).cast("double")
+        / F.sqrt(F.col("_s2").cast("double")),
+    )
+    return per_doc.filter(F.col("_s2") > 0).select(
+        "doc_id", vec.alias("feature_vec")
+    )
+
+
+#: zone-table names the refresh records (consumers address states by
+#: these names through read_zone_tables / zone_table_layout)
+STATE_TABLES = (
+    "token_events",
+    "term_state",
+    "feature_state",
+    "shingle_state",
+    "fh_vectors",
+)
+
+
+def refresh_corpus_state(
+    documents: DataFrame,
+    zone_dir: str,
+    n_buckets: int = 4096,
+    dim: int = 64,
+    shingle_n: int = 5,
+    only: tuple[str, ...] | None = None,
+) -> dict[str, DataFrame]:
+    """Refresh ALL corpus state tables with ONE scan of the corpus.
+
+    The event grain lands first (the only corpus-scale job: one text
+    scan, one explode, one combined count), then each state table
+    derives from the landed parquet — so the raw corpus is read
+    exactly once no matter how many states the refresh maintains, and
+    each derivation scans the narrow event grain (Σ|distinct strings
+    per doc| rows), not the text. Every table is recorded in the zone
+    manifest (``sinks.files.record_zone_layout`` via
+    ``write_zone_table``), making the state zone self-describing the
+    same way the validated zone is.
+
+    Returns the read-back DataFrames keyed by :data:`STATE_TABLES`
+    name — the exact inputs ``bm25_from_term_state`` /
+    ``lm_perplexity_from_term_state`` / ``dsir_from_feature_state`` /
+    ``ngram_novelty_from_shingle_state`` and the semantic-dedup chain
+    consume, bit-identical to each operator's own scan-based
+    derivation.
+
+    ``only`` restricts which derived tables land (the event grain
+    always does — it IS the single-scan product); a consumer that
+    needs one state family skips the others' derivation cost while
+    keeping the grain on disk for the rest of the refresh to pick up
+    later.
+    """
+    from ..sinks.files import write_zone_table
+
+    spark = documents.sparkSession
+    write_zone_table(
+        token_event_counts(documents, shingle_n=shingle_n),
+        zone_dir,
+        "token_events",
+        layout="flat",
+    )
+    import os
+
+    events = spark.read.parquet(os.path.join(zone_dir, "token_events"))
+    derived = {
+        "term_state": lambda: term_state_from_event_counts(events),
+        "feature_state": lambda: feature_state_from_event_counts(
+            events, n_buckets=n_buckets
+        ),
+        "shingle_state": lambda: shingle_state_from_event_counts(events),
+        "fh_vectors": lambda: vectors_from_event_counts(events, dim=dim),
+    }
+    out: dict[str, DataFrame] = {"token_events": events}
+    for name, thunk in derived.items():
+        if only is not None and name not in only:
+            continue
+        write_zone_table(thunk(), zone_dir, name, layout="flat")
+        out[name] = spark.read.parquet(os.path.join(zone_dir, name))
+    return out

@@ -525,3 +525,39 @@ def doc_shingle_counts_streaming(
         .groupBy("doc_id", "_h")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
+
+
+def token_event_counts_streaming(
+    docs_stream: DataFrame, shingle_n: int = 5
+) -> DataFrame:
+    """Streaming half of the single-scan multi-state corpus ingest
+    (``operators.corpus_state``): the unified (doc_id, kind, s, c)
+    tagged-event grain as ONE incrementally-merged update-mode
+    aggregate. Where the engine previously ran FOUR parallel stateful
+    streams over the same input (term / feature / shingle counts plus
+    a vector derivation), live ingest now maintains a single state
+    table from which every state family derives as a batch
+    derivation — ``term_state_from_event_counts`` is a filter,
+    the feature/shingle/vector states are small re-aggregations of
+    already-collapsed counts. Full-replay parity vs the batch
+    ``token_event_counts`` (and hence vs every downstream scan-based
+    operator) is row-exact: counts are mergeable and the tagged event
+    construction is the identical expression tree.
+
+    At 100 TB: state is Σ|distinct (doc, kind, string)| rows —
+    roughly the union of the four separate states it replaces, paid
+    once instead of four times per arriving document; hash-sharded by
+    the state store like every other corpus state here."""
+    from ..operators.corpus_state import _tagged_events
+
+    return (
+        docs_stream.select(
+            "doc_id",
+            F.explode(_tagged_events(F.col("text"), shingle_n)).alias("_e"),
+        )
+        .select(
+            "doc_id", F.col("_e.kind").alias("kind"), F.col("_e.s").alias("s")
+        )
+        .groupBy("doc_id", "kind", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

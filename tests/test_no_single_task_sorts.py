@@ -37,6 +37,11 @@ ALLOWED_GLOBAL_SORTS: dict[str, str] = {
         "above it the plan switches to global_rank's range-partitioned "
         "reconstruction (unit-proven bit-identical)"
     ),
+    "dsir_selection_state": (
+        "same measured small-population gate as dsir_selection — the "
+        "state-composed entry reuses curation.dsir_from_feature_state "
+        "verbatim after the feature-state derivation"
+    ),
     "rfm_segments": (
         "measured small-population gate (olap_deep.rfm_segments): the "
         "plain-ntile route runs ONLY when the per-user table counts "
@@ -105,6 +110,10 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "one-row model-total broadcasts (n_raw, n_tgt) — the hashed "
         "models themselves are bounded <= n_buckets rows and ride "
         "equi-key broadcast hash joins"
+    ),
+    "dsir_selection_state": (
+        "same one-row model-total broadcasts as dsir_selection (the "
+        "scoring subplan is shared code)"
     ),
     "quality_logreg_train": (
         "one-row weight-vector broadcast per GD iteration (d+1 "
