@@ -98,6 +98,7 @@ HEADLINE = [
     "quality_logreg_scored",
     "dsir_selection_state",
     "curation_funnel_state",
+    "quality_logreg_l2",
 ]
 
 

@@ -83,6 +83,17 @@ def pagerank(
     symmetric (every node has out-edges). For a general digraph, add
     the standard dangling term before reusing this.
     """
+    nodes, e, n = _transition_graph(edges)
+    ranks = nodes.withColumn("r", F.lit(1.0 / float(n)))
+    for _ in range(iterations):
+        ranks = _superstep(nodes, e, ranks, n, damping)
+    return ranks.select("node", det_round(F.col("r"), 9).alias("pagerank"))
+
+
+def _transition_graph(edges: DataFrame):
+    """Shared pre-pass for both PageRank forms: distinct node set,
+    transition-probability edge list, and the node count (one bounded
+    driver scalar)."""
     outw = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
@@ -91,26 +102,105 @@ def pagerank(
         "dst",
         (F.col("w").cast("double") / F.col("_ow").cast("double")).alias("_p"),
     )
+    return nodes, e, n
+
+
+def _superstep(
+    nodes: DataFrame, e: DataFrame, ranks: DataFrame, n: int, damping: float
+) -> DataFrame:
+    """ONE PageRank superstep: edges ⋈ ranks on src (both sides
+    key-partitioned; co-partitioning carries across supersteps), one
+    map-side-combined decimal sum on dst, damped combine — identical
+    det-rounded arithmetic in the fixed-count and converged forms."""
     base = F.lit((1.0 - damping) / float(n))
+    contrib = (
+        e.join(ranks, e["src"] == ranks["node"])
+        .select(
+            F.col("dst").alias("node"),
+            det_round(F.col("r") * F.col("_p"), 12)
+            .cast("decimal(28,12)")
+            .alias("_c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("_c").cast("double").alias("_s"))
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        det_round(
+            base + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
+            12,
+        ).alias("r"),
+    )
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    zone_dir: str,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    checkpoint_every: int = 5,
+    max_supersteps: int = 40,
+) -> DataFrame:
+    """PageRank iterated to CONVERGENCE — the production form beside
+    the fixed-count oracle gate (VERDICT r7 #6 / ROADMAP r7 #3):
+    supersteps run lazily in blocks of ``checkpoint_every``, each
+    block's rank vector LANDS through the zone manifest
+    (``sinks.files.write_zone_table`` — the same self-describing
+    checkpoint pattern as every state table) and iteration resumes
+    from the landed parquet, so plan depth is bounded by ONE block
+    regardless of how many supersteps convergence takes (lineage
+    truncation — without it, superstep k's plan nests k joins and the
+    optimizer re-walks all of them per action). Convergence checks
+    ride the block boundary: ‖Δr‖∞ between consecutive landed vectors
+    (a narrow parquet⋈parquet join), so the per-superstep cost stays
+    exactly one shuffle join + one aggregate, with one bounded scalar
+    action per BLOCK, not per superstep.
+
+    Stops when ‖Δr‖∞ < ``tol`` between consecutive checkpoints or at
+    ``max_supersteps``. Same det-round-12 arithmetic as
+    :func:`pagerank` — a converged run that stops at superstep k
+    equals the fixed-count run with iterations=k bit-for-bit (the
+    shared :func:`_superstep` guarantees it; unit-tested).
+
+    Returns ``(node, pagerank, supersteps)`` — the superstep count
+    the run actually paid, the number a production job logs beside
+    the ranks.
+    """
+    import os
+
+    from ..sinks.files import write_zone_table
+
+    spark = edges.sparkSession
+    nodes, e, n = _transition_graph(edges)
     ranks = nodes.withColumn("r", F.lit(1.0 / float(n)))
-    for _ in range(iterations):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                det_round(F.col("r") * F.col("_p"), 12)
-                .cast("decimal(28,12)")
-                .alias("_c"),
+    steps = 0
+    prev_landed: DataFrame | None = None
+    ck = 0
+    while steps < max_supersteps:
+        block = min(checkpoint_every, max_supersteps - steps)
+        for _ in range(block):
+            ranks = _superstep(nodes, e, ranks, n, damping)
+        steps += block
+        ck += 1
+        name = f"pagerank_ck_{ck}"
+        write_zone_table(ranks, zone_dir, name, layout="flat")
+        landed = spark.read.parquet(os.path.join(zone_dir, name))
+        if prev_landed is not None:
+            delta = (
+                landed.alias("a")
+                .join(prev_landed.alias("b"), "node")
+                .agg(
+                    F.max(F.abs(F.col("a.r") - F.col("b.r"))).alias("_d")
+                )
+                .first()["_d"]
             )
-            .groupBy("node")
-            .agg(F.sum("_c").cast("double").alias("_s"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            det_round(
-                base
-                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
-                12,
-            ).alias("r"),
-        )
-    return ranks.select("node", det_round(F.col("r"), 9).alias("pagerank"))
+            if delta is not None and delta < tol:
+                ranks = landed
+                break
+        prev_landed = landed
+        ranks = landed
+    return ranks.select(
+        "node",
+        det_round(F.col("r"), 9).alias("pagerank"),
+        F.lit(steps).cast("long").alias("supersteps"),
+    )

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.core import det_round
+from ..functions.core import det_round, md5_long
 
 #: feature order is part of the contract (weights report in this order)
 QUALITY_FEATURES = ("len_factor", "stop_ratio", "punct_ratio", "ttr")
@@ -97,9 +97,13 @@ def logistic_regression_train(
     label_col: str = "y",
     lr: float = 2.0,
     iterations: int = 3,
+    l2: float = 0.0,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Full-batch logistic-regression gradient descent, fixed
-    iteration count, cross-engine deterministic.
+    iteration count, cross-engine deterministic — with optional L2
+    (ridge, bias excluded) and deterministic hash-sharded mini-batch
+    modes (see :func:`_fit`).
 
         p_i  = σ(b + Σ_j w_j·x_ij)      (det-round 8)
         g_j  = Σ_i (p_i − y_i)·x_ij     (per-term det-round 12,
@@ -119,7 +123,10 @@ def logistic_regression_train(
     fit is one lazy plan; n comes from one count (bounded driver
     scalar, the SRP auto-r discipline).
     """
-    wdf = _fit(features, feature_cols, label_col, lr, iterations)
+    wdf = _fit(
+        features, feature_cols, label_col, lr, iterations,
+        l2=l2, n_shards=n_shards,
+    )
     d = len(feature_cols)
     gn = None
     for j in range(d + 1):
@@ -147,19 +154,54 @@ def _fit(
     label_col: str,
     lr: float,
     iterations: int,
+    l2: float = 0.0,
+    n_shards: int = 1,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """The GD loop itself: returns the one-row weight DataFrame
     ``(_w0.._wd, _g0.._gd)`` — shared by the coefficient report
     (:func:`logistic_regression_train`) and the train-then-score
-    composition (:func:`train_and_score`)."""
+    composition (:func:`train_and_score`).
+
+    ``l2`` adds ridge regularization (bias excluded, standard
+    practice): w_j ← w_j − lr·g_j/n − lr·λ·w_j, one det-round around
+    the whole update so the λ=0 expression tree is UNCHANGED (the
+    original oracles replay bit-for-bit).
+
+    ``n_shards`` > 1 enables DETERMINISTIC mini-batch GD (ROADMAP r7
+    #2): shard = md5-hash bucket of ``id_col`` — a cross-engine
+    recomputable partition, not a runtime-dependent sample — and
+    iteration k trains on shard ``k mod n_shards`` in fixed order, so
+    the DuckDB mirror unrolls with a WHERE per iteration and the fit
+    stays reproducible bit-for-bit (the property plain SGD's
+    arrival-order dependence destroys). Per-shard sizes come from one
+    bounded aggregate (≤ n_shards rows)."""
     d = len(feature_cols)
-    n = features.count()
     spark = features.sparkSession
+    shard = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+    if n_shards > 1:
+        features = features.withColumn("_sh", shard)
+        sizes = {
+            r["_sh"]: r["n"]
+            for r in features.groupBy("_sh").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+    else:
+        sizes = {0: features.count()}
     wdf = spark.range(1).select(
         *[F.lit(0.0).alias(f"_w{j}") for j in range(d + 1)]
     )
-    for _ in range(iterations):
-        scored = features.crossJoin(F.broadcast(wdf))
+    for it in range(iterations):
+        if n_shards > 1:
+            batch = features.filter(F.col("_sh") == it % n_shards)
+            n = sizes.get(it % n_shards, 0)
+            if n == 0:  # empty shard: weights unchanged this step
+                continue
+        else:
+            batch = features
+            n = sizes[0]
+        scored = batch.crossJoin(F.broadcast(wdf))
         z = F.col("_w0")
         for j, c in enumerate(feature_cols):
             z = z + F.col(f"_w{j + 1}") * F.col(c)
@@ -180,15 +222,18 @@ def _fit(
         ]
         aggs += [F.first(F.col(f"_w{j}")).alias(f"_pw{j}") for j in range(d + 1)]
         g_row = scored.agg(*aggs)
+
+        def _upd(j: int):
+            step = (
+                F.col(f"_pw{j}")
+                - F.lit(lr) * F.col(f"_g{j}") / F.lit(float(n))
+            )
+            if l2 and j > 0:  # ridge term, bias excluded
+                step = step - F.lit(lr * l2) * F.col(f"_pw{j}")
+            return det_round(step, 12).alias(f"_w{j}")
+
         wdf = g_row.select(
-            *[
-                det_round(
-                    F.col(f"_pw{j}")
-                    - F.lit(lr) * F.col(f"_g{j}") / F.lit(float(n)),
-                    12,
-                ).alias(f"_w{j}")
-                for j in range(d + 1)
-            ],
+            *[_upd(j) for j in range(d + 1)],
             *[F.col(f"_g{j}") for j in range(d + 1)],
         )
     return wdf

@@ -3897,13 +3897,23 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_oracle(lr: float = 2.0, iterations: int = 3) -> str:
+def _logreg_oracle(
+    lr: float = 2.0,
+    iterations: int = 3,
+    l2: float = 0.0,
+    n_shards: int = 1,
+) -> str:
     """Mirror of ml.logistic_regression_train over
     ml.featurize_quality: the feature CTE (det-round-6 features +
     heuristic-distilled label), then one unrolled CTE pair per
     iteration replaying σ(det-round-8) → per-term det-round-12 →
     DECIMAL(28,12) gradient sums → det-round-12 weight update, with
-    z built in the same left-associated order as the Spark loop."""
+    z built in the same left-associated order as the Spark loop.
+    ``l2`` appends the ridge term (− lr·λ·w_j, bias excluded) inside
+    the same det-round; ``n_shards`` adds the deterministic md5-shard
+    WHERE per iteration plus a per-shard count CTE — the exact
+    mini-batch schedule the engine runs (assumes every shard
+    non-empty at the oracle's sf, which 500 docs over 2 shards is)."""
     n_chars = "length(text)"
     n_tokens = f"len({SQL_TOKENS})"
     punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
@@ -3926,13 +3936,19 @@ def _logreg_oracle(lr: float = 2.0, iterations: int = 3) -> str:
     )
     names = ["len_factor", "stop_ratio", "punct_ratio", "ttr"]
     r12 = lambda x: round_sql(x, 12)
+    sh_col = (
+        f",\n               ({sql_md5_long('CAST(doc_id AS VARCHAR)')})"
+        f" % {n_shards} AS sh"
+        if n_shards > 1
+        else ""
+    )
     f_cte = f"""f AS (
         SELECT doc_id,
                {round_sql(len_factor, 6)} AS len_factor,
                {round_sql(stop_ratio, 6)} AS stop_ratio,
                {round_sql(punct_ratio, 6)} AS punct_ratio,
                {round_sql(ttr, 6)} AS ttr,
-               (CASE WHEN {score} >= 0.5 THEN 1.0 ELSE 0.0 END) AS y
+               (CASE WHEN {score} >= 0.5 THEN 1.0 ELSE 0.0 END) AS y{sh_col}
         FROM documents
     ),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
@@ -3950,18 +3966,32 @@ def _logreg_oracle(lr: float = 2.0, iterations: int = 3) -> str:
             f" AS DECIMAL(28,12))) AS DOUBLE) AS g{j}"
             for j, x in enumerate(xs)
         )
-        iters.append(f"""
+        if n_shards > 1:
+            batch = (k - 1) % n_shards
+            where = f"\n        WHERE f.sh = {batch}"
+            nn_cte = f"""
+    nn{k} AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f WHERE sh = {batch}
+    ),"""
+            nn_ref = f"nn{k}"
+        else:
+            where, nn_cte, nn_ref = "", "", "nn"
+
+        def upd(j: int) -> str:
+            base = f"w.w{j} - {lr} * g.g{j} / nn.n"
+            if l2 and j > 0:
+                base += f" - {lr * l2!r} * w.w{j}"
+            return r12(base) + f" AS w{j}"
+
+        iters.append(f"""{nn_cte}
     g{k} AS (
         SELECT {gs}
-        FROM f CROSS JOIN {prev} w
+        FROM f CROSS JOIN {prev} w{where}
     ),
     w{k} AS (
-        SELECT {", ".join(
-            r12(f"w.w{j} - {lr} * g.g{j} / nn.n") + f" AS w{j}"
-            for j in range(5)
-        )},
+        SELECT {", ".join(upd(j) for j in range(5))},
                {", ".join(f"g.g{j} AS g{j}" for j in range(5))}
-        FROM g{k} g CROSS JOIN {prev} w CROSS JOIN nn
+        FROM g{k} g CROSS JOIN {prev} w CROSS JOIN {nn_ref} nn
     )""")
         prev = f"w{k}"
     gnorm = round_sql(
@@ -4033,6 +4063,33 @@ def q_quality_logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = ml.featurize_quality(t["documents"])
     return ml.train_and_score(
         feats, feature_cols=ml.QUALITY_FEATURES, lr=2.0, iterations=3
+    )
+
+
+@query(
+    "quality_logreg_l2",
+    oracle=_logreg_oracle(2.0, 4, l2=0.05, n_shards=2),
+)
+def q_quality_logreg_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized DETERMINISTIC-MINI-BATCH training (ROADMAP r7 #2 /
+    VERDICT r7 #7): 4 GD iterations, each on one md5-hash shard of
+    the feature table in fixed rotation (shard k mod 2 — a
+    cross-engine recomputable schedule, unlike runtime-order SGD),
+    with L2 ridge (λ=0.05, bias excluded) inside the same
+    det-round-12 update. The oracle unrolls per-iteration CTEs with
+    the shard WHERE and per-shard count — the fit is reproducible
+    bit-for-bit, grad_norm reported per the last batch."""
+    from .operators import ml
+
+    t = _t(spark, sf_dir, "documents")
+    feats = ml.featurize_quality(t["documents"])
+    return ml.logistic_regression_train(
+        feats,
+        feature_cols=ml.QUALITY_FEATURES,
+        lr=2.0,
+        iterations=4,
+        l2=0.05,
+        n_shards=2,
     )
 
 
@@ -4632,6 +4689,7 @@ _SWEEP_PRIORITY = [
     "dsir_selection_state",
     "quality_logreg_train",
     "quality_logreg_scored",
+    "quality_logreg_l2",
     # Group B - the 22 entries whose freshest driver row is r5
     # (VERDICT r7 "What's missing" #3), rotated to the front; 8 were
     # judge-re-verified in the r7 session, the other 14 get fresh

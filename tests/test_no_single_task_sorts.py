@@ -120,6 +120,10 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "scalars) — the scalar-attach rule; data rows never join "
         "anything unbounded"
     ),
+    "quality_logreg_l2": (
+        "same one-row weight-vector broadcasts as quality_logreg_train "
+        "(shared _fit loop; the shard filter changes rows, not joins)"
+    ),
     "quality_logreg_scored": (
         "same one-row weight-vector broadcasts as the fit, plus the "
         "final fitted-weights scalar attach for scoring"
