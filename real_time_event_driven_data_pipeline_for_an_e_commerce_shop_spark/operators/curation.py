@@ -912,6 +912,13 @@ def curation_funnel(
     flags = qk.join(nv, "doc_id", "left").select(
         "_q", "_k", F.coalesce(F.col("_n"), F.lit(True)).alias("_n")
     )
+    return _funnel_report(flags)
+
+
+def _funnel_report(flags: DataFrame) -> DataFrame:
+    """The funnel's counters→report tail, shared by the scan-based
+    funnel and the from-state twin: ONE 4-counter aggregate over the
+    per-doc ``(_q, _k, _n)`` flag table, then the 4-row unpivot."""
     agg = flags.agg(
         F.count(F.lit(1)).alias("c0"),
         F.sum(F.col("_q").cast("long")).alias("c1"),
@@ -949,3 +956,65 @@ def curation_funnel(
     return agg.select(F.explode(stages).alias("_s")).select(
         "_s.stage_id", "_s.stage", "_s.docs", "_s.dropped"
     )
+
+
+def doc_curation_flags(
+    documents: DataFrame, quality_threshold: float = 0.5
+) -> DataFrame:
+    """Per-doc curation flags ``(doc_id, _fp, _q)`` — normalized
+    fingerprint + quality-gate boolean from ONE shared scan (the
+    funnel's first two signals). A pure per-doc projection, so it
+    runs unchanged over a STREAM (append mode, stateless) — the
+    streaming funnel's flag feed (``streaming.windows.
+    doc_curation_flags_streaming`` is this function applied to the
+    micro-batch stream)."""
+    from .text import quality_score
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    pre = documents.withColumn("_fp", F.md5(norm.cast("binary")))
+    return quality_score(pre, keep_cols=("_fp",)).select(
+        "doc_id",
+        "_fp",
+        (F.col("quality_score") >= F.lit(quality_threshold)).alias("_q"),
+    )
+
+
+def curation_funnel_from_state(
+    doc_flags: DataFrame,
+    keeper_state: DataFrame,
+    shingle_state: DataFrame,
+    novelty_threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`curation_funnel` derived ENTIRELY from live state
+    tables (VERDICT r7 #8) — the monitoring table an ingest pipeline
+    actually watches, recomputed per micro-batch commit with ZERO
+    corpus scans:
+
+    * ``doc_flags`` — (doc_id, _fp, _q), the stateless per-doc flag
+      stream (:func:`doc_curation_flags` over ingest);
+    * ``keeper_state`` — (_fp, keep_id), the update-mode aggregate
+      ``min(doc_id) among quality survivors`` per fingerprint
+      (``streaming.windows.fingerprint_keeper_streaming``) — the
+      survivor-scoped keeper rule, incrementally maintained (min is
+      mergeable and monotone under inserts);
+    * ``shingle_state`` — (doc_id, _h, _tf), the n-gram-hash counts
+      the unified token-event state already carries.
+
+    Full-replay parity vs the batch funnel is row-exact at stage
+    grain (same flags, same shared :func:`_funnel_report` tail)."""
+    from .text import ngram_novelty_from_shingle_state
+
+    nv = ngram_novelty_from_shingle_state(shingle_state).select(
+        "doc_id",
+        (F.col("dup_fraction") <= F.lit(novelty_threshold)).alias("_n"),
+    )
+    flags = (
+        doc_flags.join(keeper_state, "_fp", "left")
+        .withColumn(
+            "_k",
+            F.coalesce(F.col("doc_id") == F.col("keep_id"), F.lit(False)),
+        )
+        .join(nv, "doc_id", "left")
+        .select("_q", "_k", F.coalesce(F.col("_n"), F.lit(True)).alias("_n"))
+    )
+    return _funnel_report(flags)

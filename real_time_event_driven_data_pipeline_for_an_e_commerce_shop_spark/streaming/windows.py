@@ -561,3 +561,32 @@ def token_event_counts_streaming(
         .groupBy("doc_id", "kind", "s")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def doc_curation_flags_streaming(
+    docs_stream: DataFrame, quality_threshold: float = 0.5
+) -> DataFrame:
+    """Streaming half of the curation funnel's per-doc flags
+    (``operators.curation.doc_curation_flags``): fingerprint +
+    quality boolean as a STATELESS append-mode projection — quality
+    and the normalized md5 are pure per-doc functions, so the flag
+    feed carries no state at all; the cross-doc part of the funnel
+    lives in :func:`fingerprint_keeper_streaming`."""
+    from ..operators.curation import doc_curation_flags
+
+    return doc_curation_flags(docs_stream, quality_threshold)
+
+
+def fingerprint_keeper_streaming(flags_stream: DataFrame) -> DataFrame:
+    """The funnel's exact-dedup keeper as an update-mode streaming
+    aggregate over the flag feed: per fingerprint, the min doc_id
+    AMONG QUALITY SURVIVORS (the survivor-scoped keeper rule). Min
+    over an insert-only stream is mergeable and monotone, so state is
+    one row per distinct fingerprint and each arriving doc updates at
+    most its own group — the same incremental shape as every count
+    state here. ``operators.curation.curation_funnel_from_state``
+    derives the live funnel report from this state + the flag feed +
+    the shingle state (full-replay parity asserted row-exact)."""
+    return flags_stream.groupBy("_fp").agg(
+        F.min(F.when(F.col("_q"), F.col("doc_id"))).alias("keep_id")
+    )

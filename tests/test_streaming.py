@@ -1078,3 +1078,91 @@ def test_streaming_ngram_novelty_state_matches_batch(spark, tmp_path):
     got = key(text.ngram_novelty_from_shingle_state(state, threshold=0.5))
     want = key(text.ngram_novelty(docs, n=5, threshold=0.5))
     assert got == want and len(got) > 0
+
+
+def test_streaming_funnel_replay_parity(spark, tmp_path):
+    """VERDICT r7 #8 — the streaming curation-funnel twin: flags flow
+    as a stateless append stream, the survivor-scoped keeper as an
+    update-mode min aggregate, novelty from the streamed shingle
+    state; curation_funnel_from_state over the replayed states equals
+    the batch curation_funnel at stage grain, with zero corpus scans
+    in the derivation."""
+    import re
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.windows import (
+        doc_curation_flags_streaming,
+        doc_shingle_counts_streaming,
+        fingerprint_keeper_streaming,
+    )
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "funnel_src")
+    docs.write.parquet(src)
+    stream = lambda: spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+
+    flags_q = (
+        doc_curation_flags_streaming(stream(), quality_threshold=0.5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_flags_out")
+        .option("checkpointLocation", str(tmp_path / "ck_flags"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    keeper_q = (
+        fingerprint_keeper_streaming(
+            doc_curation_flags_streaming(stream(), quality_threshold=0.5)
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_keeper_out")
+        .option("checkpointLocation", str(tmp_path / "ck_keeper"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    shingle_q = (
+        doc_shingle_counts_streaming(stream(), n=5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_shingle_out")
+        .option("checkpointLocation", str(tmp_path / "ck_fsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    for q in (flags_q, keeper_q, shingle_q):
+        q.awaitTermination()
+
+    # snapshot each state to parquet (the zone form; also avoids
+    # memory-sink self-join attribute conflicts in the derivation)
+    spark.table("funnel_flags_out").write.parquet(
+        str(tmp_path / "snap_flags")
+    )
+    # keeper snapshot: min ignoring the pre-survivor NULL updates
+    spark.sql(
+        "SELECT _fp, MIN(keep_id) AS keep_id FROM funnel_keeper_out "
+        "GROUP BY _fp"
+    ).write.parquet(str(tmp_path / "snap_keeper"))
+    spark.sql(
+        "SELECT doc_id, _h, MAX(_tf) AS _tf FROM funnel_shingle_out "
+        "GROUP BY doc_id, _h"
+    ).write.parquet(str(tmp_path / "snap_shingle"))
+    flags = spark.read.parquet(str(tmp_path / "snap_flags"))
+    keeper = spark.read.parquet(str(tmp_path / "snap_keeper"))
+    shingle = spark.read.parquet(str(tmp_path / "snap_shingle"))
+    live = curation.curation_funnel_from_state(
+        flags, keeper, shingle, novelty_threshold=0.5
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    want = curation.curation_funnel(
+        docs, quality_threshold=0.5, novelty_threshold=0.5, ngram_n=5
+    )
+    assert key(live) == key(want)
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"FileScan parquet[^\n]*documents", plan)
