@@ -61,16 +61,24 @@ from pyspark.sql import functions as F
 from ..functions.core import md5_long
 
 
-def _tagged_events(text_col: Column, shingle_n: int) -> Column:
+def _tagged_events(token_col: str, shingle_n: int) -> Column:
     """The tagged event array for one document: tokens (kind 't'),
     adjacent bigrams ('b'), and ``shingle_n``-gram shingles ('s'),
     each built with the SAME expressions the independent operators
     use (``text.tokens`` lowered; ``curation.hashed_ngram_features``'s
     sequence bigrams; ``dedup.shingles``' zip_with chain) so every
-    derived state is bit-identical to its scan-based twin."""
-    from .text import tokens
+    derived state is bit-identical to its scan-based twin.
 
-    t = tokens(F.lower(text_col))
+    Takes the NAME of an already-projected token-array column, never
+    a raw-text expression: referencing ``tokens(lower(text))``
+    directly here would inline the split into every ``element_at`` of
+    the bigram transform and every ``zip_with`` level — whole-stage
+    codegen re-evaluates unbound expressions per access, which made a
+    first cut O(len²) per document (measured 110 s vs 12.6 s on
+    6 KB docs). The two-step projection (materialize ``_t``, then
+    build from the bound column) is the same discipline every
+    shingle/bigram operator in the engine follows."""
+    t = F.col(token_col)
     sz = F.size(t)
     bigrams = F.when(
         sz >= 2,
@@ -87,30 +95,57 @@ def _tagged_events(text_col: Column, shingle_n: int) -> Column:
         sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
     shingles = F.slice(sh, 1, F.greatest(sz - (shingle_n - 1), F.lit(0)))
 
-    def tag(arr: Column, kind: str) -> Column:
+    # hash AT EVENT TIME, before anything shuffles: bigram and shingle
+    # strings are long and mostly unique, so carrying them through the
+    # grain shuffle/write costs ~10× their 8-byte md5 prefix — and no
+    # downstream consumer ever needs those strings back (features key
+    # on md5 mod B, the audit on md5_48). Only 't' events keep the raw
+    # term, because the BM25/LM term state is keyed by STRING; their h
+    # rides along so no derivation recomputes md5.
+    def tag(arr: Column, kind: str, keep_string: bool) -> Column:
         return F.transform(
             arr,
             lambda x: F.struct(
-                F.lit(kind).alias("kind"), x.alias("s")
+                F.lit(kind).alias("kind"),
+                (x if keep_string else F.lit(None).cast("string")).alias(
+                    "s"
+                ),
+                md5_long(x).alias("h"),
             ),
         )
 
-    return F.concat(tag(t, "t"), tag(bigrams, "b"), tag(shingles, "s"))
+    return F.concat(
+        tag(t, "t", True), tag(bigrams, "b", False), tag(shingles, "s", False)
+    )
 
 
 def token_event_counts(
     documents: DataFrame, shingle_n: int = 5
 ) -> DataFrame:
-    """The unified ``(doc_id, kind, s, c)`` corpus grain: ONE scan,
-    one explode of the tagged event array, one map-side-combined
-    count. Everything every corpus state table needs, in one pass."""
+    """The unified ``(doc_id, kind, s, h, c)`` corpus grain: ONE
+    scan, one explode of the tagged event array, one
+    map-side-combined count. ``s`` (the raw string) is non-null only
+    for 't' events — the term state's key; 'b'/'s' events carry only
+    their 8-byte md5 prefix ``h``, which is all any consumer keys on,
+    so the grain's shuffle and parquet bytes stay near the SMALLEST
+    of the four independent states it replaces."""
+    from .text import tokens
+
     return (
         documents.select(
-            "doc_id",
-            F.explode(_tagged_events(F.col("text"), shingle_n)).alias("_e"),
+            "doc_id", tokens(F.lower(F.col("text"))).alias("_t")
         )
-        .select("doc_id", F.col("_e.kind").alias("kind"), F.col("_e.s").alias("s"))
-        .groupBy("doc_id", "kind", "s")
+        .select(
+            "doc_id",
+            F.explode(_tagged_events("_t", shingle_n)).alias("_e"),
+        )
+        .select(
+            "doc_id",
+            F.col("_e.kind").alias("kind"),
+            F.col("_e.s").alias("s"),
+            F.col("_e.h").alias("h"),
+        )
+        .groupBy("doc_id", "kind", "s", "h")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
@@ -128,14 +163,14 @@ def feature_state_from_event_counts(
     counts: DataFrame, n_buckets: int = 4096
 ) -> DataFrame:
     """``(doc_id, bucket, c_doc)`` — the DSIR hashed uni+bigram grain:
-    tokens and bigrams hash into ``n_buckets`` and their
+    token and bigram hashes fold into ``n_buckets`` and their
     already-collapsed counts sum per bucket. The re-aggregation moves
-    Σ|distinct (doc, string)| rows, never the token stream."""
+    Σ|distinct (doc, feature)| rows, never the token stream."""
     return (
         counts.filter(F.col("kind").isin("t", "b"))
         .select(
             "doc_id",
-            F.pmod(md5_long(F.col("s")), F.lit(n_buckets)).alias("bucket"),
+            F.pmod(F.col("h"), F.lit(n_buckets)).alias("bucket"),
             "c",
         )
         .groupBy("doc_id", "bucket")
@@ -144,12 +179,14 @@ def feature_state_from_event_counts(
 
 
 def shingle_state_from_event_counts(counts: DataFrame) -> DataFrame:
-    """``(doc_id, _h, _tf)`` — the memorization-audit grain: shingle
-    strings hash to 48 bits and counts sum per hash (the same
-    hash-then-merge the scan-based ``ngram_novelty`` performs)."""
+    """``(doc_id, _h, _tf)`` — the memorization-audit grain: the 's'
+    slice IS already hash-keyed (md5_48 applied at event time, so
+    colliding shingle strings merged in the grain exactly as the
+    scan-based ``ngram_novelty`` merges them); one rename-level
+    re-aggregation keeps the contract."""
     return (
         counts.filter(F.col("kind") == "s")
-        .select("doc_id", md5_long(F.col("s")).alias("_h"), "c")
+        .select("doc_id", F.col("h").alias("_h"), "c")
         .groupBy("doc_id", "_h")
         .agg(F.sum("c").cast("long").alias("_tf"))
     )
@@ -166,7 +203,7 @@ def vectors_from_event_counts(
     normalization as the scan-based operator. Bit-identical doubles:
     integer sums, integer-valued squared norm, one IEEE division by
     one correctly-rounded sqrt."""
-    h = md5_long(F.col("s"))
+    h = F.col("h")
     per_bucket = (
         counts.filter(F.col("kind") == "t")
         .select(
@@ -196,8 +233,12 @@ def vectors_from_event_counts(
     )
 
 
-#: zone-table names the refresh records (consumers address states by
-#: these names through read_zone_tables / zone_table_layout)
+#: every state the refresh serves. token_events / feature_state /
+#: fh_vectors are LANDED zone tables (manifest-recorded);
+#: term_state / shingle_state are partition-pruned VIEWS over the
+#: kind-partitioned grain — they are pure slices of it (a filter +
+#: rename), so landing them would double-write ~the whole grain for
+#: data a pruned scan already serves.
 STATE_TABLES = (
     "token_events",
     "term_state",
@@ -205,6 +246,7 @@ STATE_TABLES = (
     "shingle_state",
     "fh_vectors",
 )
+LANDED_TABLES = ("token_events", "feature_state", "fh_vectors")
 
 
 def refresh_corpus_state(
@@ -217,29 +259,40 @@ def refresh_corpus_state(
 ) -> dict[str, DataFrame]:
     """Refresh ALL corpus state tables with ONE scan of the corpus.
 
-    The event grain lands first (the only corpus-scale job: one text
-    scan, one explode, one combined count), then each state table
-    derives from the landed parquet — so the raw corpus is read
-    exactly once no matter how many states the refresh maintains, and
-    each derivation scans the narrow event grain (Σ|distinct strings
-    per doc| rows), not the text. Every table is recorded in the zone
+    The event grain lands first, PARTITIONED BY ``kind`` — the only
+    corpus-scale job (one text scan, one explode, one combined
+    count). Then:
+
+    * ``term_state`` / ``shingle_state`` are returned as
+      partition-pruned reads of the grain ('t' / 's' directories
+      only — plan-asserted): they are filter+rename slices, so
+      duplicating them on disk would roughly double the refresh's
+      write volume for zero read savings;
+    * ``feature_state`` / ``fh_vectors`` genuinely re-aggregate, so
+      they land as their own narrow tables.
+
+    The raw corpus is read exactly once no matter how many states the
+    refresh maintains; every landed table is recorded in the zone
     manifest (``sinks.files.record_zone_layout`` via
     ``write_zone_table``), making the state zone self-describing the
-    same way the validated zone is.
+    same way the validated zone is. Use :func:`read_corpus_state` to
+    reconstruct the full dict (views included) in a later session
+    from disk alone.
 
-    Returns the read-back DataFrames keyed by :data:`STATE_TABLES`
-    name — the exact inputs ``bm25_from_term_state`` /
-    ``lm_perplexity_from_term_state`` / ``dsir_from_feature_state`` /
-    ``ngram_novelty_from_shingle_state`` and the semantic-dedup chain
-    consume, bit-identical to each operator's own scan-based
-    derivation.
+    Returns DataFrames keyed by :data:`STATE_TABLES` name — the exact
+    inputs ``bm25_from_term_state`` / ``lm_perplexity_from_term_state``
+    / ``dsir_from_feature_state`` / ``ngram_novelty_from_shingle_state``
+    and the semantic-dedup chain consume, bit-identical to each
+    operator's own scan-based derivation.
 
-    ``only`` restricts which derived tables land (the event grain
-    always does — it IS the single-scan product); a consumer that
-    needs one state family skips the others' derivation cost while
-    keeping the grain on disk for the rest of the refresh to pick up
-    later.
+    ``only`` restricts which DERIVED tables land (the event grain
+    always does — it IS the single-scan product, and the view states
+    are free); a consumer that needs one state family skips the
+    others' derivation cost while keeping the grain on disk for the
+    rest of the refresh to pick up later.
     """
+    import os
+
     from ..sinks.files import write_zone_table
 
     spark = documents.sparkSession
@@ -248,22 +301,47 @@ def refresh_corpus_state(
         zone_dir,
         "token_events",
         layout="flat",
+        partition_by="kind",
     )
-    import os
-
-    events = spark.read.parquet(os.path.join(zone_dir, "token_events"))
+    events = spark.read.parquet(
+        os.path.join(zone_dir, "token_events")
+    ).select("doc_id", "kind", "s", "h", "c")
+    out: dict[str, DataFrame] = {
+        "token_events": events,
+        "term_state": term_state_from_event_counts(events),
+        "shingle_state": shingle_state_from_event_counts(events),
+    }
     derived = {
-        "term_state": lambda: term_state_from_event_counts(events),
         "feature_state": lambda: feature_state_from_event_counts(
             events, n_buckets=n_buckets
         ),
-        "shingle_state": lambda: shingle_state_from_event_counts(events),
         "fh_vectors": lambda: vectors_from_event_counts(events, dim=dim),
     }
-    out: dict[str, DataFrame] = {"token_events": events}
     for name, thunk in derived.items():
         if only is not None and name not in only:
             continue
         write_zone_table(thunk(), zone_dir, name, layout="flat")
         out[name] = spark.read.parquet(os.path.join(zone_dir, name))
+    return out
+
+
+def read_corpus_state(spark, zone_dir: str) -> dict[str, DataFrame]:
+    """Reconstruct the corpus-state dict from a refreshed zone in a
+    later session: landed tables come back as parquet reads, the view
+    states as partition-pruned slices of the grain — no call-site
+    knowledge beyond the zone path."""
+    import os
+
+    events = spark.read.parquet(
+        os.path.join(zone_dir, "token_events")
+    ).select("doc_id", "kind", "s", "h", "c")
+    out = {
+        "token_events": events,
+        "term_state": term_state_from_event_counts(events),
+        "shingle_state": shingle_state_from_event_counts(events),
+    }
+    for name in ("feature_state", "fh_vectors"):
+        path = os.path.join(zone_dir, name)
+        if os.path.isdir(path):
+            out[name] = spark.read.parquet(path)
     return out

@@ -401,7 +401,11 @@ def write_zone_table(
         spec["zorder_cols"] = list(zorder_cols)
         spec["zorder_domains"] = {c: list(d) for c, d in domains.items()}
     elif layout == "flat":
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by and partition_by in df.columns:
+            writer = writer.partitionBy(partition_by)
+            spec["partition_by"] = [partition_by]
+        writer.parquet(path)
     else:
         raise ValueError(f"unknown zone layout {layout!r}")
     record_zone_layout(zone_dir, name, spec)

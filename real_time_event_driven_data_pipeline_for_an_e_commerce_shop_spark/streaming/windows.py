@@ -549,16 +549,23 @@ def token_event_counts_streaming(
     once instead of four times per arriving document; hash-sharded by
     the state store like every other corpus state here."""
     from ..operators.corpus_state import _tagged_events
+    from ..operators.text import tokens
 
     return (
         docs_stream.select(
-            "doc_id",
-            F.explode(_tagged_events(F.col("text"), shingle_n)).alias("_e"),
+            "doc_id", tokens(F.lower(F.col("text"))).alias("_t")
         )
         .select(
-            "doc_id", F.col("_e.kind").alias("kind"), F.col("_e.s").alias("s")
+            "doc_id",
+            F.explode(_tagged_events("_t", shingle_n)).alias("_e"),
         )
-        .groupBy("doc_id", "kind", "s")
+        .select(
+            "doc_id",
+            F.col("_e.kind").alias("kind"),
+            F.col("_e.s").alias("s"),
+            F.col("_e.h").alias("h"),
+        )
+        .groupBy("doc_id", "kind", "s", "h")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 

@@ -149,16 +149,40 @@ def test_refresh_scans_corpus_exactly_once(spark, state, tmp_path):
 
 
 def test_state_zone_is_recorded_in_manifest(spark, state):
-    """Every state table self-describes through the zone manifest —
-    the same discipline as the validated zone."""
+    """Every LANDED state table self-describes through the zone
+    manifest (the view states are partition-pruned slices of the
+    grain — nothing extra on disk to describe), and the grain records
+    its kind-partitioning so readers prune from the manifest alone."""
     from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
         zone_table_layout,
     )
 
     _, zone = state
-    for name in corpus_state.STATE_TABLES:
+    for name in corpus_state.LANDED_TABLES:
         spec = zone_table_layout(zone, name)
         assert spec and spec["layout"] == "flat", name
+    assert zone_table_layout(zone, "token_events")["partition_by"] == ["kind"]
+
+
+def test_view_states_are_partition_pruned(spark, state):
+    """term_state / shingle_state are views over the kind-partitioned
+    grain: their plans scan ONLY the matching kind directory
+    (PartitionFilters on kind — the pruned-slice contract that makes
+    not landing them free)."""
+    tables, _ = state
+    for name, kind in (("term_state", "t"), ("shingle_state", "s")):
+        plan = tables[name]._jdf.queryExecution().executedPlan().toString()
+        assert re.search(rf"kind#\d+ = {kind}\)", plan), (name, plan)
+
+
+def test_read_corpus_state_roundtrip(spark, state):
+    """read_corpus_state reconstructs the full dict from disk alone —
+    landed tables and view states both row-exact."""
+    tables, zone = state
+    back = corpus_state.read_corpus_state(spark, zone)
+    assert set(back) == set(corpus_state.STATE_TABLES)
+    for name in ("term_state", "feature_state", "shingle_state"):
+        assert _key(back[name]) == _key(tables[name]), name
 
 
 def test_streaming_twin_full_replay_parity(spark, state, tmp_path):
@@ -185,8 +209,8 @@ def test_streaming_twin_full_replay_parity(spark, state, tmp_path):
     q.awaitTermination()
     snap = str(tmp_path / "ces_snapshot")
     spark.sql(
-        "SELECT doc_id, kind, s, MAX(c) AS c FROM token_events_out "
-        "GROUP BY doc_id, kind, s"
+        "SELECT doc_id, kind, s, h, MAX(c) AS c FROM token_events_out "
+        "GROUP BY doc_id, kind, s, h"
     ).write.parquet(snap)
     streamed = spark.read.parquet(snap)
     tables, _ = state
@@ -220,4 +244,6 @@ def test_registered_state_variants_compose_from_state_zone(spark):
 
     funnel = QUERIES["curation_funnel_state"](spark, SF)
     fplan = funnel._jdf.queryExecution().executedPlan().toString()
-    assert "shingle_state" in fplan
+    # novelty now reads the 's' partition of the grain (the
+    # shingle-state view), not a re-derived corpus scan
+    assert re.search(r"kind#\d+ = s\)", fplan), fplan
