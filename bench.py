@@ -99,6 +99,7 @@ HEADLINE = [
     "dsir_selection_state",
     "curation_funnel_state",
     "quality_logreg_l2",
+    "bm25_search_state",
 ]
 
 

@@ -948,3 +948,78 @@ def run_corpus_ingest_semantic_dedup_manifest(
         "doc_vectors": vec_table,
         "neardup_pairs": pair_table,
     }
+
+
+def run_corpus_ingest_state_refresh(
+    spark: SparkSession,
+    raw_dir: str,
+    zone_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    n_buckets: int = 8,
+    shingle_n: int = 5,
+    table_prefix: str = "corpus_cs_",
+    await_termination: bool = True,
+) -> dict[str, str]:
+    """Corpus ingest that maintains the unified token-event grain
+    INCREMENTALLY (the single-scan multi-state seam, VERDICT r7 #1,
+    composed with the epoch manifest): each micro-batch lands (1) the
+    documents and (2) the batch's ``corpus_state.token_event_counts``
+    through their own atomic ``_epoch`` commits — so the per-epoch
+    corpus-scale work is exactly ONE tokenize pass over the arriving
+    documents, after which every state family (term / feature /
+    shingle / vectors) is a batch derivation over the committed grain
+    with zero text re-scans.
+
+    The grain is APPEND-ONLY here by construction: counts are keyed
+    per doc_id and a document's events are final when it arrives
+    (this ingest, like the dedup gates, assumes an append-only corpus
+    with unique doc_ids), so no cross-epoch merge is needed — the
+    committed union IS the corpus grain, row-exact vs a full batch
+    ``token_event_counts`` over the landed documents (replay-parity
+    tested).
+
+    Crash-window discipline matches the semantic gate: the grain
+    epoch lands FIRST, documents second; each ``_land_epoch`` is an
+    idempotent no-op once its own manifest holds the epoch, so a
+    crash between the two commits heals on replay (the grain epoch
+    skips, the docs epoch re-lands from the redelivered batch — the
+    grain is always a deterministic function of the same batch)."""
+    from ..operators.corpus_state import token_event_counts
+
+    name = "documents"
+    doc_table = f"{table_prefix}documents"
+    ev_table = f"{table_prefix}token_events"
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        done = committed_epochs(zone_dir, name)
+        done_ev = committed_epochs(zone_dir, "token_events")
+        if epoch_id in done and epoch_id in done_ev:
+            return  # checkpoint replay of a fully-landed epoch
+        _land_epoch(
+            spark,
+            token_event_counts(batch_df, shingle_n=shingle_n),
+            ev_table,
+            os.path.join(zone_dir, "token_events"),
+            zone_dir,
+            "token_events",
+            epoch_id,
+            n_buckets,
+            bucket_col="doc_id",
+        )
+        _land_epoch(
+            spark, batch_df, doc_table,
+            os.path.join(zone_dir, name), zone_dir, name, epoch_id,
+            n_buckets, bucket_col="doc_id",
+        )
+
+    stream = spark.readStream.schema(schema).parquet(raw_dir)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return {name: doc_table, "token_events": ev_table}

@@ -91,6 +91,10 @@ def test_query_plan_has_no_single_task_sort(spark, name):
 #: name -> why the nested-loop join's build side is bounded there.
 ALLOWED_BNL_JOINS: dict[str, str] = {
     "bm25_search": "one-row corpus stats (N, avgdl) broadcast",
+    "bm25_search_state": (
+        "same one-row corpus-stats broadcast as bm25_search (shared "
+        "bm25_from_term_state scoring)"
+    ),
     "lm_perplexity": "one-row corpus token total broadcast",
     "mixture_weights": "one-row corpus-total and normalizer broadcasts",
     "source_token_drift": "one-row corpus token total broadcast",

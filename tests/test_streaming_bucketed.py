@@ -944,3 +944,146 @@ def test_corpus_semantic_gate_heals_vector_docs_commit_window(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_state_refresh_ingest_replay_parity(spark, tmp_path):
+    """run_corpus_ingest_state_refresh: multi-batch ingest maintains
+    the token-event grain incrementally (one tokenize pass per
+    epoch); the committed union equals a full batch
+    token_event_counts over the landed corpus row-exact, every state
+    family derives from it unchanged, and checkpoint re-delivery is
+    an idempotent no-op."""
+    import pyspark.sql.functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        corpus_state,
+        text,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        committed_epochs,
+        read_manifest_zone,
+        run_corpus_ingest_state_refresh,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_cs_ing_"
+    tables = {}
+    try:
+        base = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        # two delivery waves -> two epochs under one checkpoint
+        base.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(raw)
+        run_corpus_ingest_state_refresh(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        base.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(raw)
+        tables = run_corpus_ingest_state_refresh(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert len(committed_epochs(zone, "documents")) >= 2
+
+        zone_tbls = read_manifest_zone(
+            spark,
+            {"documents": tables["documents"],
+             "token_events": tables["token_events"]},
+            zone,
+        )
+        landed_docs = zone_tbls["documents"].select("doc_id", "text")
+        grain = zone_tbls["token_events"].select(
+            "doc_id", "kind", "s", "h", "c"
+        )
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        want = corpus_state.token_event_counts(landed_docs)
+        assert key(grain) == key(want) and grain.count() > 0
+
+        # every state family derives from the committed grain
+        assert key(
+            text.lm_perplexity_from_term_state(
+                corpus_state.term_state_from_event_counts(grain)
+            )
+        ) == key(text.lm_perplexity(landed_docs))
+
+        # idempotent re-delivery: same checkpoint, nothing re-lands
+        n_epochs = len(committed_epochs(zone, "token_events"))
+        run_corpus_ingest_state_refresh(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert len(committed_epochs(zone, "token_events")) == n_epochs
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_state_refresh_heals_grain_docs_commit_window(spark, tmp_path):
+    """Crash between the grain commit and the docs commit: on replay
+    (fresh checkpoint redelivering the wave, the same simulation as
+    the semantic gate's window test) the grain epoch is an idempotent
+    no-op and the docs epoch re-lands from the redelivered batch —
+    the zone converges to the uninterrupted-run state."""
+    import os
+    import shutil
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _manifest_dir,
+        _table_location,
+        committed_epochs,
+        read_manifest_zone,
+        run_corpus_ingest_state_refresh,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_cs_heal_"
+    tables = {}
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "omicron pi rho sigma tau"),
+            ],
+            "doc_id long, text string",
+        )
+        docs.write.mode("append").parquet(raw)
+        tables = run_corpus_ingest_state_refresh(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        grain_before = key(
+            read_manifest_zone(
+                spark, {"token_events": tables["token_events"]}, zone
+            )["token_events"].select("doc_id", "kind", "s", "h", "c")
+        )
+
+        # crash window: docs epoch 0 uncommitted + its data gone;
+        # the grain epoch stays committed
+        os.remove(os.path.join(_manifest_dir(zone, "documents"), "0.json"))
+        doc_loc = _table_location(spark, tables["documents"])
+        shutil.rmtree(os.path.join(doc_loc, "_epoch=0"))
+        spark.catalog.refreshTable(tables["documents"])
+        assert committed_epochs(zone, "documents") == set()
+        assert committed_epochs(zone, "token_events") == {0}
+
+        shutil.rmtree(ckpt)
+        run_corpus_ingest_state_refresh(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        spark.catalog.refreshTable(tables["documents"])
+        assert committed_epochs(zone, "documents") == {0}
+        assert committed_epochs(zone, "token_events") == {0}
+        healed = read_manifest_zone(
+            spark, {"documents": tables["documents"]}, zone
+        )["documents"]
+        assert {r["doc_id"] for r in healed.collect()} == {1, 2}
+        grain_after = key(
+            read_manifest_zone(
+                spark, {"token_events": tables["token_events"]}, zone
+            )["token_events"].select("doc_id", "kind", "s", "h", "c")
+        )
+        assert grain_after == grain_before
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
