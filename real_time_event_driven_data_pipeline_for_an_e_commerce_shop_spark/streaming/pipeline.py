@@ -787,6 +787,7 @@ def run_corpus_ingest_semantic_dedup_manifest(
     n_buckets: int = 8,
     table_prefix: str = "corpus_s_",
     await_termination: bool = True,
+    token_events: bool = False,
 ) -> dict[str, str]:
     """:func:`run_corpus_ingest_dedup_manifest` lifted from the
     exact-fingerprint tier to the SEMANTIC tier (VERDICT r6 #6): every
@@ -828,8 +829,26 @@ def run_corpus_ingest_semantic_dedup_manifest(
     |batch|-bounded. The replay key is the DOCS manifest — vectors
     and pairs land first and are idempotent under their own
     manifests, so a crash replay reconverges to the identical zone.
+
+    ``token_events=True`` (ROADMAP r8 #2) additionally maintains the
+    unified token-event grain in the same pass: the batch's grain is
+    STAGED once (the single tokenize pass over the arriving text),
+    the gate's vectors derive from the staged grain instead of
+    re-tokenizing (``corpus_state.vectors_from_event_counts`` —
+    bit-identical to ``feature_hash_vectors``), and after the keeper
+    decision the kept docs' grain rows land as a fourth
+    manifest-committed table ``{prefix}token_events`` — so the
+    dedup-gated ingest AND the full corpus-state refresh cost ONE
+    tokenize per arriving document between them, and the grain never
+    contains dropped near-dups.
     """
+    import shutil
+
     from ..functions.core import det_round
+    from ..operators.corpus_state import (
+        token_event_counts,
+        vectors_from_event_counts,
+    )
     from ..operators.similarity import cosine, srp_bucket
     from ..operators.text import feature_hash_vectors
 
@@ -837,12 +856,28 @@ def run_corpus_ingest_semantic_dedup_manifest(
     doc_table = f"{table_prefix}documents"
     vec_table = f"{table_prefix}doc_vectors"
     pair_table = f"{table_prefix}neardup_pairs"
+    ev_table = f"{table_prefix}token_events"
 
     def land(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in committed_epochs(zone_dir, name):
+        if epoch_id in committed_epochs(zone_dir, name) and (
+            not token_events
+            or epoch_id in committed_epochs(zone_dir, "token_events")
+        ):
             return  # checkpoint replay of a fully-landed epoch
         bucket = lambda v: srp_bucket(v, dim, n_planes)
-        bv = feature_hash_vectors(batch_df, dim=dim).select(
+        staging = None
+        if token_events:
+            # stage the batch grain ONCE — the only tokenize pass;
+            # vectors and the landed grain both read it back
+            staging = os.path.join(zone_dir, f"_ev_staging_{epoch_id}")
+            token_event_counts(batch_df).write.mode("overwrite").parquet(
+                staging
+            )
+            ev = spark.read.parquet(staging)
+            vec_src = vectors_from_event_counts(ev, dim=dim)
+        else:
+            vec_src = feature_hash_vectors(batch_df, dim=dim)
+        bv = vec_src.select(
             "doc_id", "feature_vec", bucket(F.col("feature_vec")).alias("_bk")
         )
         # within-batch same-bucket pairs, id-ordered
@@ -928,11 +963,25 @@ def run_corpus_ingest_semantic_dedup_manifest(
             os.path.join(zone_dir, "neardup_pairs"), zone_dir,
             "neardup_pairs", epoch_id, n_buckets, bucket_col="vec_a",
         )
+        if token_events:
+            _land_epoch(
+                spark,
+                ev.join(keep.select("doc_id"), "doc_id"),
+                ev_table,
+                os.path.join(zone_dir, "token_events"),
+                zone_dir,
+                "token_events",
+                epoch_id,
+                n_buckets,
+                bucket_col="doc_id",
+            )
         _land_epoch(
             spark, keep, doc_table,
             os.path.join(zone_dir, name), zone_dir, name, epoch_id,
             n_buckets, bucket_col="doc_id",
         )
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
 
     stream = spark.readStream.schema(schema).parquet(raw_dir)
     q = (
@@ -943,11 +992,14 @@ def run_corpus_ingest_semantic_dedup_manifest(
     )
     if await_termination:
         q.awaitTermination()
-    return {
+    out = {
         name: doc_table,
         "doc_vectors": vec_table,
         "neardup_pairs": pair_table,
     }
+    if token_events:
+        out["token_events"] = ev_table
+    return out
 
 
 def run_corpus_ingest_state_refresh(

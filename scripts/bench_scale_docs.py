@@ -166,6 +166,22 @@ def main() -> None:
             time.perf_counter() - t0, 3
         )
 
+        # single-scan multi-state refresh (VERDICT r7 #1): one corpus
+        # scan lands the token-event grain + feature/vector states;
+        # compare against SCALE_DOC_QUERIES' independent derivations
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+            corpus_state as _cs,
+        )
+
+        t0 = time.perf_counter()
+        _cs.refresh_corpus_state(
+            spark.read.parquet(f"{tmp}/documents.parquet"),
+            f"{tmp}/corpus_state_zone",
+            n_buckets=4096,
+            dim=64,
+        )
+        timings["corpus_state_refresh"] = round(time.perf_counter() - t0, 3)
+
         # interleaved second sample for the long semantic pair too
         specials = [
             (f"semantic_neardup_r{r}", _run_sized),

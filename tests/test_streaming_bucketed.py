@@ -1087,3 +1087,156 @@ def test_corpus_state_refresh_heals_grain_docs_commit_window(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_state_grain_composes_with_compaction(spark, tmp_path):
+    """ROADMAP r8 #1: the incrementally-maintained token-event grain
+    follows the same manifest discipline as the docs tables, so
+    compact_manifest_zone folds its accumulated epoch partitions into
+    one with no row change — and ingest continues cleanly on top of
+    the compacted zone (next epoch lands strictly above the kept
+    marker)."""
+    import pyspark.sql.functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        corpus_state,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        committed_epochs,
+        compact_manifest_zone,
+        read_manifest_zone,
+        run_corpus_ingest_state_refresh,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_cs_cmp_"
+    tables = {}
+    try:
+        base = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text").limit(60)
+        base.filter(F.col("doc_id") % 3 == 0).write.mode("append").parquet(raw)
+        run_corpus_ingest_state_refresh(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        base.filter(F.col("doc_id") % 3 == 1).write.mode("append").parquet(raw)
+        tables = run_corpus_ingest_state_refresh(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert len(committed_epochs(zone, "token_events")) >= 2
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        grain_cols = ["doc_id", "kind", "s", "h", "c"]
+        before = key(
+            read_manifest_zone(
+                spark, {"token_events": tables["token_events"]}, zone
+            )["token_events"].select(*grain_cols)
+        )
+
+        compact_manifest_zone(
+            spark, tables["token_events"], zone, "token_events",
+            n_buckets=4, bucket_col="doc_id",
+        )
+        assert len(committed_epochs(zone, "token_events")) == 1
+        after = key(
+            read_manifest_zone(
+                spark, {"token_events": tables["token_events"]}, zone
+            )["token_events"].select(*grain_cols)
+        )
+        assert after == before
+
+        # ingest continues on the compacted zone
+        base.filter(F.col("doc_id") % 3 == 2).write.mode("append").parquet(raw)
+        run_corpus_ingest_state_refresh(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        landed_docs = read_manifest_zone(
+            spark, {"documents": tables["documents"]}, zone
+        )["documents"].select("doc_id", "text")
+        grain = read_manifest_zone(
+            spark, {"token_events": tables["token_events"]}, zone
+        )["token_events"].select(*grain_cols)
+        assert key(grain) == key(corpus_state.token_event_counts(landed_docs))
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_semantic_gate_with_token_events_single_tokenize(spark, tmp_path):
+    """ROADMAP r8 #2 — the grain-served semantic gate: with
+    token_events=True the gate's vectors derive from the staged batch
+    grain (one tokenize per arriving batch serves BOTH the dedup gate
+    and the corpus-state refresh), the kept docs' grain lands as a
+    fourth manifest table, dropped near-dups never enter the grain,
+    and the dedup decisions are identical to the plain gate."""
+    import pyspark.sql.functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        corpus_state,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        committed_epochs,
+        read_manifest_zone,
+        run_corpus_ingest_semantic_dedup_manifest,
+    )
+
+    raw = str(tmp_path / "raw")
+    prefix_a, prefix_b = "t_sg_ev_", "t_sg_plain_"
+    tables = {}
+    tables_b = {}
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "omicron pi rho sigma tau upsilon phi chi"),
+                (3, "theta eta zeta epsilon delta gamma beta alpha"),  # ~dup 1
+                (4, "one two three four five six seven eight"),
+            ],
+            "doc_id long, text string",
+        )
+        docs.write.mode("append").parquet(raw)
+        tables = run_corpus_ingest_semantic_dedup_manifest(
+            spark, raw, str(tmp_path / "zone_a"), str(tmp_path / "ck_a"),
+            n_buckets=4, table_prefix=prefix_a, token_events=True,
+        )
+        tables_b = run_corpus_ingest_semantic_dedup_manifest(
+            spark, raw, str(tmp_path / "zone_b"), str(tmp_path / "ck_b"),
+            n_buckets=4, table_prefix=prefix_b,
+        )
+        zone_a = str(tmp_path / "zone_a")
+        kept_a = {
+            r["doc_id"]
+            for r in read_manifest_zone(
+                spark, {"documents": tables["documents"]}, zone_a
+            )["documents"].collect()
+        }
+        kept_b = {
+            r["doc_id"]
+            for r in read_manifest_zone(
+                spark, {"documents": tables_b["documents"]},
+                str(tmp_path / "zone_b"),
+            )["documents"].collect()
+        }
+        assert kept_a == kept_b  # identical dedup decisions
+        assert committed_epochs(zone_a, "token_events") == {0}
+
+        grain = read_manifest_zone(
+            spark, {"token_events": tables["token_events"]}, zone_a
+        )["token_events"].select("doc_id", "kind", "s", "h", "c")
+        # grain holds exactly the kept docs' events, row-exact vs the
+        # batch derivation over the kept corpus
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        kept_docs = docs.join(
+            spark.createDataFrame([(i,) for i in kept_a], "doc_id long"),
+            "doc_id",
+        )
+        assert key(grain) == key(corpus_state.token_event_counts(kept_docs))
+        # no staging dir left behind
+        import os
+        assert not [
+            d for d in os.listdir(zone_a) if d.startswith("_ev_staging")
+        ]
+    finally:
+        for t in list(tables.values()) + list(tables_b.values()):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
