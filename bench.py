@@ -100,6 +100,8 @@ HEADLINE = [
     "curation_funnel_state",
     "quality_logreg_l2",
     "bm25_search_state",
+    "doc_kmeans",
+    "cluster_balanced_sample",
 ]
 
 

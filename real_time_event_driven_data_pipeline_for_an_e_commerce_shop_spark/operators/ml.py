@@ -270,3 +270,112 @@ def train_and_score(
             "label_agrees"
         ),
     )
+
+
+def kmeans_fixed(
+    vectors: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    vec_col: str = "feature_vec",
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over a dense
+    vector column — the CLUSTERING member of the iterative tier
+    (PageRank ranks, logreg fits, this partitions), built for the
+    cluster-balanced curation recipes (SemDeDup-style: cluster the
+    corpus, then cap per-cluster representation).
+
+    The IVF tier already trains a quantizer
+    (``similarity.kmeans_centroids``) but float-summation order makes
+    its centroids engine-dependent, so it cannot be oracle-gated.
+    This operator applies the engine's iterative-determinism
+    discipline instead, trading a few ulps of arithmetic freedom for
+    a bit-exact DuckDB mirror:
+
+    * seed: the vectors of the ``k`` smallest ids (deterministic,
+      SQL-mirrorable — not kmeans++ randomness);
+    * assign: squared L2 distance as a per-dimension det-round-12 →
+      DECIMAL(28,12) sum (order-free), argmin with cluster-id
+      tie-break via a per-doc window (partitioned by doc — never a
+      global sort);
+    * update: per-(cluster, dim) mean of det-round-12 components,
+      decimal-summed, the mean det-rounded to 12; empty clusters
+      keep their previous centroid;
+    * centroids round-trip through the driver between iterations —
+      k×dim bounded scalars, the same documented discipline as the
+      IVF centroid collect and the SRP auto-r count.
+
+    Plan shape per iteration: one broadcast of k centroid rows onto
+    the vector table, one (doc, cid, dim)-grain partial-agg distance
+    reduction (n·k·dim narrow rows, map-side combined), one per-doc
+    window, one (cluster, dim) aggregate of k·dim output rows.
+    Returns the FINAL iteration's assignment
+    ``(id_col, cluster_id, dist)`` with dist det-rounded to 8.
+    """
+    spark = vectors.sparkSession
+    seed = vectors.orderBy(id_col).limit(k).collect()
+    cents = {
+        i: [float(x) for x in r[vec_col]] for i, r in enumerate(seed)
+    }
+    assigned = None
+    for _ in range(iterations):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(cid, vec) for cid, vec in sorted(cents.items())],
+                "cid long, _cvec array<double>",
+            )
+        )
+        terms = vectors.crossJoin(cdf).select(
+            id_col,
+            "cid",
+            F.posexplode(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("_cvec"),
+                    lambda a, b: (a - b) * (a - b),
+                )
+            ).alias("_j", "_t"),
+        )
+        dist = terms.groupBy(id_col, "cid").agg(
+            F.sum(det_round(F.col("_t"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_dist")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.asc("_dist"), F.asc("cid")
+        )
+        assigned = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cid", "_dist")
+        )
+        upd = (
+            assigned.join(vectors, id_col)
+            .select("cid", F.posexplode(F.col(vec_col)).alias("_j", "_v"))
+            .groupBy("cid", "_j")
+            .agg(
+                det_round(
+                    F.sum(
+                        det_round(F.col("_v"), 12).cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    12,
+                ).alias("_m")
+            )
+        )
+        new_cents = dict(cents)  # empty clusters keep old centroids
+        rows = upd.collect()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["_j"]] = r["_m"]
+        for cid, comps in by_cid.items():
+            new_cents[cid] = [comps[j] for j in range(dim)]
+        cents = new_cents
+    return assigned.select(
+        id_col,
+        F.col("cid").alias("cluster_id"),
+        det_round(F.col("_dist"), 8).alias("dist"),
+    )

@@ -4118,6 +4118,135 @@ def q_quality_logreg_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_ctes(k: int = 4, iterations: int = 3) -> str:
+    """Unrolled fixed-iteration Lloyd k-means CTE chain over the
+    feature-hash vectors (_FH_VZ_CTES' ``vz``) — mirrors
+    ml.kmeans_fixed's det-round-12 decimal-summed distances, per-doc
+    argmin with cid tie-break, det-rounded centroid means, and
+    empty-cluster carryover. Ends with ``a{iterations}``
+    (doc_id, cid, dist)."""
+    r12 = lambda x: round_sql(x, 12)
+    sq = "(v.vec[r.range] - c.vec[r.range]) * (v.vec[r.range] - c.vec[r.range])"
+    ctes = [
+        f"""c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                   AS cid,
+               vec
+        FROM vz
+        QUALIFY ROW_NUMBER() OVER (ORDER BY doc_id) <= {k}
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"c{i - 1}"
+        mean = r12(
+            "CAST(SUM(CAST(" + r12("v.vec[r.range]")
+            + " AS DECIMAL(28,12))) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)"
+        )
+        ctes.append(f"""d{i} AS (
+        SELECT v.doc_id, c.cid,
+               CAST(SUM(CAST({r12(sq)} AS DECIMAL(28,12))) AS DOUBLE)
+                   AS dist
+        FROM vz v CROSS JOIN {prev} c CROSS JOIN range(1, 65) r
+        GROUP BY v.doc_id, c.cid
+    ),
+    a{i} AS (
+        SELECT doc_id, cid, dist
+        FROM d{i}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY dist ASC, cid ASC) = 1
+    ),
+    u{i} AS (
+        SELECT a.cid, r.range AS j, {mean} AS m
+        FROM a{i} a JOIN vz v USING (doc_id) CROSS JOIN range(1, 65) r
+        GROUP BY a.cid, r.range
+    ),
+    c{i} AS (
+        SELECT p.cid, COALESCE(n.vec, p.vec) AS vec
+        FROM {prev} p
+        LEFT JOIN (
+            SELECT cid, list(m ORDER BY j) AS vec FROM u{i} GROUP BY cid
+        ) n USING (cid)
+    )""")
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "doc_kmeans",
+    oracle=f"""
+    WITH {_FH_VZ_CTES},
+    {_kmeans_ctes(4, 3)}
+    SELECT doc_id, cid AS cluster_id, {round_sql("dist", 8)} AS dist
+    FROM a3
+    """,
+)
+def q_doc_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration k-means over the in-engine
+    feature-hash vectors (k=4, 3 Lloyd iterations) — the clustering
+    member of the iterative tier, oracle-gated where the IVF
+    quantizer (float-order-dependent) cannot be: det-round-12
+    decimal-summed distances, per-doc argmin windows, det-rounded
+    centroid means, empty-cluster carryover, min-id seeding. The
+    corpus partitioning the cluster-balanced curation recipes
+    consume."""
+    from .operators import ml
+
+    t = _t(spark, sf_dir, "documents")
+    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    return ml.kmeans_fixed(vecs, k=4, iterations=3, dim=64)
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH {_FH_VZ_CTES},
+    {_kmeans_ctes(4, 3)},
+    n AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_stratum
+        FROM a3 GROUP BY cid
+    ),
+    hh AS (
+        SELECT a.doc_id, a.cid,
+               {sql_md5_long("CAST(doc_id AS VARCHAR) || ':kb1'")} AS _h
+        FROM a3 a
+    ),
+    cand AS (
+        SELECT hh.doc_id, hh.cid, hh._h, n.n_stratum
+        FROM hh JOIN n USING (cid)
+        WHERE CAST(hh._h AS DOUBLE)
+              < LEAST(1.0, 80.0 / CAST(n.n_stratum AS DOUBLE))
+                * 281474976710656.0
+    ),
+    r AS (
+        SELECT cid, n_stratum, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cid ORDER BY _h ASC, doc_id ASC
+               ) AS BIGINT) AS sample_rank
+        FROM cand
+    )
+    SELECT cid AS stratum, n_stratum, sample_rank, doc_id
+    FROM r WHERE sample_rank <= 40
+    """,
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling (the SemDeDup-adjacent
+    recipe): k-means partitions the corpus semantically, then the
+    quota sampler caps every cluster at 40 docs by deterministic
+    hash rank — so no semantic neighborhood dominates the training
+    mix, the same way source_quota_sample caps crawl domains. Pure
+    composition of two existing oracle-gated operators; every window
+    is O(oversample·quota) via the hash pre-filter."""
+    from .operators import curation, ml
+
+    t = _t(spark, sf_dir, "documents")
+    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    clusters = ml.kmeans_fixed(vecs, k=4, iterations=3, dim=64)
+    return curation.source_quota_sample(
+        clusters, quota=40, stratum_col="cluster_id",
+        seed="kb1", oversample=2.0,
+    )
+
+
 def _curation_funnel_oracle(
     quality_threshold: float = 0.5,
     novelty_threshold: float = 0.5,
@@ -4716,6 +4845,8 @@ _SWEEP_PRIORITY = [
     "quality_logreg_scored",
     "quality_logreg_l2",
     "bm25_search_state",
+    "doc_kmeans",
+    "cluster_balanced_sample",
     # Group B - the 22 entries whose freshest driver row is r5
     # (VERDICT r7 "What's missing" #3), rotated to the front; 8 were
     # judge-re-verified in the r7 session, the other 14 get fresh

