@@ -279,6 +279,8 @@ def kmeans_fixed(
     dim: int = 64,
     id_col: str = "doc_id",
     vec_col: str = "feature_vec",
+    fit_fraction: float | None = None,
+    fit_seed: str = "km1",
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means over a dense
     vector column — the CLUSTERING member of the iterative tier
@@ -312,21 +314,30 @@ def kmeans_fixed(
     window, one (cluster, dim) aggregate of k·dim output rows.
     Returns the FINAL iteration's assignment
     ``(id_col, cluster_id, dist)`` with dist det-rounded to 8.
+
+    ``fit_fraction`` is the 100 TB knob: the per-iteration
+    (doc, cid, dim) distance grain costs n·k·dim rows, and Lloyd's
+    centroids stabilize on a fraction of the corpus long before the
+    full pass adds information — so production fits on a
+    DETERMINISTIC md5-thresholded sample (doc kept for fitting iff
+    ``md5_48(id:fit_seed) < fit_fraction·2^48`` — reproducible and
+    re-partitioning-stable, unlike ``DataFrame.sample``) and pays the
+    full n·k·dim grain exactly ONCE for the final assignment against
+    the fitted centroids. With ``fit_fraction=None`` (default) the
+    fit runs on the full corpus and the returned assignment is the
+    final fit iteration's own — the oracle-mirrored path, expression
+    tree unchanged.
     """
     spark = vectors.sparkSession
-    seed = vectors.orderBy(id_col).limit(k).collect()
-    cents = {
-        i: [float(x) for x in r[vec_col]] for i, r in enumerate(seed)
-    }
-    assigned = None
-    for _ in range(iterations):
+
+    def assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
         cdf = F.broadcast(
             spark.createDataFrame(
                 [(cid, vec) for cid, vec in sorted(cents.items())],
                 "cid long, _cvec array<double>",
             )
         )
-        terms = vectors.crossJoin(cdf).select(
+        terms = vecs.crossJoin(cdf).select(
             id_col,
             "cid",
             F.posexplode(
@@ -347,13 +358,28 @@ def kmeans_fixed(
         w = Window.partitionBy(id_col).orderBy(
             F.asc("_dist"), F.asc("cid")
         )
-        assigned = (
+        return (
             dist.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(id_col, "cid", "_dist")
         )
+
+    fit_vecs = vectors
+    if fit_fraction is not None:
+        cut = F.lit(float(fit_fraction)) * F.lit(float(1 << 48))
+        key = F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(fit_seed)
+        )
+        fit_vecs = vectors.filter(md5_long(key).cast("double") < cut)
+    seed = fit_vecs.orderBy(id_col).limit(k).collect()
+    cents = {
+        i: [float(x) for x in r[vec_col]] for i, r in enumerate(seed)
+    }
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(fit_vecs, cents)
         upd = (
-            assigned.join(vectors, id_col)
+            assigned.join(fit_vecs, id_col)
             .select("cid", F.posexplode(F.col(vec_col)).alias("_j", "_v"))
             .groupBy("cid", "_j")
             .agg(
@@ -374,6 +400,10 @@ def kmeans_fixed(
         for cid, comps in by_cid.items():
             new_cents[cid] = [comps[j] for j in range(dim)]
         cents = new_cents
+    if fit_fraction is not None:
+        # one full-corpus pass against the FITTED centroids — the
+        # only n·k·dim-grain job in the sampled mode
+        assigned = assign(vectors, cents)
     return assigned.select(
         id_col,
         F.col("cid").alias("cluster_id"),

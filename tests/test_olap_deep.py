@@ -533,3 +533,33 @@ def test_kmeans_fixed_separates_obvious_clusters(spark):
     odds = {got[i] for i in range(1, 20, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
     assert run() == got  # deterministic
+
+
+def test_kmeans_fit_fraction_samples_fit_assigns_all(spark):
+    """fit_fraction: centroids fit on the deterministic md5 sample,
+    but EVERY doc gets an assignment in the final full pass; the
+    two-blob structure still separates, and the sampled run is
+    reproducible."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        ml,
+    )
+
+    rows = []
+    for i in range(40):
+        base = [10.0, 10.0, 0.0, 0.0] if i % 2 else [0.0, 0.0, 10.0, 10.0]
+        rows.append((i, [b + (i % 5) * 0.01 for b in base]))
+    vecs = spark.createDataFrame(
+        rows, "doc_id long, feature_vec array<double>"
+    )
+    run = lambda: {
+        r["doc_id"]: r["cluster_id"]
+        for r in ml.kmeans_fixed(
+            vecs, k=2, iterations=3, dim=4, fit_fraction=0.5
+        ).collect()
+    }
+    got = run()
+    assert set(got) == set(range(40))  # all docs assigned
+    evens = {got[i] for i in range(0, 40, 2)}
+    odds = {got[i] for i in range(1, 40, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    assert run() == got
