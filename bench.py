@@ -102,6 +102,7 @@ HEADLINE = [
     "bm25_search_state",
     "doc_kmeans",
     "cluster_balanced_sample",
+    "cluster_top_terms",
 ]
 
 

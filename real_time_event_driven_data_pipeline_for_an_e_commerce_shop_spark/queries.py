@@ -4247,6 +4247,98 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cluster_top_terms",
+    oracle=f"""
+    WITH {_FH_VZ_CTES},
+    {_kmeans_ctes(4, 3)},
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    ctf AS (
+        SELECT a.cid, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS ctf
+        FROM tf JOIN a3 a USING (doc_id)
+        GROUP BY a.cid, tf.term
+        HAVING SUM(tf.tf) >= 3
+    ),
+    cdfr AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cdf
+        FROM ctf GROUP BY term
+    ),
+    scored AS (
+        SELECT c.cid, c.term, c.ctf,
+               {round_sql(
+                   "CAST(c.ctf AS DOUBLE)"
+                   " * ln((4.0 + 1.0) / (CAST(d.cdf AS DOUBLE) + 0.5))", 8
+               )} AS score
+        FROM ctf c JOIN cdfr d USING (term)
+    )
+    SELECT cid AS cluster_id, term, ctf,
+           score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY cid ORDER BY score DESC, term ASC
+           ) AS BIGINT) AS term_rank
+    FROM scored
+    QUALIFY term_rank <= 5
+    """,
+)
+def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling by c-TF-IDF (the BERTopic recipe): k-means
+    partitions the corpus semantically and each cluster is described
+    by the 5 terms whose cluster-frequency × inverse-cluster-frequency
+    score is highest — the human-readable report a curation run
+    attaches to its cluster-balanced sampling decisions.
+
+    The WHOLE pipeline runs from ONE documents scan: the token-event
+    grain lands once, the feature-hash vectors derive from it for
+    k-means, and the term stream for the labels is the grain's
+    partition-pruned 't' slice — no re-tokenization anywhere. Scale
+    shape: the per-(cluster, term) aggregate collapses map-side; a
+    min-cluster-tf floor (≥ 3) bounds the per-cluster ranking window
+    to the heavy vocabulary, and ln((k+1)/(cdf+0.5)) is the one
+    transcendental, det-rounded before the rank."""
+    from .operators import corpus_state, ml
+
+    t = _t(spark, sf_dir, "documents")
+    states = corpus_state.refresh_corpus_state(
+        t["documents"].select("doc_id", "text"),
+        _scratch_zone("corpus_state_ctt"),
+        only=("fh_vectors",),
+    )
+    clusters = ml.kmeans_fixed(
+        states["fh_vectors"], k=4, iterations=3, dim=64
+    )
+    ctf = (
+        states["term_state"]
+        .join(clusters.select("doc_id", F.col("cluster_id")), "doc_id")
+        .groupBy("cluster_id", "term")
+        .agg(F.sum("tf").cast("long").alias("ctf"))
+        .filter(F.col("ctf") >= 3)
+    )
+    cdfr = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    from .functions.core import det_round
+    from pyspark.sql import Window
+
+    score = det_round(
+        F.col("ctf").cast("double")
+        * F.log(F.lit(5.0) / (F.col("cdf").cast("double") + F.lit(0.5))),
+        8,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        ctf.join(cdfr, "term")
+        .withColumn("score", score)
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 5)
+        .select("cluster_id", "term", "ctf", "score", "term_rank")
+    )
+
+
 def _curation_funnel_oracle(
     quality_threshold: float = 0.5,
     novelty_threshold: float = 0.5,
@@ -4847,6 +4939,7 @@ _SWEEP_PRIORITY = [
     "bm25_search_state",
     "doc_kmeans",
     "cluster_balanced_sample",
+    "cluster_top_terms",
     # Group B - the 22 entries whose freshest driver row is r5
     # (VERDICT r7 "What's missing" #3), rotated to the front; 8 were
     # judge-re-verified in the r7 session, the other 14 get fresh

@@ -132,6 +132,10 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "k centroid rows broadcast per Lloyd iteration (k=4) — the "
         "same bounded centroid attach as ann_ivf_topk"
     ),
+    "cluster_top_terms": (
+        "built on doc_kmeans' k-centroid broadcasts; labeling adds "
+        "only equi-joins and a floor-bounded per-cluster rank"
+    ),
     "cluster_balanced_sample": (
         "built on doc_kmeans' k-centroid broadcasts; the quota "
         "sampler adds only equi-joins"
