@@ -28,11 +28,13 @@ ONE corpus scan:
    ~3× the token count, instead of four separate explodes over four
    separate scans;
 3. one map-side-combined hash aggregate collapses the stream to the
-   ``(doc_id, kind, s, c)`` distinct-count grain — the ONLY shuffle
+   ``(doc_id, kind, s, h, c)`` distinct-count grain — the ONLY shuffle
    that ever carries corpus-scale data;
 4. every state table is then a cheap re-aggregation of that grain
-   (hash the string, re-key, sum the already-collapsed counts) —
-   bounded by Σ|distinct strings per doc|, never the token stream.
+   (re-key on the event-time hash, sum the already-collapsed counts)
+   — bounded by Σ|distinct events per doc|, never the token stream —
+   or, for the term and shingle states, a partition-pruned SLICE of
+   the kind-partitioned grain with no re-aggregation at all.
 
 The three event spaces cannot collide as strings (tokens contain no
 whitespace; bigrams contain exactly one space; n≥3-gram shingles
@@ -47,7 +49,7 @@ the same strings. ``tests/test_corpus_state.py`` asserts row-exact
 equality for all four states and plan-asserts the one-scan property.
 
 Streaming twin: ``streaming.windows.token_event_counts_streaming``
-maintains the same (doc_id, kind, s, c) grain as ONE update-mode
+maintains the same (doc_id, kind, s, h, c) grain as ONE update-mode
 aggregate, so live ingest feeds all four state families through a
 single stateful operator instead of four parallel streams over the
 same input.

@@ -531,7 +531,7 @@ def token_event_counts_streaming(
     docs_stream: DataFrame, shingle_n: int = 5
 ) -> DataFrame:
     """Streaming half of the single-scan multi-state corpus ingest
-    (``operators.corpus_state``): the unified (doc_id, kind, s, c)
+    (``operators.corpus_state``): the unified (doc_id, kind, s, h, c)
     tagged-event grain as ONE incrementally-merged update-mode
     aggregate. Where the engine previously ran FOUR parallel stateful
     streams over the same input (term / feature / shingle counts plus
