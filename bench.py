@@ -103,6 +103,8 @@ HEADLINE = [
     "doc_kmeans",
     "cluster_balanced_sample",
     "cluster_top_terms",
+    "corpus_state_summary",
+    "kmeans_fit_report",
 ]
 
 

@@ -4339,6 +4339,113 @@ def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_state_summary",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    t_ev AS (SELECT doc_id, unnest(T) AS sgl FROM toks),
+    b_ev AS (
+        SELECT doc_id,
+               unnest(list_transform(range(2, len(T) + 1),
+                      i -> T[i-1] || ' ' || T[i])) AS sgl
+        FROM toks WHERE len(T) >= 2
+    ),
+    s_ev AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(T) - 3),
+                      i -> concat_ws(' ', T[i], T[i+1], T[i+2],
+                                     T[i+3], T[i+4]))) AS sgl
+        FROM toks WHERE len(T) >= 5
+    ),
+    tg AS (
+        SELECT doc_id, sgl, COUNT(*) AS c FROM t_ev GROUP BY doc_id, sgl
+    ),
+    bg AS (
+        SELECT doc_id, {sql_md5_long("sgl")} AS h, COUNT(*) AS c
+        FROM b_ev GROUP BY doc_id, h
+    ),
+    sg AS (
+        SELECT doc_id, {sql_md5_long("sgl")} AS h, COUNT(*) AS c
+        FROM s_ev GROUP BY doc_id, h
+    )
+    SELECT 't' AS kind, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_events
+    FROM tg
+    UNION ALL
+    SELECT 'b', CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT) FROM bg
+    UNION ALL
+    SELECT 's', CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT) FROM sg
+    """,
+)
+def q_corpus_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state zone's monitoring row — and the DIRECT driver gate on
+    the unified token-event grain itself (the state-composed queries
+    verify it downstream; this hashes its per-kind cardinalities
+    head-on): docs / distinct keys / total events per event kind
+    (tokens, bigrams, 5-gram shingles), derived from one refresh of
+    the single-scan grain. The table an ingest dashboard watches to
+    see state growth per epoch."""
+    from .operators import corpus_state
+
+    t = _t(spark, sf_dir, "documents")
+    states = corpus_state.refresh_corpus_state(
+        t["documents"].select("doc_id", "text"),
+        _scratch_zone("corpus_state_summary"),
+        only=(),
+    )
+    return states["token_events"].groupBy("kind").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "kmeans_fit_report",
+    oracle=f"""
+    WITH {_FH_VZ_CTES},
+    {_kmeans_ctes(4, 3)}
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {round_sql(
+               "CAST(SUM(CAST(" + round_sql("dist", 8)
+               + " AS DECIMAL(28,8))) AS DOUBLE)", 6
+           )} AS inertia,
+           {round_sql(
+               "CAST(SUM(CAST(" + round_sql("dist", 8)
+               + " AS DECIMAL(28,8))) AS DOUBLE)"
+               " / CAST(COUNT(*) AS DOUBLE)", 6
+           )} AS mean_dist
+    FROM a3
+    GROUP BY cid
+    """,
+)
+def q_kmeans_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fit report beside doc_kmeans: per-cluster size, inertia
+    (decimal-summed det-rounded squared distances — the quantity
+    Lloyd minimizes; its trend across fits is the elbow signal), and
+    mean distance. One k-row aggregate over the assignment."""
+    from .functions.core import det_round
+    from .operators import ml
+
+    t = _t(spark, sf_dir, "documents")
+    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    assigned = ml.kmeans_fixed(vecs, k=4, iterations=3, dim=64)
+    inertia = F.sum(F.col("dist").cast("decimal(28,8)")).cast("double")
+    return assigned.groupBy(F.col("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        det_round(inertia, 6).alias("inertia"),
+        det_round(
+            inertia / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_dist"),
+    )
+
+
 def _curation_funnel_oracle(
     quality_threshold: float = 0.5,
     novelty_threshold: float = 0.5,
@@ -4940,6 +5047,8 @@ _SWEEP_PRIORITY = [
     "doc_kmeans",
     "cluster_balanced_sample",
     "cluster_top_terms",
+    "corpus_state_summary",
+    "kmeans_fit_report",
     # Group B - the 22 entries whose freshest driver row is r5
     # (VERDICT r7 "What's missing" #3), rotated to the front; 8 were
     # judge-re-verified in the r7 session, the other 14 get fresh

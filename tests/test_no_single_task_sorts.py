@@ -136,6 +136,10 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "built on doc_kmeans' k-centroid broadcasts; labeling adds "
         "only equi-joins and a floor-bounded per-cluster rank"
     ),
+    "kmeans_fit_report": (
+        "built on doc_kmeans' k-centroid broadcasts; the report adds "
+        "only a k-row aggregate"
+    ),
     "cluster_balanced_sample": (
         "built on doc_kmeans' k-centroid broadcasts; the quota "
         "sampler adds only equi-joins"
