@@ -4192,7 +4192,13 @@ def q_doc_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ml
 
     t = _t(spark, sf_dir, "documents")
-    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    # materialize-vectors seam: kmeans runs one bounded driver action
+    # per iteration (seed + centroid collects), and each action would
+    # otherwise re-derive the tokenize→hash→normalize corpus scan —
+    # land the narrow vector table once and iterate over the parquet
+    vecs = text.materialize_feature_hash_vectors(
+        t["documents"], _scratch_zone("fh_vectors_kmeans"), dim=64
+    )
     return ml.kmeans_fixed(vecs, k=4, iterations=3, dim=64)
 
 
@@ -4239,7 +4245,9 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import curation, ml
 
     t = _t(spark, sf_dir, "documents")
-    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    vecs = text.materialize_feature_hash_vectors(
+        t["documents"], _scratch_zone("fh_vectors_cbs"), dim=64
+    )
     clusters = ml.kmeans_fixed(vecs, k=4, iterations=3, dim=64)
     return curation.source_quota_sample(
         clusters, quota=40, stratum_col="cluster_id",
@@ -4434,7 +4442,9 @@ def q_kmeans_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ml
 
     t = _t(spark, sf_dir, "documents")
-    vecs = text.feature_hash_vectors(t["documents"], dim=64)
+    vecs = text.materialize_feature_hash_vectors(
+        t["documents"], _scratch_zone("fh_vectors_kfr"), dim=64
+    )
     assigned = ml.kmeans_fixed(vecs, k=4, iterations=3, dim=64)
     inertia = F.sum(F.col("dist").cast("decimal(28,8)")).cast("double")
     return assigned.groupBy(F.col("cluster_id")).agg(
