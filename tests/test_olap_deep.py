@@ -563,3 +563,20 @@ def test_kmeans_fit_fraction_samples_fit_assigns_all(spark):
     odds = {got[i] for i in range(1, 40, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
     assert run() == got
+
+
+def test_kmeans_handles_k_larger_than_corpus(spark):
+    """k > |vectors|: the min-id seed yields only |vectors| centroids
+    and every doc still gets exactly one assignment — no crash, no
+    phantom clusters in the output."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        ml,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "doc_id long, feature_vec array<double>",
+    )
+    out = ml.kmeans_fixed(vecs, k=5, iterations=2, dim=2).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert len(out) == 2

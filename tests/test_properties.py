@@ -458,3 +458,84 @@ def test_global_rank_property_matches_row_number(spark, vals, ranges):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab XY.Zéç\t\n"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_token_event_grain_matches_independent_derivations(spark, texts):
+    """Property: for arbitrary junk text (empty strings, whitespace
+    runs, mixed case, unicode, punctuation), the unified token-event
+    grain slices/re-aggregations are row-exact vs the THREE
+    independent scan-based derivations they replace — the bit-parity
+    contract over the whole input space, not just the fixture
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.core import (
+        md5_long,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        corpus_state,
+        curation,
+        text as text_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    grain = corpus_state.token_event_counts(docs, shingle_n=5)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+
+    term_want = (
+        docs.select(
+            "doc_id",
+            F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    assert key(corpus_state.term_state_from_event_counts(grain)) == key(
+        term_want
+    )
+
+    feat_want = (
+        curation.hashed_ngram_features(docs, "doc_id", 64)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+    )
+    assert key(
+        corpus_state.feature_state_from_event_counts(grain, n_buckets=64)
+    ) == key(feat_want)
+
+    t = text_ops.tokens(F.lower(F.col("text")))
+    sz = F.size(t)
+    sh = t
+    for j in range(1, 5):
+        shifted = F.slice(t, j + 1, F.greatest(sz - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(sh, 1, F.greatest(sz - 4, F.lit(0)))
+    shingle_want = (
+        docs.select("doc_id", t.alias("_t"), full.alias("_sh"))
+        .filter(F.size("_t") >= 5)
+        .select("doc_id", F.explode("_sh").alias("_s"))
+        .select("doc_id", md5_long(F.col("_s")).alias("_h"))
+        .groupBy("doc_id", "_h")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    assert key(corpus_state.shingle_state_from_event_counts(grain)) == key(
+        shingle_want
+    )
