@@ -105,6 +105,7 @@ HEADLINE = [
     "cluster_top_terms",
     "corpus_state_summary",
     "kmeans_fit_report",
+    "lm_perplexity_state",
 ]
 
 

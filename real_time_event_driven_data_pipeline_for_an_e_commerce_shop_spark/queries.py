@@ -3718,9 +3718,9 @@ def q_text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lm_perplexity",
-    oracle=f"""
+# shared by lm_perplexity (plan-pure) and lm_perplexity_state (the
+# single-scan corpus-state composition)
+_LM_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS term FROM documents
     ),
@@ -3747,8 +3747,10 @@ def q_text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ({round_sql("exp(-(s / n_tokens))", 4)} > 35.0)
                AS high_perplexity
     FROM per_doc
-    """,
-)
+    """
+
+
+@query("lm_perplexity", oracle=_LM_ORACLE)
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality signal: corpus-self-trained unigram LM,
     per-doc perplexity, outliers flagged. The deterministic core of
@@ -3760,6 +3762,28 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE r1 #1); a real deployment tunes the cutoff per corpus."""
     t = _t(spark, sf_dir, "documents")
     return text.lm_perplexity(t["documents"], threshold=35.0)
+
+
+@query("lm_perplexity_state", oracle=_LM_ORACLE)
+def q_lm_perplexity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm_perplexity composed from the SINGLE-SCAN corpus state: the
+    unified token-event grain lands with one documents scan and the
+    LM scores from its partition-pruned 't' slice — zero
+    re-tokenization, the same seam as bm25_search_state (one grain
+    refresh serves retrieval AND the perplexity quality filter, which
+    is the whole point of sharing the term grain). Same oracle as
+    lm_perplexity: the composition is bit-identical."""
+    from .operators import corpus_state
+
+    t = _t(spark, sf_dir, "documents")
+    states = corpus_state.refresh_corpus_state(
+        t["documents"].select("doc_id", "text"),
+        _scratch_zone("corpus_state_lm"),
+        only=(),
+    )
+    return text.lm_perplexity_from_term_state(
+        states["term_state"], threshold=35.0
+    )
 
 
 @query(
@@ -5059,6 +5083,7 @@ _SWEEP_PRIORITY = [
     "cluster_top_terms",
     "corpus_state_summary",
     "kmeans_fit_report",
+    "lm_perplexity_state",
     # Group B - the 22 entries whose freshest driver row is r5
     # (VERDICT r7 "What's missing" #3), rotated to the front; 8 were
     # judge-re-verified in the r7 session, the other 14 get fresh

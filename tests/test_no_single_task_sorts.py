@@ -96,6 +96,10 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "bm25_from_term_state scoring)"
     ),
     "lm_perplexity": "one-row corpus token total broadcast",
+    "lm_perplexity_state": (
+        "same one-row corpus token-total broadcast (shared "
+        "lm_perplexity_from_term_state scoring)"
+    ),
     "mixture_weights": "one-row corpus-total and normalizer broadcasts",
     "source_token_drift": "one-row corpus token total broadcast",
     "market_basket": "one-row order-count total broadcast",
