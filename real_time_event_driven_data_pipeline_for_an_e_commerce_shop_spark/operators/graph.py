@@ -162,6 +162,16 @@ def pagerank_converged(
     equals the fixed-count run with iterations=k bit-for-bit (the
     shared :func:`_superstep` guarantees it; unit-tested).
 
+    Checkpoint hygiene (VERDICT r8 #7 / ADVICE r8): the blocks
+    PING-PONG between exactly two zone tables (``pagerank_ck_a`` /
+    ``pagerank_ck_b``) — block k overwrites the table block k−2 used,
+    which nothing references any more (block k's plan reads only
+    block k−1's table, and the Δ compare reads the two LIVE tables) —
+    so a convergence run leaves ≤ 2 rank vectors on disk regardless
+    of superstep count, and a RERUN in the same zone_dir overwrites
+    the same two names instead of stranding higher-numbered
+    checkpoints in the manifest.
+
     Returns ``(node, pagerank, supersteps)`` — the superstep count
     the run actually paid, the number a production job logs beside
     the ranks.
@@ -182,7 +192,7 @@ def pagerank_converged(
             ranks = _superstep(nodes, e, ranks, n, damping)
         steps += block
         ck += 1
-        name = f"pagerank_ck_{ck}"
+        name = f"pagerank_ck_{'ab'[ck % 2]}"
         write_zone_table(ranks, zone_dir, name, layout="flat")
         landed = spark.read.parquet(os.path.join(zone_dir, name))
         if prev_landed is not None:

@@ -328,6 +328,13 @@ def kmeans_fixed(
     final fit iteration's own — the oracle-mirrored path, expression
     tree unchanged.
     """
+    if iterations < 1:
+        # with no assignment pass the return value would be undefined
+        # (and fit_fraction=None would leave `assigned` as None) —
+        # fail fast like the zone writers do (ADVICE r8)
+        raise ValueError(
+            f"kmeans_fixed needs iterations >= 1, got {iterations}"
+        )
     spark = vectors.sparkSession
 
     def assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
@@ -372,6 +379,13 @@ def kmeans_fixed(
         )
         fit_vecs = vectors.filter(md5_long(key).cast("double") < cut)
     seed = fit_vecs.orderBy(id_col).limit(k).collect()
+    for r in seed:
+        if len(r[vec_col]) < dim:
+            raise ValueError(
+                f"kmeans_fixed: seed vector for {id_col}="
+                f"{r[id_col]!r} has {len(r[vec_col])} components, "
+                f"expected dim={dim}"
+            )
     cents = {
         i: [float(x) for x in r[vec_col]] for i, r in enumerate(seed)
     }
@@ -398,7 +412,11 @@ def kmeans_fixed(
         for r in rows:
             by_cid.setdefault(r["cid"], {})[r["_j"]] = r["_m"]
         for cid, comps in by_cid.items():
-            new_cents[cid] = [comps[j] for j in range(dim)]
+            # a non-seed vector shorter than dim yields no (cid, j)
+            # mean for its missing tail — carry those components from
+            # the previous centroid instead of KeyError (ADVICE r8)
+            prev = cents[cid]
+            new_cents[cid] = [comps.get(j, prev[j]) for j in range(dim)]
         cents = new_cents
     if fit_fraction is not None:
         # one full-corpus pass against the FITTED centroids — the

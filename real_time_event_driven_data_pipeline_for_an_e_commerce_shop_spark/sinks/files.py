@@ -367,6 +367,14 @@ def write_zone_table(
     """
     import os
 
+    if partition_by and partition_by not in df.columns:
+        # silently writing unpartitioned would break the
+        # partition-pruned view contract downstream — fail fast, same
+        # discipline as _order_col_names (ADVICE r8)
+        raise ValueError(
+            f"write_zone_table: partition_by={partition_by!r} is not a "
+            f"column of {name!r} (columns: {df.columns})"
+        )
     path = os.path.join(zone_dir, name)
     spec: dict = {"layout": layout, "path": path, "format": "parquet"}
     if layout == "bucketed":
@@ -375,7 +383,7 @@ def write_zone_table(
         writer = (
             df.write.mode("overwrite").format("parquet").option("path", path)
         )
-        if partition_by and partition_by in df.columns:
+        if partition_by:
             writer = writer.partitionBy(partition_by)
             spec["partition_by"] = [partition_by]
         writer.bucketBy(n_buckets, bucket_col).sortBy(bucket_col).saveAsTable(
@@ -402,7 +410,7 @@ def write_zone_table(
         spec["zorder_domains"] = {c: list(d) for c, d in domains.items()}
     elif layout == "flat":
         writer = df.write.mode("overwrite")
-        if partition_by and partition_by in df.columns:
+        if partition_by:
             writer = writer.partitionBy(partition_by)
             spec["partition_by"] = [partition_by]
         writer.parquet(path)
@@ -431,6 +439,19 @@ def read_zone_tables(
     return out
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-string → bytes ("10485760", "10m", "10MB", "-1")."""
+    s = str(v).strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult = units.get(s[-1:], 1)
+    if mult != 1:
+        s = s[:-1]
+    try:
+        return int(float(s)) * mult
+    except ValueError:
+        return 10 * (1 << 20)
+
+
 def zone_equijoin(
     spark: SparkSession,
     zone_dir: str,
@@ -442,12 +463,17 @@ def zone_equijoin(
     earn: when both sides are bucketed on the join key with the same
     bucket count, the catalog read alone makes the join Exchange-free
     (plan-asserted in tests) — the catalog read carries the bucket
-    metadata, so the co-bucketed plan needs no hint here. Any OTHER
-    combination gets an explicit SHUFFLE_HASH hint: a zone⋈zone fact
-    join without co-located buckets must shuffle anyway, and the
+    metadata, so the co-bucketed plan needs no hint here. A
+    non-co-bucketed pair of FACT-sized tables gets an explicit
+    SHUFFLE_HASH hint: such a join must shuffle anyway, and the
     shuffle-hash build skips the sort-merge sorts and can never
-    misestimate a fact table into a broadcast. The manifest spec now
-    actually decides the plan (ADVICE r7: the branch was dead)."""
+    misestimate a fact table into a broadcast. But the hint is GATED
+    on both sides' on-disk bytes exceeding the session broadcast
+    threshold (ADVICE r8): when either side is a small dimension
+    table, suppressing broadcast would be a regression — no hint is
+    applied and AQE broadcasts the small side as usual."""
+    import os
+
     dfs = read_zone_tables(spark, zone_dir, [left, right])
     specs = [zone_table_layout(zone_dir, n) for n in (left, right)]
     co_bucketed = all(
@@ -455,5 +481,26 @@ def zone_equijoin(
     ) and specs[0]["n_buckets"] == specs[1]["n_buckets"]
     if co_bucketed:
         # bucket metadata already removes both Exchanges
+        return dfs[left].join(dfs[right], on)
+
+    def _zone_bytes(name: str, spec: dict | None) -> int:
+        path = (spec or {}).get("path") or os.path.join(zone_dir, name)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return total
+
+    threshold = _parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    if threshold > 0 and any(
+        _zone_bytes(n, s) < threshold
+        for n, s in zip((left, right), specs)
+    ):
+        # dimension-sized side present: let AQE pick broadcast
         return dfs[left].join(dfs[right], on)
     return dfs[left].join(dfs[right].hint("SHUFFLE_HASH"), on)

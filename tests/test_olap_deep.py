@@ -461,7 +461,26 @@ def test_pagerank_converged_checkpointed(spark, tmp_path):
     plan = done._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "FileScan parquet" in plan  # reads the landed checkpoint
-    assert zone_table_layout(zone_b, "pagerank_ck_1")["layout"] == "flat"
+    assert zone_table_layout(zone_b, "pagerank_ck_a")["layout"] == "flat"
+
+    # (d) checkpoint hygiene (VERDICT r8 #7): the blocks ping-pong
+    # two tables, so a 24+-superstep run leaves at most TWO rank
+    # vectors on disk, and a rerun in the same zone overwrites them
+    # (no stale higher-numbered checkpoints in the manifest)
+    import os
+
+    cks = [
+        d for d in os.listdir(zone_b) if d.startswith("pagerank_ck_")
+    ]
+    assert sorted(cks) == ["pagerank_ck_a", "pagerank_ck_b"], cks
+    again = graph.pagerank_converged(
+        edges, zone_b, tol=1e-3, checkpoint_every=6, max_supersteps=60
+    )
+    assert {r["node"]: r["pagerank"] for r in again.collect()} == long_run
+    cks2 = [
+        d for d in os.listdir(zone_b) if d.startswith("pagerank_ck_")
+    ]
+    assert sorted(cks2) == ["pagerank_ck_a", "pagerank_ck_b"], cks2
 
 
 def test_logreg_l2_and_minibatch_modes(spark):
@@ -580,3 +599,37 @@ def test_kmeans_handles_k_larger_than_corpus(spark):
     out = ml.kmeans_fixed(vecs, k=5, iterations=2, dim=2).collect()
     assert {r["doc_id"] for r in out} == {1, 2}
     assert len(out) == 2
+
+
+def test_kmeans_degenerate_params_fail_fast_or_carry(spark):
+    """ADVICE r8: iterations < 1 and short SEED vectors raise
+    ValueError instead of dying later with AttributeError/KeyError;
+    a short NON-seed vector doesn't crash the centroid rebuild — its
+    missing components carry from the previous centroid."""
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        ml,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "doc_id long, feature_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="iterations"):
+        ml.kmeans_fixed(vecs, k=2, iterations=0, dim=2)
+    short_seed = spark.createDataFrame(
+        [(1, [1.0]), (2, [0.0, 1.0])],
+        "doc_id long, feature_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="seed vector"):
+        ml.kmeans_fixed(short_seed, k=2, iterations=1, dim=2)
+    # doc 9's 1-component vector joins doc 1's cluster pipeline but
+    # contributes no j=1 mean — the rebuild carries the previous
+    # centroid's component instead of KeyError
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (9, [1.0])],
+        "doc_id long, feature_vec array<double>",
+    )
+    out = ml.kmeans_fixed(ragged, k=2, iterations=2, dim=2).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 9}

@@ -672,3 +672,48 @@ def test_zone_equijoin_non_cobucketed_takes_shuffle_hash(spark, tmp_path):
         assert joined.count() == 200
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zone_equijoin_small_side_lets_aqe_broadcast(spark, tmp_path):
+    """ADVICE r8: the non-co-bucketed SHUFFLE_HASH hint is gated on
+    both sides being fact-sized — when one side is a tiny dimension
+    table (under the session broadcast threshold), no hint is applied
+    and the planner broadcasts it as usual."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        write_zone_table,
+        zone_equijoin,
+    )
+
+    zdir = str(tmp_path / "zone")
+    fact = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    dim = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_zone_table(fact, zdir, "fact", layout="flat")
+    write_zone_table(dim, zdir, "dim", layout="flat")
+    joined = zone_equijoin(spark, zdir, "fact", "dim", on="k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert joined.count() == 20
+
+
+def test_write_zone_table_partition_by_typo_raises(spark, tmp_path):
+    """ADVICE r8: a partition_by column absent from the DataFrame is
+    a caller typo — write_zone_table raises instead of quietly
+    landing an unpartitioned table that breaks the partition-pruned
+    view contract downstream."""
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        write_zone_table,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="partition_by"):
+        write_zone_table(
+            df, str(tmp_path / "z"), "t", layout="flat",
+            partition_by="no_such_col",
+        )
