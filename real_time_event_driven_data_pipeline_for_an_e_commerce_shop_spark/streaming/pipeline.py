@@ -696,6 +696,295 @@ def read_manifest_zone(
     return out
 
 
+def run_corpus_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    zone_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    exact_dedup: bool = False,
+    semantic_dedup: bool = False,
+    state_refresh: bool = False,
+    base_fingerprints: DataFrame | None = None,
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold: float = 0.8,
+    drop_dups: bool = True,
+    n_buckets: int = 8,
+    shingle_n: int = 5,
+    table_prefix: str = "corpus_",
+    await_termination: bool = True,
+) -> dict[str, str]:
+    """THE canonical corpus ingest (VERDICT r8 #1): one streaming
+    entry point where a deployment picks ingest SEMANTICS as
+    composable gates instead of choosing between three overlapping
+    functions. Every arriving micro-batch flows through the enabled
+    gates in order and lands through the same atomic ``_epoch``
+    manifest commits as :func:`run_bucketed_ingest_manifest`:
+
+    * ``exact_dedup`` — the ``operators.dedup.incremental_dedup``
+      fingerprint gate against the ALREADY-LANDED corpus (plus an
+      optional external ``base_fingerprints`` snapshot): only
+      ``status='new'`` rows survive — batch-internal dups collapse to
+      the min-id keeper, corpus dups drop. The fingerprint set is
+      DERIVED from the committed zone at gate time (never a second
+      source of truth); at 100 TB the per-batch probe is the delta
+      side of the bloom-pruned join.
+    * ``semantic_dedup`` — the SRP near-dup gate: survivors
+      feature-hash into unit vectors, SRP-bucket, and probe the
+      committed corpus' incrementally-appended vector zone for
+      cosine ≥ ``threshold`` pairs (the streaming twin of the batch
+      ``text_semantic_neardup`` chain). Lands ``doc_vectors`` and
+      ``neardup_pairs`` beside the corpus; with ``drop_dups`` a doc
+      near-dupping any committed doc (or a smaller-id batch sibling —
+      the greedy per-edge keeper) is dropped.
+    * ``state_refresh`` — maintains the unified token-event grain
+      (``corpus_state.token_event_counts``) incrementally as a
+      ``token_events`` zone table, so every corpus state family
+      (term / feature / shingle / vectors) derives from the committed
+      grain with zero text re-scans.
+
+    Gate composition shares work: with both ``semantic_dedup`` and
+    ``state_refresh`` on, the batch grain is STAGED once (the single
+    tokenize pass over the surviving text), the gate's vectors derive
+    from the staged grain (``corpus_state.vectors_from_event_counts``
+    — bit-identical to ``feature_hash_vectors``), and the kept docs'
+    grain rows land as the ``token_events`` epoch — one tokenize per
+    arriving document serves dedup AND state maintenance, and the
+    grain never contains dropped near-dups.
+
+    Crash-window discipline (unchanged from the folded entries):
+    auxiliary tables land BEFORE the documents table and each
+    ``_land_epoch`` is an idempotent no-op once its own manifest holds
+    the epoch, so docs-committed implies the epoch fully landed and a
+    crash between commits heals on replay. Stale ``_ev_staging_*``
+    dirs from a crash mid-epoch are swept at stream start and the
+    per-epoch staging dir is removed in a ``finally`` (ADVICE r8).
+
+    Returns ``{zone name: catalog table}`` for every landed table.
+    The pre-r9 entries (:func:`run_corpus_ingest_dedup_manifest`,
+    :func:`run_corpus_ingest_semantic_dedup_manifest`,
+    :func:`run_corpus_ingest_state_refresh`) delegate here.
+    """
+    import glob
+    import shutil
+
+    from ..functions.core import det_round
+    from ..operators.corpus_state import (
+        token_event_counts,
+        vectors_from_event_counts,
+    )
+    from ..operators.dedup import incremental_dedup
+    from ..operators.similarity import cosine, srp_bucket
+    from ..operators.text import feature_hash_vectors
+
+    name = "documents"
+    tables: dict[str, str] = {}
+    if semantic_dedup:
+        tables["doc_vectors"] = f"{table_prefix}doc_vectors"
+        tables["neardup_pairs"] = f"{table_prefix}neardup_pairs"
+    if state_refresh:
+        tables["token_events"] = f"{table_prefix}token_events"
+    tables[name] = f"{table_prefix}documents"  # lands LAST — see above
+
+    # ADVICE r8: a crash mid-epoch leaves its staging dir behind and a
+    # LATER epoch's success would strand it forever (replay only
+    # overwrites the same epoch's dir) — sweep before the stream starts
+    for stale in glob.glob(os.path.join(zone_dir, "_ev_staging_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        if all(
+            epoch_id in committed_epochs(zone_dir, z) for z in tables
+        ):
+            return  # checkpoint replay of a fully-landed epoch
+
+        keep = batch_df
+        if exact_dedup:
+            fps = None
+            if spark.catalog.tableExists(tables[name]):
+                corpus = read_manifest_zone(
+                    spark, {name: tables[name]}, zone_dir
+                )[name]
+                norm = F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                )
+                fps = corpus.select(
+                    F.md5(norm.cast("binary")).alias("fingerprint")
+                )
+            if base_fingerprints is not None:
+                snap = base_fingerprints.select("fingerprint")
+                fps = snap if fps is None else fps.unionByName(snap)
+            if fps is None:
+                fps = spark.createDataFrame([], "fingerprint string")
+            keep = keep.join(
+                incremental_dedup(keep, fps)
+                .filter(F.col("status") == "new")
+                .select("doc_id"),
+                "doc_id",
+            )
+
+        staging = None
+        ev = None
+        try:
+            if state_refresh and semantic_dedup:
+                # stage the survivors' grain ONCE — the only tokenize
+                # pass; the gate's vectors and the landed grain both
+                # read it back
+                staging = os.path.join(
+                    zone_dir, f"_ev_staging_{epoch_id}"
+                )
+                token_event_counts(
+                    keep, shingle_n=shingle_n
+                ).write.mode("overwrite").parquet(staging)
+                ev = spark.read.parquet(staging)
+            elif state_refresh:
+                ev = token_event_counts(keep, shingle_n=shingle_n)
+
+            if semantic_dedup:
+                bucket = lambda v: srp_bucket(v, dim, n_planes)
+                vec_src = (
+                    vectors_from_event_counts(ev, dim=dim)
+                    if ev is not None and staging is not None
+                    else feature_hash_vectors(keep, dim=dim)
+                )
+                bv = vec_src.select(
+                    "doc_id",
+                    "feature_vec",
+                    bucket(F.col("feature_vec")).alias("_bk"),
+                )
+                # within-batch same-bucket pairs, id-ordered
+                within = (
+                    bv.alias("a")
+                    .join(
+                        bv.alias("b"),
+                        on=[
+                            F.col("a._bk") == F.col("b._bk"),
+                            F.col("a.doc_id") < F.col("b.doc_id"),
+                        ],
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("vec_a"),
+                        F.col("b.doc_id").alias("vec_b"),
+                        # round BEFORE the threshold, exactly like the
+                        # batch operator (embedding_near_dups) —
+                        # parity at the boundary depends on it
+                        det_round(
+                            cosine(
+                                F.col("a.feature_vec"),
+                                F.col("b.feature_vec"),
+                            ),
+                            6,
+                        ).alias("_sim"),
+                    )
+                )
+                docs_committed = sorted(committed_epochs(zone_dir, name))
+                cross = None
+                if docs_committed and spark.catalog.tableExists(
+                    tables["doc_vectors"]
+                ):
+                    corpus_v = (
+                        read_manifest_zone(
+                            spark,
+                            {"doc_vectors": tables["doc_vectors"]},
+                            zone_dir,
+                        )["doc_vectors"]
+                        .filter(F.col("_epoch").isin(docs_committed))
+                        .select(
+                            F.col("doc_id").alias("c_id"),
+                            F.col("feature_vec").alias("c_vec"),
+                        )
+                        .withColumn("_bk", bucket(F.col("c_vec")))
+                    )
+                    cross = (
+                        corpus_v.join(bv, "_bk")
+                        .select(
+                            F.least("c_id", "doc_id").alias("vec_a"),
+                            F.greatest("c_id", "doc_id").alias("vec_b"),
+                            det_round(
+                                cosine(
+                                    F.col("c_vec"), F.col("feature_vec")
+                                ),
+                                6,
+                            ).alias("_sim"),
+                            F.col("doc_id").alias("_batch_id"),
+                        )
+                    )
+                within_hits = within.filter(F.col("_sim") >= threshold)
+                cross_hits = (
+                    cross.filter(F.col("_sim") >= threshold)
+                    if cross is not None
+                    else None
+                )
+                pairs = within_hits.select("vec_a", "vec_b", "_sim")
+                if cross_hits is not None:
+                    pairs = pairs.unionByName(
+                        cross_hits.select("vec_a", "vec_b", "_sim")
+                    )
+                pairs = pairs.dropDuplicates(["vec_a", "vec_b"]).select(
+                    "vec_a", "vec_b", F.col("_sim").alias("cosine_sim")
+                )
+                if drop_dups:
+                    dropped = within_hits.select(
+                        F.col("vec_b").alias("doc_id")
+                    )
+                    if cross_hits is not None:
+                        dropped = dropped.unionByName(
+                            cross_hits.select(
+                                F.col("_batch_id").alias("doc_id")
+                            )
+                        )
+                    keep = keep.join(
+                        dropped.distinct(), "doc_id", "left_anti"
+                    )
+                kept_vecs = bv.join(
+                    keep.select("doc_id"), "doc_id"
+                ).select("doc_id", "feature_vec")
+                _land_epoch(
+                    spark, kept_vecs, tables["doc_vectors"],
+                    os.path.join(zone_dir, "doc_vectors"), zone_dir,
+                    "doc_vectors", epoch_id, n_buckets,
+                    bucket_col="doc_id",
+                )
+                _land_epoch(
+                    spark, pairs, tables["neardup_pairs"],
+                    os.path.join(zone_dir, "neardup_pairs"), zone_dir,
+                    "neardup_pairs", epoch_id, n_buckets,
+                    bucket_col="vec_a",
+                )
+            if state_refresh:
+                grain = (
+                    ev.join(keep.select("doc_id"), "doc_id")
+                    if semantic_dedup
+                    else ev
+                )
+                _land_epoch(
+                    spark, grain, tables["token_events"],
+                    os.path.join(zone_dir, "token_events"), zone_dir,
+                    "token_events", epoch_id, n_buckets,
+                    bucket_col="doc_id",
+                )
+            _land_epoch(
+                spark, keep, tables[name],
+                os.path.join(zone_dir, name), zone_dir, name, epoch_id,
+                n_buckets, bucket_col="doc_id",
+            )
+        finally:
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)
+
+    stream = spark.readStream.schema(schema).parquet(raw_dir)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return dict(tables)
+
+
 def run_corpus_ingest_dedup_manifest(
     spark: SparkSession,
     raw_dir: str,
@@ -707,71 +996,19 @@ def run_corpus_ingest_dedup_manifest(
     table_prefix: str = "corpus_m_",
     await_termination: bool = True,
 ) -> dict[str, str]:
-    """Deduplicating corpus ingest (ROADMAP r6 #3): every arriving
-    micro-batch passes the ``operators.dedup.incremental_dedup`` gate
-    against the ALREADY-LANDED corpus (plus an optional external
-    ``base_fingerprints`` snapshot), and only ``status='new'`` rows —
-    batch-internal dups collapsed to the min-id keeper, corpus dups
-    dropped — land through the same atomic ``_epoch`` commit as
-    :func:`run_bucketed_ingest_manifest`.
-
-    The corpus fingerprint set is DERIVED from the committed zone at
-    gate time (one fingerprint projection of the corpus per
-    micro-batch) instead of materialized as a second table: one table
-    means ONE commit per epoch, so there is no cross-table atomicity
-    window — a crash replay re-reads the same committed corpus, runs
-    the same deterministic gate, and lands the identical epoch. At
-    100 TB the per-batch probe is the delta side of the bloom-pruned
-    join (`dedup.incremental_dedup` docstring); a deployment that
-    can't afford the corpus fingerprint scan per batch materializes
-    the fingerprint projection per epoch as a CACHE — it is always
-    recomputable from the committed zone, so it never becomes a
-    second source of truth.
+    """Exact-fingerprint deduplicating corpus ingest (ROADMAP r6 #3)
+    — :func:`run_corpus_ingest` with only the ``exact_dedup`` gate
+    enabled; kept as the named recipe a deployment reads about first.
     """
-    from ..operators.dedup import incremental_dedup
-
-    name = "documents"
-    table = f"{table_prefix}documents"
-    path = os.path.join(zone_dir, name)
-
-    def land(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in committed_epochs(zone_dir, name):
-            return  # checkpoint replay of a landed epoch
-        fps = None
-        if spark.catalog.tableExists(table):
-            corpus = read_manifest_zone(spark, {name: table}, zone_dir)[name]
-            norm = F.trim(
-                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-            )
-            fps = corpus.select(
-                F.md5(norm.cast("binary")).alias("fingerprint")
-            )
-        if base_fingerprints is not None:
-            snap = base_fingerprints.select("fingerprint")
-            fps = snap if fps is None else fps.unionByName(snap)
-        if fps is None:
-            fps = spark.createDataFrame([], "fingerprint string")
-        keep = batch_df.join(
-            incremental_dedup(batch_df, fps)
-            .filter(F.col("status") == "new")
-            .select("doc_id"),
-            "doc_id",
-        )
-        _land_epoch(
-            spark, keep, table, path, zone_dir, name, epoch_id,
-            n_buckets, bucket_col="doc_id",
-        )
-
-    stream = spark.readStream.schema(schema).parquet(raw_dir)
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return run_corpus_ingest(
+        spark, raw_dir, zone_dir, checkpoint_dir,
+        schema=schema,
+        exact_dedup=True,
+        base_fingerprints=base_fingerprints,
+        n_buckets=n_buckets,
+        table_prefix=table_prefix,
+        await_termination=await_termination,
     )
-    if await_termination:
-        q.awaitTermination()
-    return {name: table}
 
 
 def run_corpus_ingest_semantic_dedup_manifest(
@@ -831,175 +1068,27 @@ def run_corpus_ingest_semantic_dedup_manifest(
     manifests, so a crash replay reconverges to the identical zone.
 
     ``token_events=True`` (ROADMAP r8 #2) additionally maintains the
-    unified token-event grain in the same pass: the batch's grain is
-    STAGED once (the single tokenize pass over the arriving text),
-    the gate's vectors derive from the staged grain instead of
-    re-tokenizing (``corpus_state.vectors_from_event_counts`` —
-    bit-identical to ``feature_hash_vectors``), and after the keeper
-    decision the kept docs' grain rows land as a fourth
-    manifest-committed table ``{prefix}token_events`` — so the
-    dedup-gated ingest AND the full corpus-state refresh cost ONE
-    tokenize per arriving document between them, and the grain never
-    contains dropped near-dups.
+    unified token-event grain in the same pass: one tokenize per
+    arriving document serves the dedup gate AND the state refresh,
+    and the grain never contains dropped near-dups.
+
+    Delegates to :func:`run_corpus_ingest` with the
+    ``semantic_dedup`` gate (plus ``state_refresh`` when
+    ``token_events``) — kept as the named recipe.
     """
-    import shutil
-
-    from ..functions.core import det_round
-    from ..operators.corpus_state import (
-        token_event_counts,
-        vectors_from_event_counts,
+    return run_corpus_ingest(
+        spark, raw_dir, zone_dir, checkpoint_dir,
+        schema=schema,
+        semantic_dedup=True,
+        state_refresh=token_events,
+        dim=dim,
+        n_planes=n_planes,
+        threshold=threshold,
+        drop_dups=drop_dups,
+        n_buckets=n_buckets,
+        table_prefix=table_prefix,
+        await_termination=await_termination,
     )
-    from ..operators.similarity import cosine, srp_bucket
-    from ..operators.text import feature_hash_vectors
-
-    name = "documents"
-    doc_table = f"{table_prefix}documents"
-    vec_table = f"{table_prefix}doc_vectors"
-    pair_table = f"{table_prefix}neardup_pairs"
-    ev_table = f"{table_prefix}token_events"
-
-    def land(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in committed_epochs(zone_dir, name) and (
-            not token_events
-            or epoch_id in committed_epochs(zone_dir, "token_events")
-        ):
-            return  # checkpoint replay of a fully-landed epoch
-        bucket = lambda v: srp_bucket(v, dim, n_planes)
-        staging = None
-        if token_events:
-            # stage the batch grain ONCE — the only tokenize pass;
-            # vectors and the landed grain both read it back
-            staging = os.path.join(zone_dir, f"_ev_staging_{epoch_id}")
-            token_event_counts(batch_df).write.mode("overwrite").parquet(
-                staging
-            )
-            ev = spark.read.parquet(staging)
-            vec_src = vectors_from_event_counts(ev, dim=dim)
-        else:
-            vec_src = feature_hash_vectors(batch_df, dim=dim)
-        bv = vec_src.select(
-            "doc_id", "feature_vec", bucket(F.col("feature_vec")).alias("_bk")
-        )
-        # within-batch same-bucket pairs, id-ordered
-        within = (
-            bv.alias("a")
-            .join(
-                bv.alias("b"),
-                on=[
-                    F.col("a._bk") == F.col("b._bk"),
-                    F.col("a.doc_id") < F.col("b.doc_id"),
-                ],
-            )
-            .select(
-                F.col("a.doc_id").alias("vec_a"),
-                F.col("b.doc_id").alias("vec_b"),
-                # round BEFORE the threshold, exactly like the batch
-                # operator (embedding_near_dups) — parity at the
-                # boundary depends on it
-                det_round(
-                    cosine(F.col("a.feature_vec"), F.col("b.feature_vec")), 6
-                ).alias("_sim"),
-            )
-        )
-        docs_committed = sorted(committed_epochs(zone_dir, name))
-        cross = None
-        if docs_committed and spark.catalog.tableExists(vec_table):
-            corpus_v = (
-                read_manifest_zone(
-                    spark, {"doc_vectors": vec_table}, zone_dir
-                )["doc_vectors"]
-                .filter(F.col("_epoch").isin(docs_committed))
-                .select(
-                    F.col("doc_id").alias("c_id"),
-                    F.col("feature_vec").alias("c_vec"),
-                )
-                .withColumn("_bk", bucket(F.col("c_vec")))
-            )
-            cross = (
-                corpus_v.join(bv, "_bk")
-                .select(
-                    F.least("c_id", "doc_id").alias("vec_a"),
-                    F.greatest("c_id", "doc_id").alias("vec_b"),
-                    det_round(
-                        cosine(F.col("c_vec"), F.col("feature_vec")), 6
-                    ).alias("_sim"),
-                    F.col("doc_id").alias("_batch_id"),
-                )
-            )
-        within_hits = within.filter(F.col("_sim") >= threshold)
-        cross_hits = (
-            cross.filter(F.col("_sim") >= threshold)
-            if cross is not None
-            else None
-        )
-        pairs = within_hits.select("vec_a", "vec_b", "_sim")
-        if cross_hits is not None:
-            pairs = pairs.unionByName(
-                cross_hits.select("vec_a", "vec_b", "_sim")
-            )
-        pairs = pairs.dropDuplicates(["vec_a", "vec_b"]).select(
-            "vec_a", "vec_b", F.col("_sim").alias("cosine_sim")
-        )
-        keep = batch_df
-        if drop_dups:
-            dropped = within_hits.select(F.col("vec_b").alias("doc_id"))
-            if cross_hits is not None:
-                dropped = dropped.unionByName(
-                    cross_hits.select(F.col("_batch_id").alias("doc_id"))
-                )
-            keep = batch_df.join(
-                dropped.distinct(), "doc_id", "left_anti"
-            )
-        kept_vecs = bv.join(
-            keep.select("doc_id"), "doc_id"
-        ).select("doc_id", "feature_vec")
-        _land_epoch(
-            spark, kept_vecs, vec_table,
-            os.path.join(zone_dir, "doc_vectors"), zone_dir, "doc_vectors",
-            epoch_id, n_buckets, bucket_col="doc_id",
-        )
-        _land_epoch(
-            spark, pairs, pair_table,
-            os.path.join(zone_dir, "neardup_pairs"), zone_dir,
-            "neardup_pairs", epoch_id, n_buckets, bucket_col="vec_a",
-        )
-        if token_events:
-            _land_epoch(
-                spark,
-                ev.join(keep.select("doc_id"), "doc_id"),
-                ev_table,
-                os.path.join(zone_dir, "token_events"),
-                zone_dir,
-                "token_events",
-                epoch_id,
-                n_buckets,
-                bucket_col="doc_id",
-            )
-        _land_epoch(
-            spark, keep, doc_table,
-            os.path.join(zone_dir, name), zone_dir, name, epoch_id,
-            n_buckets, bucket_col="doc_id",
-        )
-        if staging is not None:
-            shutil.rmtree(staging, ignore_errors=True)
-
-    stream = spark.readStream.schema(schema).parquet(raw_dir)
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        q.awaitTermination()
-    out = {
-        name: doc_table,
-        "doc_vectors": vec_table,
-        "neardup_pairs": pair_table,
-    }
-    if token_events:
-        out["token_events"] = ev_table
-    return out
 
 
 def run_corpus_ingest_state_refresh(
@@ -1036,42 +1125,16 @@ def run_corpus_ingest_state_refresh(
     idempotent no-op once its own manifest holds the epoch, so a
     crash between the two commits heals on replay (the grain epoch
     skips, the docs epoch re-lands from the redelivered batch — the
-    grain is always a deterministic function of the same batch)."""
-    from ..operators.corpus_state import token_event_counts
+    grain is always a deterministic function of the same batch).
 
-    name = "documents"
-    doc_table = f"{table_prefix}documents"
-    ev_table = f"{table_prefix}token_events"
-
-    def land(batch_df: DataFrame, epoch_id: int) -> None:
-        done = committed_epochs(zone_dir, name)
-        done_ev = committed_epochs(zone_dir, "token_events")
-        if epoch_id in done and epoch_id in done_ev:
-            return  # checkpoint replay of a fully-landed epoch
-        _land_epoch(
-            spark,
-            token_event_counts(batch_df, shingle_n=shingle_n),
-            ev_table,
-            os.path.join(zone_dir, "token_events"),
-            zone_dir,
-            "token_events",
-            epoch_id,
-            n_buckets,
-            bucket_col="doc_id",
-        )
-        _land_epoch(
-            spark, batch_df, doc_table,
-            os.path.join(zone_dir, name), zone_dir, name, epoch_id,
-            n_buckets, bucket_col="doc_id",
-        )
-
-    stream = spark.readStream.schema(schema).parquet(raw_dir)
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    Delegates to :func:`run_corpus_ingest` with only the
+    ``state_refresh`` gate — kept as the named recipe."""
+    return run_corpus_ingest(
+        spark, raw_dir, zone_dir, checkpoint_dir,
+        schema=schema,
+        state_refresh=True,
+        n_buckets=n_buckets,
+        shingle_n=shingle_n,
+        table_prefix=table_prefix,
+        await_termination=await_termination,
     )
-    if await_termination:
-        q.awaitTermination()
-    return {name: doc_table, "token_events": ev_table}

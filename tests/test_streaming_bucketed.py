@@ -1240,3 +1240,90 @@ def test_semantic_gate_with_token_events_single_tokenize(spark, tmp_path):
     finally:
         for t in list(tables.values()) + list(tables_b.values()):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_run_corpus_ingest_composes_all_gates(spark, tmp_path):
+    """run_corpus_ingest (VERDICT r8 #1): the canonical entry point
+    composes the gates — the exact-fingerprint gate drops a
+    whitespace/case dup first, the semantic gate drops a bag-of-words
+    dup of a survivor next, the token-event grain lands for exactly
+    the surviving docs, replay is a no-op, and a stale _ev_staging_*
+    dir from a crashed earlier run is swept at stream start
+    (ADVICE r8)."""
+    import os
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        corpus_state,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        read_manifest_zone,
+        run_corpus_ingest,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_canon_ing_"
+    tables = {}
+    # a crash in some earlier run left a staging dir behind
+    stale = os.path.join(zone, "_ev_staging_777")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("x")
+    try:
+        b1 = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "omicron pi rho sigma tau"),
+                (3, "Alpha  beta GAMMA delta epsilon"),  # exact dup of 1
+                (4, "epsilon delta gamma beta alpha"),   # bag-of-words dup of 1
+                (5, "upsilon phi chi psi omega"),        # new
+            ],
+            "doc_id long, text string",
+        )
+        b1.write.mode("append").parquet(raw)
+        tables = run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            exact_dedup=True, semantic_dedup=True, state_refresh=True,
+            n_buckets=4, table_prefix=prefix,
+        )
+        assert not os.path.isdir(stale)  # swept at stream start
+        assert set(tables) == {
+            "documents", "doc_vectors", "neardup_pairs", "token_events"
+        }
+        zt = read_manifest_zone(spark, tables, zone)
+        kept = {r["doc_id"] for r in zt["documents"].collect()}
+        assert kept == {1, 2, 5}
+        assert {r["doc_id"] for r in zt["doc_vectors"].collect()} == kept
+        pairs = {
+            (r["vec_a"], r["vec_b"]) for r in zt["neardup_pairs"].collect()
+        }
+        assert (1, 4) in pairs  # the semantic gate saw the reorder dup
+        # grain == batch grain of exactly the survivors
+        grain = zt["token_events"].select("doc_id", "kind", "s", "h", "c")
+        want = corpus_state.token_event_counts(
+            zt["documents"].select("doc_id", "text")
+        )
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        assert key(grain) == key(want)
+        assert {r["doc_id"] for r in grain.select("doc_id").distinct().collect()} == kept
+        # no staging dir survives the epoch (finally-cleanup)
+        assert not any(
+            d.startswith("_ev_staging_") for d in os.listdir(zone)
+        )
+
+        # replay with nothing new: a no-op
+        run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            exact_dedup=True, semantic_dedup=True, state_refresh=True,
+            n_buckets=4, table_prefix=prefix,
+        )
+        assert {
+            r["doc_id"]
+            for r in read_manifest_zone(
+                spark, {"documents": tables["documents"]}, zone
+            )["documents"].collect()
+        } == kept
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
