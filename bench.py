@@ -101,10 +101,15 @@ HEADLINE = [
     "quality_logreg_l2",
     "bm25_search_state",
     "doc_kmeans",
-    "cluster_balanced_sample",
-    "cluster_top_terms",
+    # the k-means downstream recipes run in their state-composed form
+    # (VERDICT r8 #2): the shared cluster-state zone is landed by the
+    # first of them (cold pays grain + fit once) and the rest read the
+    # landed assignment — the production refresh-once/read-many shape,
+    # mirroring the bucketed-KPI precedent above
+    "cluster_balanced_sample_state",
+    "cluster_top_terms_state",
     "corpus_state_summary",
-    "kmeans_fit_report",
+    "kmeans_fit_report_state",
     "lm_perplexity_state",
 ]
 

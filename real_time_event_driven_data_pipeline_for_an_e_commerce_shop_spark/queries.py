@@ -4195,6 +4195,63 @@ def _kmeans_ctes(k: int = 4, iterations: int = 3) -> str:
     return ",\n    ".join(ctes)
 
 
+def _cluster_ctfidf_top_terms(
+    term_state: DataFrame,
+    clusters: DataFrame,
+    k: int = 4,
+    top: int = 5,
+    n_salts: int = 32,
+) -> DataFrame:
+    """c-TF-IDF cluster labeling shared by ``cluster_top_terms`` and
+    its state-composed twin. The per-cluster top-``top`` runs as a
+    SALTED two-stage window (VERDICT r8 #8): with tiny k a single
+    ``Window.partitionBy(cluster_id)`` is k tasks each sorting a
+    vocab-sized partition — corpus-proportional at 100 TB — so terms
+    first rank within ``(cluster_id, md5(term) % n_salts)`` (k·n_salts
+    bounded partitions of ~vocab/n_salts rows) and the global
+    per-cluster rank then sorts ≤ n_salts·top survivors per cluster.
+    Top-k distributes over any partition of the candidates, so the
+    result — and the oracle hash — is unchanged (unit-tested against
+    the direct window)."""
+    from pyspark.sql import Window
+
+    from .functions.core import det_round, md5_long
+
+    ctf = (
+        term_state.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .groupBy("cluster_id", "term")
+        .agg(F.sum("tf").cast("long").alias("ctf"))
+        .filter(F.col("ctf") >= 3)
+    )
+    cdfr = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    score = det_round(
+        F.col("ctf").cast("double")
+        * F.log(
+            F.lit(float(k + 1)) / (F.col("cdf").cast("double") + F.lit(0.5))
+        ),
+        8,
+    )
+    scored = (
+        ctf.join(cdfr, "term")
+        .withColumn("score", score)
+        .withColumn("_salt", F.pmod(md5_long(F.col("term")), F.lit(n_salts)))
+    )
+    w_local = Window.partitionBy("cluster_id", "_salt").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    cand = scored.withColumn("_r1", F.row_number().over(w_local)).filter(
+        F.col("_r1") <= top
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        cand.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top)
+        .select("cluster_id", "term", "ctf", "score", "term_rank")
+    )
+
+
 @query(
     "doc_kmeans",
     oracle=f"""
@@ -4329,8 +4386,10 @@ def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means, and the term stream for the labels is the grain's
     partition-pruned 't' slice — no re-tokenization anywhere. Scale
     shape: the per-(cluster, term) aggregate collapses map-side; a
-    min-cluster-tf floor (≥ 3) bounds the per-cluster ranking window
-    to the heavy vocabulary, and ln((k+1)/(cdf+0.5)) is the one
+    min-cluster-tf floor (≥ 3) bounds the ranking to the heavy
+    vocabulary, the per-cluster top-5 runs as the SALTED two-stage
+    window (:func:`_cluster_ctfidf_top_terms` — never a vocab-sized
+    single partition), and ln((k+1)/(cdf+0.5)) is the one
     transcendental, det-rounded before the rank."""
     from .operators import corpus_state, ml
 
@@ -4343,32 +4402,7 @@ def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = ml.kmeans_fixed(
         states["fh_vectors"], k=4, iterations=3, dim=64
     )
-    ctf = (
-        states["term_state"]
-        .join(clusters.select("doc_id", F.col("cluster_id")), "doc_id")
-        .groupBy("cluster_id", "term")
-        .agg(F.sum("tf").cast("long").alias("ctf"))
-        .filter(F.col("ctf") >= 3)
-    )
-    cdfr = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
-    from .functions.core import det_round
-    from pyspark.sql import Window
-
-    score = det_round(
-        F.col("ctf").cast("double")
-        * F.log(F.lit(5.0) / (F.col("cdf").cast("double") + F.lit(0.5))),
-        8,
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("score"), F.asc("term")
-    )
-    return (
-        ctf.join(cdfr, "term")
-        .withColumn("score", score)
-        .withColumn("term_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("term_rank") <= 5)
-        .select("cluster_id", "term", "ctf", "score", "term_rank")
-    )
+    return _cluster_ctfidf_top_terms(states["term_state"], clusters)
 
 
 @query(
@@ -4462,7 +4496,6 @@ def q_kmeans_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal-summed det-rounded squared distances — the quantity
     Lloyd minimizes; its trend across fits is the elbow signal), and
     mean distance. One k-row aggregate over the assignment."""
-    from .functions.core import det_round
     from .operators import ml
 
     t = _t(spark, sf_dir, "documents")
@@ -4470,6 +4503,15 @@ def q_kmeans_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], _scratch_zone("fh_vectors_kfr"), dim=64
     )
     assigned = ml.kmeans_fixed(vecs, k=4, iterations=3, dim=64)
+    return _kmeans_report(assigned)
+
+
+def _kmeans_report(assigned: DataFrame) -> DataFrame:
+    """The k-row fit-report aggregate over a (doc_id, cluster_id,
+    dist) assignment — shared by kmeans_fit_report and its
+    state-composed twin."""
+    from .functions.core import det_round
+
     inertia = F.sum(F.col("dist").cast("decimal(28,8)")).cast("double")
     return assigned.groupBy(F.col("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4477,6 +4519,123 @@ def q_kmeans_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(
             inertia / F.count(F.lit(1)).cast("double"), 6
         ).alias("mean_dist"),
+    )
+
+
+# --- shared cluster-assignment seam (VERDICT r8 #2) --------------------
+#
+# The four k-means-family entries above each independently re-fit the
+# same k=4 / 3-iteration k-means — correct as independent oracle gates,
+# but the PRODUCTION shape lands the assignment once and composes
+# sampling / labeling / reporting from it (exactly the corpus-state
+# pattern: refresh when the corpus changes, read otherwise). The
+# session-shared zone below is that shape: the first consumer builds
+# grain + vectors + assignment with ONE documents scan and one fit;
+# every later consumer reads the landed parquet. Staleness is handled
+# by keying the cache on the input table's file signature (paths,
+# sizes, mtimes) — a changed corpus rebuilds, so this is a refresh
+# policy, not the content-blind cache _scratch_zone's docstring warns
+# about.
+
+_SESSION_STATE_ZONES: dict[tuple, str] = {}
+
+
+def _input_signature(sf_dir: str, table: str = "documents") -> tuple:
+    import glob as _glob
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        [p]
+        if os.path.isfile(p)
+        else sorted(_glob.glob(os.path.join(p, "*.parquet")))
+    )
+    out = []
+    for f in files:
+        st = os.stat(f)
+        out.append((os.path.basename(f), st.st_size, st.st_mtime_ns))
+    return tuple(out)
+
+
+def _shared_state_zone(name: str, sf_dir: str, build) -> str:
+    """Session-scoped shared state zone: first caller lands it (via
+    ``build(zone_dir)``), later callers with the same input signature
+    read it; a changed input rebuilds into a fresh dir."""
+    key = (name, os.path.abspath(sf_dir), _input_signature(sf_dir))
+    zone = _SESSION_STATE_ZONES.get(key)
+    if zone is None or not os.path.isdir(zone):
+        zone = _scratch_zone(name)
+        build(zone)
+        _SESSION_STATE_ZONES[key] = zone
+    return zone
+
+
+def _cluster_state_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per session per corpus) the cluster-state zone: the
+    token-event grain + fh_vectors (ONE documents scan) and the
+    k-means assignment ``cluster_assignment(doc_id, cluster_id,
+    dist)`` — the seam the three ``cluster_*_state`` queries compose
+    from."""
+
+    def build(zone: str) -> None:
+        from .operators import corpus_state, ml
+        from .sinks.files import write_zone_table
+
+        docs = _t(spark, sf_dir, "documents")["documents"].select(
+            "doc_id", "text"
+        )
+        states = corpus_state.refresh_corpus_state(
+            docs, zone, only=("fh_vectors",)
+        )
+        assigned = ml.kmeans_fixed(
+            states["fh_vectors"], k=4, iterations=3, dim=64
+        )
+        write_zone_table(assigned, zone, "cluster_assignment", layout="flat")
+
+    return _shared_state_zone("cluster_state", sf_dir, build)
+
+
+@query("cluster_balanced_sample_state", oracle=ORACLES["cluster_balanced_sample"])
+def q_cluster_balanced_sample_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_balanced_sample composed from the SHARED landed
+    assignment (VERDICT r8 #2): the quota sampler reads the
+    ``cluster_assignment`` zone table instead of re-fitting — zero
+    documents scans, zero Lloyd iterations in this plan. Same oracle:
+    the landed assignment is bit-identical to the in-plan fit."""
+    from .operators import curation
+
+    zone = _cluster_state_zone(spark, sf_dir)
+    clusters = spark.read.parquet(
+        os.path.join(zone, "cluster_assignment")
+    )
+    return curation.source_quota_sample(
+        clusters, quota=40, stratum_col="cluster_id",
+        seed="kb1", oversample=2.0,
+    )
+
+
+@query("cluster_top_terms_state", oracle=ORACLES["cluster_top_terms"])
+def q_cluster_top_terms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_top_terms composed from the SHARED zone: labels derive
+    from the landed grain's pruned 't' slice joined to the landed
+    assignment — no re-tokenization AND no re-fit. Same salted
+    bounded top-5 as the plan-pure entry, same oracle."""
+    from .operators import corpus_state
+
+    zone = _cluster_state_zone(spark, sf_dir)
+    states = corpus_state.read_corpus_state(spark, zone)
+    clusters = spark.read.parquet(
+        os.path.join(zone, "cluster_assignment")
+    )
+    return _cluster_ctfidf_top_terms(states["term_state"], clusters)
+
+
+@query("kmeans_fit_report_state", oracle=ORACLES["kmeans_fit_report"])
+def q_kmeans_fit_report_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans_fit_report composed from the SHARED zone: the k-row
+    report aggregate over the landed assignment. Same oracle."""
+    zone = _cluster_state_zone(spark, sf_dir)
+    return _kmeans_report(
+        spark.read.parquet(os.path.join(zone, "cluster_assignment"))
     )
 
 
