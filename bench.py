@@ -111,6 +111,7 @@ HEADLINE = [
     "corpus_state_summary",
     "kmeans_fit_report_state",
     "lm_perplexity_state",
+    "lm_perplexity_bigram_state",
 ]
 
 

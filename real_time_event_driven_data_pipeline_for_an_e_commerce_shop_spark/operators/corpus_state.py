@@ -82,15 +82,6 @@ def _tagged_events(token_col: str, shingle_n: int) -> Column:
     shingle/bigram operator in the engine follows."""
     t = F.col(token_col)
     sz = F.size(t)
-    bigrams = F.when(
-        sz >= 2,
-        F.transform(
-            F.sequence(F.lit(2), sz),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i - F.lit(1)), F.element_at(t, i)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     sh = t
     for j in range(1, shingle_n):
         shifted = F.slice(t, j + 1, F.greatest(sz - j, F.lit(0)))
@@ -113,12 +104,39 @@ def _tagged_events(token_col: str, shingle_n: int) -> Column:
                     "s"
                 ),
                 md5_long(x).alias("h"),
+                F.lit(None).cast("long").alias("h2"),
             ),
         )
 
-    return F.concat(
-        tag(t, "t", True), tag(bigrams, "b", False), tag(shingles, "s", False)
+    # 'b' events additionally carry the CONTEXT hash h2 = md5(w1):
+    # the bigram-LM marginal c(w1,·) = Σ_w2 c(w1,w2) is only derivable
+    # from the hashed grain if each bigram event knows which context
+    # it belongs to (VERDICT r8 #3 — lm_perplexity_bigram_state); 8
+    # more bytes on the 'b' slice only, null everywhere else.
+    bigram_ev = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(2), sz),
+            lambda i: F.struct(
+                F.lit("b").alias("kind"),
+                F.lit(None).cast("string").alias("s"),
+                md5_long(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(t, i - F.lit(1)),
+                        F.element_at(t, i),
+                    )
+                ).alias("h"),
+                md5_long(F.element_at(t, i - F.lit(1))).alias("h2"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<kind:string,s:string,h:bigint,h2:bigint>>"
+        )
     )
+
+    return F.concat(tag(t, "t", True), bigram_ev, tag(shingles, "s", False))
 
 
 def token_event_counts(
@@ -146,8 +164,9 @@ def token_event_counts(
             F.col("_e.kind").alias("kind"),
             F.col("_e.s").alias("s"),
             F.col("_e.h").alias("h"),
+            F.col("_e.h2").alias("h2"),
         )
-        .groupBy("doc_id", "kind", "s", "h")
+        .groupBy("doc_id", "kind", "s", "h", "h2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
@@ -307,7 +326,7 @@ def refresh_corpus_state(
     )
     events = spark.read.parquet(
         os.path.join(zone_dir, "token_events")
-    ).select("doc_id", "kind", "s", "h", "c")
+    ).select("doc_id", "kind", "s", "h", "h2", "c")
     out: dict[str, DataFrame] = {
         "token_events": events,
         "term_state": term_state_from_event_counts(events),
@@ -336,7 +355,7 @@ def read_corpus_state(spark, zone_dir: str) -> dict[str, DataFrame]:
 
     events = spark.read.parquet(
         os.path.join(zone_dir, "token_events")
-    ).select("doc_id", "kind", "s", "h", "c")
+    ).select("doc_id", "kind", "s", "h", "h2", "c")
     out = {
         "token_events": events,
         "term_state": term_state_from_event_counts(events),

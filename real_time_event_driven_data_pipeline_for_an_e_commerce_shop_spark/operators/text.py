@@ -940,6 +940,63 @@ def lm_perplexity_bigram(
     )
 
 
+def lm_perplexity_bigram_from_state(
+    events: DataFrame, threshold: float = 500.0
+) -> DataFrame:
+    """:func:`lm_perplexity_bigram` scored from the unified
+    token-event grain's 'b' slice instead of raw text — the LAST text
+    re-scan in the corpus-model tier closed (VERDICT r8 #3). The
+    grain's bigram events are hash-keyed at event time (``h`` =
+    md5_48 of the bigram, ``h2`` = md5_48 of the context word w1 —
+    the field added for exactly this marginal), so the model tables
+    key on 8-byte hashes instead of string pairs:
+
+        ct2 keyed by (h, h2)   — the bigram count c(w1, w2)
+        ct1 keyed by h2        — the context marginal c(w1, ·)
+
+    and the per-doc roll-up is the identical det-round-8 +
+    decimal-sum arithmetic as the scan-based operator. Equality with
+    the string-keyed model is exact as long as md5_48 is injective on
+    the observed bigrams and contexts — at 2^48 key space a
+    billion-bigram vocabulary collides with probability ~2e-3 and a
+    collision merges two RARE counts (a sub-ulp perturbation of one
+    doc's average log-prob), the same accepted trade as the
+    feature-state and shingle-state consumers of the grain. Runs
+    under the scan-based entry's oracle unchanged (parity
+    unit-tested)."""
+    from ..functions.core import det_round
+
+    bf = events.filter(F.col("kind") == "b").select(
+        "doc_id", "h", "h2", F.col("c").alias("tf")
+    )
+    model2 = bf.groupBy("h", "h2").agg(F.sum("tf").alias("ct2"))
+    model1 = model2.groupBy("h2").agg(F.sum("ct2").alias("ct1"))
+    contrib = det_round(
+        F.col("tf")
+        * F.log(F.col("ct2").cast("double") / F.col("ct1").cast("double")),
+        8,
+    ).cast("decimal(28,8)")
+    per_doc = (
+        bf.join(model2, ["h", "h2"])
+        .join(model1, "h2")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(contrib).cast("double").alias("_s"),
+        )
+    )
+    avg_logp = F.col("_s") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        det_round(avg_logp, 6).alias("avg_logp"),
+        det_round(F.exp(-avg_logp), 4).alias("perplexity"),
+        (det_round(F.exp(-avg_logp), 4) > F.lit(threshold)).alias(
+            "high_perplexity"
+        ),
+    )
+
+
 def ngram_novelty(
     documents: DataFrame, n: int = 5, threshold: float = 0.5
 ) -> DataFrame:

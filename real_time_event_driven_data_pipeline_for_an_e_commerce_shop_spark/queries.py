@@ -3840,6 +3840,30 @@ def q_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_perplexity_bigram(t["documents"], threshold=35.0)
 
 
+@query("lm_perplexity_bigram_state", oracle=ORACLES["lm_perplexity_bigram"])
+def q_lm_perplexity_bigram_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm_perplexity_bigram composed from the grain's 'b' slice
+    (VERDICT r8 #3 — the LAST text re-scan in the corpus-model tier
+    closed): the bigram model keys on the event-time hashes (h =
+    md5_48 of the bigram, h2 = md5_48 of the context w1 — the grain
+    field added for this marginal), so a full quality+retrieval
+    refresh needs ONE documents scan for everything. Same oracle as
+    the scan-based entry: hash-keying is count-preserving short of a
+    2^-48-scale collision (text.lm_perplexity_bigram_from_state
+    docstring)."""
+    from .operators import corpus_state
+
+    t = _t(spark, sf_dir, "documents")
+    states = corpus_state.refresh_corpus_state(
+        t["documents"].select("doc_id", "text"),
+        _scratch_zone("corpus_state_lmb"),
+        only=(),
+    )
+    return text.lm_perplexity_bigram_from_state(
+        states["token_events"], threshold=35.0
+    )
+
+
 def _source_quota_oracle(
     quota: int, seed: str, oversample: float
 ) -> str:

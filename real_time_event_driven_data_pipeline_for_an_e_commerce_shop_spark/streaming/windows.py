@@ -564,8 +564,9 @@ def token_event_counts_streaming(
             F.col("_e.kind").alias("kind"),
             F.col("_e.s").alias("s"),
             F.col("_e.h").alias("h"),
+            F.col("_e.h2").alias("h2"),
         )
-        .groupBy("doc_id", "kind", "s", "h")
+        .groupBy("doc_id", "kind", "s", "h", "h2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 

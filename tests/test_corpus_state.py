@@ -209,8 +209,8 @@ def test_streaming_twin_full_replay_parity(spark, state, tmp_path):
     q.awaitTermination()
     snap = str(tmp_path / "ces_snapshot")
     spark.sql(
-        "SELECT doc_id, kind, s, h, MAX(c) AS c FROM token_events_out "
-        "GROUP BY doc_id, kind, s, h"
+        "SELECT doc_id, kind, s, h, h2, MAX(c) AS c FROM token_events_out "
+        "GROUP BY doc_id, kind, s, h, h2"
     ).write.parquet(snap)
     streamed = spark.read.parquet(snap)
     tables, _ = state
@@ -247,3 +247,20 @@ def test_registered_state_variants_compose_from_state_zone(spark):
     # novelty now reads the 's' partition of the grain (the
     # shingle-state view), not a re-derived corpus scan
     assert re.search(r"kind#\d+ = s\)", fplan), fplan
+
+
+def test_lm_perplexity_bigram_from_state_matches_scan_operator(spark, state):
+    """VERDICT r8 #3: the hash-keyed bigram LM scored from the grain's
+    'b' slice (model ct2 keyed by (h, h2), marginal ct1 by h2) is
+    row-exact vs the string-keyed scan operator — md5_48 is injective
+    on this corpus's bigrams and contexts, so the counts, the
+    det-round-8 contributions, and the per-doc roll-up all agree."""
+    tables, _ = state
+    docs = _docs(spark)
+    got = _key(
+        text.lm_perplexity_bigram_from_state(
+            tables["token_events"], threshold=35.0
+        )
+    )
+    want = _key(text.lm_perplexity_bigram(docs, threshold=35.0))
+    assert got == want and len(got) > 0

@@ -993,7 +993,7 @@ def test_corpus_state_refresh_ingest_replay_parity(spark, tmp_path):
         )
         landed_docs = zone_tbls["documents"].select("doc_id", "text")
         grain = zone_tbls["token_events"].select(
-            "doc_id", "kind", "s", "h", "c"
+            "doc_id", "kind", "s", "h", "h2", "c"
         )
         key = lambda df: sorted(tuple(r) for r in df.collect())
         want = corpus_state.token_event_counts(landed_docs)
@@ -1055,7 +1055,7 @@ def test_corpus_state_refresh_heals_grain_docs_commit_window(spark, tmp_path):
         grain_before = key(
             read_manifest_zone(
                 spark, {"token_events": tables["token_events"]}, zone
-            )["token_events"].select("doc_id", "kind", "s", "h", "c")
+            )["token_events"].select("doc_id", "kind", "s", "h", "h2", "c")
         )
 
         # crash window: docs epoch 0 uncommitted + its data gone;
@@ -1081,7 +1081,7 @@ def test_corpus_state_refresh_heals_grain_docs_commit_window(spark, tmp_path):
         grain_after = key(
             read_manifest_zone(
                 spark, {"token_events": tables["token_events"]}, zone
-            )["token_events"].select("doc_id", "kind", "s", "h", "c")
+            )["token_events"].select("doc_id", "kind", "s", "h", "h2", "c")
         )
         assert grain_after == grain_before
     finally:
@@ -1127,7 +1127,7 @@ def test_corpus_state_grain_composes_with_compaction(spark, tmp_path):
         )
         assert len(committed_epochs(zone, "token_events")) >= 2
         key = lambda df: sorted(tuple(r) for r in df.collect())
-        grain_cols = ["doc_id", "kind", "s", "h", "c"]
+        grain_cols = ["doc_id", "kind", "s", "h", "h2", "c"]
         before = key(
             read_manifest_zone(
                 spark, {"token_events": tables["token_events"]}, zone
@@ -1223,7 +1223,7 @@ def test_semantic_gate_with_token_events_single_tokenize(spark, tmp_path):
 
         grain = read_manifest_zone(
             spark, {"token_events": tables["token_events"]}, zone_a
-        )["token_events"].select("doc_id", "kind", "s", "h", "c")
+        )["token_events"].select("doc_id", "kind", "s", "h", "h2", "c")
         # grain holds exactly the kept docs' events, row-exact vs the
         # batch derivation over the kept corpus
         key = lambda df: sorted(tuple(r) for r in df.collect())
@@ -1300,7 +1300,7 @@ def test_run_corpus_ingest_composes_all_gates(spark, tmp_path):
         }
         assert (1, 4) in pairs  # the semantic gate saw the reorder dup
         # grain == batch grain of exactly the survivors
-        grain = zt["token_events"].select("doc_id", "kind", "s", "h", "c")
+        grain = zt["token_events"].select("doc_id", "kind", "s", "h", "h2", "c")
         want = corpus_state.token_event_counts(
             zt["documents"].select("doc_id", "text")
         )
