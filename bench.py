@@ -66,6 +66,7 @@ HEADLINE = [
     "returned_items",
     "price_quantiles",
     "ann_ivf_topk",
+    "ann_ivf_trained",
     "winnowing_fingerprint",
     "token_count_bpe",
     "click_attribution",

@@ -281,6 +281,7 @@ def kmeans_fixed(
     vec_col: str = "feature_vec",
     fit_fraction: float | None = None,
     fit_seed: str = "km1",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means over a dense
     vector column — the CLUSTERING member of the iterative tier
@@ -327,6 +328,14 @@ def kmeans_fixed(
     fit runs on the full corpus and the returned assignment is the
     final fit iteration's own — the oracle-mirrored path, expression
     tree unchanged.
+
+    ``return_centroids=True`` returns the FINAL post-update centroids
+    ``(cid, centroid_vec)`` instead of the assignment — the trained
+    coarse quantizer the IVF tier plugs in (``similarity.ivf_topk``'s
+    ``centroids`` parameter): det-round-12 decimal-summed means, so
+    unlike ``similarity.kmeans_centroids`` the values are bit-exact
+    cross-engine and the composition stays oracle-gateable (the
+    oracle's final ``c{iterations}`` CTE is exactly this table).
     """
     if iterations < 1:
         # with no assignment pass the return value would be undefined
@@ -418,6 +427,10 @@ def kmeans_fixed(
             prev = cents[cid]
             new_cents[cid] = [comps.get(j, prev[j]) for j in range(dim)]
         cents = new_cents
+    if return_centroids:
+        return spark.createDataFrame(
+            sorted(cents.items()), "cid long, centroid_vec array<double>"
+        )
     if fit_fraction is not None:
         # one full-corpus pass against the FITTED centroids — the
         # only n·k·dim-grain job in the sampled mode

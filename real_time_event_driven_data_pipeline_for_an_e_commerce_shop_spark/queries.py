@@ -4219,6 +4219,84 @@ def _kmeans_ctes(k: int = 4, iterations: int = 3) -> str:
     return ",\n    ".join(ctes)
 
 
+@query(
+    "ann_ivf_trained",
+    oracle=f"""
+    WITH vz AS (SELECT vec_id AS doc_id, {SQL_VEC} AS vec FROM embeddings),
+    {_kmeans_ctes(16, 2)},
+    cents AS (SELECT cid, vec AS cvec FROM c2),
+    v AS (SELECT doc_id AS vec_id, vec FROM vz),
+    assign AS (
+        SELECT vec_id, cid, vec FROM (
+            SELECT a.vec_id, c.cid, a.vec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY (list_dot_product(a.vec, c.cvec)
+                           / (sqrt(list_dot_product(a.vec, a.vec))
+                              * sqrt(list_dot_product(c.cvec, c.cvec)))) DESC,
+                           c.cid ASC) AS rn
+            FROM v a CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid, vec AS qvec FROM (
+            SELECT q.vec_id, c.cid, q.vec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY (list_dot_product(q.vec, c.cvec)
+                           / (sqrt(list_dot_product(q.vec, q.vec))
+                              * sqrt(list_dot_product(c.cvec, c.cvec)))) DESC,
+                           c.cid ASC) AS rn
+            FROM v q CROSS JOIN cents c WHERE q.vec_id < 10)
+        WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               (list_dot_product(p.qvec, a.vec)
+                / (sqrt(list_dot_product(p.qvec, p.qvec))
+                   * sqrt(list_dot_product(a.vec, a.vec)))) AS sim
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM scored
+    QUALIFY sim_rank <= 5
+    """,
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with a TRAINED coarse quantizer, oracle-gated
+    (VERDICT r8 #5): the strided-sample quantizer of ann_ivf_topk was
+    the mirrorable fallback because the float-order-dependent
+    ``similarity.kmeans_centroids`` could not be hash-checked —
+    ``ml.kmeans_fixed`` solved exactly that with det-round-12
+    decimal-summed Lloyd arithmetic, so the trained composition
+    (``ivf_topk(centroids=kmeans_fixed(..., return_centroids=True))``)
+    now runs under a composed oracle: the unrolled k-means CTE chain
+    feeds its final centroid table straight into the IVF probe CTEs.
+    BASELINE.md's recall curves measured trained centroids at +27–38%
+    relative recall over the strided sample — this entry is that
+    production configuration, hash-gated."""
+    from .operators import ml
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    vecs = emb.select(
+        "vec_id",
+        similarity.as_double(F.col("embedding")).alias("embedding"),
+    )
+    cents = ml.kmeans_fixed(
+        vecs, k=16, iterations=2, dim=64,
+        id_col="vec_id", vec_col="embedding", return_centroids=True,
+    )
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_probe=4, k=5, centroids=cents,
+    )
+
+
 def _cluster_ctfidf_top_terms(
     term_state: DataFrame,
     clusters: DataFrame,
