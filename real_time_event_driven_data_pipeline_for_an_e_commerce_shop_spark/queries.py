@@ -725,10 +725,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
 
 
-@query(
-    "activity_similarity_topk",
-    oracle=f"""
-    WITH daily AS (
+# shared by activity_similarity_topk and the DTW re-rank oracle: the
+# z-normalized daily activity vectors (bitwise cross-engine — the
+# list_reduce folds replay F.aggregate's IEEE sequence) and the
+# Pearson top-5 candidate pairs
+_ACTIVITY_Z_CTES = f"""daily AS (
         SELECT user_id,
                date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
                {exact_sum_sql("value", 4)} AS v
@@ -765,7 +766,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b.user_id AS query_user, a.user_id AS neighbor_user,
                {SQL_COS} AS sim
         FROM z a JOIN z b ON b.user_id % 13 = 0 AND a.user_id <> b.user_id
-    )
+    )"""
+
+
+@query(
+    "activity_similarity_topk",
+    oracle=f"""
+    WITH {_ACTIVITY_Z_CTES}
     SELECT query_user, neighbor_user,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_user
                 ORDER BY sim DESC, neighbor_user ASC) AS BIGINT) AS sim_rank,
@@ -874,17 +881,82 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cohort_retention(t["events"], max_weeks=8)
 
 
-@query("activity_dtw_topk")  # no SQL oracle: DTW is a data-dependent DP
+@query(
+    "activity_dtw_topk",
+    oracle=f"""
+    WITH RECURSIVE {_ACTIVITY_Z_CTES},
+    cand AS (
+        SELECT query_user, neighbor_user FROM (
+            SELECT query_user, neighbor_user,
+                   ROW_NUMBER() OVER (PARTITION BY query_user
+                       ORDER BY sim DESC, neighbor_user ASC) AS rn
+            FROM scored)
+        WHERE rn <= 5
+    ),
+    pv AS (
+        SELECT c.query_user, c.neighbor_user,
+               za.vec AS va, zb.vec AS vb
+        FROM cand c
+        JOIN z za ON za.user_id = c.query_user
+        JOIN z zb ON zb.user_id = c.neighbor_user
+    ),
+    -- the DTW DP, one cell per recursion step in exact DP order:
+    -- prev = row i-1 of the table (1-indexed; prev[1] = d[i-1][0]),
+    -- cur = the computed prefix of row i. Every abs/least/+ is the
+    -- identical IEEE double op sequence the numpy batch DP runs, so
+    -- distances match bit-for-bit — the DP was never inexpressible
+    -- in DuckDB, only in one SQL *expression*.
+    dp AS (
+        SELECT query_user, neighbor_user, va, vb,
+               1 AS i, 1 AS j,
+               [0.0] || list_transform(range(1, 31),
+                                       x -> 'infinity'::DOUBLE) AS prev,
+               CAST([] AS DOUBLE[]) AS cur
+        FROM pv
+      UNION ALL
+        SELECT query_user, neighbor_user, va, vb,
+               CASE WHEN j = 30 THEN i + 1 ELSE i END AS i,
+               CASE WHEN j = 30 THEN 1 ELSE j + 1 END AS j,
+               CASE WHEN j = 30
+                    THEN ['infinity'::DOUBLE] || list_append(cur, _cell)
+                    ELSE prev END AS prev,
+               CASE WHEN j = 30 THEN CAST([] AS DOUBLE[])
+                    ELSE list_append(cur, _cell) END AS cur
+        FROM (
+            SELECT *,
+                   abs(va[i] - vb[j]) + LEAST(
+                       prev[j + 1],
+                       prev[j],
+                       CASE WHEN j = 1 THEN 'infinity'::DOUBLE
+                            ELSE cur[j - 1] END
+                   ) AS _cell
+            FROM dp WHERE i <= 30
+        )
+    ),
+    done AS (
+        SELECT query_user, neighbor_user, prev[31] AS dist
+        FROM dp WHERE i = 31 AND j = 1
+    )
+    SELECT query_user, neighbor_user,
+           {round_sql("dist", 6)} AS dtw_distance,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_user
+                ORDER BY {round_sql("dist", 6)} ASC, neighbor_user ASC)
+               AS BIGINT) AS dtw_rank
+    FROM done
+    """,
+)
 def q_activity_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW re-rank of the correlation candidates: the top-5 correlated
     neighbors per query user are re-scored by dynamic-time-warping
     distance (shift-tolerant series similarity) and re-ranked.
 
-    Deliberately ORACLE-LESS — the one registry entry using the Arrow
-    escape hatch for an algorithm ANSI SQL cannot express (the DP
-    recurrence); the driver records a rows-only check, and the VALUE
-    gate is tests/test_timeseries.py (cell-exact parity with a
-    reference DP, symmetry/identity/warping properties)."""
+    Long the one deliberately oracle-less registry entry — the DP
+    recurrence is not ONE SQL expression — but it IS a DuckDB
+    recursive CTE (VERDICT r8 #9): the oracle advances one DP cell
+    per recursion step (900 steps of a 30×30 grid, all pairs in
+    lockstep), replaying the numpy batch DP's abs/min/+ sequence
+    exactly, so the driver now hash-checks the values the
+    tests/test_timeseries.py reference-DP gate checks locally."""
     from .operators import timeseries
 
     t = _t(spark, sf_dir, "events")
