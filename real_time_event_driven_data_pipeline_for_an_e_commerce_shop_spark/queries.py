@@ -5398,71 +5398,71 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
 _SWEEP_PRIORITY = [
-    # Group A - round-8 new queries + rewrites (every entry whose
-    # code or oracle changed after the r7 sweep): the single-scan
-    # corpus-state compositions, the funnel's survivor-scoped keeper,
-    # DSIR's rerouted gate, and the logreg pair whose feature
-    # tokenizer was fixed.
-    "curation_funnel",
-    "curation_funnel_state",
-    "dsir_selection",
-    "dsir_selection_state",
-    "quality_logreg_train",
-    "quality_logreg_scored",
-    "quality_logreg_l2",
-    "bm25_search_state",
+    # Group A - round-9 new queries + rewrites (every entry whose
+    # code or oracle changed after the r8 sweep): the DTW recursive-
+    # CTE oracle (+ the refactored activity CTE fragment), the
+    # trained-IVF entry, the shared cluster-assignment seam and its
+    # three state compositions, the salted top-terms window, the
+    # grain's h2 extension and every grain consumer, and the three
+    # kmeans_fixed-composed entries (validation guards added).
+    "activity_dtw_topk",
+    "activity_similarity_topk",
+    "ann_ivf_trained",
+    "cluster_balanced_sample_state",
+    "cluster_top_terms_state",
+    "kmeans_fit_report_state",
+    "lm_perplexity_bigram_state",
+    "cluster_top_terms",
     "doc_kmeans",
     "cluster_balanced_sample",
-    "cluster_top_terms",
-    "corpus_state_summary",
     "kmeans_fit_report",
+    "corpus_state_summary",
+    "bm25_search_state",
     "lm_perplexity_state",
-    # Group B - the 22 entries whose freshest driver row is r5
-    # (VERDICT r7 "What's missing" #3), rotated to the front; 8 were
-    # judge-re-verified in the r7 session, the other 14 get fresh
-    # driver rows here.
-    "media_features",
-    "order_kpi",
-    "order_priority_counts",
-    "price_quantiles",
-    "price_quantiles_gk",
-    "pricing_summary",
-    "promotion_suppliers",
-    "quality_model",
-    "region_revenue",
-    "salted_join_agg",
-    "status_priority_cube",
-    "stratified_sample",
-    "token_count_bpe",
-    "token_pack",
-    "token_pack_sharded",
-    "top_customers",
-    "trailing_revenue_window",
-    "validate_order_items",
-    "validate_orders",
-    "validation_rejects",
-    "waiting_suppliers",
-    "winnowing_fingerprint",
-    # Group C - r6-latest entries, oldest-first refill of the
-    # remaining window slots; the displaced tail all carries r7 rows
-    # (max 1-round staleness after this sweep).
-    "dedup_minhash",
-    "dedup_simhash",
-    "embedding_neardup",
-    "text_semantic_neardup",
-    "semantic_neardup_scaled",
-    "fuzzy_name_pairs",
-    "incremental_dedup",
-    "hybrid_search_rrf",
-    "bm25_search",
-    "lm_perplexity",
-    "lm_perplexity_bigram",
-    "mixture_weights",
-    "source_quota_sample",
-    "embedding_quantize_int8",
+    "dsir_selection_state",
+    # Group B - the 32 entries whose freshest driver row is r6
+    # (VERDICT r8 "What's missing" #3), rotated to the front; 8 were
+    # judge-re-verified in the r8 session, the rest get fresh driver
+    # rows here.
+    "ann_srp_topk",
+    "asof_last_order",
+    "big_orders",
+    "chunk_documents",
+    "click_attribution",
+    "customer_distribution",
+    "customer_running_total",
+    "daily_anomalies",
+    "daily_revenue_wow",
+    "daily_trend",
+    "discounted_revenue",
     "doc_repetition",
+    "event_type_pivot",
+    "events_hourly",
+    "events_order_window",
+    "feature_hash_audit",
+    "local_supplier_volume",
+    "market_share",
     "pii_redaction",
-    "contamination_check",
+    "priority_shipment_stats",
+    "product_profit",
+    "promo_revenue",
+    "returned_items",
+    "revenue_forecast",
+    "rollup_revenue",
+    "session_window_agg",
+    "setops_active_buyers",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "supplier_balance",
+    "top_terms",
+    "volume_shipping",
+    # Group C - oldest-first refill of the remaining window slots
+    # from the r7 cohort (the ANN trio, beside this round's IVF
+    # work); everything displaced carries an r7/r8 row (max 2-round
+    # staleness after this sweep).
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_srp_multitable",
 ]
 
 
