@@ -113,6 +113,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
     "activity_similarity_topk": "built on ann_cosine_topk's exact baseline",
     "activity_dtw_topk": "built on ann_cosine_topk's exact baseline",
     "ann_ivf_topk": "k centroid rows broadcast for the argmax assign",
+    "ann_ivf_trained": (
+        "k centroid rows broadcast twice — per Lloyd iteration in the "
+        "kmeans_fixed quantizer training (the doc_kmeans attach) and "
+        "for the IVF argmax assign (the ann_ivf_topk attach)"
+    ),
     "hybrid_search_rrf": "built on ann_cosine_topk's exact baseline",
     "dsir_selection": (
         "one-row model-total broadcasts (n_raw, n_tgt) — the hashed "
