@@ -940,6 +940,108 @@ def lm_perplexity_bigram(
     )
 
 
+def bpe_learn_merges(
+    documents: DataFrame,
+    zone_dir: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """In-engine BPE merge learning (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units") — the
+    tokenizer-induction step of a training-data pipeline, run where
+    the data lives instead of sampling a corpus out to a single
+    machine. Returns the learned merge table
+    ``(merge_rank, sym_left, sym_right, merged, pair_count)``.
+
+    The classic algorithm on the classic state: ONE corpus scan
+    reduces the text to the weighted word-type table (|vocab| rows —
+    Heaps-law sublinear in corpus size; this is why Sennrich trains
+    on the vocabulary, not the token stream), landed to ``zone_dir``
+    (the materialize-vectors seam). Each word's symbol sequence is
+    encoded as a sentinel-delimited string ``<l><o><w>`` — words are
+    restricted to ``[a-z0-9]+`` so the sentinels are unambiguous.
+    Then per merge:
+
+    * one map-side-combined pair aggregate over the vocab (adjacent
+      symbol pairs weighted by word count — exact integer sums);
+    * the argmax pair as ONE bounded driver row (cnt DESC, then
+      lexicographic (l, r) — the engine's deterministic tie-break
+      discipline), mirroring the oracle's ``ORDER BY … LIMIT 1``;
+    * a map-side ``replace('<l><r>' → '<lr>')`` over the sequences.
+      String ``replace`` consumes occurrences left-to-right
+      non-overlapping in BOTH engines, which is exactly greedy BPE
+      merge application (``<a><a><a>`` under merge (a,a) →
+      ``<aa><a>``), so the vocab state stays bit-identical to the
+      DuckDB mirror's unrolled per-merge CTEs.
+
+    Plan shape: the k replace steps chain as narrow projections over
+    the landed vocab (re-deriving nothing from text); a deployment
+    running thousands of merges would re-land the vocab every few
+    hundred to truncate the chain — the PageRank checkpoint
+    discipline. Stops early if the vocabulary runs out of adjacent
+    pairs (every word fully merged)."""
+    import os
+
+    from ..sinks.files import write_zone_table
+
+    spark = documents.sparkSession
+    words = (
+        documents.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.select(
+        F.regexp_replace("word", "(.)", "<$1>").alias("seq"), "n"
+    )
+    write_zone_table(vocab, zone_dir, "bpe_vocab", layout="flat")
+    v = spark.read.parquet(os.path.join(zone_dir, "bpe_vocab"))
+
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), "><"
+        )
+        pairs = (
+            v.select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        arr,
+                        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                    )
+                ).alias("_p"),
+            )
+            .filter(F.col("_p.r").isNotNull())
+            .groupBy(
+                F.col("_p.l").alias("l"), F.col("_p.r").alias("r")
+            )
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word fully merged — nothing left to learn
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((rank, l, r, l + r, int(cnt)))
+        v = v.select(
+            F.replace(
+                F.col("seq"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+            ).alias("seq"),
+            "n",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, sym_left string, sym_right string, "
+        "merged string, pair_count long",
+    )
+
+
 def lm_perplexity_bigram_from_state(
     events: DataFrame, threshold: float = 500.0
 ) -> DataFrame:

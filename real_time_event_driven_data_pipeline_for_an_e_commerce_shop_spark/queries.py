@@ -3822,6 +3822,73 @@ _LM_ORACLE = f"""
     """
 
 
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Mirror of text.bpe_learn_merges: the weighted word-type table,
+    sentinel-encoded symbol sequences, then one unrolled CTE triple
+    per merge (pair counts → deterministic argmax → left-to-right
+    non-overlapping replace — DuckDB's replace() and Spark's
+    F.replace consume occurrences identically). Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs, and the v{i} chain
+    references its predecessors multiple times, so un-materialized
+    unrolling expands exponentially (observed as a too-many-open-
+    files storm of documents.parquet re-reads at 8 merges)."""
+    ctes = [
+        f"""w AS MATERIALIZED (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest({_Q_TOKENS_LOWER}) AS w FROM documents) t(w)
+        WHERE regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY w
+    ),
+    v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq, n
+           FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+        SELECT u.l AS l, u.r AS r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, unnest(list_transform(range(1, len(a)),
+                   j -> {{'l': a[j], 'r': a[j+1]}})) AS u
+            FROM (SELECT n,
+                         string_split(substring(seq, 2, length(seq) - 2),
+                                      '><') AS a
+                  FROM v{i - 1}))
+        GROUP BY u.l, u.r
+    ),
+    b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i}
+             ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    v{i} AS MATERIALIZED (
+        SELECT replace(seq,
+            '<' || (SELECT l FROM b{i}) || '><'
+                || (SELECT r FROM b{i}) || '>',
+            '<' || (SELECT l FROM b{i})
+                || (SELECT r FROM b{i}) || '>') AS seq, n
+        FROM v{i - 1}
+    )""")
+        # merge learning over, emit the per-merge rows below
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS sym_left, "
+        f"r AS sym_right, l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@query("bpe_merges", oracle=_bpe_oracle(8))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer induction (Sennrich et al. 2016): the
+    first 8 learned merges over the corpus vocabulary — pair counts
+    weighted by word frequency, deterministic (cnt DESC, lexicographic)
+    tie-break, greedy left-to-right merge application. ONE corpus scan
+    lands the |vocab|-row word-type table; every merge is a vocab-local
+    aggregate + a 1-row driver argmax + a map-side replace — the
+    distributed form of the exact algorithm subword tokenizers train
+    with (token_count_bpe counts with a fixed vocab; this LEARNS
+    one)."""
+    t = _t(spark, sf_dir, "documents")
+    return text.bpe_learn_merges(
+        t["documents"], _scratch_zone("bpe_vocab"), n_merges=8
+    )
+
+
 @query("lm_perplexity", oracle=_LM_ORACLE)
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality signal: corpus-self-trained unigram LM,

@@ -333,3 +333,73 @@ def test_source_token_drift_zero_for_single_source(spark):
         docs_df(spark, ["a b c", "a b"], ["only", "only"])
     ).collect()
     assert len(out) == 1 and out[0]["kl_divergence"] == 0.0
+
+
+def test_bpe_learn_merges_matches_reference_bpe(spark, tmp_path):
+    """bpe_learn_merges equals a pure-Python Sennrich BPE (same
+    weighted pair counts, (cnt DESC, lexicographic) tie-break, greedy
+    left-to-right merge application) on a corpus with known dynamics,
+    and stops early when no adjacent pairs remain."""
+    from collections import Counter
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower"),
+            (2, "newest newest newest newest newest newest"),
+            (3, "widest widest widest"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in text.bpe_learn_merges(
+            docs, str(tmp_path / "bpe_zone"), n_merges=6
+        ).collect()
+    ]
+
+    def ref_bpe(freqs: dict[str, int], k: int):
+        vocab = {tuple(w): n for w, n in freqs.items()}
+        merges = []
+        for rank in range(1, k + 1):
+            pairs: Counter = Counter()
+            for syms, n in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += n
+            if not pairs:
+                break
+            (l, r), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((rank, l, r, l + r, cnt))
+            new_vocab = {}
+            for syms, n in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (l, r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+            vocab = new_vocab
+        return merges
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert got == ref_bpe(freqs, 6)
+    assert len(got) == 6 and got[0][4] == 9  # ('e','s') count 6+3... sanity below
+
+    # early stop: single-character words have no pairs to merge
+    singles = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    assert (
+        text.bpe_learn_merges(
+            singles, str(tmp_path / "bpe_zone2"), n_merges=4
+        ).count()
+        == 0
+    )
