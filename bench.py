@@ -67,6 +67,7 @@ HEADLINE = [
     "price_quantiles",
     "ann_ivf_topk",
     "ann_ivf_trained",
+    "ann_ivf_trained_state",
     "winnowing_fingerprint",
     "token_count_bpe",
     "click_attribution",

@@ -62,6 +62,99 @@ from pyspark.sql import functions as F
 
 from ..functions.core import md5_long
 
+#: Version of the token-event grain's on-disk schema. Bumped when the
+#: grain's columns or its streaming groupBy key change shape:
+#:   v1 — (doc_id, kind, s, h, c)
+#:   v2 — + h2 (context hash on the 'b' slice; bigram-LM marginal)
+#: A zone landed under an older version CANNOT be extended or read as
+#: if current — old 'b' rows would read h2=null and silently merge all
+#: bigram contexts — and streaming checkpoints against the grain's
+#: stateful aggregate must be rebuilt across a bump (the groupBy key
+#: changed). ``check_grain_version`` enforces this at every read and
+#: every streaming append (ADVICE r9).
+GRAIN_SCHEMA_VERSION = 2
+
+GRAIN_VERSION_FILE = "_grain_schema_version.json"
+
+
+def _grain_version_path(zone_dir: str) -> str:
+    import os
+
+    return os.path.join(zone_dir, GRAIN_VERSION_FILE)
+
+
+def record_grain_version(zone_dir: str) -> None:
+    """Atomically publish the grain schema version beside the zone's
+    epoch manifest (tmp+rename, same discipline as the layout file)."""
+    import json
+    import os
+    import tempfile
+
+    os.makedirs(zone_dir, exist_ok=True)
+    doc = {
+        "grain_schema_version": GRAIN_SCHEMA_VERSION,
+        "columns": ["doc_id", "kind", "s", "h", "h2", "c"],
+    }
+    fd, tmp = tempfile.mkstemp(dir=zone_dir, suffix=".tmp")
+    import io
+
+    with io.open(fd, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, _grain_version_path(zone_dir))
+
+
+def check_grain_version(zone_dir: str) -> None:
+    """Fail fast — with a rebuild-required message — when a landed
+    ``token_events`` zone predates the current grain schema (ADVICE
+    r9: reading v1 rows as v2 merges all bigram contexts under
+    h2=null; appending v2 epochs beside v1 files mixes schemas in one
+    table). A zone with no grain data passes (nothing to mismatch);
+    a pre-versioning zone whose parquet already carries every current
+    column is adopted in place (the marker is back-filled)."""
+    import json
+    import os
+
+    p = _grain_version_path(zone_dir)
+    if os.path.isfile(p):
+        with open(p) as f:
+            v = json.load(f).get("grain_schema_version")
+        if v != GRAIN_SCHEMA_VERSION:
+            raise RuntimeError(
+                f"corpus-state zone {zone_dir!r} holds a token-event "
+                f"grain with schema v{v}, but this engine writes "
+                f"v{GRAIN_SCHEMA_VERSION} — rebuild the zone (re-run "
+                "the corpus refresh into a fresh directory) before "
+                "reading or appending; any streaming checkpoint over "
+                "the grain's stateful aggregate must be rebuilt too "
+                "(the groupBy key changed shape)"
+            )
+        return
+    grain_dir = os.path.join(zone_dir, "token_events")
+    has_data = os.path.isdir(grain_dir) and any(
+        f.endswith(".parquet")
+        for _r, _d, files in os.walk(grain_dir)
+        for f in files
+    )
+    if not has_data:
+        return  # fresh zone: the writer will stamp the version
+    import pyarrow.dataset as _ds
+
+    names = set(
+        _ds.dataset(
+            grain_dir, format="parquet", partitioning="hive"
+        ).schema.names
+    )
+    missing = {"doc_id", "kind", "s", "h", "h2", "c"} - names
+    if missing:
+        raise RuntimeError(
+            f"corpus-state zone {zone_dir!r} holds a pre-v"
+            f"{GRAIN_SCHEMA_VERSION} token-event grain (missing "
+            f"columns: {sorted(missing)}) — rebuild the zone before "
+            "reading or appending; any streaming checkpoint over the "
+            "grain's stateful aggregate must be rebuilt too"
+        )
+    record_grain_version(zone_dir)  # adopt: schema already current
+
 
 def _tagged_events(token_col: str, shingle_n: int) -> Column:
     """The tagged event array for one document: tokens (kind 't'),
@@ -324,6 +417,7 @@ def refresh_corpus_state(
         layout="flat",
         partition_by="kind",
     )
+    record_grain_version(zone_dir)
     events = spark.read.parquet(
         os.path.join(zone_dir, "token_events")
     ).select("doc_id", "kind", "s", "h", "h2", "c")
@@ -350,9 +444,12 @@ def read_corpus_state(spark, zone_dir: str) -> dict[str, DataFrame]:
     """Reconstruct the corpus-state dict from a refreshed zone in a
     later session: landed tables come back as parquet reads, the view
     states as partition-pruned slices of the grain — no call-site
-    knowledge beyond the zone path."""
+    knowledge beyond the zone path. Raises (rebuild-required) when the
+    landed grain predates :data:`GRAIN_SCHEMA_VERSION` — an old
+    5-column zone must never be read as current (ADVICE r9)."""
     import os
 
+    check_grain_version(zone_dir)
     events = spark.read.parquet(
         os.path.join(zone_dir, "token_events")
     ).select("doc_id", "kind", "s", "h", "h2", "c")

@@ -380,6 +380,25 @@ def kmeans_fixed(
             .select(id_col, "cid", "_dist")
         )
 
+    # Every fit vector must carry exactly `dim` components, not just
+    # the k seeds (ADVICE r9): a short non-seed vector silently
+    # diverges from the oracle (the engine carries missing tail
+    # components from the previous centroid while the SQL mirror
+    # COALESCEs whole vectors), so raise IN-PLAN the first time such
+    # a row is touched — assert_true is JVM-side and codegen-friendly,
+    # and the guard column is pruned from every aggregate.
+    vectors = vectors.filter(
+        F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            F.concat(
+                F.lit(f"kmeans_fixed: vector for {id_col}="),
+                F.col(id_col).cast("string"),
+                F.lit(" has "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" components, expected dim={dim}"),
+            ),
+        ).isNull()
+    )
     fit_vecs = vectors
     if fit_fraction is not None:
         cut = F.lit(float(fit_fraction)) * F.lit(float(1 << 48))
@@ -388,13 +407,6 @@ def kmeans_fixed(
         )
         fit_vecs = vectors.filter(md5_long(key).cast("double") < cut)
     seed = fit_vecs.orderBy(id_col).limit(k).collect()
-    for r in seed:
-        if len(r[vec_col]) < dim:
-            raise ValueError(
-                f"kmeans_fixed: seed vector for {id_col}="
-                f"{r[id_col]!r} has {len(r[vec_col])} components, "
-                f"expected dim={dim}"
-            )
     cents = {
         i: [float(x) for x in r[vec_col]] for i, r in enumerate(seed)
     }
@@ -421,9 +433,9 @@ def kmeans_fixed(
         for r in rows:
             by_cid.setdefault(r["cid"], {})[r["_j"]] = r["_m"]
         for cid, comps in by_cid.items():
-            # a non-seed vector shorter than dim yields no (cid, j)
-            # mean for its missing tail — carry those components from
-            # the previous centroid instead of KeyError (ADVICE r8)
+            # the in-plan dim assert guarantees every member carries
+            # all dims, so comps is dense; the .get fallback remains
+            # as defense-in-depth only
             prev = cents[cid]
             new_cents[cid] = [comps.get(j, prev[j]) for j in range(dim)]
         cents = new_cents

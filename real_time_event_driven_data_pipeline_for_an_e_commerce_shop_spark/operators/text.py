@@ -944,6 +944,7 @@ def bpe_learn_merges(
     documents: DataFrame,
     zone_dir: str,
     n_merges: int = 8,
+    checkpoint_every: int = 64,
 ) -> DataFrame:
     """In-engine BPE merge learning (Sennrich et al. 2016, "Neural
     Machine Translation of Rare Words with Subword Units") — the
@@ -973,12 +974,18 @@ def bpe_learn_merges(
       ``<aa><a>``), so the vocab state stays bit-identical to the
       DuckDB mirror's unrolled per-merge CTEs.
 
-    Plan shape: the k replace steps chain as narrow projections over
-    the landed vocab (re-deriving nothing from text); a deployment
-    running thousands of merges would re-land the vocab every few
-    hundred to truncate the chain — the PageRank checkpoint
-    discipline. Stops early if the vocabulary runs out of adjacent
-    pairs (every word fully merged)."""
+    Plan shape: the replace steps chain as narrow projections over
+    the landed vocab (re-deriving nothing from text), and every
+    ``checkpoint_every`` merges the merged vocab RE-LANDS to the zone
+    and the chain restarts from the fresh read — the PageRank
+    ping-pong discipline (``graph.py``), so plan depth (and codegen /
+    analysis time) is bounded by ``checkpoint_every`` no matter how
+    many merges a deployment runs (a realistic tokenizer is 32k
+    merges; an unbounded chain is exactly the pre-checkpoint PageRank
+    failure). Two vocab snapshots alternate (``bpe_vocab`` /
+    ``bpe_vocab_alt``) so a re-land never overwrites the table it is
+    reading. Stops early if the vocabulary runs out of adjacent pairs
+    (every word fully merged)."""
     import os
 
     from ..sinks.files import write_zone_table
@@ -995,9 +1002,15 @@ def bpe_learn_merges(
     vocab = words.select(
         F.regexp_replace("word", "(.)", "<$1>").alias("seq"), "n"
     )
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"bpe_learn_merges needs checkpoint_every >= 1, got "
+            f"{checkpoint_every}"
+        )
     write_zone_table(vocab, zone_dir, "bpe_vocab", layout="flat")
     v = spark.read.parquet(os.path.join(zone_dir, "bpe_vocab"))
 
+    snapshots = ("bpe_vocab", "bpe_vocab_alt")  # ping-pong re-lands
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         arr = F.split(
@@ -1035,6 +1048,14 @@ def bpe_learn_merges(
             ).alias("seq"),
             "n",
         )
+        if rank % checkpoint_every == 0 and rank < n_merges:
+            # truncate the replace-projection lineage: land the
+            # merged vocab into the OTHER snapshot and read back —
+            # the next checkpoint_every merges chain over a fresh
+            # 2-node plan instead of an ever-deeper one
+            snap = snapshots[(rank // checkpoint_every) % 2]
+            write_zone_table(v, zone_dir, snap, layout="flat")
+            v = spark.read.parquet(os.path.join(zone_dir, snap))
     return spark.createDataFrame(
         merges,
         "merge_rank long, sym_left string, sym_right string, "

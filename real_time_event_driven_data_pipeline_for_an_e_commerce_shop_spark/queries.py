@@ -4436,6 +4436,53 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_model_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per session per embeddings signature) the trained
+    IVF coarse quantizer: ``kmeans_fixed(k=16, iterations=2)``
+    centroids in a zone table — the model-state seam for
+    ``ann_ivf_trained_state`` (VERDICT r9 #2: the plan-pure entry
+    re-fits the quantizer on every execution; production serves the
+    landed model)."""
+
+    def build(zone: str) -> None:
+        from .operators import ml
+        from .sinks.files import write_zone_table
+
+        emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+        vecs = emb.select(
+            "vec_id",
+            similarity.as_double(F.col("embedding")).alias("embedding"),
+        )
+        cents = ml.kmeans_fixed(
+            vecs, k=16, iterations=2, dim=64,
+            id_col="vec_id", vec_col="embedding", return_centroids=True,
+        )
+        write_zone_table(cents, zone, "ivf_centroids", layout="flat")
+
+    return _shared_state_zone("ivf_model", sf_dir, build, table="embeddings")
+
+
+@query("ann_ivf_trained_state", oracle=ORACLES["ann_ivf_trained"])
+def q_ann_ivf_trained_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_trained served from the LANDED quantizer (VERDICT r9
+    #2): the k-means fit (seed collect + 2 Lloyd iterations, each a
+    posexplode partial agg + a k×dim driver round-trip) lands ONCE per
+    session per embeddings signature in the shared model zone; this
+    plan reads the 16-row ``ivf_centroids`` table and runs only the
+    IVF probe — the same fit-once-then-zone-reads seam that cut the
+    cluster quartet 5×. Same composed oracle as ann_ivf_trained: the
+    landed centroids are bit-identical to the in-plan fit
+    (det-round-12 decimal-summed means survive the parquet
+    round-trip exactly — doubles, not decimals, on disk)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _ivf_model_zone(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(zone, "ivf_centroids"))
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_probe=4, k=5, centroids=cents,
+    )
+
+
 def _cluster_ctfidf_top_terms(
     term_state: DataFrame,
     clusters: DataFrame,
@@ -4782,26 +4829,40 @@ _SESSION_STATE_ZONES: dict[tuple, str] = {}
 
 
 def _input_signature(sf_dir: str, table: str = "documents") -> tuple:
-    import glob as _glob
-
+    """(relpath, size, mtime_ns) for every parquet file under the
+    table path, walked RECURSIVELY — a partitioned/nested input
+    directory must change the cache key too (ADVICE r9: the old
+    top-level glob returned () for nested layouts, so a modified
+    corpus could be served a stale landed state zone)."""
     p = os.path.join(sf_dir, f"{table}.parquet")
-    files = (
-        [p]
-        if os.path.isfile(p)
-        else sorted(_glob.glob(os.path.join(p, "*.parquet")))
-    )
+    if os.path.isfile(p):
+        st = os.stat(p)
+        return ((os.path.basename(p), st.st_size, st.st_mtime_ns),)
     out = []
-    for f in files:
-        st = os.stat(f)
-        out.append((os.path.basename(f), st.st_size, st.st_mtime_ns))
-    return tuple(out)
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
+            out.append((os.path.relpath(fp, p), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(out))
 
 
-def _shared_state_zone(name: str, sf_dir: str, build) -> str:
+def _shared_state_zone(
+    name: str, sf_dir: str, build, table: str = "documents"
+) -> str:
     """Session-scoped shared state zone: first caller lands it (via
     ``build(zone_dir)``), later callers with the same input signature
-    read it; a changed input rebuilds into a fresh dir."""
-    key = (name, os.path.abspath(sf_dir), _input_signature(sf_dir))
+    read it; a changed input rebuilds into a fresh dir. An EMPTY
+    signature (no parquet found — unexpected layout) never caches:
+    always rebuild rather than risk serving a stale zone (ADVICE r9)."""
+    sig = _input_signature(sf_dir, table)
+    if not sig:
+        zone = _scratch_zone(name)
+        build(zone)
+        return zone
+    key = (name, os.path.abspath(sf_dir), table, sig)
     zone = _SESSION_STATE_ZONES.get(key)
     if zone is None or not os.path.isdir(zone):
         zone = _scratch_zone(name)

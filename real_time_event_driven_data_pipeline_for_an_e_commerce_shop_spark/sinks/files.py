@@ -440,7 +440,9 @@ def read_zone_tables(
 
 
 def _parse_bytes(v: str) -> int:
-    """Spark size-string → bytes ("10485760", "10m", "10MB", "-1")."""
+    """Spark size-string → bytes ("10485760", "10m", "10MB", "-1").
+    An unparseable value RAISES (ADVICE r9): silently substituting a
+    default threshold would change the join plan with no signal."""
     s = str(v).strip().lower().removesuffix("b")
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     mult = units.get(s[-1:], 1)
@@ -449,7 +451,10 @@ def _parse_bytes(v: str) -> int:
     try:
         return int(float(s)) * mult
     except ValueError:
-        return 10 * (1 << 20)
+        raise ValueError(
+            f"unparseable Spark size string {v!r} "
+            "(expected e.g. '10485760', '10m', '10MB', '-1')"
+        ) from None
 
 
 def zone_equijoin(
@@ -483,24 +488,44 @@ def zone_equijoin(
         # bucket metadata already removes both Exchanges
         return dfs[left].join(dfs[right], on)
 
-    def _zone_bytes(name: str, spec: dict | None) -> int:
+    def _zone_bytes(name: str, spec: dict | None) -> int | None:
+        """On-disk data bytes, or None when the table path is missing
+        or holds no data files — 'size unknown', NOT 'size 0' (ADVICE
+        r9: a wrong manifest path must not silently flip the gate to
+        the dimension-sized branch)."""
         path = (spec or {}).get("path") or os.path.join(zone_dir, name)
+        if not os.path.isdir(path):
+            return None
         total = 0
+        seen = False
         for root, _dirs, files in os.walk(path):
-            total += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if not f.startswith(("_", "."))
-            )
-        return total
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                total += os.path.getsize(os.path.join(root, f))
+                seen = True
+        return total if seen else None
 
     threshold = _parse_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     )
+    sizes = [_zone_bytes(n, s) for n, s in zip((left, right), specs)]
+    for n, b in zip((left, right), sizes):
+        if b is None:
+            import warnings
+
+            warnings.warn(
+                f"zone_equijoin: no data files found for zone table "
+                f"{n!r} under {zone_dir!r} — treating its size as "
+                "unknown (fact-sized) for the SHUFFLE_HASH gate",
+                stacklevel=2,
+            )
     if threshold > 0 and any(
-        _zone_bytes(n, s) < threshold
-        for n, s in zip((left, right), specs)
+        b is not None and b < threshold for b in sizes
     ):
-        # dimension-sized side present: let AQE pick broadcast
+        # KNOWN dimension-sized side present: no hint, let AQE pick
+        # broadcast; unknown sizes stay on the fact-sized branch
+        # (SHUFFLE_HASH can never misestimate a fact table into a
+        # broadcast, so unknown→hint is the safe default)
         return dfs[left].join(dfs[right], on)
     return dfs[left].join(dfs[right].hint("SHUFFLE_HASH"), on)

@@ -785,6 +785,17 @@ def run_corpus_ingest(
         tables["neardup_pairs"] = f"{table_prefix}neardup_pairs"
     if state_refresh:
         tables["token_events"] = f"{table_prefix}token_events"
+        # a resumed ingest must never append current-version grain
+        # epochs beside an older zone's files (ADVICE r9): fail fast
+        # with the rebuild-required message, then stamp the version
+        # so later resumes (and batch readers) can check it
+        from ..operators.corpus_state import (
+            check_grain_version,
+            record_grain_version,
+        )
+
+        check_grain_version(zone_dir)
+        record_grain_version(zone_dir)
     tables[name] = f"{table_prefix}documents"  # lands LAST — see above
 
     # ADVICE r8: a crash mid-epoch leaves its staging dir behind and a

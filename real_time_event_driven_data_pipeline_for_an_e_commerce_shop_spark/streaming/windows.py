@@ -547,7 +547,13 @@ def token_event_counts_streaming(
     At 100 TB: state is Σ|distinct (doc, kind, string)| rows —
     roughly the union of the four separate states it replaces, paid
     once instead of four times per arriving document; hash-sharded by
-    the state store like every other corpus state here."""
+    the state store like every other corpus state here.
+
+    COMPATIBILITY: the stateful groupBy key is the grain schema
+    (``corpus_state.GRAIN_SCHEMA_VERSION`` — h2 joined the key in v2),
+    so a streaming checkpoint taken under an older grain version
+    CANNOT resume against this operator: rebuild the checkpoint (and
+    any landed grain zone) together (ADVICE r9)."""
     from ..operators.corpus_state import _tagged_events
     from ..operators.text import tokens
 

@@ -264,3 +264,69 @@ def test_lm_perplexity_bigram_from_state_matches_scan_operator(spark, state):
     )
     want = _key(text.lm_perplexity_bigram(docs, threshold=35.0))
     assert got == want and len(got) > 0
+
+
+def test_grain_version_gate(spark, state, tmp_path):
+    """ADVICE r9: a token_events zone landed under an older grain
+    schema must not be read (old 'b' rows would surface h2=null and
+    silently merge all bigram contexts) nor appended to by a resumed
+    state-refresh ingest. The gate: a v2 zone round-trips and carries
+    the version marker; a v1-shaped zone (no h2 column) raises
+    rebuild-required from both read_corpus_state and
+    run_corpus_ingest(state_refresh=True); a stale marker raises even
+    when files are unreadable."""
+    import json
+    import os
+
+    _tables, zone = state
+    # the refresh stamped the current version
+    mp = os.path.join(zone, corpus_state.GRAIN_VERSION_FILE)
+    with open(mp) as f:
+        assert (
+            json.load(f)["grain_schema_version"]
+            == corpus_state.GRAIN_SCHEMA_VERSION
+        )
+
+    # v1-shaped zone: grain parquet WITHOUT h2, no marker
+    old_zone = str(tmp_path / "old_zone")
+    v1 = (
+        corpus_state.token_event_counts(_docs(spark))
+        .drop("h2")
+        .limit(50)
+    )
+    v1.write.parquet(os.path.join(old_zone, "token_events"))
+    with pytest.raises(RuntimeError, match="rebuild"):
+        corpus_state.read_corpus_state(spark, old_zone)
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        pipeline,
+    )
+
+    with pytest.raises(RuntimeError, match="rebuild"):
+        pipeline.run_corpus_ingest(
+            spark,
+            raw_dir=str(tmp_path / "raw"),
+            zone_dir=old_zone,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            state_refresh=True,
+            table_prefix="grainver_",
+        )
+
+    # stale marker: explicit version mismatch beats schema sniffing
+    stale_zone = str(tmp_path / "stale_zone")
+    os.makedirs(stale_zone)
+    with open(
+        os.path.join(stale_zone, corpus_state.GRAIN_VERSION_FILE), "w"
+    ) as f:
+        json.dump({"grain_schema_version": 1}, f)
+    with pytest.raises(RuntimeError, match="schema v1"):
+        corpus_state.check_grain_version(stale_zone)
+
+    # pre-versioning zone whose schema is ALREADY current: adopted
+    adopt_zone = str(tmp_path / "adopt_zone")
+    corpus_state.token_event_counts(_docs(spark)).limit(50).write.parquet(
+        os.path.join(adopt_zone, "token_events")
+    )
+    corpus_state.check_grain_version(adopt_zone)
+    assert os.path.isfile(
+        os.path.join(adopt_zone, corpus_state.GRAIN_VERSION_FILE)
+    )

@@ -403,3 +403,57 @@ def test_bpe_learn_merges_matches_reference_bpe(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_bpe_checkpointing_bounds_plan_depth_and_preserves_values(
+    spark, tmp_path
+):
+    """VERDICT r9 #7: at realistic merge counts the chained replace
+    projections are the pre-checkpoint PageRank problem, so every
+    checkpoint_every merges the vocab re-lands (ping-pong snapshots)
+    and the chain restarts. The checkpoint cadence must be invisible
+    in the VALUES: 64 merges learned under checkpoint_every=8 equal
+    those under checkpoint_every=16, and both snapshot tables appear
+    on disk (proof the re-land actually ran)."""
+    import os
+    import random
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text,
+    )
+
+    rng = random.Random(7)
+    letters = "abcde"
+    words = [
+        "".join(rng.choice(letters) for _ in range(rng.randint(3, 6)))
+        for _ in range(120)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 12 : (i + 1) * 12])) for i in range(10)],
+        "doc_id long, text string",
+    )
+
+    za, zb = str(tmp_path / "bpe_a"), str(tmp_path / "bpe_b")
+    got_a = [
+        tuple(r)
+        for r in text.bpe_learn_merges(
+            docs, za, n_merges=64, checkpoint_every=8
+        ).collect()
+    ]
+    got_b = [
+        tuple(r)
+        for r in text.bpe_learn_merges(
+            docs, zb, n_merges=64, checkpoint_every=16
+        ).collect()
+    ]
+    assert got_a == got_b
+    assert len(got_a) >= 64  # the corpus supports the full depth
+    # the every-8 run re-landed into BOTH ping-pong snapshots
+    assert os.path.isdir(os.path.join(za, "bpe_vocab_alt"))
+    assert os.path.isdir(os.path.join(za, "bpe_vocab"))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        text.bpe_learn_merges(docs, str(tmp_path / "bpe_c"),
+                              n_merges=2, checkpoint_every=0)

@@ -118,6 +118,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "kmeans_fixed quantizer training (the doc_kmeans attach) and "
         "for the IVF argmax assign (the ann_ivf_topk attach)"
     ),
+    "ann_ivf_trained_state": (
+        "k LANDED centroid rows broadcast for the IVF argmax assign "
+        "only — the Lloyd-iteration broadcasts live in the one-time "
+        "model-zone build, not in this plan"
+    ),
     "hybrid_search_rrf": "built on ann_cosine_topk's exact baseline",
     "dsir_selection": (
         "one-row model-total broadcasts (n_raw, n_tgt) — the hashed "

@@ -601,11 +601,12 @@ def test_kmeans_handles_k_larger_than_corpus(spark):
     assert len(out) == 2
 
 
-def test_kmeans_degenerate_params_fail_fast_or_carry(spark):
-    """ADVICE r8: iterations < 1 and short SEED vectors raise
-    ValueError instead of dying later with AttributeError/KeyError;
-    a short NON-seed vector doesn't crash the centroid rebuild — its
-    missing components carry from the previous centroid."""
+def test_kmeans_degenerate_params_fail_fast(spark):
+    """ADVICE r8 + r9: iterations < 1 raises ValueError, and EVERY
+    ragged vector — seed or not — raises with a row-identifying
+    message instead of silently diverging from the oracle (the r8
+    carry-from-previous-centroid fallback masked exactly the case the
+    DuckDB mirror computes differently)."""
     import pytest
 
     from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
@@ -622,17 +623,19 @@ def test_kmeans_degenerate_params_fail_fast_or_carry(spark):
         [(1, [1.0]), (2, [0.0, 1.0])],
         "doc_id long, feature_vec array<double>",
     )
-    with pytest.raises(ValueError, match="seed vector"):
+    with pytest.raises(Exception, match="expected dim=2"):
         ml.kmeans_fixed(short_seed, k=2, iterations=1, dim=2)
-    # doc 9's 1-component vector joins doc 1's cluster pipeline but
-    # contributes no j=1 mean — the rebuild carries the previous
-    # centroid's component instead of KeyError
+    # doc 9's 1-component NON-seed vector must also raise (in-plan
+    # assert_true), naming the offending row
     ragged = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (9, [1.0])],
         "doc_id long, feature_vec array<double>",
     )
-    out = ml.kmeans_fixed(ragged, k=2, iterations=2, dim=2).collect()
-    assert {r["doc_id"] for r in out} == {1, 2, 9}
+    with pytest.raises(Exception, match="doc_id=9"):
+        ml.kmeans_fixed(ragged, k=2, iterations=2, dim=2).collect()
+    # and the clean path is unaffected
+    out = ml.kmeans_fixed(vecs, k=2, iterations=2, dim=2).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
 
 
 def test_cluster_top_terms_salted_topk_matches_direct_window(spark):

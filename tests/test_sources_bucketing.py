@@ -700,6 +700,68 @@ def test_zone_equijoin_small_side_lets_aqe_broadcast(spark, tmp_path):
     assert joined.count() == 20
 
 
+def test_zone_equijoin_bad_threshold_raises(spark, tmp_path):
+    """ADVICE r9: an unparseable autoBroadcastJoinThreshold raises
+    instead of silently substituting a default that changes the
+    join plan with no signal."""
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        _parse_bytes,
+    )
+
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_bytes("lots")
+    assert _parse_bytes("10485760") == 10 * (1 << 20)
+    assert _parse_bytes("10m") == 10 * (1 << 20)
+    assert _parse_bytes("10MB") == 10 * (1 << 20)
+    assert _parse_bytes("-1") == -1
+
+
+def test_zone_equijoin_unknown_size_keeps_hint_and_warns(
+    spark, tmp_path
+):
+    """ADVICE r9: a zone table whose manifest path is missing/empty is
+    'size unknown', not 'size 0' — the SHUFFLE_HASH gate keeps the
+    fact-sized branch (the hint) and warns, instead of silently
+    flipping to the no-hint plan."""
+    import json
+    import os
+    import warnings
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sinks.files import (
+        write_zone_table,
+        zone_equijoin,
+    )
+
+    zdir = str(tmp_path / "zone")
+    a = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_zone_table(a, zdir, "ta", layout="flat")
+    write_zone_table(b, zdir, "tb", layout="flat")
+    # point tb's manifest path somewhere empty: size becomes unknown
+    mpath = os.path.join(zdir, "_manifest", "tb", "_layout.json")
+    with open(mpath) as f:
+        doc = json.load(f)
+    doc["path"] = str(tmp_path / "nowhere")
+    with open(mpath, "w") as f:
+        json.dump(doc, f)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with warnings.catch_warnings(record=True):
+            warnings.simplefilter("always")
+            joined = zone_equijoin(spark, zdir, "ta", "tb", on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_write_zone_table_partition_by_typo_raises(spark, tmp_path):
     """ADVICE r8: a partition_by column absent from the DataFrame is
     a caller typo — write_zone_table raises instead of quietly
