@@ -272,6 +272,72 @@ def train_and_score(
     )
 
 
+def _assign_raw(
+    vecs: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Broadcast-argmin nearest-centroid assignment — kmeans_fixed's
+    per-iteration arithmetic (squared L2 as det-round-12 decimal
+    partial sums, cid tie-break via a per-id window). Returns
+    ``(id_col, cid, _dist)`` with the raw double distance."""
+    from pyspark.sql import Window
+
+    cvec = (
+        "centroid_vec" if "centroid_vec" in cent_df.columns else "_cvec"
+    )
+    cdf = F.broadcast(
+        cent_df.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col(cvec).alias("_cvec"),
+        )
+    )
+    terms = vecs.crossJoin(cdf).select(
+        id_col,
+        "cid",
+        F.posexplode(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("_cvec"),
+                lambda a, b: (a - b) * (a - b),
+            )
+        ).alias("_j", "_t"),
+    )
+    dist = terms.groupBy(id_col, "cid").agg(
+        F.sum(det_round(F.col("_t"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("_dist")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_dist"), F.asc("cid"))
+    return (
+        dist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cid", "_dist")
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "feature_vec",
+) -> DataFrame:
+    """Assign vectors to their nearest centroid from a LANDED model —
+    the serving half of :func:`kmeans_fixed`, bit-identical to its
+    per-iteration assignment (same det-round-12 decimal distance, same
+    cid tie-break, same det-round-8 output dist). The streaming
+    cluster gate scores arriving docs against the committed centroid
+    table with this; refits only happen on drift.
+
+    ``centroids``: ``(cid, centroid_vec)`` — e.g.
+    ``kmeans_fixed(..., return_centroids=True)`` or the landed model
+    zone table. Returns ``(id_col, cluster_id, dist)``."""
+    a = _assign_raw(vectors, centroids, id_col, vec_col)
+    return a.select(
+        id_col,
+        F.col("cid").alias("cluster_id"),
+        det_round(F.col("_dist"), 8).alias("dist"),
+    )
+
+
 def kmeans_fixed(
     vectors: DataFrame,
     k: int = 4,
@@ -282,6 +348,7 @@ def kmeans_fixed(
     fit_fraction: float | None = None,
     fit_seed: str = "km1",
     return_centroids: bool = False,
+    return_model: bool = False,
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means over a dense
     vector column — the CLUSTERING member of the iterative tier
@@ -336,6 +403,14 @@ def kmeans_fixed(
     unlike ``similarity.kmeans_centroids`` the values are bit-exact
     cross-engine and the composition stays oracle-gateable (the
     oracle's final ``c{iterations}`` CTE is exactly this table).
+    ``return_model=True`` returns BOTH — ``(assignment, centroids)``
+    in one fit, for callers that land the model and its fit-time
+    assignment together (the streaming cluster gate). NOTE the
+    standing Lloyd asymmetry: the returned assignment is the final
+    ITERATION's (scored against the pre-update centroids, matching
+    the oracle's ``a{n} from c{n-1}``), while the returned centroids
+    are post-update — serving new docs against them via
+    :func:`kmeans_assign` is model serving, not a replay of the fit.
     """
     if iterations < 1:
         # with no assignment pass the return value would be undefined
@@ -347,38 +422,11 @@ def kmeans_fixed(
     spark = vectors.sparkSession
 
     def assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(cid, vec) for cid, vec in sorted(cents.items())],
-                "cid long, _cvec array<double>",
-            )
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cents.items())],
+            "cid long, _cvec array<double>",
         )
-        terms = vecs.crossJoin(cdf).select(
-            id_col,
-            "cid",
-            F.posexplode(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.col("_cvec"),
-                    lambda a, b: (a - b) * (a - b),
-                )
-            ).alias("_j", "_t"),
-        )
-        dist = terms.groupBy(id_col, "cid").agg(
-            F.sum(det_round(F.col("_t"), 12).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("_dist")
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(id_col).orderBy(
-            F.asc("_dist"), F.asc("cid")
-        )
-        return (
-            dist.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "cid", "_dist")
-        )
+        return _assign_raw(vecs, cdf, id_col, vec_col)
 
     # Every fit vector must carry exactly `dim` components, not just
     # the k seeds (ADVICE r9): a short non-seed vector silently
@@ -439,16 +487,20 @@ def kmeans_fixed(
             prev = cents[cid]
             new_cents[cid] = [comps.get(j, prev[j]) for j in range(dim)]
         cents = new_cents
+    cent_df = spark.createDataFrame(
+        sorted(cents.items()), "cid long, centroid_vec array<double>"
+    )
     if return_centroids:
-        return spark.createDataFrame(
-            sorted(cents.items()), "cid long, centroid_vec array<double>"
-        )
+        return cent_df
     if fit_fraction is not None:
         # one full-corpus pass against the FITTED centroids — the
         # only n·k·dim-grain job in the sampled mode
         assigned = assign(vectors, cents)
-    return assigned.select(
+    out = assigned.select(
         id_col,
         F.col("cid").alias("cluster_id"),
         det_round(F.col("_dist"), 8).alias("dist"),
     )
+    if return_model:
+        return out, cent_df
+    return out

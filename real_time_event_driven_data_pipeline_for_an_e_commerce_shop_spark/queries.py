@@ -5597,71 +5597,67 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
 _SWEEP_PRIORITY = [
-    # Group A - round-9 new queries + rewrites (every entry whose
-    # code or oracle changed after the r8 sweep): the DTW recursive-
-    # CTE oracle (+ the refactored activity CTE fragment), the
-    # trained-IVF entry, the shared cluster-assignment seam and its
-    # three state compositions, the salted top-terms window, the
-    # grain's h2 extension and every grain consumer, and the three
-    # kmeans_fixed-composed entries (validation guards added).
-    "activity_dtw_topk",
-    "activity_similarity_topk",
+    # Group A - round-10 new queries + rewrites: bpe_merges (its
+    # first-ever driver slot - registered after the r9 sweep was
+    # fixed), the state-served trained IVF, the two bucketed-zone
+    # KPI entries (the default batch layout's first hash gate),
+    # and every kmeans_fixed consumer (the assign step was
+    # extracted to module level + the in-plan dim assert landed -
+    # value-identical, but the expression tree changed).
+    "bpe_merges",
+    "ann_ivf_trained_state",
+    "category_kpi_bucketed",
+    "order_kpi_bucketed",
     "ann_ivf_trained",
+    "doc_kmeans",
+    "kmeans_fit_report",
+    "cluster_balanced_sample",
+    "cluster_top_terms",
     "cluster_balanced_sample_state",
     "cluster_top_terms_state",
     "kmeans_fit_report_state",
-    "lm_perplexity_bigram_state",
-    "cluster_top_terms",
-    "doc_kmeans",
-    "cluster_balanced_sample",
-    "kmeans_fit_report",
-    "corpus_state_summary",
-    "bm25_search_state",
-    "lm_perplexity_state",
-    "dsir_selection_state",
-    # Group B - the 32 entries whose freshest driver row is r6
-    # (VERDICT r8 "What's missing" #3), rotated to the front; 8 were
-    # judge-re-verified in the r8 session, the rest get fresh driver
-    # rows here.
-    "ann_srp_topk",
-    "asof_last_order",
-    "big_orders",
-    "chunk_documents",
-    "click_attribution",
-    "customer_distribution",
-    "customer_running_total",
-    "daily_anomalies",
-    "daily_revenue_wow",
-    "daily_trend",
-    "discounted_revenue",
-    "doc_repetition",
-    "event_type_pivot",
-    "events_hourly",
-    "events_order_window",
-    "feature_hash_audit",
-    "local_supplier_volume",
-    "market_share",
-    "pii_redaction",
-    "priority_shipment_stats",
-    "product_profit",
-    "promo_revenue",
-    "returned_items",
-    "revenue_forecast",
-    "rollup_revenue",
-    "session_window_agg",
-    "setops_active_buyers",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "supplier_balance",
-    "top_terms",
-    "volume_shipping",
-    # Group C - oldest-first refill of the remaining window slots
-    # from the r7 cohort (the ANN trio, beside this round's IVF
-    # work); everything displaced carries an r7/r8 row (max 2-round
-    # staleness after this sweep).
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_srp_multitable",
+    # Group B - the 38 entries whose freshest driver row is r7
+    # (VERDICT r9 "What's missing" #3), all rotated in: the
+    # freshness floor moves to r8. 12 + 38 fill the 50-slot
+    # window exactly.
+    "ansi_sql_passthrough",
+    "approx_distinct_users",
+    "category_kpi",
+    "category_rank_daily",
+    "chunk_dedup",
+    "chunk_dedup_hashed",
+    "cohort_retention",
+    "contamination_check",
+    "conversion_funnel",
+    "copurchase_pagerank",
+    "corpus_curation",
+    "daily_activity_full_outer",
+    "dedup_clusters",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_dedup_clusters",
+    "event_json_kpi",
+    "event_props_typed",
+    "events_daily",
+    "global_sales_opportunity",
+    "grouping_sets_sql",
+    "important_parts",
+    "kpi_unpivot",
+    "lang_id",
+    "lineitem_stats",
+    "market_basket",
+    "min_cost_supplier",
+    "ngram_jaccard",
+    "ngram_novelty",
+    "parts_supplier_relationship",
+    "revenue_deciles",
+    "rfm_segments",
+    "semantic_neardup_auto",
+    "sessionize",
+    "source_token_drift",
+    "text_quality",
+    "token_stats",
+    "top_supplier",
 ]
 
 

@@ -407,6 +407,74 @@ def _land_epoch(
     (commit_fn or _commit_epoch)(zone_dir, name, epoch_id, n_rows)
 
 
+KMEANS_MODEL_DIR = "kmeans_model"
+KMEANS_META_FILE = "_model_meta.json"
+
+
+def _read_kmeans_meta(zone_dir: str) -> dict | None:
+    import json
+
+    p = os.path.join(zone_dir, KMEANS_MODEL_DIR, KMEANS_META_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_kmeans_meta(zone_dir: str, meta: dict) -> None:
+    """tmp+rename, same atomicity as the epoch commit markers."""
+    import json
+    import tempfile
+
+    d = os.path.join(zone_dir, KMEANS_MODEL_DIR)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    import io
+
+    with io.open(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(d, KMEANS_META_FILE))
+
+
+def read_kmeans_centroids(
+    spark: SparkSession, zone_dir: str, gen: int | None = None
+) -> DataFrame | None:
+    """The landed centroid table for a model generation (default: the
+    current one per the model meta), or None when no model exists."""
+    meta = _read_kmeans_meta(zone_dir)
+    if gen is None:
+        if meta is None:
+            return None
+        gen = meta["gen"]
+    p = os.path.join(zone_dir, KMEANS_MODEL_DIR, f"gen={gen}")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def read_cluster_assignment(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """Current-generation cluster assignment from the streamed zone:
+    manifest-pruned epochs, filtered to the CURRENT model generation —
+    a drift refit re-lands the full corpus assignment under the new
+    generation in its own epoch, so the filter sees exactly one live
+    row per doc (older-generation rows are dead weight until
+    compaction, the same trade as superseded data generations in
+    ``vacuum_manifest_zone``)."""
+    meta = _read_kmeans_meta(zone_dir)
+    df = read_manifest_zone(
+        spark, {"cluster_assignment": table}, zone_dir
+    )["cluster_assignment"]
+    if meta is None:
+        return df.filter(F.lit(False)).select(
+            "doc_id", "cluster_id", "dist"
+        )
+    return df.filter(F.col("model_gen") == meta["gen"]).select(
+        "doc_id", "cluster_id", "dist"
+    )
+
+
 def run_bucketed_ingest_manifest(
     spark: SparkSession,
     raw_dir: str,
@@ -712,6 +780,10 @@ def run_corpus_ingest(
     drop_dups: bool = True,
     n_buckets: int = 8,
     shingle_n: int = 5,
+    cluster_assign: bool = False,
+    cluster_k: int = 4,
+    cluster_iterations: int = 3,
+    drift_refit_factor: float | None = 2.0,
     table_prefix: str = "corpus_",
     await_termination: bool = True,
 ) -> dict[str, str]:
@@ -743,6 +815,20 @@ def run_corpus_ingest(
       ``token_events`` zone table, so every corpus state family
       (term / feature / shingle / vectors) derives from the committed
       grain with zero text re-scans.
+    * ``cluster_assign`` (requires ``state_refresh``; VERDICT r9 #5)
+      — maintains the k-means ``cluster_assignment`` state per epoch:
+      the first non-empty epoch FITS (``kmeans_fixed``, gen 0) and
+      lands the centroids + meta in the zone's model dir; later
+      epochs assign arriving docs against the LANDED centroids
+      (``kmeans_assign`` — one broadcast-argmin pass, no refit); when
+      an epoch's deterministic mean assignment distance exceeds
+      ``drift_refit_factor ×`` the model's fit-time mean, the model
+      refits on the full committed grain (gen+1) and the full
+      reassignment lands in that epoch — readers
+      (:func:`read_cluster_assignment`) filter to the current
+      generation. Fit decisions are recorded in the model meta
+      (``fit_epoch``) so every crash window replays to the identical
+      state.
 
     Gate composition shares work: with both ``semantic_dedup`` and
     ``state_refresh`` on, the batch grain is STAGED once (the single
@@ -775,9 +861,16 @@ def run_corpus_ingest(
         vectors_from_event_counts,
     )
     from ..operators.dedup import incremental_dedup
+    from ..operators.ml import kmeans_assign, kmeans_fixed
     from ..operators.similarity import cosine, srp_bucket
     from ..operators.text import feature_hash_vectors
 
+    if cluster_assign and not state_refresh:
+        raise ValueError(
+            "cluster_assign requires state_refresh=True — arriving "
+            "docs' vectors and drift refits both derive from the "
+            "landed token-event grain"
+        )
     name = "documents"
     tables: dict[str, str] = {}
     if semantic_dedup:
@@ -796,7 +889,132 @@ def run_corpus_ingest(
 
         check_grain_version(zone_dir)
         record_grain_version(zone_dir)
+    if cluster_assign:
+        tables["cluster_assignment"] = f"{table_prefix}cluster_assignment"
     tables[name] = f"{table_prefix}documents"  # lands LAST — see above
+
+    def _mean_dist(assigned: DataFrame) -> float | None:
+        """Deterministic mean assignment distance (decimal-summed over
+        the already det-round-8 per-doc dists) — the drift statistic.
+        One k-scalar-output aggregate; bounded driver transfer."""
+        row = assigned.agg(
+            (
+                F.sum(F.col("dist").cast("decimal(28,12)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("m")
+        ).collect()[0]
+        return None if row["m"] is None else float(row["m"])
+
+    def _grain_vectors() -> DataFrame:
+        """Full-corpus feature-hash vectors from the COMMITTED grain
+        (includes the current epoch — token_events lands before the
+        cluster gate runs): a grain re-aggregation, zero text scans."""
+        g = read_manifest_zone(
+            spark, {"token_events": tables["token_events"]}, zone_dir
+        )["token_events"]
+        return vectors_from_event_counts(
+            g.select("doc_id", "kind", "s", "h", "h2", "c"), dim=dim
+        )
+
+    def _fit_and_land_model(
+        fit_vecs: DataFrame, gen: int, epoch_id: int
+    ) -> DataFrame:
+        """One deterministic Lloyd fit; centroids land under gen=N and
+        the meta (with fit_epoch, for replay-stable refit decisions)
+        commits BEFORE the assignment epoch — a crash in any window
+        replays to the identical model (the fit is a deterministic
+        function of the committed inputs)."""
+        assigned, cent_df = kmeans_fixed(
+            fit_vecs,
+            k=cluster_k,
+            iterations=cluster_iterations,
+            dim=dim,
+            return_model=True,
+        )
+        gdir = os.path.join(zone_dir, KMEANS_MODEL_DIR, f"gen={gen}")
+        cent_df.write.mode("overwrite").parquet(gdir)
+        _write_kmeans_meta(
+            zone_dir,
+            {
+                "gen": gen,
+                "fit_mean_dist": _mean_dist(assigned),
+                "fit_epoch": epoch_id,
+                "k": cluster_k,
+                "iterations": cluster_iterations,
+                "dim": dim,
+            },
+        )
+        return assigned
+
+    def _cluster_gate(grain, batch_vecs, epoch_id: int) -> None:
+        """Maintain the cluster-assignment state per epoch (VERDICT
+        r9 #5 — the streaming twin of the batch cluster seam):
+
+        * first non-empty epoch FITS (gen 0) on the batch's vectors —
+          the fit-epoch assignment is kmeans_fixed's own, bit-exact vs
+          the batch seam over the same docs;
+        * later epochs ASSIGN arriving docs against the landed
+          centroids (kmeans_assign: broadcast-argmin, k rows — no
+          refit in the steady state);
+        * when the epoch's mean assignment distance exceeds
+          ``drift_refit_factor ×`` the model's fit-time mean, the model
+          REFITS on the full committed grain (gen+1) and the full
+          reassignment lands in this epoch — readers
+          (:func:`read_cluster_assignment`) filter to the current
+          generation, so the swap is atomic at the meta write."""
+        if epoch_id in committed_epochs(zone_dir, "cluster_assignment"):
+            return  # replayed, fully landed
+        vecs = (
+            batch_vecs
+            if batch_vecs is not None
+            else vectors_from_event_counts(grain, dim=dim)
+        )
+        meta = _read_kmeans_meta(zone_dir)
+        if meta is not None and meta.get("fit_epoch") == epoch_id:
+            # crash window: the (re)fit's meta committed but the
+            # assignment epoch didn't — redo the recorded decision
+            gen = meta["gen"]
+            out = _fit_and_land_model(
+                vecs if gen == 0 else _grain_vectors(), gen, epoch_id
+            )
+        elif meta is None:
+            if vecs.isEmpty():
+                out = spark.createDataFrame(
+                    [], "doc_id long, cluster_id long, dist double"
+                )  # no model yet; next non-empty epoch fits
+            else:
+                out = _fit_and_land_model(vecs, 0, epoch_id)
+        else:
+            cents = read_kmeans_centroids(spark, zone_dir, meta["gen"])
+            assigned = kmeans_assign(vecs, cents)
+            bm = _mean_dist(assigned)
+            fit_mean = meta.get("fit_mean_dist")
+            if (
+                drift_refit_factor is not None
+                and bm is not None
+                and fit_mean is not None
+                and bm > drift_refit_factor * fit_mean
+            ):
+                out = _fit_and_land_model(
+                    _grain_vectors(), meta["gen"] + 1, epoch_id
+                )
+            else:
+                out = assigned
+        cur = _read_kmeans_meta(zone_dir)
+        gen_now = -1 if cur is None else cur["gen"]
+        _land_epoch(
+            spark,
+            out.withColumn("model_gen", F.lit(gen_now)),
+            tables["cluster_assignment"],
+            os.path.join(zone_dir, "cluster_assignment"),
+            zone_dir,
+            "cluster_assignment",
+            epoch_id,
+            n_buckets,
+            bucket_col="doc_id",
+        )
 
     # ADVICE r8: a crash mid-epoch leaves its staging dir behind and a
     # LATER epoch's success would strand it forever (replay only
@@ -811,6 +1029,7 @@ def run_corpus_ingest(
             return  # checkpoint replay of a fully-landed epoch
 
         keep = batch_df
+        batch_vecs = None  # set by the semantic gate; cluster gate shares
         if exact_dedup:
             fps = None
             if spark.catalog.tableExists(tables[name]):
@@ -951,6 +1170,7 @@ def run_corpus_ingest(
                 kept_vecs = bv.join(
                     keep.select("doc_id"), "doc_id"
                 ).select("doc_id", "feature_vec")
+                batch_vecs = kept_vecs  # share with the cluster gate
                 _land_epoch(
                     spark, kept_vecs, tables["doc_vectors"],
                     os.path.join(zone_dir, "doc_vectors"), zone_dir,
@@ -975,6 +1195,8 @@ def run_corpus_ingest(
                     "token_events", epoch_id, n_buckets,
                     bucket_col="doc_id",
                 )
+                if cluster_assign:
+                    _cluster_gate(grain, batch_vecs, epoch_id)
             _land_epoch(
                 spark, keep, tables[name],
                 os.path.join(zone_dir, name), zone_dir, name, epoch_id,
