@@ -41,12 +41,81 @@ def test_media_schema_and_features(spark):
         assert again[r["media_id"]] == r["feature"]
 
 
-def test_real_codec_is_explicit_stub(spark):
+def test_real_codec_boundary_stays_honest(spark):
+    # real=True without an injected codec now runs the builtin
+    # dependency-free decoder — which must still REFUSE formats it
+    # can't actually decode (the synthetic payloads are neither BMP
+    # nor PPM), surfacing the NotImplementedError from the Arrow
+    # workers; resize stays an explicit stub
     media = mm.synthetic_media(spark, 3)
-    with pytest.raises(NotImplementedError):
-        mm.extract_features(media, real=True)
+    with pytest.raises(Exception, match="BMP and binary PPM only"):
+        mm.extract_features(media, real=True).collect()
     with pytest.raises(NotImplementedError):
         mm.resize_images(media, 32, 32, real=True)
+
+
+def _encode_bmp(width, height, pixels):
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up, 4-byte row pad) —
+    the test-side inverse of mm.decode_bmp."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(width):
+            r, g, b = pixels[row * width + x]
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+        2835, 2835, 0, 0,
+    )
+    return bytes(header + raster)
+
+
+def test_builtin_real_decoder_decodes_bmp_and_ppm(spark):
+    """VERDICT r9 #9: real=True has at least one executable format —
+    a generated BMP (and PPM) decodes to actual pixels through the
+    Arrow mapInPandas path, and the grid-luminance feature matches a
+    local reference computation."""
+    # 4x3: left half black, right half white; one red, one green pixel
+    w, h = 4, 3
+    pixels = []
+    for y in range(h):
+        for x in range(w):
+            pixels.append((0, 0, 0) if x < 2 else (255, 255, 255))
+    pixels[0] = (255, 0, 0)
+    pixels[w * h - 1] = (0, 255, 0)
+    bmp = _encode_bmp(w, h, pixels)
+    assert mm.decode_bmp(bmp) == (w, h, pixels)  # exact round-trip
+
+    ppm = (
+        b"P6\n# comment\n4 3\n255\n"
+        + b"".join(bytes(p) for p in pixels)
+    )
+    assert mm.decode_ppm(ppm) == (w, h, pixels)
+
+    want = mm._grid_luma_feature(w, h, pixels)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp)), (2, "image", bytearray(ppm))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {
+        r["media_id"]: list(r["feature"])
+        for r in mm.extract_features(media, real=True).collect()
+    }
+    assert len(rows) == 2
+    for mid in (1, 2):
+        assert rows[mid] == pytest.approx(want, abs=1e-7)
+    # and the feature actually reflects the pixels: right-half cells
+    # bright, left-half dark
+    g = int(mm.FEATURE_DIM ** 0.5)
+    feat = rows[1]
+    assert feat[g - 1] > 0.9 and feat[1] < 0.2
 
 
 def test_injected_decoder_drives_real_path(spark):
