@@ -945,6 +945,7 @@ def bpe_learn_merges(
     zone_dir: str,
     n_merges: int = 8,
     checkpoint_every: int = 64,
+    return_vocab: bool = False,
 ) -> DataFrame:
     """In-engine BPE merge learning (Sennrich et al. 2016, "Neural
     Machine Translation of Rare Words with Subword Units") — the
@@ -1056,10 +1057,62 @@ def bpe_learn_merges(
             snap = snapshots[(rank // checkpoint_every) % 2]
             write_zone_table(v, zone_dir, snap, layout="flat")
             v = spark.read.parquet(os.path.join(zone_dir, snap))
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "merge_rank long, sym_left string, sym_right string, "
         "merged string, pair_count long",
+    )
+    if return_vocab:
+        # the final merged vocab state (seq, n) — the APPLY half of
+        # the tokenizer story composes from it (bpe_subword_stats)
+        return merges_df, v
+    return merges_df
+
+
+def bpe_subword_stats(
+    documents: DataFrame,
+    zone_dir: str,
+    n_merges: int = 8,
+    top: int = 20,
+    checkpoint_every: int = 64,
+) -> DataFrame:
+    """APPLY the in-engine-learned BPE merges: the corpus top-``top``
+    SUBWORD tokens after ``n_merges`` merges — learn
+    (:func:`bpe_learn_merges`) then tokenize-by-merge-table in one
+    composition, the view a tokenizer-training pipeline inspects
+    before freezing a vocab (which merges dominate, how much of the
+    occurrence mass the learned units capture).
+
+    The apply step is pure vocab-state arithmetic: the final merged
+    symbol sequences (|vocab| rows, maintained by the learning loop —
+    no corpus re-scan) explode to subwords, counts weight by word
+    frequency, and the global top-k runs over the ≤|vocab|·avg_syms
+    aggregate, never the token stream. Returns
+    ``(subword_rank, subword, n_occurrences)``."""
+    _merges, vocab = bpe_learn_merges(
+        documents,
+        zone_dir,
+        n_merges=n_merges,
+        checkpoint_every=checkpoint_every,
+        return_vocab=True,
+    )
+    arr = F.split(
+        F.expr("substring(seq, 2, length(seq) - 2)"), "><"
+    )
+    counts = (
+        vocab.select(F.explode(arr).alias("subword"), "n")
+        .groupBy("subword")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("subword"))
+    return (
+        counts.withColumn(
+            "subword_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("subword_rank") <= top)
+        .select("subword_rank", "subword", "n_occurrences")
     )
 
 

@@ -3893,12 +3893,12 @@ _LM_ORACLE = f"""
     """
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
-    """Mirror of text.bpe_learn_merges: the weighted word-type table,
-    sentinel-encoded symbol sequences, then one unrolled CTE triple
-    per merge (pair counts → deterministic argmax → left-to-right
-    non-overlapping replace — DuckDB's replace() and Spark's
-    F.replace consume occurrences identically). Every CTE is
+def _bpe_ctes(n_merges: int = 8) -> list[str]:
+    """Shared CTE chain mirroring text.bpe_learn_merges: the weighted
+    word-type table, sentinel-encoded symbol sequences, then one
+    unrolled CTE triple per merge (pair counts → deterministic argmax
+    → left-to-right non-overlapping replace — DuckDB's replace() and
+    Spark's F.replace consume occurrences identically). Every CTE is
     MATERIALIZED: DuckDB inlines plain CTEs, and the v{i} chain
     references its predecessors multiple times, so un-materialized
     unrolling expands exponentially (observed as a too-many-open-
@@ -3934,13 +3934,43 @@ def _bpe_oracle(n_merges: int = 8) -> str:
                 || (SELECT r FROM b{i}) || '>') AS seq, n
         FROM v{i - 1}
     )""")
-        # merge learning over, emit the per-merge rows below
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """The learned merge table from the shared CTE chain."""
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS sym_left, "
         f"r AS sym_right, l || r AS merged, cnt AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+    return (
+        "WITH " + ",\n    ".join(_bpe_ctes(n_merges)) + "\n    " + unions
+    )
+
+
+def _bpe_subword_oracle(n_merges: int = 8, top: int = 20) -> str:
+    """Mirror of text.bpe_subword_stats: explode the FINAL merged
+    vocab's symbol sequences, weight by word frequency, global
+    top-``top`` with (count DESC, subword ASC) rank."""
+    ctes = ",\n    ".join(_bpe_ctes(n_merges))
+    return f"""
+    WITH {ctes},
+    sy AS (
+        SELECT n, unnest(string_split(
+            substring(seq, 2, length(seq) - 2), '><')) AS subword
+        FROM v{n_merges}
+    ),
+    agg AS (
+        SELECT subword, CAST(SUM(n) AS BIGINT) AS n_occurrences
+        FROM sy GROUP BY subword
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                subword ASC) AS BIGINT) AS subword_rank,
+           subword, n_occurrences
+    FROM agg
+    QUALIFY subword_rank <= {top}
+    """
 
 
 @query("bpe_merges", oracle=_bpe_oracle(8))
@@ -3957,6 +3987,21 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "documents")
     return text.bpe_learn_merges(
         t["documents"], _scratch_zone("bpe_vocab"), n_merges=8
+    )
+
+
+@query("bpe_subword_stats", oracle=_bpe_subword_oracle(8, 20))
+def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer story: learn 8 BPE merges
+    in-engine, apply them to the corpus vocabulary, and report the
+    top-20 subword tokens by frequency-weighted occurrence count —
+    the learn→tokenize composition a vocab-training pipeline inspects
+    before freezing. The apply step is |vocab|-row arithmetic (the
+    learning loop already maintains the merged symbol sequences);
+    no additional corpus scan."""
+    t = _t(spark, sf_dir, "documents")
+    return text.bpe_subword_stats(
+        t["documents"], _scratch_zone("bpe_vocab_sub"), n_merges=8, top=20
     )
 
 
@@ -5605,6 +5650,7 @@ _SWEEP_PRIORITY = [
     # extracted to module level + the in-plan dim assert landed -
     # value-identical, but the expression tree changed).
     "bpe_merges",
+    "bpe_subword_stats",
     "ann_ivf_trained_state",
     "category_kpi_bucketed",
     "order_kpi_bucketed",
@@ -5643,7 +5689,9 @@ _SWEEP_PRIORITY = [
     "grouping_sets_sql",
     "important_parts",
     "kpi_unpivot",
-    "lang_id",
+    # (lang_id yields its Group-B slot to bpe_subword_stats: it was
+    # judge-re-verified green in the r9 session with code untouched
+    # since; rotate it forward in r11)
     "lineitem_stats",
     "market_basket",
     "min_cost_supplier",
