@@ -114,6 +114,8 @@ HEADLINE = [
     "kmeans_fit_report_state",
     "lm_perplexity_state",
     "lm_perplexity_bigram_state",
+    "bpe_merges",
+    "bpe_subword_stats",
 ]
 
 

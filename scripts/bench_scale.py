@@ -363,6 +363,37 @@ def main() -> None:
         finally:
             shutil.rmtree(pz, ignore_errors=True)
 
+        # convergence-stopped PageRank over the REAL co-purchase graph
+        # at corpus scale (ROADMAP r9 #3): record the superstep count
+        # a production run actually pays and the wall time, with the
+        # ping-pong zone checkpoints bounding plan depth per block
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+            graph,
+        )
+
+        prz = tempfile.mkdtemp(prefix="scale_pagerank_zone_")
+        try:
+            edges = graph.copurchase_edges(
+                spark.read.parquet(f"{tmp}/lineitem.parquet"),
+                min_support=2,
+            )
+            t0 = time.perf_counter()
+            ranks = graph.pagerank_converged(
+                edges, prz, damping=0.85, tol=1e-9,
+                checkpoint_every=5, max_supersteps=60,
+            )
+            top = ranks.orderBy(
+                F.desc("pagerank"), F.asc("node")
+            ).limit(1).collect()
+            timings["copurchase_pagerank_converged"] = round(
+                time.perf_counter() - t0, 3
+            )
+            timings["copurchase_pagerank_supersteps"] = (
+                int(top[0]["supersteps"]) if top else 0
+            )
+        finally:
+            shutil.rmtree(prz, ignore_errors=True)
+
         print(
             json.dumps(
                 {

