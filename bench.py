@@ -101,6 +101,10 @@ HEADLINE = [
     "dsir_selection_state",
     "curation_funnel_state",
     "quality_logreg_l2",
+    # bm25_search_state is the FIRST shared-corpus-zone consumer in
+    # this list: its cold sample carries the session's one-time zone
+    # build (grain + feature/vector derivations); every later *_state
+    # entry (and its own warm sample) is a pure zone serve
     "bm25_search_state",
     "doc_kmeans",
     # the k-means downstream recipes run in their state-composed form
