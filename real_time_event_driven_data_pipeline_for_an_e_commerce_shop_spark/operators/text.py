@@ -1116,6 +1116,70 @@ def bpe_subword_stats(
     )
 
 
+def bpe_doc_token_count(
+    documents: DataFrame,
+    zone_dir: str,
+    n_merges: int = 8,
+    checkpoint_every: int = 64,
+) -> DataFrame:
+    """Tokenize the CORPUS with the learned BPE vocab: per-doc subword
+    token counts under ``n_merges`` learned merges — the number that
+    actually drives packing/chunking budgets once a tokenizer is
+    trained (``token_count_bpe`` estimates with a fixed heuristic
+    vocab; this uses the corpus's own learned one).
+
+    Plan shape: the learned vocab maps word → subword count (|vocab|
+    rows — ``length of split(seq)`` on the maintained symbol
+    sequences); the corpus collapses to the (doc, word) DISTINCT
+    grain first (map-side combined — the shuffle carries
+    Σ|distinct words per doc|, never the token stream) and joins the
+    vocab map by shuffle — the engine's unbounded-model discipline
+    (the vocab is Heaps-sublinear but NOT bounded, so it is never
+    broadcast, same as the LM model tables). Words outside the
+    learned vocab (non-[a-z0-9]+ tokens, excluded from training)
+    count 1 subword each, the single-unknown-token convention.
+    Returns ``(doc_id, n_tokens, n_learned_words)``."""
+    _merges, vocab = bpe_learn_merges(
+        documents,
+        zone_dir,
+        n_merges=n_merges,
+        checkpoint_every=checkpoint_every,
+        return_vocab=True,
+    )
+    arr = F.split(
+        F.expr("substring(seq, 2, length(seq) - 2)"), "><"
+    )
+    word_costs = vocab.select(
+        F.regexp_replace("seq", "[<>]", "").alias("word"),
+        F.size(arr).cast("long").alias("n_subwords"),
+    )
+    word_counts = (
+        documents.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        word_counts.join(word_costs, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("c") * F.coalesce(F.col("n_subwords"), F.lit(1))
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(
+                F.when(F.col("n_subwords").isNotNull(), F.col("c"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_learned_words"),
+        )
+    )
+
+
 def lm_perplexity_bigram_from_state(
     events: DataFrame, threshold: float = 500.0
 ) -> DataFrame:

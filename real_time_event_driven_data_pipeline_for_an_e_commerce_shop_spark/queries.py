@@ -3984,6 +3984,49 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_doc_token_oracle(n_merges: int = 8) -> str:
+    """Mirror of text.bpe_doc_token_count: the learned vocab's
+    word → subword-count map joined onto the (doc, word) distinct
+    grain; unknown words cost 1."""
+    ctes = ",\n    ".join(_bpe_ctes(n_merges))
+    return f"""
+    WITH {ctes},
+    costs AS (
+        SELECT regexp_replace(seq, '[<>]', '', 'g') AS word,
+               CAST(len(string_split(
+                   substring(seq, 2, length(seq) - 2), '><')) AS BIGINT)
+                   AS n_subwords
+        FROM v{n_merges}
+    ),
+    wc AS (
+        SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest({_Q_TOKENS_LOWER}) AS w
+              FROM documents) t(doc_id, w)
+        GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c * COALESCE(n_subwords, 1)) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n_subwords IS NOT NULL THEN c ELSE 0 END)
+                AS BIGINT) AS n_learned_words
+    FROM wc LEFT JOIN costs USING (word)
+    GROUP BY doc_id
+    """
+
+
+@query("bpe_doc_token_count", oracle=_bpe_doc_token_oracle(8))
+def q_bpe_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with its OWN learned BPE vocab: per-doc
+    subword counts under 8 learned merges — the budget number packing
+    and chunking actually consume once a tokenizer is trained
+    (token_count_bpe estimates with a fixed heuristic vocab). The
+    (doc, word) distinct grain shuffles, never the token stream; the
+    vocab map joins by shuffle (unbounded-model discipline)."""
+    t = _t(spark, sf_dir, "documents")
+    return text.bpe_doc_token_count(
+        t["documents"], _scratch_zone("bpe_vocab_count"), n_merges=8
+    )
+
+
 @query("bpe_subword_stats", oracle=_bpe_subword_oracle(8, 20))
 def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY half of the tokenizer story: learn 8 BPE merges
@@ -5691,6 +5734,7 @@ _SWEEP_PRIORITY = [
     # value-identical, but the expression tree changed).
     "bpe_merges",
     "bpe_subword_stats",
+    "bpe_doc_token_count",
     "cluster_assignment_stream",
     "ann_ivf_trained_state",
     "category_kpi_bucketed",
@@ -5756,7 +5800,8 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    "top_supplier",
+    # (top_supplier yields its slot to bpe_doc_token_count:
+    # re-verified hash-green this session, untouched TPC-H Q15 shape)
 ]
 
 
