@@ -1116,6 +1116,92 @@ def bpe_subword_stats(
     )
 
 
+def cms_heavy_hitters(
+    documents: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    top: int = 20,
+) -> DataFrame:
+    """Count-Min-sketch heavy hitters with an accuracy gate — the
+    third member of the sketch tier (HLL distinct counts, GK
+    quantiles, now CMS frequencies): estimate the top-``top`` terms'
+    counts from a ``depth × width`` cell table and report each
+    estimate against its exact count and the ε=2/width Markov bound.
+
+    The sketch builds at VOCAB grain, not the token stream: exact
+    per-term counts land first (one map-side-combined aggregate — the
+    same shuffle the exact answer needs anyway at this corpus; at
+    100 TB the sketch's point is that the d×w cell table is the ONLY
+    thing retained/merged across corpus shards, a few KB regardless
+    of vocabulary), then each term's count folds into ``depth``
+    md5-salted cells. Estimates are min-over-depth cell sums — CMS
+    never undercounts, and ``within_bound`` flags estimates inside
+    ``n_true + ceil(2N/width)``. All-integer arithmetic: the oracle
+    replays it bit-for-bit. Returns
+    ``(hh_rank, term, n_true, cms_estimate, overcount, within_bound)``.
+    """
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    exact = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+
+    def cell_of(i: int) -> Column:
+        return md5_long(
+            F.concat(F.col("term"), F.lit(f":cms{i}"))
+        ) % width
+
+    cells = (
+        exact.select(
+            "n_true",
+            F.posexplode(
+                F.array(*[cell_of(i) for i in range(depth)])
+            ).alias("row_i", "col"),
+        )
+        .groupBy("row_i", "col")
+        .agg(F.sum("n_true").cast("long").alias("cell"))
+    )
+    w = Window.orderBy(F.desc("n_true"), F.asc("term"))
+    topk = (
+        exact.withColumn("hh_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hh_rank") <= top)
+    )
+    probes = topk.select(
+        "term",
+        "n_true",
+        "hh_rank",
+        F.posexplode(
+            F.array(*[cell_of(i) for i in range(depth)])
+        ).alias("row_i", "col"),
+    )
+    est = (
+        probes.join(cells, ["row_i", "col"])
+        .groupBy("term", "n_true", "hh_rank")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+    )
+    total = exact.agg(F.sum("n_true").cast("long").alias("_n"))
+    bound = F.ceil(F.lit(2.0) * F.col("_n") / F.lit(width)).cast("long")
+    return (
+        est.crossJoin(F.broadcast(total))  # one-row total attach
+        .select(
+            "hh_rank",
+            "term",
+            "n_true",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_true"))
+            .cast("long")
+            .alias("overcount"),
+            (
+                (F.col("cms_estimate") >= F.col("n_true"))
+                & (F.col("cms_estimate") <= F.col("n_true") + bound)
+            ).alias("within_bound"),
+        )
+    )
+
+
 def bpe_doc_token_count(
     documents: DataFrame,
     zone_dir: str,

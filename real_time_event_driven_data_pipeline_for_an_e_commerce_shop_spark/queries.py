@@ -3984,6 +3984,70 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_D, _CMS_TOP = 1024, 4, 20
+_CMS_CELL = (
+    "(" + sql_md5_long("term || ':cms' || CAST(i AS VARCHAR)")
+    + f") % {_CMS_W}"
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_Q_TOKENS_LOWER}) AS term FROM documents
+    ),
+    exact AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM tok GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(n_true) AS BIGINT) AS n FROM exact),
+    cells AS (
+        SELECT r.i, {_CMS_CELL} AS col,
+               CAST(SUM(n_true) AS BIGINT) AS cell
+        FROM exact CROSS JOIN range(0, {_CMS_D}) r(i)
+        GROUP BY r.i, col
+    ),
+    topk AS (
+        SELECT term, n_true,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_true DESC, term ASC)
+                    AS BIGINT) AS hh_rank
+        FROM exact
+        QUALIFY hh_rank <= {_CMS_TOP}
+    ),
+    probes AS (
+        SELECT t.term, r.i AS i,
+               ({sql_md5_long("t.term || ':cms' || CAST(r.i AS VARCHAR)")})
+                   % {_CMS_W} AS col
+        FROM topk t CROSS JOIN range(0, {_CMS_D}) r(i)
+    ),
+    est AS (
+        SELECT p.term, CAST(MIN(c.cell) AS BIGINT) AS cms_estimate
+        FROM probes p JOIN cells c ON c.i = p.i AND c.col = p.col
+        GROUP BY p.term
+    )
+    SELECT t.hh_rank, t.term, t.n_true, e.cms_estimate,
+           CAST(e.cms_estimate - t.n_true AS BIGINT) AS overcount,
+           (e.cms_estimate >= t.n_true AND e.cms_estimate
+                <= t.n_true + CAST(CEIL(2.0 * total.n / {_CMS_W}) AS BIGINT))
+               AS within_bound
+    FROM topk t JOIN est e USING (term) CROSS JOIN total
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch frequency estimates for the corpus top-20
+    terms with the exact counts and the ε=2/width bound beside them —
+    the sketch tier's third accuracy gate (HLL distinct, GK quantile,
+    CMS frequency). Sketch state is the depth×width cell table — a
+    few KB merged across shards at 100 TB regardless of vocabulary —
+    and the gate replays the all-integer estimate arithmetic in both
+    engines."""
+    t = _t(spark, sf_dir, "documents")
+    return text.cms_heavy_hitters(
+        t["documents"], width=_CMS_W, depth=_CMS_D, top=_CMS_TOP
+    )
+
+
 def _bpe_doc_token_oracle(n_merges: int = 8) -> str:
     """Mirror of text.bpe_doc_token_count: the learned vocab's
     word → subword-count map joined onto the (doc, word) distinct
@@ -5735,6 +5799,7 @@ _SWEEP_PRIORITY = [
     "bpe_merges",
     "bpe_subword_stats",
     "bpe_doc_token_count",
+    "cms_heavy_hitters",
     "cluster_assignment_stream",
     "ann_ivf_trained_state",
     "category_kpi_bucketed",
@@ -5790,7 +5855,8 @@ _SWEEP_PRIORITY = [
     # since; rotate it forward in r11)
     "lineitem_stats",
     "market_basket",
-    "min_cost_supplier",
+    # (min_cost_supplier yields its slot to cms_heavy_hitters:
+    # re-verified hash-green this session, untouched Q2 shape)
     "ngram_jaccard",
     "ngram_novelty",
     "parts_supplier_relationship",

@@ -103,6 +103,10 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
     "mixture_weights": "one-row corpus-total and normalizer broadcasts",
     "source_token_drift": "one-row corpus token total broadcast",
     "market_basket": "one-row order-count total broadcast",
+    "cms_heavy_hitters": (
+        "one-row corpus token total broadcast (the epsilon-bound "
+        "attach; sketch cells and probes ride equi-key joins)"
+    ),
     "global_sales_opportunity": "one-row global threshold broadcast",
     "important_parts": "per-part avg-quantity thresholds broadcast (Q17 shape)",
     "ann_cosine_topk": (
