@@ -38,3 +38,31 @@ def test_every_declared_query_is_documented_in_coverage():
         coverage = f.read()
     missing = [name for name in QUERIES if name not in coverage]
     assert not missing, f"undocumented queries: {missing}"
+
+
+def test_every_query_has_a_driver_row_or_a_sweep_slot():
+    """Freshness governance (the r9 bpe_merges miss, codified): every
+    registered query must either already hold a driver CORRECTNESS
+    row (union of all recorded rounds) or occupy one of the 50 sweep
+    slots the next driver run will check — a query can never be
+    registered into the blind spot between the two."""
+    import glob
+    import json
+    import os
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        _SWEEP_PRIORITY,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            covered |= set(json.load(fh))
+    window = set(_SWEEP_PRIORITY[:50])
+    missing = [
+        n for n in QUERIES if n not in covered and n not in window
+    ]
+    assert not missing, (
+        f"queries with no driver row AND no sweep slot: {missing}"
+    )
