@@ -120,6 +120,8 @@ HEADLINE = [
     "lm_perplexity_bigram_state",
     "bpe_merges",
     "bpe_subword_stats",
+    "bpe_doc_token_count",
+    "cms_heavy_hitters",
 ]
 
 
