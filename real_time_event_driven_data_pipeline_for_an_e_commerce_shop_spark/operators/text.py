@@ -1116,6 +1116,33 @@ def bpe_subword_stats(
     )
 
 
+def _cms_cell_of(i: int, width: int) -> Column:
+    """Cell index of ``term`` in sketch row ``i`` — md5-salted so the
+    SQL oracle recomputes it."""
+    return md5_long(F.concat(F.col("term"), F.lit(f":cms{i}"))) % width
+
+
+def cms_cells_from_term_counts(
+    term_counts: DataFrame, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """The Count-Min cell table ``(row_i, col, cell)`` from per-term
+    counts ``(term, n_true)``. Cells are SUMS, so the table is
+    mergeable by (row_i, col) addition — the property the streaming
+    sketch gate relies on: per-epoch cell tables land append-only and
+    a reader's groupBy-sum IS the corpus sketch (bit-exact vs the
+    batch build, integer arithmetic throughout)."""
+    return (
+        term_counts.select(
+            "n_true",
+            F.posexplode(
+                F.array(*[_cms_cell_of(i, width) for i in range(depth)])
+            ).alias("row_i", "col"),
+        )
+        .groupBy("row_i", "col")
+        .agg(F.sum("n_true").cast("long").alias("cell"))
+    )
+
+
 def cms_heavy_hitters(
     documents: DataFrame,
     width: int = 1024,
@@ -1150,20 +1177,9 @@ def cms_heavy_hitters(
     )
 
     def cell_of(i: int) -> Column:
-        return md5_long(
-            F.concat(F.col("term"), F.lit(f":cms{i}"))
-        ) % width
+        return _cms_cell_of(i, width)
 
-    cells = (
-        exact.select(
-            "n_true",
-            F.posexplode(
-                F.array(*[cell_of(i) for i in range(depth)])
-            ).alias("row_i", "col"),
-        )
-        .groupBy("row_i", "col")
-        .agg(F.sum("n_true").cast("long").alias("cell"))
-    )
+    cells = cms_cells_from_term_counts(exact, width=width, depth=depth)
     w = Window.orderBy(F.desc("n_true"), F.asc("term"))
     topk = (
         exact.withColumn("hh_rank", F.row_number().over(w).cast("long"))

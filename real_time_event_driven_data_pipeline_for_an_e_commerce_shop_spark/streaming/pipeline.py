@@ -475,6 +475,22 @@ def read_cluster_assignment(
     )
 
 
+def read_cms_cells(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """The corpus Count-Min cell table from the streamed zone: cells
+    are sums, so the manifest-pruned epoch union folds with one
+    groupBy-sum — bit-exact vs the batch
+    ``text.cms_cells_from_term_counts`` over the same corpus
+    (integer addition is associative; replay-parity-tested)."""
+    df = read_manifest_zone(spark, {"cms_cells": table}, zone_dir)[
+        "cms_cells"
+    ]
+    return df.groupBy("row_i", "col").agg(
+        F.sum("cell").cast("long").alias("cell")
+    )
+
+
 def run_bucketed_ingest_manifest(
     spark: SparkSession,
     raw_dir: str,
@@ -784,6 +800,9 @@ def run_corpus_ingest(
     cluster_k: int = 4,
     cluster_iterations: int = 3,
     drift_refit_factor: float | None = 2.0,
+    sketch_cms: bool = False,
+    cms_width: int = 1024,
+    cms_depth: int = 4,
     table_prefix: str = "corpus_",
     await_termination: bool = True,
 ) -> dict[str, str]:
@@ -829,6 +848,15 @@ def run_corpus_ingest(
       generation. Fit decisions are recorded in the model meta
       (``fit_epoch``) so every crash window replays to the identical
       state.
+    * ``sketch_cms`` (requires ``state_refresh``) — maintains the
+      Count-Min term-frequency sketch per epoch: each batch's term
+      counts (the grain's 't' slice, no extra tokenize) fold into a
+      ``cms_depth × cms_width`` cell table landed append-only through
+      the same epoch manifest; cells are sums, so
+      :func:`read_cms_cells`' groupBy-sum over committed epochs IS
+      the corpus sketch, bit-exact vs the batch build
+      (replay-parity-tested). The d×w cells are the only state — a
+      few KB per epoch regardless of vocabulary.
 
     Gate composition shares work: with both ``semantic_dedup`` and
     ``state_refresh`` on, the batch grain is STAGED once (the single
@@ -871,6 +899,11 @@ def run_corpus_ingest(
             "docs' vectors and drift refits both derive from the "
             "landed token-event grain"
         )
+    if sketch_cms and not state_refresh:
+        raise ValueError(
+            "sketch_cms requires state_refresh=True — per-epoch term "
+            "counts derive from the batch grain's 't' slice"
+        )
     name = "documents"
     tables: dict[str, str] = {}
     if semantic_dedup:
@@ -891,6 +924,8 @@ def run_corpus_ingest(
         record_grain_version(zone_dir)
     if cluster_assign:
         tables["cluster_assignment"] = f"{table_prefix}cluster_assignment"
+    if sketch_cms:
+        tables["cms_cells"] = f"{table_prefix}cms_cells"
     tables[name] = f"{table_prefix}documents"  # lands LAST — see above
 
     def _mean_dist(assigned: DataFrame) -> float | None:
@@ -1197,6 +1232,29 @@ def run_corpus_ingest(
                 )
                 if cluster_assign:
                     _cluster_gate(grain, batch_vecs, epoch_id)
+                if sketch_cms:
+                    from ..operators.text import (
+                        cms_cells_from_term_counts,
+                    )
+
+                    batch_terms = (
+                        grain.filter(F.col("kind") == "t")
+                        .groupBy(F.col("s").alias("term"))
+                        .agg(F.sum("c").cast("long").alias("n_true"))
+                    )
+                    _land_epoch(
+                        spark,
+                        cms_cells_from_term_counts(
+                            batch_terms, width=cms_width, depth=cms_depth
+                        ),
+                        tables["cms_cells"],
+                        os.path.join(zone_dir, "cms_cells"),
+                        zone_dir,
+                        "cms_cells",
+                        epoch_id,
+                        n_buckets,
+                        bucket_col="col",
+                    )
             _land_epoch(
                 spark, keep, tables[name],
                 os.path.join(zone_dir, name), zone_dir, name, epoch_id,

@@ -1,0 +1,87 @@
+"""Streaming Count-Min maintenance (ROADMAP r10→11 #3):
+run_corpus_ingest(sketch_cms=True) folds each epoch's term counts
+into the mergeable d×w cell table; the merged read is bit-exact vs
+the batch sketch over the same corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    text,
+)
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+    read_cms_cells,
+    run_corpus_ingest,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _key(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streamed_cms_cells_match_batch_sketch(spark, tmp_path):
+    """Two delivery waves -> two cms_cells epochs; the reader's
+    groupBy-sum equals the batch cell table over the full corpus
+    (cells are integer sums - merge order cannot matter), and a
+    replayed run is a no-op."""
+    raw, zone, ckpt = (
+        str(tmp_path / d) for d in ("raw", "zone", "ckpt")
+    )
+    prefix = "t_cms_ing_"
+    tables = {}
+    try:
+        base = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(60)
+        )
+        for m in range(2):
+            base.filter(F.col("doc_id") % 2 == m).write.mode(
+                "append"
+            ).parquet(raw)
+            tables = run_corpus_ingest(
+                spark, raw, zone, ckpt,
+                state_refresh=True, sketch_cms=True,
+                n_buckets=4, table_prefix=prefix,
+            )
+        got = _key(read_cms_cells(spark, tables["cms_cells"], zone))
+
+        exact = (
+            base.select(
+                F.explode(
+                    text.tokens(F.lower(F.col("text")))
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        )
+        want = _key(text.cms_cells_from_term_counts(exact))
+        assert got == want and len(got) > 0
+
+        # replay: nothing new, cells unchanged
+        run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            state_refresh=True, sketch_cms=True,
+            n_buckets=4, table_prefix=prefix,
+        )
+        assert _key(
+            read_cms_cells(spark, tables["cms_cells"], zone)
+        ) == want
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sketch_cms_requires_state_refresh(spark, tmp_path):
+    with pytest.raises(ValueError, match="state_refresh"):
+        run_corpus_ingest(
+            spark,
+            str(tmp_path / "raw"),
+            str(tmp_path / "zone"),
+            str(tmp_path / "ckpt"),
+            sketch_cms=True,
+        )
