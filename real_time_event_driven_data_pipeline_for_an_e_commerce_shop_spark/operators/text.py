@@ -1148,6 +1148,7 @@ def cms_heavy_hitters(
     width: int = 1024,
     depth: int = 4,
     top: int = 20,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Count-Min-sketch heavy hitters with an accuracy gate — the
     third member of the sketch tier (HLL distinct counts, GK
@@ -1179,7 +1180,10 @@ def cms_heavy_hitters(
     def cell_of(i: int) -> Column:
         return _cms_cell_of(i, width)
 
-    cells = cms_cells_from_term_counts(exact, width=width, depth=depth)
+    if cells is None:
+        cells = cms_cells_from_term_counts(exact, width=width, depth=depth)
+    # else: a MAINTAINED cell table (the streaming sketch gate's
+    # merged epochs) — bit-exact vs the inline build by construction
     w = Window.orderBy(F.desc("n_true"), F.asc("term"))
     topk = (
         exact.withColumn("hh_rank", F.row_number().over(w).cast("long"))

@@ -4048,6 +4048,52 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cms_heavy_hitters_stream", oracle=ORACLES["cms_heavy_hitters"])
+def q_cms_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED Count-Min sketch under the batch entry's value
+    oracle (the cluster_assignment_stream pattern): the corpus is
+    delivered to ``run_corpus_ingest(sketch_cms=True)`` as one
+    micro-batch, the per-epoch cell table lands through the manifest,
+    and the heavy-hitter estimates computed from the MERGED landed
+    cells must hash-match the inline batch build — integer cell sums
+    are merge-order-free, so the lifecycle (ingest → land → merge →
+    estimate) is bit-exact, not just row-counted. Multi-epoch merge +
+    replay parity live in ``tests/test_streaming_sketch.py``."""
+    import shutil
+    import tempfile
+
+    from .streaming.pipeline import read_cms_cells, run_corpus_ingest
+
+    base = tempfile.mkdtemp(prefix="q_cms_stream_")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_cms_stream_"
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(raw)
+    try:
+        tables = run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            state_refresh=True, sketch_cms=True,
+            cms_width=_CMS_W, cms_depth=_CMS_D,
+            n_buckets=4, table_prefix=prefix,
+        )
+        cells = read_cms_cells(spark, tables["cms_cells"], zone)
+        out = text.cms_heavy_hitters(
+            t["documents"], width=_CMS_W, depth=_CMS_D, top=_CMS_TOP,
+            cells=cells,
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _bpe_doc_token_oracle(n_merges: int = 8) -> str:
     """Mirror of text.bpe_doc_token_count: the learned vocab's
     word → subword-count map joined onto the (doc, word) distinct
@@ -5800,6 +5846,7 @@ _SWEEP_PRIORITY = [
     "bpe_subword_stats",
     "bpe_doc_token_count",
     "cms_heavy_hitters",
+    "cms_heavy_hitters_stream",
     "cluster_assignment_stream",
     "ann_ivf_trained_state",
     "category_kpi_bucketed",
@@ -5859,7 +5906,9 @@ _SWEEP_PRIORITY = [
     # re-verified hash-green this session, untouched Q2 shape)
     "ngram_jaccard",
     "ngram_novelty",
-    "parts_supplier_relationship",
+    # (parts_supplier_relationship yields its slot to
+    # cms_heavy_hitters_stream: re-verified hash-green this session,
+    # untouched Q16 shape)
     "revenue_deciles",
     "rfm_segments",
     "semantic_neardup_auto",
