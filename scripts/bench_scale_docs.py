@@ -239,6 +239,33 @@ def main() -> None:
             time.perf_counter() - t0, 3
         )
 
+        # BPE at depth (ROADMAP r10->11 #2): the checkpoint_every
+        # re-land discipline vs the unbounded replace chain at equal
+        # merges, plus one production-depth line. The unbounded form's
+        # cost is plan ANALYSIS (a 64-deep chained projection), not
+        # data - exactly the pre-checkpoint PageRank failure shape.
+        import tempfile as _tf
+
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+            text as _text2,
+        )
+
+        sdocs = spark.read.parquet(f"{tmp}/documents.parquet")
+        for label, n_m, ck in (
+            ("bpe_merges_64_unchained", 64, 10_000),
+            ("bpe_merges_64_ck16", 64, 16),
+            ("bpe_merges_256_ck64", 256, 64),
+        ):
+            zdir = _tf.mkdtemp(prefix="scale_bpe_")
+            try:
+                t0 = time.perf_counter()
+                _text2.bpe_learn_merges(
+                    sdocs, zdir, n_merges=n_m, checkpoint_every=ck
+                ).write.mode("overwrite").format("noop").save()
+                timings[label] = round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(zdir, ignore_errors=True)
+
         # interleaved second sample for the long semantic pair too
         specials = [
             (f"semantic_neardup_r{r}", _run_sized),
