@@ -68,6 +68,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_trained",
     "ann_ivf_trained_state",
+    "ann_pq_topk",
+    "ann_pq_state",
+    "tfidf_cosine_pairs",
     "winnowing_fingerprint",
     "token_count_bpe",
     "click_attribution",

@@ -827,3 +827,225 @@ def rrf_fuse(
     return topk.withColumn(
         "rrf_rank", F.row_number().over(w).cast("long")
     ).select("rrf_rank", id_col, "rrf_score", "rank_a", "rank_b")
+
+
+# --- product quantization (ADC) tier -----------------------------------
+#
+# The storage-compression step BEYOND int8 (quantize_int8 keeps one
+# scalar per component — 4x; PQ keeps one CODE per subspace — dim*4B /
+# n_subspaces*1B, 64x at the default geometry). Reference scope: the
+# reference repo has no vector tier at all (task_1.py/task_2.py are
+# CSV->KPI pandas jobs); this extends the engine's ANN surface
+# (BASELINE.json north star) with the codebook quantizer every
+# large-scale vector system (FAISS IVFPQ et al., Jegou2011 "Product
+# Quantization for Nearest Neighbor Search") builds on.
+#
+# Determinism discipline (the oracle contract): every cross-component
+# float sum is det-round-12 -> DECIMAL(28,12) accumulation (order-free,
+# exactly mirrorable in DuckDB SQL) — the same arithmetic kmeans_fixed
+# uses for its distances. Codebooks are a strided sample of real
+# vectors (model-free, reproducible) with code id = sample vec_id, so
+# argmin ties break identically cross-engine.
+
+
+def _dec_fold(terms: Column) -> Column:
+    """Order-free exact sum of an array of double terms: det-round each
+    term to 12 decimals, accumulate in DECIMAL(28,12) (exact integer
+    arithmetic — no float-order dependence), return double. Mirror:
+    ``CAST(SUM(CAST(r12(term) AS DECIMAL(28,12))) AS DOUBLE)``."""
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, v: (
+            acc + det_round(v, 12).cast("decimal(28,12)")
+        ).cast("decimal(28,12)"),
+    ).cast("double")
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebook ``(s, j, cw)`` from a strided sample of
+    the corpus: the first ``n_codes`` vectors with ``id % stride == 0``
+    (by id), each split into ``n_subspaces`` contiguous slices. Code
+    id ``j`` IS the sample's vec_id — no row-number window, identical
+    tie-breaks cross-engine (the ivf_topk strided-quantizer pattern).
+    m*k rows total (64 at defaults) — broadcast-sized by construction."""
+    sub = dim // n_subspaces
+    sample = (
+        embeddings.filter(F.col(id_col) % stride == 0)
+        .orderBy(F.col(id_col))
+        .limit(n_codes)
+        .select(
+            F.col(id_col).cast("long").alias("j"),
+            as_double(F.col(vec_col)).alias("_vec"),
+        )
+    )
+    return sample.select(
+        "j",
+        F.posexplode(
+            F.array(
+                *[F.slice("_vec", s * sub + 1, sub) for s in range(n_subspaces)]
+            )
+        ).alias("s", "cw"),
+    ).select(F.col("s").cast("long").alias("s"), "j", "cw")
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``n_subspaces`` codes: per subspace, the
+    codeword minimizing squared L2 (det-round-12 decimal partial sums;
+    ties -> lowest code id). Returns ``(vec_id, s, code)`` — the
+    corpus's PQ representation, m small ints per vector (the 100 TB
+    storage story: 64-dim float32 = 256 B -> 4 codes = 4 B).
+
+    Plan: corpus explodes to (vec_id, s, subvec) — a ×m row fan-out of
+    slices, never ×(m·k) — then one broadcast hash join on ``s``
+    against the m·k-row codebook scores every candidate in a
+    projection (``_dec_fold`` is a sequential array fold, no further
+    explode), and a map-side-combined struct-min argmin reduces back
+    to one row per (vec_id, s). Shuffle carries |corpus|·m tiny rows."""
+    sub = dim // n_subspaces
+    sub_rows = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(as_double(F.col(vec_col)), s * sub + 1, sub)
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("s", "sv"),
+    ).select(F.col("vec_id"), F.col("s").cast("long").alias("s"), "sv")
+    scored = sub_rows.join(F.broadcast(codebook), "s").select(
+        "vec_id",
+        "s",
+        F.struct(
+            _dec_fold(
+                F.zip_with(F.col("sv"), F.col("cw"), lambda a, b: (a - b) * (a - b))
+            ).alias("dist"),
+            F.col("j").alias("j"),
+        ).alias("_cand"),
+    )
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min("_cand").alias("_best"))
+        .select("vec_id", "s", F.col("_best.j").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries never
+    touch corpus vectors — each query precomputes a lookup table of
+    per-(subspace, code) partial dot products against the codebook,
+    and the scan scores CODES (m ints/vector) via LUT join + exact
+    decimal sums. ``sim ≈ cos(q, x̂)`` where ``x̂`` is the implicit
+    codeword reconstruction: ``dot(q, x̂) = Σ_s dot(q_s, c_{s,code_s})``
+    and ``‖x̂‖² = Σ_s ‖c_{s,code_s}‖²`` — both assembled from the LUT,
+    so the serving scan reads only the codes table.
+
+    Pass ``codebook``/``codes`` (e.g. landed model-zone tables) to skip
+    the in-plan fit/encode — the PQ serving seam; defaults build both
+    from the corpus in-plan (the oracle-mirrorable self-contained form).
+
+    Scale shape: LUT is |q|·m·k rows (broadcast), the scan is one
+    broadcast hash join codes⋈LUT on (s, code) plus a map-side-combined
+    (query_id, vec_id) sum — shuffle carries |corpus|·|q| scalar rows,
+    and the corpus-side input is the codes table at m·4B/vector, 64×
+    narrower than the raw embedding scan brute_force_topk pays."""
+    if codebook is None:
+        codebook = pq_codebook(
+            embeddings, n_subspaces, n_codes, dim, stride, id_col, vec_col
+        )
+    if codes is None:
+        codes = pq_encode(embeddings, codebook, n_subspaces, dim, id_col, vec_col)
+    sub = dim // n_subspaces
+
+    # per-(s, j) squared codeword norm — from the codebook alone
+    lutn = codebook.select(
+        "s",
+        "j",
+        _dec_fold(F.transform("cw", lambda x: x * x)).alias("cnorm2"),
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    qnorm = q.select("query_id", _norm(F.col("qvec")).alias("qnorm"))
+    q_sub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("qvec", s * sub + 1, sub) for s in range(n_subspaces)]
+            )
+        ).alias("s", "qs"),
+    ).select("query_id", F.col("s").cast("long").alias("s"), "qs")
+    lut = (
+        q_sub.join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "j",
+            _dec_fold(
+                F.zip_with(F.col("qs"), F.col("cw"), lambda a, b: a * b)
+            ).alias("pdot"),
+        )
+        .join(F.broadcast(lutn), ["s", "j"])
+    )
+
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("pdot").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_adot"),
+            F.sum(F.col("cnorm2").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_xn2"),
+        )
+    )
+    sim = scored.join(F.broadcast(qnorm), "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("_adot") / (F.col("qnorm") * F.sqrt(F.col("_xn2")))).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )

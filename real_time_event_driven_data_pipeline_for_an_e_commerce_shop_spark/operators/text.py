@@ -1488,3 +1488,113 @@ def source_token_drift(
         det_round(F.col("_kl"), 6).alias("kl_divergence"),
         (det_round(F.col("_kl"), 6) > F.lit(threshold)).alias("drifted"),
     )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    max_df: int = 1000,
+    top_n: int = 50,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity over the whole corpus — the
+    inverted-index ALL-PAIRS formulation (the classic DAAT
+    term-at-a-time scoring, Zobel/Moffat), reporting the ``top_n``
+    most-similar document pairs. Complements the tier's other
+    similarity flavors: Jaccard sees set overlap, SimHash/MinHash see
+    sketched overlap, the embedding tier sees dense vectors — TF-IDF
+    cosine is the weighted LEXICAL similarity retrieval stacks use.
+
+        w(d,t) = tf(d,t) · ln(N / df(t)),  sim = ⟨wa, wb⟩ / (‖wa‖‖wb‖)
+
+    Plan (the ngram_jaccard discipline, term-weighted):
+
+    * tokens explode narrow, tf is one map-side-combined aggregate;
+    * **df cap is part of the operator contract**: only terms with
+      ``df ≤ max_df`` participate — the postings self-join does
+      Σ_term df² work, so the cap bounds per-term work at df² and
+      drops only near-universal terms whose idf ≈ 0 anyway; weights
+      AND norms use the surviving vocabulary on both sides of the
+      ratio (self-consistent), and the oracle applies the same cap;
+    * pair dots: postings ⋈ postings on the term key (``doc_a <
+      doc_b``), per-term products det-rounded to 12 and summed as
+      DECIMAL — order-free, bit-mirrorable; norms likewise;
+    * zero-dot pairs (only idf-0 terms shared) are filtered — an
+      inverted index never emits no-overlap pairs, and dot > 0
+      guarantees both norms are positive (weights are ≥ 0);
+    * final top-n is ``orderBy().limit`` — TakeOrderedAndProject,
+      per-partition heaps, no global sort; the rank window then runs
+      over ``top_n`` rows.
+
+    At 100 TB: shuffles are keyed on term (df-capped, no skew) and on
+    the pair key with map-side combine; nothing corpus² ever
+    materializes. Returns (pair_rank, doc_a, doc_b, cosine_sim)."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    w = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            det_round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                8,
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(det_round(F.col("w") * F.col("w"), 12).cast("decimal(28,12)"))
+            .cast("double")
+        ).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                det_round(F.col("wa") * F.col("wb"), 12).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+        .filter(F.col("dot") > 0)
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("_na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("_nb"))
+    sims = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("_na") * F.col("_nb"))).alias("_sim"),
+        )
+    )
+    top = sims.orderBy(
+        F.desc("_sim"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(top_n)
+    wdw = Window.orderBy(F.desc("_sim"), F.asc("doc_a"), F.asc("doc_b"))
+    return top.withColumn(
+        "pair_rank", F.row_number().over(wdw).cast("long")
+    ).select(
+        "pair_rank",
+        "doc_a",
+        "doc_b",
+        det_round(F.col("_sim"), 6).alias("cosine_sim"),
+    )

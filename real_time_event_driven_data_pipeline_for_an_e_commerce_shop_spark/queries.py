@@ -4733,6 +4733,183 @@ def q_ann_ivf_trained_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tfidf_cosine_pairs",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            HAVING COUNT(*) <= 1000),
+    w AS (SELECT tf.doc_id, tf.term,
+                 {round_sql("CAST(tf.tf AS DOUBLE) * ln(CAST(s.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))", 8)} AS w
+          FROM tf JOIN dft d USING (term) CROSS JOIN stats s),
+    norms AS (SELECT doc_id,
+                     sqrt(CAST(SUM(CAST({round_sql("w * w", 12)}
+                          AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+              FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(SUM(CAST({round_sql("a.w * b.w", 12)}
+                         AS DECIMAL(28,12))) AS DOUBLE) AS dot
+             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id
+             HAVING CAST(SUM(CAST({round_sql("a.w * b.w", 12)}
+                  AS DECIMAL(28,12))) AS DOUBLE) > 0),
+    sims AS (SELECT dots.doc_a, dots.doc_b,
+                    dots.dot / (na.nrm * nb.nrm) AS sim
+             FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+                       JOIN norms nb ON nb.doc_id = dots.doc_b)
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY sim DESC, doc_a ASC, doc_b ASC) AS BIGINT)
+               AS pair_rank,
+           doc_a, doc_b, {round_sql("sim", 6)} AS cosine_sim
+    FROM sims
+    ORDER BY pair_rank
+    LIMIT 50
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs top-50 (text.tfidf_cosine_pairs):
+    the weighted-lexical similarity member of the dedup/similarity
+    tier — inverted-index postings self-join (df-capped, Σdf² bounded),
+    det-round-8 ln-idf weights, decimal-summed dots and norms,
+    TakeOrdered top-n. Reference scope: extends the engine's
+    similarity surface (the reference has no text tier)."""
+    t = _t(spark, sf_dir, "documents")
+    return text.tfidf_cosine_pairs(t["documents"])
+
+
+def _pq_oracle(m: int = 4, sub: int = 16, n_codes: int = 16,
+               stride: int = 29, k: int = 5) -> str:
+    """DuckDB mirror of similarity.pq_topk's self-contained form:
+    strided codebook → det-round-12 decimal-summed encode argmin →
+    ADC LUT scoring — every cross-component sum is the exact
+    r12→DECIMAL(28,12) accumulation the engine's ``_dec_fold`` does,
+    so the hash gate covers codebook, codes, LUT, and ranking."""
+    r12 = lambda x: round_sql(x, 12)
+    dsum = lambda t: (
+        f"CAST(SUM(CAST({r12(t)} AS DECIMAL(28,12))) AS DOUBLE)"
+    )
+    sq = (f"(e.vec[c.s*{sub} + r.range] - c.cw[r.range])"
+          f" * (e.vec[c.s*{sub} + r.range] - c.cw[r.range])")
+    return f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    cb AS (
+        SELECT s.range AS s, smp.vec_id AS j,
+               (smp.vec)[(s.range*{sub}+1):((s.range+1)*{sub})] AS cw
+        FROM (SELECT vec_id, vec FROM v WHERE vec_id % {stride} = 0
+              ORDER BY vec_id LIMIT {n_codes}) smp
+        CROSS JOIN range(0, {m}) s
+    ),
+    dists AS (
+        SELECT e.vec_id, c.s, c.j, {dsum(sq)} AS dist
+        FROM v e CROSS JOIN cb c CROSS JOIN range(1, {sub + 1}) r
+        GROUP BY e.vec_id, c.s, c.j
+    ),
+    codes AS (
+        SELECT vec_id, s, j FROM dists
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY dist ASC, j ASC) = 1
+    ),
+    lutn AS (
+        SELECT c.s, c.j,
+               {dsum("c.cw[r.range] * c.cw[r.range]")} AS cnorm2
+        FROM cb c CROSS JOIN range(1, {sub + 1}) r GROUP BY c.s, c.j
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec,
+                 sqrt(list_dot_product(vec, vec)) AS qnorm
+          FROM v WHERE vec_id < 10),
+    lut AS (
+        SELECT q.query_id, c.s, c.j,
+               {dsum(f"q.qvec[c.s*{sub} + r.range] * c.cw[r.range]")} AS pdot
+        FROM q CROSS JOIN cb c CROSS JOIN range(1, {sub + 1}) r
+        GROUP BY q.query_id, c.s, c.j
+    ),
+    scored AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE) AS adot,
+               CAST(SUM(CAST(n.cnorm2 AS DECIMAL(28,12))) AS DOUBLE) AS xn2
+        FROM codes cd
+        JOIN lut l ON l.s = cd.s AND l.j = cd.j
+        JOIN lutn n ON n.s = cd.s AND n.j = cd.j
+        WHERE cd.vec_id != l.query_id
+        GROUP BY l.query_id, cd.vec_id
+    ),
+    sims AS (
+        SELECT s.query_id, s.neighbor_id,
+               s.adot / (q.qnorm * sqrt(s.xn2)) AS sim
+        FROM scored s JOIN q USING (query_id)
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM sims
+    QUALIFY sim_rank <= {k}
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jegou2011; the FAISS-IVFPQ
+    compression idea, Spark-first): the corpus is re-expressed as 4
+    codes/vector against a strided 4×16 codebook and queries score
+    CODES via a broadcast LUT join — the serving scan never reads a
+    corpus vector. Joins the accuracy-measured sketch/ANN tier beside
+    int8 (4×) with the 64× storage path; recall vs exact is measured
+    in BASELINE.md's ANN quantizer table. Self-contained oracle-pure
+    form: codebook + encode run in-plan (the hash gate covers the full
+    fit→encode→score lifecycle); ``ann_pq_state`` serves the landed
+    codes table instead."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+    )
+
+
+def _pq_model_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per session per embeddings signature) the PQ model:
+    the 64-row codebook AND the encoded corpus codes table — at serve
+    time a query touches only these (m ints/vector, 64× narrower than
+    the raw vectors), which is the entire point of PQ at 100 TB."""
+
+    def build(zone: str) -> None:
+        from .sinks.files import write_zone_table
+
+        emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+        cb = similarity.pq_codebook(emb)
+        write_zone_table(cb, zone, "pq_codebook", layout="flat")
+        codes = similarity.pq_encode(
+            emb, spark.read.parquet(os.path.join(zone, "pq_codebook"))
+        )
+        write_zone_table(codes, zone, "pq_codes", layout="flat")
+
+    return _shared_state_zone("pq_model", sf_dir, build, table="embeddings")
+
+
+@query("ann_pq_state", oracle=ORACLES["ann_pq_topk"])
+def q_ann_pq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_pq_topk served from the LANDED model zone: codebook + codes
+    land once per session per embeddings signature; this plan reads
+    the two model tables and runs only LUT build + ADC scan — the
+    query-time input is |corpus|·(s, code) ints, no embedding scan of
+    the corpus side (queries themselves are a pushdown-pruned
+    ``vec_id < 10`` read). Same oracle as ann_pq_topk: codes/codebook
+    survive the parquet round-trip bit-exactly (longs + doubles)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _pq_model_zone(spark, sf_dir)
+    cb = spark.read.parquet(os.path.join(zone, "pq_codebook"))
+    codes = spark.read.parquet(os.path.join(zone, "pq_codes"))
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        codebook=cb, codes=codes,
+    )
+
+
 def _cluster_ctfidf_top_terms(
     term_state: DataFrame,
     clusters: DataFrame,
@@ -5843,6 +6020,13 @@ _SWEEP_PRIORITY = [
     # extracted to module level + the in-plan dim assert landed -
     # value-identical, but the expression tree changed).
     "bpe_merges",
+    # r10 continuation: the PQ pair (never driver-checked) takes the
+    # slots of important_parts / lineitem_stats — both re-verified
+    # hash-green via scripts/check_oracle.py this session (2026-08-15)
+    # with untouched TPC-H shapes; rotate them forward in r11.
+    "ann_pq_topk",
+    "ann_pq_state",
+    "tfidf_cosine_pairs",
     "bpe_subword_stats",
     "bpe_doc_token_count",
     "cms_heavy_hitters",
@@ -5893,14 +6077,17 @@ _SWEEP_PRIORITY = [
     # rotate it forward in r11 beside lang_id)
     "event_props_typed",
     "events_daily",
-    "global_sales_opportunity",
+    # (global_sales_opportunity yields its slot to tfidf_cosine_pairs:
+    # re-verified hash-green this session, untouched Q22 shape)
     "grouping_sets_sql",
-    "important_parts",
+    # (important_parts yields its slot to ann_pq_topk: re-verified
+    # hash-green this session, untouched shape)
     "kpi_unpivot",
     # (lang_id yields its Group-B slot to bpe_subword_stats: it was
     # judge-re-verified green in the r9 session with code untouched
     # since; rotate it forward in r11)
-    "lineitem_stats",
+    # (lineitem_stats yields its slot to ann_pq_state: re-verified
+    # hash-green this session, untouched Q1 shape)
     "market_basket",
     # (min_cost_supplier yields its slot to cms_heavy_hitters:
     # re-verified hash-green this session, untouched Q2 shape)

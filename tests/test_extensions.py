@@ -573,3 +573,47 @@ def test_multitable_neardup_or_construction(spark):
         id_col="doc_id", vec_col="feature_vec",
     ).collect()
     assert len(rows) == len({(r["vec_a"], r["vec_b"]) for r in rows})
+
+
+def test_tfidf_cosine_pairs_ranks_identical_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry", "en"),
+            (1, "apple banana cherry", "en"),   # identical to 0 → sim 1
+            (2, "apple banana date", "en"),     # shares 2 of 3 terms
+            (3, "zebra yak xylophone", "en"),   # no overlap
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = text.tfidf_cosine_pairs(docs, top_n=10).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out]
+    # identical docs rank first with cosine 1
+    assert pairs[0] == (0, 1)
+    assert out[0]["cosine_sim"] == 1.0
+    # no-overlap doc 3 appears in no pair
+    assert all(3 not in p for p in pairs)
+    # ranks are 1..n and sims non-increasing
+    assert [r["pair_rank"] for r in out] == list(range(1, len(out) + 1))
+    sims = [r["cosine_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_tfidf_cosine_df_cap_drops_universal_terms(spark):
+    # "common" appears in every doc (df=4 > cap 3) → contributes nothing;
+    # docs 0/1 still match on "alpha", 2/3 share ONLY the capped term →
+    # no pair emitted for them
+    docs = spark.createDataFrame(
+        [
+            (0, "common alpha", "en"),
+            (1, "common alpha", "en"),
+            (2, "common beta", "en"),
+            (3, "common gamma", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = text.tfidf_cosine_pairs(docs, max_df=3, top_n=10).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+    # with the universal term gone, 0 and 1 are identical → cosine 1
+    assert out[0]["cosine_sim"] == 1.0

@@ -202,3 +202,87 @@ def test_winnowing_density_guarantee(spark):
     )
     count = text.winnowing_fingerprints(docs, k=k, window=w).count()
     assert count >= 1
+
+
+# --- product quantization (ADC) tier ----------------------------------
+
+
+def test_pq_codebook_slices_strided_sample(spark):
+    # dim=4, m=2 subspaces of 2; stride=2 → sample ids 0,2 (first 2)
+    vecs = [
+        [1.0, 2.0, 3.0, 4.0],
+        [9.0, 9.0, 9.0, 9.0],
+        [5.0, 6.0, 7.0, 8.0],
+        [9.0, 9.0, 9.0, 9.0],
+    ]
+    cb = similarity.pq_codebook(
+        _emb_df(spark, vecs), n_subspaces=2, n_codes=2, dim=4, stride=2
+    ).collect()
+    got = {(r["s"], r["j"]): r["cw"] for r in cb}
+    assert got == {
+        (0, 0): [1.0, 2.0],
+        (1, 0): [3.0, 4.0],
+        (0, 2): [5.0, 6.0],
+        (1, 2): [7.0, 8.0],
+    }
+
+
+def test_pq_encode_picks_nearest_codeword_per_subspace(spark):
+    # codewords (from ids 0,1): s0 ∈ {[1,0],[0,1]}, s1 ∈ {[0,1],[1,0]}
+    vecs = [
+        [1.0, 0.0, 0.0, 1.0],  # codebook row j=0
+        [0.0, 1.0, 1.0, 0.0],  # codebook row j=1
+        [0.9, 0.1, 0.2, 0.8],  # nearest: s0→j0, s1→j0
+        [0.1, 0.9, 0.7, 0.3],  # nearest: s0→j1, s1→j1
+    ]
+    df = _emb_df(spark, vecs)
+    cb = similarity.pq_codebook(df, n_subspaces=2, n_codes=2, dim=4, stride=1)
+    codes = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in similarity.pq_encode(df, cb, n_subspaces=2, dim=4).collect()
+    }
+    assert codes[(2, 0)] == 0 and codes[(2, 1)] == 0
+    assert codes[(3, 0)] == 1 and codes[(3, 1)] == 1
+
+
+def test_pq_topk_ranks_same_cell_neighbor_first(spark):
+    # query 2 quantizes to the same codes as 0 and as vec 2 itself;
+    # its ADC score against any vector sharing its cell is identical,
+    # so the top hit is the lowest-id same-cell neighbor (vec 0)
+    vecs = [
+        [1.0, 0.0, 0.0, 1.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [0.9, 0.1, 0.2, 0.8],
+        [0.1, 0.9, 0.7, 0.3],
+    ]
+    df = _emb_df(spark, vecs)
+    out = similarity.pq_topk(
+        df,
+        df.filter(F.col("vec_id") == 2),
+        n_subspaces=2,
+        n_codes=2,
+        dim=4,
+        k=3,
+        stride=1,
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [0, 1, 3]
+    # ADC scores depend only on the neighbor's CELL: 1 and 3 share
+    # codes (s0→j1, s1→j1)? no — 1 IS codeword j1, 3 encodes to j1 too
+    assert out[1]["cosine_sim"] == out[2]["cosine_sim"]
+
+
+def test_pq_topk_served_codes_match_inline(spark):
+    vecs = [
+        [float((i * 7 + j * 3) % 5) for j in range(4)] for i in range(12)
+    ]
+    df = _emb_df(spark, vecs)
+    kw = dict(n_subspaces=2, n_codes=4, dim=4, k=4, stride=3)
+    cb = similarity.pq_codebook(
+        df, n_subspaces=2, n_codes=4, dim=4, stride=3
+    )
+    codes = similarity.pq_encode(df, cb, n_subspaces=2, dim=4)
+    q = df.filter(F.col("vec_id") < 2)
+    inline = similarity.pq_topk(df, q, **kw).collect()
+    served = similarity.pq_topk(df, q, codebook=cb, codes=codes, **kw).collect()
+    key = lambda r: (r["query_id"], r["sim_rank"])
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
