@@ -70,6 +70,8 @@ HEADLINE = [
     "ann_ivf_trained_state",
     "ann_pq_topk",
     "ann_pq_state",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_state",
     "tfidf_cosine_pairs",
     "winnowing_fingerprint",
     "token_count_bpe",

@@ -1049,3 +1049,338 @@ def pq_topk(
             det_round(F.col("_sim"), 6).alias("cosine_sim"),
         )
     )
+
+
+def ivfpq_model(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    stride: int = 29,
+    cb_stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the IVF-PQ model (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search" — the FAISS ``IVFADC`` index) over the
+    corpus: returns ``(centroids, codebook, codes)``.
+
+    * ``centroids (cid, cvec)`` — the coarse quantizer cells. Default
+      is the strided deterministic sample (:func:`ivf_topk`'s
+      oracle-mirrorable fallback); pass a trained table (e.g.
+      ``ml.kmeans_fixed``) for the production configuration.
+    * ``codebook (s, j, cw)`` — ONE shared per-subspace codebook over
+      coarse RESIDUALS ``r = x − c(x)`` (FAISS's default: a single
+      residual codebook across cells, not per-cell books — m·k rows
+      total, broadcast-sized at any corpus size). Codewords are the
+      residuals of a second strided sample (``id % cb_stride``, code
+      id j IS the sample's vec_id — no window, identical tie-breaks
+      cross-engine).
+    * ``codes (vec_id, cluster_id, s, code)`` — every corpus vector
+      encoded as its cell id + m sub-codes, argmin squared-L2 per
+      subspace with det-round-12 decimal partial sums (ties → lowest
+      j). THIS is the only corpus-scale table a query ever scans.
+
+    Scale shape: the assignment is the :func:`ivf_topk` broadcast
+    argmax (shuffle carries |corpus| rows, centroids stay DATA);
+    residuals are a projection over the assigned rows (no extra
+    shuffle); the encode is the :func:`pq_encode` ×m slice fan-out +
+    broadcast codebook join + map-side-combined struct-min. At 100 TB
+    the codes table is written partitioned by ``cluster_id`` so the
+    probe join prunes cells at the file level.
+    """
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("centroid_vec").alias("cvec"),
+        )
+    else:
+        cent = (
+            embeddings.filter(F.col(id_col) % stride == 0)
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).cast("long").alias("cid"),
+                as_double(F.col(vec_col)).alias("cvec"),
+            )
+        )
+
+    # coarse assignment: broadcast argmax over cells (ivf_topk shape)
+    assigned = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            as_double(F.col(vec_col)).alias("_vec"),
+        )
+        .join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.struct(
+                cosine(F.col("_vec"), F.col("cvec")).alias("s"),
+                (-F.col("cid")).alias("nc"),
+                F.col("_vec").alias("vec"),
+                F.col("cvec").alias("cvec"),
+            ).alias("_cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("_cand").alias("_best"))
+        .select(
+            "vec_id",
+            (-F.col("_best.nc")).alias("cluster_id"),
+            F.zip_with("_best.vec", "_best.cvec", lambda a, b: a - b).alias(
+                "rvec"
+            ),
+        )
+    )
+
+    sub = dim // n_subspaces
+    codebook = (
+        assigned.filter(F.col("vec_id") % cb_stride == 0)
+        .orderBy(F.col("vec_id"))
+        .limit(n_codes)
+        .select(
+            F.col("vec_id").alias("j"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("rvec", s * sub + 1, sub)
+                        for s in range(n_subspaces)
+                    ]
+                )
+            ).alias("s", "cw"),
+        )
+        .select(F.col("s").cast("long").alias("s"), "j", "cw")
+    )
+
+    sub_rows = assigned.select(
+        "vec_id",
+        "cluster_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("rvec", s * sub + 1, sub) for s in range(n_subspaces)]
+            )
+        ).alias("s", "sv"),
+    ).select("vec_id", "cluster_id", F.col("s").cast("long").alias("s"), "sv")
+    codes = (
+        sub_rows.join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "s",
+            F.struct(
+                _dec_fold(
+                    F.zip_with(
+                        F.col("sv"), F.col("cw"), lambda a, b: (a - b) * (a - b)
+                    )
+                ).alias("dist"),
+                F.col("j").alias("j"),
+            ).alias("_cand"),
+        )
+        .groupBy("vec_id", "cluster_id", "s")
+        .agg(F.min("_cand").alias("_best"))
+        .select("vec_id", "cluster_id", "s", F.col("_best.j").alias("code"))
+    )
+    return cent, codebook, codes
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    stride: int = 29,
+    cb_stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (``IVFADC``) approximate top-k: coarse cells prune the
+    scan to ``n_probe`` inverted lists AND product quantization
+    compresses what remains to m sub-codes per vector — the two
+    orthogonal scale levers of :func:`ivf_topk` (read fewer rows) and
+    :func:`pq_topk` (read narrower rows) composed, which is the
+    architecture every production vector store serves from at 100 TB.
+
+    Scoring is asymmetric (ADC) against the implicit reconstruction
+    ``x̂ = c + r̂``::
+
+        dot(q, x̂)  = dot(q, c) + Σ_s dot(q_s, cw[s, code_s])
+        ‖x̂‖²       = ‖c‖² + 2·Σ_s dot(c_s, cw[s, code_s])
+                          + Σ_s ‖cw[s, code_s]‖²
+
+    Every Σ_s is assembled from broadcast lookup tables — ``pdot``
+    (|q|·m·k rows, query-side), ``cdot``/``cw2`` (n_clusters·m·k and
+    m·k rows, model-side constants) — joined against the CODES of the
+    probed cells only, then reduced by one map-side-combined
+    (query_id, vec_id) decimal sum. The serving scan therefore reads
+    ``|probed cells| × m`` small ints and never a corpus vector; at
+    scale the codes table is partitioned by ``cluster_id`` so the
+    probe join is file-pruned.
+
+    All cross-component sums are det-round-12 decimal accumulations
+    (:func:`_dec_fold` / DECIMAL(28,12) partials) — bit-reproducible
+    and mirrored term-for-term by the DuckDB oracle. Ties: probe order
+    (cos DESC, cid ASC), encode argmin (dist ASC, j ASC), final rank
+    (sim DESC, neighbor_id ASC).
+
+    Pass ``centroids``/``codebook``/``codes`` (e.g. landed model-zone
+    tables) to skip the fit — the serving seam; defaults fit in-plan
+    (the self-contained oracle-gated form).
+    """
+    if centroids is None or codebook is None or codes is None:
+        cent, cb, cds = ivfpq_model(
+            embeddings, n_clusters, n_probe, n_subspaces, n_codes, dim,
+            stride, cb_stride, id_col, vec_col, centroids=centroids,
+        )
+        codebook = cb if codebook is None else codebook
+        codes = cds if codes is None else codes
+    else:
+        cent = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("cvec").alias("cvec"),
+        )
+    sub = dim // n_subspaces
+
+    # model-side constant LUTs (m·k and n_clusters·m·k rows)
+    cw2 = codebook.select(
+        "s", "j", _dec_fold(F.transform("cw", lambda x: x * x)).alias("cw2")
+    )
+    cent_sub = cent.select(
+        "cid",
+        F.posexplode(
+            F.array(
+                *[F.slice("cvec", s * sub + 1, sub) for s in range(n_subspaces)]
+            )
+        ).alias("s", "cs"),
+    ).select("cid", F.col("s").cast("long").alias("s"), "cs")
+    cdot = cent_sub.join(F.broadcast(codebook), "s").select(
+        "cid",
+        "s",
+        "j",
+        _dec_fold(F.zip_with(F.col("cs"), F.col("cw"), lambda a, b: a * b)).alias(
+            "cdot"
+        ),
+    )
+    cn2 = cent.select(
+        "cid", _dec_fold(F.transform("cvec", lambda x: x * x)).alias("cnorm2")
+    )
+
+    # query-side: probe n_probe cells, keep dot(q, c) per probed cell
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    qnorm = q.select("query_id", _norm(F.col("qvec")).alias("qnorm"))
+    probed = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "qvec",
+        F.col("cid").alias("cluster_id"),
+        cosine(F.col("qvec"), F.col("cvec")).alias("_csim"),
+        _dec_fold(
+            F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b)
+        ).alias("qdotc"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), F.asc("cluster_id")
+    )
+    probes = (
+        probed.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "cluster_id", "qdotc")
+    )
+    q_sub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("qvec", s * sub + 1, sub) for s in range(n_subspaces)]
+            )
+        ).alias("s", "qs"),
+    ).select("query_id", F.col("s").cast("long").alias("s"), "qs")
+    pdot = q_sub.join(F.broadcast(codebook), "s").select(
+        "query_id",
+        "s",
+        "j",
+        _dec_fold(F.zip_with(F.col("qs"), F.col("cw"), lambda a, b: a * b)).alias(
+            "pdot"
+        ),
+    )
+
+    # the serving scan: probed cells' codes × broadcast LUTs, then one
+    # map-side-combined decimal reduction per (query, vector)
+    scored = (
+        codes.join(
+            F.broadcast(probes.select("query_id", "cluster_id", "qdotc")),
+            "cluster_id",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(pdot.withColumnRenamed("j", "code")),
+            ["query_id", "s", "code"],
+        )
+        .join(
+            F.broadcast(
+                cdot.withColumnRenamed("cid", "cluster_id").withColumnRenamed(
+                    "j", "code"
+                )
+            ),
+            ["cluster_id", "s", "code"],
+        )
+        .join(
+            F.broadcast(cw2.withColumnRenamed("j", "code")), ["s", "code"]
+        )
+        .groupBy("query_id", "vec_id", "cluster_id", "qdotc")
+        .agg(
+            F.sum(F.col("pdot").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_rdot"),
+            F.sum(F.col("cdot").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_rcdot"),
+            F.sum(F.col("cw2").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_rn2"),
+        )
+    )
+    sim = (
+        scored.join(
+            F.broadcast(cn2.withColumnRenamed("cid", "cluster_id")),
+            "cluster_id",
+        )
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                (F.col("qdotc") + F.col("_rdot"))
+                / (
+                    F.col("qnorm")
+                    * F.sqrt(
+                        F.col("cnorm2")
+                        + F.lit(2.0) * F.col("_rcdot")
+                        + F.col("_rn2")
+                    )
+                )
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )

@@ -4910,6 +4910,197 @@ def q_ann_pq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
+                  sub: int = 16, n_codes: int = 16, stride: int = 29,
+                  cb_stride: int = 31, k: int = 5) -> str:
+    """DuckDB mirror of similarity.ivfpq_topk's self-contained form —
+    the full IVFADC lifecycle: strided coarse cells → cosine-argmax
+    assignment → residuals → strided residual codebook → det-round-12
+    decimal-summed encode argmin → ADC scoring (dot(q,c) + Σ_s LUT
+    terms over the probed cells only) → per-query rank. Every
+    cross-component sum is the exact r12→DECIMAL(28,12) accumulation
+    the engine's ``_dec_fold`` / decimal partial aggregates do."""
+    r12 = lambda x: round_sql(x, 12)
+    dsum = lambda t: (
+        f"CAST(SUM(CAST({r12(t)} AS DECIMAL(28,12))) AS DOUBLE)"
+    )
+    dim = m * sub
+    cos = (
+        "(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))))"
+    )
+    sq = (f"(e.rvec[c.s*{sub} + r.range] - c.cw[r.range])"
+          f" * (e.rvec[c.s*{sub} + r.range] - c.cw[r.range])")
+    return f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cid, vec AS cvec FROM v
+        WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {n_clusters}
+    ),
+    assign AS (
+        SELECT vec_id, cid, vec, cvec FROM (
+            SELECT a.vec_id, c.cid, a.vec, c.cvec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cos.format(a="a.vec", b="c.cvec")} DESC,
+                           c.cid ASC) AS rn
+            FROM v a CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    res AS (
+        SELECT vec_id, cid,
+               list_transform(range(1, {dim + 1}),
+                              i -> vec[i] - cvec[i]) AS rvec
+        FROM assign
+    ),
+    cb AS (
+        SELECT s.range AS s, smp.vec_id AS j,
+               (smp.rvec)[(s.range*{sub}+1):((s.range+1)*{sub})] AS cw
+        FROM (SELECT vec_id, rvec FROM res WHERE vec_id % {cb_stride} = 0
+              ORDER BY vec_id LIMIT {n_codes}) smp
+        CROSS JOIN range(0, {m}) s
+    ),
+    dists AS (
+        SELECT e.vec_id, e.cid, c.s, c.j, {dsum(sq)} AS dist
+        FROM res e CROSS JOIN cb c CROSS JOIN range(1, {sub + 1}) r
+        GROUP BY e.vec_id, e.cid, c.s, c.j
+    ),
+    codes AS (
+        SELECT vec_id, cid, s, j FROM dists
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY dist ASC, j ASC) = 1
+    ),
+    cw2 AS (
+        SELECT c.s, c.j, {dsum("c.cw[r.range] * c.cw[r.range]")} AS cw2
+        FROM cb c CROSS JOIN range(1, {sub + 1}) r GROUP BY c.s, c.j
+    ),
+    cdt AS (
+        SELECT t.cid, c.s, c.j,
+               {dsum(f"t.cvec[c.s*{sub} + r.range] * c.cw[r.range]")} AS cdot
+        FROM cents t CROSS JOIN cb c CROSS JOIN range(1, {sub + 1}) r
+        GROUP BY t.cid, c.s, c.j
+    ),
+    cn2 AS (
+        SELECT cid, {dsum("cvec[r.range] * cvec[r.range]")} AS cnorm2
+        FROM cents CROSS JOIN range(1, {dim + 1}) r GROUP BY cid
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec,
+                 sqrt(list_dot_product(vec, vec)) AS qnorm
+          FROM v WHERE vec_id < 10),
+    qc AS (
+        SELECT q.query_id, c.cid,
+               {cos.format(a="q.qvec", b="c.cvec")} AS csim
+        FROM q CROSS JOIN cents c
+    ),
+    qd AS (
+        SELECT q.query_id, c.cid,
+               {dsum("q.qvec[r.range] * c.cvec[r.range]")} AS qdotc
+        FROM q CROSS JOIN cents c CROSS JOIN range(1, {dim + 1}) r
+        GROUP BY q.query_id, c.cid
+    ),
+    probes AS (
+        SELECT query_id, cid, qdotc FROM (
+            SELECT qc.query_id, qc.cid, qd.qdotc,
+                   ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                       ORDER BY qc.csim DESC, qc.cid ASC) AS rn
+            FROM qc JOIN qd USING (query_id, cid))
+        WHERE rn <= {n_probe}
+    ),
+    lut AS (
+        SELECT q.query_id, c.s, c.j,
+               {dsum(f"q.qvec[c.s*{sub} + r.range] * c.cw[r.range]")} AS pdot
+        FROM q CROSS JOIN cb c CROSS JOIN range(1, {sub + 1}) r
+        GROUP BY q.query_id, c.s, c.j
+    ),
+    scored AS (
+        SELECT p.query_id, cd.vec_id AS neighbor_id, cd.cid, p.qdotc,
+               CAST(SUM(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE) AS rdot,
+               CAST(SUM(CAST(dt.cdot AS DECIMAL(28,12))) AS DOUBLE) AS rcdot,
+               CAST(SUM(CAST(w2.cw2 AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+        FROM codes cd
+        JOIN probes p ON p.cid = cd.cid
+        JOIN lut l ON l.query_id = p.query_id AND l.s = cd.s AND l.j = cd.j
+        JOIN cdt dt ON dt.cid = cd.cid AND dt.s = cd.s AND dt.j = cd.j
+        JOIN cw2 w2 ON w2.s = cd.s AND w2.j = cd.j
+        WHERE cd.vec_id != p.query_id
+        GROUP BY p.query_id, cd.vec_id, cd.cid, p.qdotc
+    ),
+    sims AS (
+        SELECT s.query_id, s.neighbor_id,
+               (s.qdotc + s.rdot)
+               / (q.qnorm * sqrt(n.cnorm2 + 2.0 * s.rcdot + s.rn2)) AS sim
+        FROM scored s JOIN cn2 n ON n.cid = s.cid JOIN q USING (query_id)
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM sims
+    QUALIFY sim_rank <= {k}
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ / IVFADC approximate top-k (Jegou et al. 2011 §IV — the
+    FAISS production index, Spark-first): coarse cells prune the scan
+    to n_probe inverted lists (ann_ivf_topk's lever: read fewer rows)
+    AND product quantization over coarse RESIDUALS compresses what
+    remains to 4 codes/vector (ann_pq_topk's lever: read narrower
+    rows). The serving scan touches only the probed cells' codes; all
+    distance assembly is broadcast-LUT joins + one map-side-combined
+    decimal reduction. Self-contained oracle-pure form: cells,
+    residual codebook, and codes all fit in-plan so the hash gate
+    covers the full lifecycle; ``ann_ivfpq_state`` serves the landed
+    model. Reference scope: extends the ANN tier (the reference has no
+    vector surface)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+    )
+
+
+def _ivfpq_model_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per session per embeddings signature) the full
+    IVF-PQ model: 16-row coarse centroids, 64-row residual codebook,
+    and the encoded corpus codes table (cell id + 4 sub-codes per
+    vector). At 100 TB the codes table would be written partitioned by
+    ``cluster_id`` so the probe join file-prunes cells; at test scale
+    a flat layout keeps the zone read cheap."""
+
+    def build(zone: str) -> None:
+        from .sinks.files import write_zone_table
+
+        emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+        cent, cb, codes = similarity.ivfpq_model(emb)
+        write_zone_table(cent, zone, "ivfpq_centroids", layout="flat")
+        write_zone_table(cb, zone, "ivfpq_codebook", layout="flat")
+        write_zone_table(codes, zone, "ivfpq_codes", layout="flat")
+
+    return _shared_state_zone("ivfpq_model", sf_dir, build, table="embeddings")
+
+
+@query("ann_ivfpq_state", oracle=ORACLES["ann_ivfpq_topk"])
+def q_ann_ivfpq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivfpq_topk served from the LANDED model zone: centroids +
+    residual codebook + codes land once per session per embeddings
+    signature; this plan runs only probe selection + the ADC scan over
+    the probed cells' codes — query-time corpus input is (cell, s,
+    code) ints with zero embedding scans on the corpus side. Same
+    oracle: the model tables survive the parquet round-trip bit-exactly
+    (longs + doubles)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _ivfpq_model_zone(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(zone, "ivfpq_centroids"))
+    cb = spark.read.parquet(os.path.join(zone, "ivfpq_codebook"))
+    codes = spark.read.parquet(os.path.join(zone, "ivfpq_codes"))
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        centroids=cent, codebook=cb, codes=codes,
+    )
+
+
 def _cluster_ctfidf_top_terms(
     term_state: DataFrame,
     clusters: DataFrame,
@@ -6026,6 +6217,12 @@ _SWEEP_PRIORITY = [
     # with untouched TPC-H shapes; rotate them forward in r11.
     "ann_pq_topk",
     "ann_pq_state",
+    # the IVFADC composition (never driver-checked) takes the slots of
+    # approx_distinct_users / event_props_typed — both re-verified
+    # hash-green via scripts/check_oracle.py this session (2026-08-15)
+    # with untouched code; rotate them forward in r11.
+    "ann_ivfpq_topk",
+    "ann_ivfpq_state",
     "tfidf_cosine_pairs",
     "bpe_subword_stats",
     "bpe_doc_token_count",
@@ -6061,7 +6258,9 @@ _SWEEP_PRIORITY = [
     # (VERDICT r9 "What's missing" #3), all rotated in: the
     # freshness floor moves to r8. 12 + 38 fill the 50-slot
     # window exactly.
-    "approx_distinct_users",
+    # (approx_distinct_users and event_props_typed yield their slots
+    # to the ann_ivfpq pair: re-verified hash-green this session,
+    # untouched code)
     "category_kpi",
     "category_rank_daily",
     "chunk_dedup_hashed",
@@ -6075,7 +6274,6 @@ _SWEEP_PRIORITY = [
     # (event_json_kpi yields its slot to cluster_assignment_stream:
     # judge-re-verified green in the r9 session, code untouched since;
     # rotate it forward in r11 beside lang_id)
-    "event_props_typed",
     "events_daily",
     # (global_sales_opportunity yields its slot to tfidf_cosine_pairs:
     # re-verified hash-green this session, untouched Q22 shape)

@@ -286,3 +286,84 @@ def test_pq_topk_served_codes_match_inline(spark):
     served = similarity.pq_topk(df, q, codebook=cb, codes=codes, **kw).collect()
     key = lambda r: (r["query_id"], r["sim_rank"])
     assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
+
+
+def test_ivfpq_model_shapes_and_single_cell_per_vector(spark):
+    vecs = [
+        [float((i * 7 + j * 3) % 5) for j in range(4)] for i in range(12)
+    ]
+    df = _emb_df(spark, vecs)
+    cent, cb, codes = similarity.ivfpq_model(
+        df, n_clusters=2, n_subspaces=2, n_codes=3, dim=4,
+        stride=5, cb_stride=4,
+    )
+    assert cent.count() == 2
+    # residual codebook: m * n_codes rows, each cw a sub-dim slice
+    cb_rows = cb.collect()
+    assert len(cb_rows) == 2 * 3
+    assert all(len(r["cw"]) == 2 for r in cb_rows)
+    # codes: exactly one (cluster, code) per (vector, subspace)
+    code_rows = codes.collect()
+    assert len(code_rows) == 12 * 2
+    cells = {}
+    for r in code_rows:
+        cells.setdefault(r["vec_id"], set()).add(r["cluster_id"])
+    assert all(len(c) == 1 for c in cells.values())
+
+
+def test_ivfpq_neighbors_come_from_probed_cells_only(spark):
+    # two tight clusters far apart; centroids = strided ids 0 and 3
+    a = [[1.0, 0.0, 0.0, 0.0], [0.99, 0.01, 0.0, 0.0], [0.98, 0.02, 0.0, 0.0]]
+    b = [[0.0, 0.0, 0.0, 1.0], [0.0, 0.01, 0.0, 0.99], [0.0, 0.02, 0.0, 0.98]]
+    df = _emb_df(spark, a + b)
+    out = similarity.ivfpq_topk(
+        df, df.filter(F.col("vec_id") == 0),
+        n_clusters=2, n_probe=1, n_subspaces=2, n_codes=6, dim=4, k=5,
+        stride=3, cb_stride=1,
+    ).collect()
+    # query 0 probes its own cell only → cross-cluster ids 3-5 never appear
+    assert {r["neighbor_id"] for r in out} == {1, 2}
+
+
+def test_ivfpq_exact_when_every_residual_is_a_codeword(spark):
+    """With cb_stride=1 and n_codes >= |corpus| every corpus residual
+    IS a codeword, so the ADC reconstruction x̂ = c + r̂ is exact and
+    (at full probe) IVF-PQ must reproduce brute-force cosine top-k to
+    the det-round-6 digit."""
+    vecs = [
+        [float((i * 13 + j * 5) % 7) + 0.25 * j for j in range(4)]
+        for i in range(8)
+    ]
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 2)
+    approx = similarity.ivfpq_topk(
+        df, q, n_clusters=2, n_probe=2, n_subspaces=2, n_codes=8, dim=4,
+        k=3, stride=3, cb_stride=1,
+    ).collect()
+    exact = similarity.brute_force_topk(df, q, k=3).collect()
+    key = lambda r: (r["query_id"], r["sim_rank"])
+    got = {key(r): (r["neighbor_id"], r["cosine_sim"]) for r in approx}
+    want = {key(r): (r["neighbor_id"], r["cosine_sim"]) for r in exact}
+    assert set(got) == set(want)
+    for kk in want:
+        assert got[kk][0] == want[kk][0], (kk, got[kk], want[kk])
+        assert abs(got[kk][1] - want[kk][1]) <= 1e-6
+
+
+def test_ivfpq_served_model_matches_inline(spark):
+    vecs = [
+        [float((i * 7 + j * 3) % 5) for j in range(4)] for i in range(12)
+    ]
+    df = _emb_df(spark, vecs)
+    kw = dict(n_clusters=2, n_probe=2, n_subspaces=2, n_codes=3, dim=4,
+              k=4, stride=5, cb_stride=4)
+    cent, cb, codes = similarity.ivfpq_model(
+        df, n_clusters=2, n_subspaces=2, n_codes=3, dim=4,
+        stride=5, cb_stride=4,
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    inline = similarity.ivfpq_topk(df, q, **kw).collect()
+    served = similarity.ivfpq_topk(
+        df, q, centroids=cent, codebook=cb, codes=codes, **kw
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, served))

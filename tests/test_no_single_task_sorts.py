@@ -127,6 +127,17 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "only — the Lloyd-iteration broadcasts live in the one-time "
         "model-zone build, not in this plan"
     ),
+    "ann_ivfpq_topk": (
+        "k coarse-centroid rows broadcast twice — corpus argmax assign "
+        "(the ann_ivf_topk attach) and query probe selection; the "
+        "residual codebook and every ADC LUT ride equi-key broadcast "
+        "hash joins"
+    ),
+    "ann_ivfpq_state": (
+        "k LANDED centroid rows broadcast for probe selection only — "
+        "assignment/encode live in the one-time model-zone build, not "
+        "in this plan"
+    ),
     "hybrid_search_rrf": "built on ann_cosine_topk's exact baseline",
     "dsir_selection": (
         "one-row model-total broadcasts (n_raw, n_tgt) — the hashed "
