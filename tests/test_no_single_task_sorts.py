@@ -177,6 +177,12 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "same one-row weight-vector broadcasts as the fit, plus the "
         "final fitted-weights scalar attach for scoring"
     ),
+    "tfidf_cosine_pairs": (
+        "one-row n_docs total broadcast (the IDF attach, "
+        "operators/text.py tfidf_cosine_pairs) — the pair candidates "
+        "themselves ride a df-capped inverted-index equi-join, same "
+        "shape as bm25_search's corpus-stats attach"
+    ),
 }
 
 
