@@ -1096,6 +1096,15 @@ def bpe_subword_stats(
         checkpoint_every=checkpoint_every,
         return_vocab=True,
     )
+    return bpe_subword_stats_from_vocab(vocab, top=top)
+
+
+def bpe_subword_stats_from_vocab(vocab: DataFrame, top: int = 20) -> DataFrame:
+    """The APPLY half of :func:`bpe_subword_stats` over an
+    already-learned merged vocab state ``(seq, n)`` — the form the
+    shared BPE model zone serves (learn once per corpus signature,
+    inspect many times). Pure |vocab|-row arithmetic: no corpus scan,
+    no merge loop, no driver round-trips."""
     arr = F.split(
         F.expr("substring(seq, 2, length(seq) - 2)"), "><"
     )
@@ -1252,6 +1261,17 @@ def bpe_doc_token_count(
         checkpoint_every=checkpoint_every,
         return_vocab=True,
     )
+    return bpe_doc_token_count_from_vocab(documents, vocab)
+
+
+def bpe_doc_token_count_from_vocab(
+    documents: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """The TOKENIZE half of :func:`bpe_doc_token_count` against an
+    already-learned merged vocab state ``(seq, n)`` — the shared BPE
+    model zone's serving form. One corpus scan (the (doc, word)
+    distinct grain) plus a shuffle join against the |vocab|-row
+    word→subword-count map; the merge loop never re-runs."""
     arr = F.split(
         F.expr("substring(seq, 2, length(seq) - 2)"), "><"
     )

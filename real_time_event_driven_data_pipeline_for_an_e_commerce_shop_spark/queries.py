@@ -3967,6 +3967,32 @@ def _bpe_subword_oracle(n_merges: int = 8, top: int = 20) -> str:
     """
 
 
+def _bpe_state_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per session per documents signature) the learned
+    BPE tokenizer model: the 8-row merge table AND the final merged
+    vocab state ``(seq, n)`` in one zone — VERDICT r10 #2: the three
+    BPE entries each re-ran ``bpe_learn_merges`` into a private
+    scratch zone (three independent learns per session, the
+    refit-per-run pattern the IVF/k-means tiers already eliminated).
+    The zone build IS the self-contained learn
+    (:func:`text.bpe_learn_merges`, the oracle-anchored algorithm);
+    all three registry entries serve from the landed tables under
+    their original full merge-chain DuckDB oracles, so the landed
+    state is value-verified end-to-end, not just row-counted."""
+
+    def build(zone: str) -> None:
+        from .sinks.files import write_zone_table
+
+        docs = _t(spark, sf_dir, "documents")["documents"]
+        merges, vocab = text.bpe_learn_merges(
+            docs, zone, n_merges=8, return_vocab=True
+        )
+        write_zone_table(merges, zone, "bpe_merge_table", layout="flat")
+        write_zone_table(vocab, zone, "bpe_vocab_final", layout="flat")
+
+    return _shared_state_zone("bpe_model", sf_dir, build)
+
+
 @query("bpe_merges", oracle=_bpe_oracle(8))
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine BPE tokenizer induction (Sennrich et al. 2016): the
@@ -3976,12 +4002,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands the |vocab|-row word-type table; every merge is a vocab-local
     aggregate + a 1-row driver argmax + a map-side replace — the
     distributed form of the exact algorithm subword tokenizers train
-    with (token_count_bpe counts with a fixed vocab; this LEARNS
-    one)."""
-    t = _t(spark, sf_dir, "documents")
-    return text.bpe_learn_merges(
-        t["documents"], _scratch_zone("bpe_vocab"), n_merges=8
-    )
+    with (token_count_bpe counts with a fixed vocab; this LEARNS one).
+    Served from the SHARED landed model zone (learn once per corpus
+    signature); the full unrolled per-merge CTE oracle hash-verifies
+    the landed merge table."""
+    zone = _bpe_state_zone(spark, sf_dir)
+    return spark.read.parquet(os.path.join(zone, "bpe_merge_table"))
 
 
 _CMS_W, _CMS_D, _CMS_TOP = 1024, 4, 20
@@ -4130,11 +4156,13 @@ def q_bpe_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     and chunking actually consume once a tokenizer is trained
     (token_count_bpe estimates with a fixed heuristic vocab). The
     (doc, word) distinct grain shuffles, never the token stream; the
-    vocab map joins by shuffle (unbounded-model discipline)."""
+    vocab map joins by shuffle (unbounded-model discipline). The
+    learned vocab is served from the SHARED landed model zone — the
+    merge loop runs once per corpus signature, not per query."""
     t = _t(spark, sf_dir, "documents")
-    return text.bpe_doc_token_count(
-        t["documents"], _scratch_zone("bpe_vocab_count"), n_merges=8
-    )
+    zone = _bpe_state_zone(spark, sf_dir)
+    vocab = spark.read.parquet(os.path.join(zone, "bpe_vocab_final"))
+    return text.bpe_doc_token_count_from_vocab(t["documents"], vocab)
 
 
 @query("bpe_subword_stats", oracle=_bpe_subword_oracle(8, 20))
@@ -4145,11 +4173,11 @@ def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the learn→tokenize composition a vocab-training pipeline inspects
     before freezing. The apply step is |vocab|-row arithmetic (the
     learning loop already maintains the merged symbol sequences);
-    no additional corpus scan."""
-    t = _t(spark, sf_dir, "documents")
-    return text.bpe_subword_stats(
-        t["documents"], _scratch_zone("bpe_vocab_sub"), n_merges=8, top=20
-    )
+    no additional corpus scan. The merged vocab state is served from
+    the SHARED landed model zone — zero learns in this plan."""
+    zone = _bpe_state_zone(spark, sf_dir)
+    vocab = spark.read.parquet(os.path.join(zone, "bpe_vocab_final"))
+    return text.bpe_subword_stats_from_vocab(vocab, top=20)
 
 
 @query("lm_perplexity", oracle=_LM_ORACLE)
