@@ -904,6 +904,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_dist: bool = False,
 ) -> DataFrame:
     """Encode each vector as ``n_subspaces`` codes: per subspace, the
     codeword minimizing squared L2 (det-round-12 decimal partial sums;
@@ -916,7 +917,13 @@ def pq_encode(
     against the m·k-row codebook scores every candidate in a
     projection (``_dec_fold`` is a sequential array fold, no further
     explode), and a map-side-combined struct-min argmin reduces back
-    to one row per (vec_id, s). Shuffle carries |corpus|·m tiny rows."""
+    to one row per (vec_id, s). Shuffle carries |corpus|·m tiny rows.
+
+    With ``return_dist`` each row also carries the winning squared-L2
+    distortion det-rounded to 8 digits — the drift statistic the
+    streaming PQ gate monitors (a codebook that stops fitting arriving
+    vectors shows up as a distortion jump, the cluster gate's
+    mean-assignment-distance analog)."""
     sub = dim // n_subspaces
     sub_rows = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -939,11 +946,13 @@ def pq_encode(
             F.col("j").alias("j"),
         ).alias("_cand"),
     )
-    return (
-        scored.groupBy("vec_id", "s")
-        .agg(F.min("_cand").alias("_best"))
-        .select("vec_id", "s", F.col("_best.j").alias("code"))
-    )
+    best = scored.groupBy("vec_id", "s").agg(F.min("_cand").alias("_best"))
+    if return_dist:
+        return best.select(
+            "vec_id", "s", F.col("_best.j").alias("code"),
+            det_round(F.col("_best.dist"), 8).alias("dist"),
+        )
+    return best.select("vec_id", "s", F.col("_best.j").alias("code"))
 
 
 def pq_topk(

@@ -4938,6 +4938,59 @@ def q_ann_pq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_stream", oracle=ORACLES["ann_pq_topk"])
+def q_ann_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-MAINTAINED PQ model under ann_pq_topk's value
+    oracle (VERDICT r10 #1, on the cluster_assignment_stream
+    pattern): the embeddings are delivered to
+    ``run_embedding_ingest(pq=True)`` as one micro-batch, the gate's
+    gen-0 codebook fit runs on exactly the corpus the batch build
+    fits on (the strided sample is deterministic by id), the encoded
+    codes land through the epoch manifest, and ADC top-k served from
+    the LANDED codebook + generation-filtered codes must hash-match
+    the self-contained batch form — the full ingest→fit→encode→land→
+    serve lifecycle is bit-exact, not just row-counted. Incremental
+    epochs against a frozen codebook, drift refit, and crash-window
+    replay are parity-tested in ``tests/test_streaming_pq.py``; this
+    entry hash-gates the single-epoch slice the SQL oracle can
+    express."""
+    import shutil
+    import tempfile
+
+    from .streaming.pipeline import (
+        read_pq_codebook,
+        read_pq_codes,
+        run_embedding_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_pq_stream_")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_pq_stream_"
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(raw)
+    try:
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=True, n_buckets=4, table_prefix=prefix,
+        )
+        cb = read_pq_codebook(spark, zone)
+        codes = read_pq_codes(spark, tables["pq_codes"], zone)
+        out = similarity.pq_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5,
+            codebook=cb, codes=codes,
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _ivfpq_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
                   sub: int = 16, n_codes: int = 16, stride: int = 29,
                   cb_stride: int = 31, k: int = 5) -> str:

@@ -491,6 +491,274 @@ def read_cms_cells(
     )
 
 
+PQ_MODEL_DIR = "pq_model"
+PQ_META_FILE = "_model_meta.json"
+
+
+def _read_pq_meta(zone_dir: str) -> dict | None:
+    import json
+
+    p = os.path.join(zone_dir, PQ_MODEL_DIR, PQ_META_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_pq_meta(zone_dir: str, meta: dict) -> None:
+    """tmp+rename, same atomicity as the epoch commit markers."""
+    import io
+    import json
+    import tempfile
+
+    d = os.path.join(zone_dir, PQ_MODEL_DIR)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with io.open(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(d, PQ_META_FILE))
+
+
+def read_pq_codebook(
+    spark: SparkSession, zone_dir: str, gen: int | None = None
+) -> DataFrame | None:
+    """The landed PQ codebook ``(s, j, cw)`` for a model generation
+    (default: the current one per the model meta), or None when no
+    model exists yet."""
+    meta = _read_pq_meta(zone_dir)
+    if gen is None:
+        if meta is None:
+            return None
+        gen = meta["gen"]
+    p = os.path.join(zone_dir, PQ_MODEL_DIR, f"gen={gen}")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def read_pq_codes(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """Current-generation PQ codes from the streamed zone: manifest-
+    pruned epochs, filtered to the CURRENT model generation — a drift
+    refit re-encodes the full corpus under the new generation in its
+    own epoch, so the filter sees exactly one live (vec_id, s) row
+    per vector (the read_cluster_assignment discipline; older-gen
+    rows are dead weight until compaction)."""
+    meta = _read_pq_meta(zone_dir)
+    if meta is None:
+        return spark.createDataFrame([], "vec_id long, s long, code long")
+    df = read_manifest_zone(spark, {"pq_codes": table}, zone_dir)[
+        "pq_codes"
+    ]
+    return df.filter(F.col("model_gen") == meta["gen"]).select(
+        "vec_id", "s", "code"
+    )
+
+
+def run_embedding_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    zone_dir: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>",
+    pq: bool = True,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    stride: int = 29,
+    drift_refit_factor: float | None = 2.0,
+    n_buckets: int = 8,
+    table_prefix: str = "emb_",
+    await_termination: bool = True,
+) -> dict[str, str]:
+    """Streaming ingest for the EMBEDDINGS side of the house with a
+    maintained product-quantization model (VERDICT r10 #1): the batch
+    ``_pq_model_zone`` is a session-scoped land, so a corpus that
+    grows via ingest would re-fit from scratch — this gate (built on
+    the r10 cluster-assignment template) keeps the landed PQ model
+    CURRENT as vectors arrive:
+
+    * first non-empty epoch FITS (gen 0): ``pq_codebook`` over the
+      batch (the strided n_codes-sample — deterministic by id, so a
+      single-batch delivery reproduces the batch-build codebook
+      bit-exactly), codebook + meta land in the zone's model dir
+      BEFORE the codes epoch — the kmeans-gate crash discipline: a
+      crash in any window replays to the identical model;
+    * later epochs ENCODE arrivals against the LANDED codebook
+      (``pq_encode`` — one broadcast of m·k codebook rows, a ×m
+      explode and a struct-min argmin per vector; no refit in the
+      steady state, and committed vectors are never re-encoded);
+    * when an epoch's deterministic mean encode distortion (decimal-
+      summed det-round-8 squared-L2, the same ``_mean_dist`` shape as
+      the cluster gate) exceeds ``drift_refit_factor ×`` the model's
+      fit-time distortion, the codebook REFITS over the full
+      committed corpus plus the batch (gen+1) and the full
+      re-encode lands in that epoch — :func:`read_pq_codes` filters
+      to the current generation, so the swap is atomic at the meta
+      write.
+
+    Land order: ``pq_codes`` commits BEFORE ``embeddings`` each
+    epoch, so an embeddings-committed epoch implies its codes landed
+    (the aux-before-primary rule every gate here follows).
+
+    At 100 TB: the model dir holds m·k rows per generation (64 at
+    defaults — driver/broadcast-safe by construction), per-epoch work
+    is O(batch·m) rows of shuffle, and the serving scan
+    (:func:`read_pq_codes` → ``pq_topk(codes=...)``) reads m small
+    ints per corpus vector — the 64×-narrower ADC path — with zero
+    embedding scans after ingest.
+
+    Returns ``{zone name: catalog table}``.
+    """
+    from ..operators.similarity import pq_codebook, pq_encode
+
+    name = "embeddings"
+    tables: dict[str, str] = {}
+    if pq:
+        tables["pq_codes"] = f"{table_prefix}pq_codes"
+    tables[name] = f"{table_prefix}embeddings"  # lands LAST
+
+    def _mean_dist(codes_d: DataFrame) -> float | None:
+        row = codes_d.agg(
+            (
+                F.sum(F.col("dist").cast("decimal(28,12)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("m")
+        ).collect()[0]
+        return None if row["m"] is None else float(row["m"])
+
+    def _committed_vectors() -> DataFrame | None:
+        if not spark.catalog.tableExists(tables[name]):
+            return None
+        return read_manifest_zone(
+            spark, {name: tables[name]}, zone_dir
+        )[name].select("vec_id", "embedding")
+
+    def _fit_and_land_model(
+        fit_vecs: DataFrame, gen: int, epoch_id: int
+    ) -> tuple[DataFrame, float | None]:
+        """One deterministic codebook fit; the codebook lands under
+        gen=N and the meta (with fit_epoch, for replay-stable refit
+        decisions) commits BEFORE the codes epoch."""
+        cb = pq_codebook(
+            fit_vecs, n_subspaces=n_subspaces, n_codes=n_codes,
+            dim=dim, stride=stride,
+        )
+        gdir = os.path.join(zone_dir, PQ_MODEL_DIR, f"gen={gen}")
+        cb.write.mode("overwrite").parquet(gdir)
+        cb_landed = spark.read.parquet(gdir)
+        codes_d = pq_encode(
+            fit_vecs, cb_landed, n_subspaces=n_subspaces, dim=dim,
+            return_dist=True,
+        )
+        fit_mean = _mean_dist(codes_d)
+        _write_pq_meta(
+            zone_dir,
+            {
+                "gen": gen,
+                "fit_mean_dist": fit_mean,
+                "fit_epoch": epoch_id,
+                "n_subspaces": n_subspaces,
+                "n_codes": n_codes,
+                "dim": dim,
+                "stride": stride,
+            },
+        )
+        return codes_d, fit_mean
+
+    def _pq_gate(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs(zone_dir, "pq_codes"):
+            return  # replayed, fully landed
+        vecs = batch_df.select("vec_id", "embedding")
+        meta = _read_pq_meta(zone_dir)
+        if meta is not None and meta.get("fit_epoch") == epoch_id:
+            # crash window: the (re)fit's meta committed but the codes
+            # epoch didn't — redo the recorded decision
+            gen = meta["gen"]
+            if gen == 0:
+                fit_vecs = vecs
+            else:
+                committed = _committed_vectors()
+                fit_vecs = (
+                    vecs if committed is None
+                    else committed.unionByName(vecs)
+                )
+            out, _ = _fit_and_land_model(fit_vecs, gen, epoch_id)
+        elif meta is None:
+            if vecs.isEmpty():
+                out = spark.createDataFrame(
+                    [], "vec_id long, s long, code long, dist double"
+                )  # no model yet; next non-empty epoch fits
+            else:
+                out, _ = _fit_and_land_model(vecs, 0, epoch_id)
+        else:
+            cb = read_pq_codebook(spark, zone_dir, meta["gen"])
+            encoded = pq_encode(
+                vecs, cb, n_subspaces=n_subspaces, dim=dim,
+                return_dist=True,
+            )
+            bm = _mean_dist(encoded)
+            fit_mean = meta.get("fit_mean_dist")
+            if (
+                drift_refit_factor is not None
+                and bm is not None
+                and fit_mean is not None
+                and bm > drift_refit_factor * fit_mean
+            ):
+                committed = _committed_vectors()
+                fit_vecs = (
+                    vecs if committed is None
+                    else committed.unionByName(vecs)
+                )
+                out, _ = _fit_and_land_model(
+                    fit_vecs, meta["gen"] + 1, epoch_id
+                )
+            else:
+                out = encoded
+        cur = _read_pq_meta(zone_dir)
+        gen_now = -1 if cur is None else cur["gen"]
+        _land_epoch(
+            spark,
+            out.select("vec_id", "s", "code").withColumn(
+                "model_gen", F.lit(gen_now)
+            ),
+            tables["pq_codes"],
+            os.path.join(zone_dir, "pq_codes"),
+            zone_dir,
+            "pq_codes",
+            epoch_id,
+            n_buckets,
+            bucket_col="vec_id",
+        )
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        if all(
+            epoch_id in committed_epochs(zone_dir, z) for z in tables
+        ):
+            return  # checkpoint replay of a fully-landed epoch
+        if pq:
+            _pq_gate(batch_df, epoch_id)
+        _land_epoch(
+            spark, batch_df, tables[name],
+            os.path.join(zone_dir, name), zone_dir, name, epoch_id,
+            n_buckets, bucket_col="vec_id",
+        )
+
+    stream = spark.readStream.schema(schema).parquet(raw_dir)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return dict(tables)
+
+
 def run_bucketed_ingest_manifest(
     spark: SparkSession,
     raw_dir: str,

@@ -1,0 +1,157 @@
+"""Streaming-maintained PQ model (VERDICT r10 #1): the embedding
+ingest's PQ gate fits the codebook on the first epoch, ENCODES later
+arrivals against the landed codebook (no refit, committed vectors
+never re-encoded), refits on distortion drift — and every state it
+lands is replay-parity-exact vs the batch build (pq_codebook +
+pq_encode over the same corpus)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+    pq_codebook,
+    pq_encode,
+)
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+    _read_pq_meta,
+    read_pq_codebook,
+    read_pq_codes,
+    run_embedding_ingest,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark, limit=200):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < limit)
+    )
+
+
+def _codes_key(df):
+    return sorted(
+        (r["vec_id"], r["s"], r["code"]) for r in df.collect()
+    )
+
+
+def _cb_key(df):
+    return sorted(
+        (r["s"], r["j"], tuple(r["cw"])) for r in df.collect()
+    )
+
+
+def test_pq_gate_single_epoch_matches_batch_build(spark, tmp_path):
+    """One delivery = one epoch: the gen-0 codebook fit runs on
+    exactly the corpus the batch build fits on (the strided sample is
+    deterministic by id), so the landed codebook AND the landed codes
+    are bit-identical to pq_codebook + pq_encode."""
+    raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
+    prefix = "t_pq1_"
+    tables = {}
+    try:
+        emb = _emb(spark)
+        emb.write.mode("append").parquet(raw)
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert "pq_codes" in tables
+        want_cb = pq_codebook(emb)
+        got_cb = read_pq_codebook(spark, zone)
+        assert _cb_key(got_cb) == _cb_key(want_cb)
+        got = _codes_key(read_pq_codes(spark, tables["pq_codes"], zone))
+        want = _codes_key(pq_encode(emb, want_cb))
+        assert got == want and len(got) == 200 * 4
+        meta = _read_pq_meta(zone)
+        assert meta["gen"] == 0 and meta["fit_mean_dist"] is not None
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_gate_incremental_then_drift_refit(spark, tmp_path):
+    """Three waves: wave 1 (which contains the full strided sample)
+    fits gen 0; wave 2 is ENCODED against the frozen landed codebook
+    (no refit — and because the codebook sample lives entirely in
+    wave 1, the merged codes equal the batch encode over both waves);
+    wave 3 arrives scaled ×100, its mean distortion blows past the
+    default 2× drift factor, the codebook refits over the full
+    committed corpus + batch (gen 1) and the full re-encode equals
+    the batch build over all three waves. A replayed run is a no-op."""
+    raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
+    prefix = "t_pq3_"
+    tables = {}
+    try:
+        base = _emb(spark)
+        # strided sample ids (vec_id % 29 == 0, first 16) are all
+        # < 175 here, so wave 1 contains the whole sample and the
+        # gen-0 codebook == the full-corpus batch codebook
+        w1 = base.filter(F.col("vec_id") < 175)
+        w2 = base.filter(F.col("vec_id") >= 175)
+        w3 = base.filter(F.col("vec_id") >= 150).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 100).cast("float")
+            ).alias("embedding"),
+        )
+
+        w1.write.mode("append").parquet(raw)
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert _read_pq_meta(zone)["gen"] == 0
+        cb0 = read_pq_codebook(spark, zone)
+        assert _cb_key(cb0) == _cb_key(pq_codebook(base))
+
+        # wave 2: steady state — encode-only against the gen-0
+        # codebook; merged zone == batch encode of the full corpus
+        w2.write.mode("append").parquet(raw)
+        run_embedding_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert _read_pq_meta(zone)["gen"] == 0  # no refit
+        got = _codes_key(read_pq_codes(spark, tables["pq_codes"], zone))
+        want = _codes_key(pq_encode(base, cb0))
+        assert got == want and len(got) == 200 * 4
+
+        # wave 3: ×100-scaled arrivals — distortion drift under the
+        # DEFAULT 2× factor triggers a gen-1 refit over committed +
+        # batch, and the landed state equals the batch build over all
+        all_vecs = base.unionByName(w3)
+        w3.write.mode("append").parquet(raw)
+        run_embedding_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        meta = _read_pq_meta(zone)
+        assert meta["gen"] == 1
+        cb1 = read_pq_codebook(spark, zone)
+        assert _cb_key(cb1) == _cb_key(pq_codebook(all_vecs))
+        got = _codes_key(read_pq_codes(spark, tables["pq_codes"], zone))
+        want = _codes_key(pq_encode(all_vecs, cb1))
+        assert got == want and len(got) == all_vecs.count() * 4
+        assert os.path.isdir(os.path.join(zone, "pq_model", "gen=1"))
+
+        # replay: nothing new — codes, meta, and gen unchanged
+        run_embedding_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix
+        )
+        assert _read_pq_meta(zone)["gen"] == 1
+        assert (
+            _codes_key(read_pq_codes(spark, tables["pq_codes"], zone))
+            == got
+        )
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_reader_empty_before_any_model(spark, tmp_path):
+    """read_pq_codes over a zone with no landed model returns an
+    empty, correctly-typed frame (the reader never guesses a gen)."""
+    df = read_pq_codes(spark, "nonexistent_table", str(tmp_path / "z"))
+    assert df.columns == ["vec_id", "s", "code"]
+    assert df.count() == 0
