@@ -134,6 +134,68 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: VERDICT r10 "What's wrong" #3: min-of-2 is not robust on a shared
+#: box — the r10 driver record carried 3-8x phantom regressions that
+#: steady-state re-timing didn't reproduce. When an entry's min still
+#: exceeds VARIANCE_FACTOR x its trailing recorded value, re-run it up
+#: to VARIANCE_EXTRA_ITERS more times; entries that stay above the
+#: guard are listed in the record's "outliers" so a reader can tell a
+#: load artifact (extra iterations brought it back) from a real
+#: regression (it reproduced under re-runs).
+VARIANCE_FACTOR = 1.5
+VARIANCE_EXTRA_ITERS = 2
+
+
+def _trailing_queries(here: str, sf) -> dict[str, float]:
+    """Per-query warm values from the newest BENCH_LOCAL_r*.json at
+    the SAME scale factor — the trailing record the variance guard
+    compares against (an sf0.001 smoke record must never become the
+    baseline for an sf0.1 run)."""
+    candidates: list[tuple[int, str]] = []
+    try:
+        for f in os.listdir(here):
+            if f.startswith("BENCH_LOCAL_r") and f.endswith(".json"):
+                num = f[len("BENCH_LOCAL_r"): -len(".json")]
+                if num.isdigit():
+                    candidates.append((int(num), f))
+        for _, f in sorted(candidates, reverse=True):
+            with open(os.path.join(here, f)) as fh:
+                rec = json.load(fh)
+            if rec.get("sf") == sf:
+                return rec.get("queries", {}) or {}
+        return {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _time_entry(
+    run, iterations: int, prev: float | None
+) -> tuple[float, float, int]:
+    """(cold, warm_min, extra_iters): the standard cold/warm pair,
+    plus guard re-runs while the min exceeds the trailing record by
+    VARIANCE_FACTOR (host-load smoothing, bounded)."""
+    best = float("inf")
+    cold = 0.0
+    for i in range(iterations):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        if i == 0:
+            cold = dt
+        best = min(best, dt)
+    extra = 0
+    while (
+        prev is not None
+        and best > VARIANCE_FACTOR * prev
+        and extra < VARIANCE_EXTRA_ITERS
+    ):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+        extra += 1
+    return cold, best, extra
+
+
 def _bucketed_kpi_setup(spark, sf_dir: str, base_dir: str):
     """Write the validated zone bucketed by order_id (untimed setup;
     at 100 TB this cost is paid once by the validation stage's write
@@ -219,39 +281,40 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+    trailing = _trailing_queries(here, sf)
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for i in range(iterations):
-            t0 = time.perf_counter()
-            _noop(QUERIES[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            if i == 0:
-                cold[name] = round(dt, 3)
-            best = min(best, dt)
+    outliers: dict[str, dict] = {}
+
+    def _record(name: str, run) -> None:
+        prev = trailing.get(name)
+        c, best, extra = _time_entry(run, iterations, prev)
+        cold[name] = round(c, 3)
         warm[name] = round(best, 3)
+        if prev is not None and best > VARIANCE_FACTOR * prev:
+            outliers[name] = {
+                "prev": prev,
+                "recorded": round(best, 3),
+                "extra_iters": extra,
+            }
+
+    for name in HEADLINE:
+        _record(name, lambda n=name: _noop(QUERIES[n](spark, sf_dir)))
 
     # bucketed-zone KPI: setup untimed, then the same cold/warm pair
     zone_dir = tempfile.mkdtemp(prefix="bench_bucketed_zone_")
     try:
         runners, tables = _bucketed_kpi_setup(spark, sf_dir, zone_dir)
         for bname, run_bucketed in runners.items():
-            best = float("inf")
-            for i in range(iterations):
-                t0 = time.perf_counter()
-                run_bucketed()
-                dt = time.perf_counter() - t0
-                if i == 0:
-                    cold[bname] = round(dt, 3)
-                best = min(best, dt)
-            warm[bname] = round(best, 3)
+            _record(bname, run_bucketed)
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     finally:
         shutil.rmtree(zone_dir, ignore_errors=True)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Key ORDER is load-bearing (VERDICT r7 #5): the driver records only
     # the TAIL of this line, so the steady-state numbers — the ones
     # BASELINE.md comparisons need — go LAST (cold first, warm + value
@@ -261,13 +324,17 @@ def main() -> None:
         "metric": "headline_queries_total",
         "unit": "sec",
         "iterations": iterations,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf,
+        # entries whose min STILL exceeds VARIANCE_FACTOR x the
+        # trailing BENCH_LOCAL record after bounded re-runs — either a
+        # real regression or persistent host load; the guard already
+        # absorbed transient spikes (VERDICT r10 "What's wrong" #3)
+        "outliers": outliers,
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
         "value": round(sum(warm.values()), 3),
         "queries": warm,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     try:
         rounds = [
             int(f[len("BENCH_r"): -len(".json")])
