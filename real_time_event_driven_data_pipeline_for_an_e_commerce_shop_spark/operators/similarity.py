@@ -1060,6 +1060,20 @@ def pq_topk(
     )
 
 
+def _coarse_centroids(centroids: DataFrame) -> DataFrame:
+    """Normalize a coarse-quantizer table to ``(cid, cvec)``: accepts
+    the vector column as either ``cvec`` (ivfpq_model's own output)
+    or ``centroid_vec`` (ml.kmeans_fixed's trained table) — ADVICE
+    r10: the two entry points previously demanded different names, so
+    round-tripping one function's centroids into the other raised
+    AnalysisException."""
+    vec = "cvec" if "cvec" in centroids.columns else "centroid_vec"
+    return centroids.select(
+        F.col("cid").cast("long").alias("cid"),
+        as_double(F.col(vec)).alias("cvec"),
+    )
+
+
 def ivfpq_model(
     embeddings: DataFrame,
     n_clusters: int = 16,
@@ -1072,6 +1086,7 @@ def ivfpq_model(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fit the IVF-PQ model (Jegou et al. 2011, "Product Quantization
     for Nearest Neighbor Search" — the FAISS ``IVFADC`` index) over the
@@ -1100,12 +1115,15 @@ def ivfpq_model(
     broadcast codebook join + map-side-combined struct-min. At 100 TB
     the codes table is written partitioned by ``cluster_id`` so the
     probe join prunes cells at the file level.
+
+    Pass ``codebook`` (e.g. a landed zone table) to skip the residual
+    codebook fit and encode against it — the zone-build discipline's
+    encode-from-what-was-landed seam (ADVICE r10); pass ``centroids``
+    as either ``(cid, cvec)`` or a trained ``(cid, centroid_vec)``
+    table.
     """
     if centroids is not None:
-        cent = centroids.select(
-            F.col("cid").cast("long").alias("cid"),
-            F.col("centroid_vec").alias("cvec"),
-        )
+        cent = _coarse_centroids(centroids)
     else:
         cent = (
             embeddings.filter(F.col(id_col) % stride == 0)
@@ -1145,23 +1163,24 @@ def ivfpq_model(
     )
 
     sub = dim // n_subspaces
-    codebook = (
-        assigned.filter(F.col("vec_id") % cb_stride == 0)
-        .orderBy(F.col("vec_id"))
-        .limit(n_codes)
-        .select(
-            F.col("vec_id").alias("j"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("rvec", s * sub + 1, sub)
-                        for s in range(n_subspaces)
-                    ]
-                )
-            ).alias("s", "cw"),
+    if codebook is None:
+        codebook = (
+            assigned.filter(F.col("vec_id") % cb_stride == 0)
+            .orderBy(F.col("vec_id"))
+            .limit(n_codes)
+            .select(
+                F.col("vec_id").alias("j"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.slice("rvec", s * sub + 1, sub)
+                            for s in range(n_subspaces)
+                        ]
+                    )
+                ).alias("s", "cw"),
+            )
+            .select(F.col("s").cast("long").alias("s"), "j", "cw")
         )
-        .select(F.col("s").cast("long").alias("s"), "j", "cw")
-    )
 
     sub_rows = assigned.select(
         "vec_id",
@@ -1252,10 +1271,7 @@ def ivfpq_topk(
         codebook = cb if codebook is None else codebook
         codes = cds if codes is None else codes
     else:
-        cent = centroids.select(
-            F.col("cid").cast("long").alias("cid"),
-            F.col("cvec").alias("cvec"),
-        )
+        cent = _coarse_centroids(centroids)
     sub = dim // n_subspaces
 
     # model-side constant LUTs (m·k and n_clusters·m·k rows)

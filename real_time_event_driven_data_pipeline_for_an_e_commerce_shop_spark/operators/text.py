@@ -946,6 +946,7 @@ def bpe_learn_merges(
     n_merges: int = 8,
     checkpoint_every: int = 64,
     return_vocab: bool = False,
+    on_checkpoint=None,
 ) -> DataFrame:
     """In-engine BPE merge learning (Sennrich et al. 2016, "Neural
     Machine Translation of Rare Words with Subword Units") — the
@@ -986,8 +987,15 @@ def bpe_learn_merges(
     failure). Two vocab snapshots alternate (``bpe_vocab`` /
     ``bpe_vocab_alt``) so a re-land never overwrites the table it is
     reading. Stops early if the vocabulary runs out of adjacent pairs
-    (every word fully merged)."""
+    (every word fully merged).
+
+    ``on_checkpoint(rank, seconds)``, if given, is called at every
+    re-land (and once at the end) with the wall-clock seconds since
+    the previous call — the per-block instrumentation the merge-depth
+    scale measurements (scripts/bench_bpe_depth.py) read to show
+    ms/merge stays flat under the re-land discipline."""
     import os
+    import time
 
     from ..sinks.files import write_zone_table
 
@@ -1013,6 +1021,7 @@ def bpe_learn_merges(
 
     snapshots = ("bpe_vocab", "bpe_vocab_alt")  # ping-pong re-lands
     merges: list[tuple] = []
+    t_block = time.perf_counter()
     for rank in range(1, n_merges + 1):
         arr = F.split(
             F.expr("substring(seq, 2, length(seq) - 2)"), "><"
@@ -1057,6 +1066,12 @@ def bpe_learn_merges(
             snap = snapshots[(rank // checkpoint_every) % 2]
             write_zone_table(v, zone_dir, snap, layout="flat")
             v = spark.read.parquet(os.path.join(zone_dir, snap))
+            if on_checkpoint is not None:
+                now = time.perf_counter()
+                on_checkpoint(rank, now - t_block)
+                t_block = now
+    if on_checkpoint is not None and merges:
+        on_checkpoint(merges[-1][0], time.perf_counter() - t_block)
     merges_df = spark.createDataFrame(
         merges,
         "merge_rank long, sym_left string, sym_right string, "

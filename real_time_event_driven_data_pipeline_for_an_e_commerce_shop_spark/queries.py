@@ -5154,9 +5154,22 @@ def _ivfpq_model_zone(spark: SparkSession, sf_dir: str) -> str:
         from .sinks.files import write_zone_table
 
         emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-        cent, cb, codes = similarity.ivfpq_model(emb)
+        cent, cb, _codes = similarity.ivfpq_model(emb)
         write_zone_table(cent, zone, "ivfpq_centroids", layout="flat")
         write_zone_table(cb, zone, "ivfpq_codebook", layout="flat")
+        # encode from the parquet-round-tripped model tables, matching
+        # _pq_model_zone's zone-build discipline (ADVICE r10): the
+        # codes a reader serves derive from exactly the tables it
+        # reads beside them, not an in-memory sibling
+        _cent2, _cb2, codes = similarity.ivfpq_model(
+            emb,
+            centroids=spark.read.parquet(
+                os.path.join(zone, "ivfpq_centroids")
+            ),
+            codebook=spark.read.parquet(
+                os.path.join(zone, "ivfpq_codebook")
+            ),
+        )
         write_zone_table(codes, zone, "ivfpq_codes", layout="flat")
 
     return _shared_state_zone("ivfpq_model", sf_dir, build, table="embeddings")

@@ -367,3 +367,54 @@ def test_ivfpq_served_model_matches_inline(spark):
         df, q, centroids=cent, codebook=cb, codes=codes, **kw
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
+
+
+def test_ivfpq_centroid_schema_accepted_both_ways(spark):
+    """ADVICE r10: the coarse-centroid contract is normalized — both
+    entry points accept the vector column as either ``cvec``
+    (ivfpq_model's own output) or ``centroid_vec`` (a trained
+    kmeans_fixed table), in every partial-serving combination:
+    model's centroids re-fed to ivfpq_model, a kmeans-style table fed
+    straight to ivfpq_topk beside pre-built codes, and both renames
+    of the same table producing identical rankings."""
+    vecs = [
+        [float((i * 7 + j * 3) % 5) for j in range(4)] for i in range(12)
+    ]
+    df = _emb_df(spark, vecs)
+    kw = dict(n_clusters=2, n_probe=2, n_subspaces=2, n_codes=3, dim=4,
+              k=4, stride=5, cb_stride=4)
+    cent, cb, codes = similarity.ivfpq_model(
+        df, n_clusters=2, n_subspaces=2, n_codes=3, dim=4,
+        stride=5, cb_stride=4,
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    want = sorted(
+        map(tuple, similarity.ivfpq_topk(df, q, **kw).collect())
+    )
+    as_kmeans = cent.select(
+        "cid", F.col("cvec").alias("centroid_vec")
+    )
+    # ivfpq_model accepts its OWN centroids output (cvec) back
+    _, cb2, codes2 = similarity.ivfpq_model(
+        df, n_clusters=2, n_subspaces=2, n_codes=3, dim=4,
+        stride=5, cb_stride=4, centroids=cent,
+    )
+    assert sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk(
+                df, q, centroids=cent, codebook=cb2, codes=codes2, **kw
+            ).collect(),
+        )
+    ) == want
+    # ivfpq_topk accepts a kmeans-style table (centroid_vec) beside
+    # pre-built codes from the SAME cells
+    assert sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk(
+                df, q, centroids=as_kmeans, codebook=cb, codes=codes,
+                **kw,
+            ).collect(),
+        )
+    ) == want

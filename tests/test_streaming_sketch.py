@@ -76,6 +76,80 @@ def test_streamed_cms_cells_match_batch_sketch(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_cms_cells_compaction_folds_epochs(spark, tmp_path):
+    """VERDICT r10 #8: compact_cms_cells folds the accumulated cell
+    epochs into ONE pre-summed epoch — read_cms_cells returns the
+    bit-identical merged sketch before and after, the on-disk zone
+    drops to a single epoch of ≤ d×w rows, and a post-compaction
+    ingest wave lands above the fold and keeps merging correctly."""
+    import os
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _table_location,
+        compact_cms_cells,
+        committed_epochs,
+    )
+
+    raw, zone, ckpt = (
+        str(tmp_path / d) for d in ("raw", "zone", "ckpt")
+    )
+    prefix = "t_cms_cmp_"
+    tables = {}
+    try:
+        base = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(60)
+        )
+        # three delivery waves -> three cell epochs
+        for m in range(3):
+            base.filter(F.col("doc_id") % 3 == m).write.mode(
+                "append"
+            ).parquet(raw)
+            tables = run_corpus_ingest(
+                spark, raw, zone, ckpt,
+                state_refresh=True, sketch_cms=True,
+                n_buckets=4, table_prefix=prefix,
+            )
+        assert len(committed_epochs(zone, "cms_cells")) == 3
+        before = _key(read_cms_cells(spark, tables["cms_cells"], zone))
+
+        compact_cms_cells(spark, tables["cms_cells"], zone, n_buckets=4)
+
+        # one committed epoch, physically pre-summed (row count == the
+        # merged cell count), reader bit-identical
+        assert len(committed_epochs(zone, "cms_cells")) == 1
+        loc = _table_location(spark, tables["cms_cells"])
+        on_disk = [
+            d for d in os.listdir(loc) if d.startswith("_epoch=")
+        ]
+        assert len(on_disk) == 1
+        raw_rows = spark.table(tables["cms_cells"]).count()
+        assert raw_rows == len(before)
+        assert (
+            _key(read_cms_cells(spark, tables["cms_cells"], zone))
+            == before
+        )
+
+        # a fourth wave lands ABOVE the folded epoch and merges in:
+        # the total equals the batch sketch over (waves 1-3) x 2
+        base.write.mode("append").parquet(raw)
+        run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            state_refresh=True, sketch_cms=True,
+            n_buckets=4, table_prefix=prefix,
+        )
+        doubled = _key(
+            read_cms_cells(spark, tables["cms_cells"], zone)
+        )
+        assert doubled == [
+            (r, c, 2 * v) for (r, c, v) in before
+        ]
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_sketch_cms_requires_state_refresh(spark, tmp_path):
     with pytest.raises(ValueError, match="state_refresh"):
         run_corpus_ingest(
