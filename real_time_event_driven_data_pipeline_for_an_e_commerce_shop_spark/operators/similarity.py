@@ -1087,6 +1087,7 @@ def ivfpq_model(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    return_dist: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fit the IVF-PQ model (Jegou et al. 2011, "Product Quantization
     for Nearest Neighbor Search" — the FAISS ``IVFADC`` index) over the
@@ -1120,7 +1121,10 @@ def ivfpq_model(
     codebook fit and encode against it — the zone-build discipline's
     encode-from-what-was-landed seam (ADVICE r10); pass ``centroids``
     as either ``(cid, cvec)`` or a trained ``(cid, centroid_vec)``
-    table.
+    table. With ``return_dist`` each code row carries the winning
+    residual-encode squared-L2 distortion det-rounded to 8 digits —
+    the streaming IVFPQ gate's drift statistic (:func:`pq_encode`'s
+    analog).
     """
     if centroids is not None:
         cent = _coarse_centroids(centroids)
@@ -1208,8 +1212,17 @@ def ivfpq_model(
         )
         .groupBy("vec_id", "cluster_id", "s")
         .agg(F.min("_cand").alias("_best"))
-        .select("vec_id", "cluster_id", "s", F.col("_best.j").alias("code"))
     )
+    if return_dist:
+        codes = codes.select(
+            "vec_id", "cluster_id", "s",
+            F.col("_best.j").alias("code"),
+            det_round(F.col("_best.dist"), 8).alias("dist"),
+        )
+    else:
+        codes = codes.select(
+            "vec_id", "cluster_id", "s", F.col("_best.j").alias("code")
+        )
     return cent, codebook, codes
 
 

@@ -517,31 +517,41 @@ def compact_cms_cells(
 
 
 PQ_MODEL_DIR = "pq_model"
+IVFPQ_MODEL_DIR = "ivfpq_model"
 PQ_META_FILE = "_model_meta.json"
 
 
-def _read_pq_meta(zone_dir: str) -> dict | None:
+def _read_model_meta(zone_dir: str, model_dir: str) -> dict | None:
+    """Meta for any generation-tracked model zone (pq / ivfpq)."""
     import json
 
-    p = os.path.join(zone_dir, PQ_MODEL_DIR, PQ_META_FILE)
+    p = os.path.join(zone_dir, model_dir, PQ_META_FILE)
     if not os.path.isfile(p):
         return None
     with open(p) as f:
         return json.load(f)
 
 
-def _write_pq_meta(zone_dir: str, meta: dict) -> None:
+def _write_model_meta(zone_dir: str, model_dir: str, meta: dict) -> None:
     """tmp+rename, same atomicity as the epoch commit markers."""
     import io
     import json
     import tempfile
 
-    d = os.path.join(zone_dir, PQ_MODEL_DIR)
+    d = os.path.join(zone_dir, model_dir)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     with io.open(fd, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(d, PQ_META_FILE))
+
+
+def _read_pq_meta(zone_dir: str) -> dict | None:
+    return _read_model_meta(zone_dir, PQ_MODEL_DIR)
+
+
+def _write_pq_meta(zone_dir: str, meta: dict) -> None:
+    _write_model_meta(zone_dir, PQ_MODEL_DIR, meta)
 
 
 def read_pq_codebook(
@@ -581,6 +591,45 @@ def read_pq_codes(
     )
 
 
+def read_ivfpq_model(
+    spark: SparkSession, zone_dir: str, gen: int | None = None
+) -> tuple[DataFrame, DataFrame] | None:
+    """The landed IVFPQ model ``(centroids, codebook)`` for a model
+    generation (default: the current one per the model meta), or None
+    when no model exists yet."""
+    meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
+    if gen is None:
+        if meta is None:
+            return None
+        gen = meta["gen"]
+    gdir = os.path.join(zone_dir, IVFPQ_MODEL_DIR, f"gen={gen}")
+    if not os.path.isdir(gdir):
+        return None
+    return (
+        spark.read.parquet(os.path.join(gdir, "centroids")),
+        spark.read.parquet(os.path.join(gdir, "codebook")),
+    )
+
+
+def read_ivfpq_codes(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """Current-generation IVFPQ codes from the streamed zone —
+    :func:`read_pq_codes` with the cell id alongside (the probe join
+    key the ADC scan prunes on)."""
+    meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
+    if meta is None:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster_id long, s long, code long"
+        )
+    df = read_manifest_zone(spark, {"ivfpq_codes": table}, zone_dir)[
+        "ivfpq_codes"
+    ]
+    return df.filter(F.col("model_gen") == meta["gen"]).select(
+        "vec_id", "cluster_id", "s", "code"
+    )
+
+
 def run_embedding_ingest(
     spark: SparkSession,
     raw_dir: str,
@@ -588,10 +637,13 @@ def run_embedding_ingest(
     checkpoint_dir: str,
     schema: str = "vec_id long, embedding array<float>",
     pq: bool = True,
+    ivfpq: bool = False,
     n_subspaces: int = 4,
     n_codes: int = 16,
     dim: int = 64,
     stride: int = 29,
+    n_clusters: int = 16,
+    cb_stride: int = 31,
     drift_refit_factor: float | None = 2.0,
     n_buckets: int = 8,
     table_prefix: str = "emb_",
@@ -623,9 +675,20 @@ def run_embedding_ingest(
       to the current generation, so the swap is atomic at the meta
       write.
 
-    Land order: ``pq_codes`` commits BEFORE ``embeddings`` each
-    epoch, so an embeddings-committed epoch implies its codes landed
-    (the aux-before-primary rule every gate here follows).
+    ``ivfpq`` adds the IVFADC twin under the same discipline: gen-0
+    fits the coarse quantizer (strided cells) AND the shared residual
+    codebook on the first non-empty epoch (both land under the gen
+    dir, meta commits before the codes epoch); later epochs coarse-
+    assign + residual-encode arrivals against the LANDED model
+    (``ivfpq_model(centroids=…, codebook=…)`` — two broadcast-sized
+    model tables, no refit); residual-distortion drift refits over
+    committed + batch. Serve via :func:`read_ivfpq_model` +
+    :func:`read_ivfpq_codes` → ``ivfpq_topk(codes=…)``.
+
+    Land order: ``pq_codes``/``ivfpq_codes`` commit BEFORE
+    ``embeddings`` each epoch, so an embeddings-committed epoch
+    implies its codes landed (the aux-before-primary rule every gate
+    here follows).
 
     At 100 TB: the model dir holds m·k rows per generation (64 at
     defaults — driver/broadcast-safe by construction), per-epoch work
@@ -636,12 +699,14 @@ def run_embedding_ingest(
 
     Returns ``{zone name: catalog table}``.
     """
-    from ..operators.similarity import pq_codebook, pq_encode
+    from ..operators.similarity import ivfpq_model, pq_codebook, pq_encode
 
     name = "embeddings"
     tables: dict[str, str] = {}
     if pq:
         tables["pq_codes"] = f"{table_prefix}pq_codes"
+    if ivfpq:
+        tables["ivfpq_codes"] = f"{table_prefix}ivfpq_codes"
     tables[name] = f"{table_prefix}embeddings"  # lands LAST
 
     def _mean_dist(codes_d: DataFrame) -> float | None:
@@ -759,6 +824,112 @@ def run_embedding_ingest(
             bucket_col="vec_id",
         )
 
+    def _ivfpq_fit_and_land(
+        fit_vecs: DataFrame, gen: int, epoch_id: int
+    ) -> DataFrame:
+        """One deterministic IVFPQ fit: coarse cells + residual
+        codebook land under gen=N, meta (with fit_epoch) commits
+        BEFORE the codes epoch — the PQ gate's crash discipline."""
+        cent, cb, _ = ivfpq_model(
+            fit_vecs, n_clusters=n_clusters, n_subspaces=n_subspaces,
+            n_codes=n_codes, dim=dim, stride=stride, cb_stride=cb_stride,
+        )
+        gdir = os.path.join(zone_dir, IVFPQ_MODEL_DIR, f"gen={gen}")
+        cent.write.mode("overwrite").parquet(
+            os.path.join(gdir, "centroids")
+        )
+        cb.write.mode("overwrite").parquet(os.path.join(gdir, "codebook"))
+        cent_l = spark.read.parquet(os.path.join(gdir, "centroids"))
+        cb_l = spark.read.parquet(os.path.join(gdir, "codebook"))
+        _, _, codes_d = ivfpq_model(
+            fit_vecs, n_clusters=n_clusters, n_subspaces=n_subspaces,
+            n_codes=n_codes, dim=dim, stride=stride, cb_stride=cb_stride,
+            centroids=cent_l, codebook=cb_l, return_dist=True,
+        )
+        fit_mean = _mean_dist(codes_d)
+        _write_model_meta(
+            zone_dir, IVFPQ_MODEL_DIR,
+            {
+                "gen": gen,
+                "fit_mean_dist": fit_mean,
+                "fit_epoch": epoch_id,
+                "n_clusters": n_clusters,
+                "n_subspaces": n_subspaces,
+                "n_codes": n_codes,
+                "dim": dim,
+                "stride": stride,
+                "cb_stride": cb_stride,
+            },
+        )
+        return codes_d
+
+    def _ivfpq_gate(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs(zone_dir, "ivfpq_codes"):
+            return  # replayed, fully landed
+        vecs = batch_df.select("vec_id", "embedding")
+        meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
+        if meta is not None and meta.get("fit_epoch") == epoch_id:
+            gen = meta["gen"]
+            if gen == 0:
+                fit_vecs = vecs
+            else:
+                committed = _committed_vectors()
+                fit_vecs = (
+                    vecs if committed is None
+                    else committed.unionByName(vecs)
+                )
+            out = _ivfpq_fit_and_land(fit_vecs, gen, epoch_id)
+        elif meta is None:
+            if vecs.isEmpty():
+                out = spark.createDataFrame(
+                    [],
+                    "vec_id long, cluster_id long, s long, code long, "
+                    "dist double",
+                )
+            else:
+                out = _ivfpq_fit_and_land(vecs, 0, epoch_id)
+        else:
+            model = read_ivfpq_model(spark, zone_dir, meta["gen"])
+            _, _, encoded = ivfpq_model(
+                vecs, n_clusters=n_clusters, n_subspaces=n_subspaces,
+                n_codes=n_codes, dim=dim, stride=stride,
+                cb_stride=cb_stride, centroids=model[0],
+                codebook=model[1], return_dist=True,
+            )
+            bm = _mean_dist(encoded)
+            fit_mean = meta.get("fit_mean_dist")
+            if (
+                drift_refit_factor is not None
+                and bm is not None
+                and fit_mean is not None
+                and bm > drift_refit_factor * fit_mean
+            ):
+                committed = _committed_vectors()
+                fit_vecs = (
+                    vecs if committed is None
+                    else committed.unionByName(vecs)
+                )
+                out = _ivfpq_fit_and_land(
+                    fit_vecs, meta["gen"] + 1, epoch_id
+                )
+            else:
+                out = encoded
+        cur = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
+        gen_now = -1 if cur is None else cur["gen"]
+        _land_epoch(
+            spark,
+            out.select("vec_id", "cluster_id", "s", "code").withColumn(
+                "model_gen", F.lit(gen_now)
+            ),
+            tables["ivfpq_codes"],
+            os.path.join(zone_dir, "ivfpq_codes"),
+            zone_dir,
+            "ivfpq_codes",
+            epoch_id,
+            n_buckets,
+            bucket_col="vec_id",
+        )
+
     def land(batch_df: DataFrame, epoch_id: int) -> None:
         if all(
             epoch_id in committed_epochs(zone_dir, z) for z in tables
@@ -766,6 +937,8 @@ def run_embedding_ingest(
             return  # checkpoint replay of a fully-landed epoch
         if pq:
             _pq_gate(batch_df, epoch_id)
+        if ivfpq:
+            _ivfpq_gate(batch_df, epoch_id)
         _land_epoch(
             spark, batch_df, tables[name],
             os.path.join(zone_dir, name), zone_dir, name, epoch_id,

@@ -12,11 +12,16 @@ import os
 import pyspark.sql.functions as F
 
 from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+    ivfpq_model,
     pq_codebook,
     pq_encode,
 )
 from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+    IVFPQ_MODEL_DIR,
+    _read_model_meta,
     _read_pq_meta,
+    read_ivfpq_codes,
+    read_ivfpq_model,
     read_pq_codebook,
     read_pq_codes,
     run_embedding_ingest,
@@ -142,6 +147,98 @@ def test_pq_gate_incremental_then_drift_refit(spark, tmp_path):
         assert _read_pq_meta(zone)["gen"] == 1
         assert (
             _codes_key(read_pq_codes(spark, tables["pq_codes"], zone))
+            == got
+        )
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _ivfpq_codes_key(df):
+    return sorted(
+        (r["vec_id"], r["cluster_id"], r["s"], r["code"])
+        for r in df.collect()
+    )
+
+
+def test_ivfpq_gate_incremental_then_drift_refit(spark, tmp_path):
+    """The IVFADC twin of the PQ gate lifecycle: wave 1 (containing
+    BOTH deterministic samples — coarse ids %29 and residual-codebook
+    ids %31) fits gen 0; wave 2 is coarse-assigned + residual-encoded
+    against the frozen landed model (no refit, merged codes == the
+    batch encode over both waves); wave 3 arrives ×100-scaled, the
+    residual distortion blows the default 2× factor, the model refits
+    over committed + batch (gen 1) and equals the batch build over all
+    three waves; a replayed run is a no-op."""
+    raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
+    prefix = "t_ivfpq3_"
+    tables = {}
+    try:
+        base = _emb(spark)
+        # strided samples: coarse {0,29,...,174}, codebook {0,31,...,186}
+        # — all < 190, so wave 1 reproduces the full-corpus model
+        w1 = base.filter(F.col("vec_id") < 190)
+        w2 = base.filter(F.col("vec_id") >= 190)
+        w3 = base.filter(F.col("vec_id") >= 150).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 100).cast("float")
+            ).alias("embedding"),
+        )
+
+        w1.write.mode("append").parquet(raw)
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivfpq=True, n_buckets=4, table_prefix=prefix,
+        )
+        meta = _read_model_meta(zone, IVFPQ_MODEL_DIR)
+        assert meta["gen"] == 0 and meta["fit_mean_dist"] is not None
+        cent0, cb0 = read_ivfpq_model(spark, zone)
+        _, _, want_full = ivfpq_model(
+            base, centroids=cent0, codebook=cb0
+        )
+
+        # wave 2: steady state — encode-only against the gen-0 model
+        w2.write.mode("append").parquet(raw)
+        run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivfpq=True, n_buckets=4, table_prefix=prefix,
+        )
+        assert _read_model_meta(zone, IVFPQ_MODEL_DIR)["gen"] == 0
+        got = _ivfpq_codes_key(
+            read_ivfpq_codes(spark, tables["ivfpq_codes"], zone)
+        )
+        assert got == _ivfpq_codes_key(want_full)
+        assert len(got) == 200 * 4
+
+        # wave 3: scaled arrivals — distortion drift, gen-1 refit over
+        # committed + batch equals the batch build over all vectors
+        all_vecs = base.unionByName(w3)
+        w3.write.mode("append").parquet(raw)
+        run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivfpq=True, n_buckets=4, table_prefix=prefix,
+        )
+        assert _read_model_meta(zone, IVFPQ_MODEL_DIR)["gen"] == 1
+        cent1, cb1 = read_ivfpq_model(spark, zone)
+        _, _, want_all = ivfpq_model(
+            all_vecs, centroids=cent1, codebook=cb1
+        )
+        got = _ivfpq_codes_key(
+            read_ivfpq_codes(spark, tables["ivfpq_codes"], zone)
+        )
+        assert got == _ivfpq_codes_key(want_all)
+
+        # replay: no-op
+        run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivfpq=True, n_buckets=4, table_prefix=prefix,
+        )
+        assert _read_model_meta(zone, IVFPQ_MODEL_DIR)["gen"] == 1
+        assert (
+            _ivfpq_codes_key(
+                read_ivfpq_codes(spark, tables["ivfpq_codes"], zone)
+            )
             == got
         )
     finally:
