@@ -518,6 +518,7 @@ def compact_cms_cells(
 
 PQ_MODEL_DIR = "pq_model"
 IVFPQ_MODEL_DIR = "ivfpq_model"
+IVF_MODEL_DIR = "ivf_model"
 PQ_META_FILE = "_model_meta.json"
 
 
@@ -591,6 +592,42 @@ def read_pq_codes(
     )
 
 
+def read_ivf_centroids(
+    spark: SparkSession, zone_dir: str, gen: int | None = None
+) -> DataFrame | None:
+    """The landed trained-IVF coarse quantizer ``(cid, centroid_vec)``
+    for a model generation (default: current per the meta), or None
+    when no model exists yet."""
+    meta = _read_model_meta(zone_dir, IVF_MODEL_DIR)
+    if gen is None:
+        if meta is None:
+            return None
+        gen = meta["gen"]
+    p = os.path.join(zone_dir, IVF_MODEL_DIR, f"gen={gen}")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def read_ivf_assign(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """Current-generation IVF cell assignment from the streamed zone
+    (the inverted-list membership a probe file-prunes on) —
+    generation-filtered like every model-zone reader here."""
+    meta = _read_model_meta(zone_dir, IVF_MODEL_DIR)
+    if meta is None:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster_id long, dist double"
+        )
+    df = read_manifest_zone(spark, {"ivf_assign": table}, zone_dir)[
+        "ivf_assign"
+    ]
+    return df.filter(F.col("model_gen") == meta["gen"]).select(
+        "vec_id", "cluster_id", "dist"
+    )
+
+
 def read_ivfpq_model(
     spark: SparkSession, zone_dir: str, gen: int | None = None
 ) -> tuple[DataFrame, DataFrame] | None:
@@ -638,12 +675,14 @@ def run_embedding_ingest(
     schema: str = "vec_id long, embedding array<float>",
     pq: bool = True,
     ivfpq: bool = False,
+    ivf: bool = False,
     n_subspaces: int = 4,
     n_codes: int = 16,
     dim: int = 64,
     stride: int = 29,
     n_clusters: int = 16,
     cb_stride: int = 31,
+    ivf_iterations: int = 2,
     drift_refit_factor: float | None = 2.0,
     n_buckets: int = 8,
     table_prefix: str = "emb_",
@@ -685,10 +724,20 @@ def run_embedding_ingest(
     committed + batch. Serve via :func:`read_ivfpq_model` +
     :func:`read_ivfpq_codes` → ``ivfpq_topk(codes=…)``.
 
-    Land order: ``pq_codes``/``ivfpq_codes`` commit BEFORE
-    ``embeddings`` each epoch, so an embeddings-committed epoch
-    implies its codes landed (the aux-before-primary rule every gate
-    here follows).
+    ``ivf`` adds the TRAINED coarse quantizer (the `_ivf_model_zone`
+    batch land's streaming twin, closing the last ANN model zone):
+    gen-0 runs the deterministic Lloyd fit (``kmeans_fixed(k=
+    n_clusters, iterations=ivf_iterations)``) on the first non-empty
+    epoch and lands the k-row centroid table; later epochs
+    broadcast-argmin ASSIGN arrivals (``kmeans_assign`` — the
+    inverted-list membership lands per epoch as ``ivf_assign``);
+    assignment-distance drift refits over committed + batch. Serve
+    via :func:`read_ivf_centroids` → ``ivf_topk(centroids=…)``.
+
+    Land order: ``pq_codes``/``ivfpq_codes``/``ivf_assign`` commit
+    BEFORE ``embeddings`` each epoch, so an embeddings-committed
+    epoch implies its codes landed (the aux-before-primary rule every
+    gate here follows).
 
     At 100 TB: the model dir holds m·k rows per generation (64 at
     defaults — driver/broadcast-safe by construction), per-epoch work
@@ -699,7 +748,13 @@ def run_embedding_ingest(
 
     Returns ``{zone name: catalog table}``.
     """
-    from ..operators.similarity import ivfpq_model, pq_codebook, pq_encode
+    from ..operators.ml import kmeans_assign, kmeans_fixed
+    from ..operators.similarity import (
+        as_double,
+        ivfpq_model,
+        pq_codebook,
+        pq_encode,
+    )
 
     name = "embeddings"
     tables: dict[str, str] = {}
@@ -707,6 +762,8 @@ def run_embedding_ingest(
         tables["pq_codes"] = f"{table_prefix}pq_codes"
     if ivfpq:
         tables["ivfpq_codes"] = f"{table_prefix}ivfpq_codes"
+    if ivf:
+        tables["ivf_assign"] = f"{table_prefix}ivf_assign"
     tables[name] = f"{table_prefix}embeddings"  # lands LAST
 
     def _mean_dist(codes_d: DataFrame) -> float | None:
@@ -930,6 +987,101 @@ def run_embedding_ingest(
             bucket_col="vec_id",
         )
 
+    def _ivf_vecs(batch_df: DataFrame) -> DataFrame:
+        """(vec_id, embedding-as-double) — the exact input shape the
+        batch `_ivf_model_zone` build fits on, so gen-0 centroids are
+        bit-identical to the session-scoped land."""
+        return batch_df.select(
+            F.col("vec_id"),
+            as_double(F.col("embedding")).alias("embedding"),
+        )
+
+    def _ivf_fit_and_land(
+        fit_vecs: DataFrame, gen: int, epoch_id: int
+    ) -> DataFrame:
+        assigned, cent_df = kmeans_fixed(
+            fit_vecs, k=n_clusters, iterations=ivf_iterations, dim=dim,
+            id_col="vec_id", vec_col="embedding", return_model=True,
+        )
+        gdir = os.path.join(zone_dir, IVF_MODEL_DIR, f"gen={gen}")
+        cent_df.write.mode("overwrite").parquet(gdir)
+        _write_model_meta(
+            zone_dir, IVF_MODEL_DIR,
+            {
+                "gen": gen,
+                "fit_mean_dist": _mean_dist(assigned),
+                "fit_epoch": epoch_id,
+                "k": n_clusters,
+                "iterations": ivf_iterations,
+                "dim": dim,
+            },
+        )
+        return assigned
+
+    def _ivf_gate(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs(zone_dir, "ivf_assign"):
+            return  # replayed, fully landed
+        vecs = _ivf_vecs(batch_df)
+        meta = _read_model_meta(zone_dir, IVF_MODEL_DIR)
+        if meta is not None and meta.get("fit_epoch") == epoch_id:
+            gen = meta["gen"]
+            if gen == 0:
+                fit_vecs = vecs
+            else:
+                committed = _committed_vectors()
+                fit_vecs = (
+                    vecs if committed is None
+                    else _ivf_vecs(committed.unionByName(
+                        batch_df.select("vec_id", "embedding")
+                    ))
+                )
+            out = _ivf_fit_and_land(fit_vecs, gen, epoch_id)
+        elif meta is None:
+            if vecs.isEmpty():
+                out = spark.createDataFrame(
+                    [], "vec_id long, cluster_id long, dist double"
+                )
+            else:
+                out = _ivf_fit_and_land(vecs, 0, epoch_id)
+        else:
+            cents = read_ivf_centroids(spark, zone_dir, meta["gen"])
+            assigned = kmeans_assign(
+                vecs, cents, id_col="vec_id", vec_col="embedding"
+            )
+            bm = _mean_dist(assigned)
+            fit_mean = meta.get("fit_mean_dist")
+            if (
+                drift_refit_factor is not None
+                and bm is not None
+                and fit_mean is not None
+                and bm > drift_refit_factor * fit_mean
+            ):
+                committed = _committed_vectors()
+                fit_vecs = (
+                    vecs if committed is None
+                    else _ivf_vecs(committed.unionByName(
+                        batch_df.select("vec_id", "embedding")
+                    ))
+                )
+                out = _ivf_fit_and_land(
+                    fit_vecs, meta["gen"] + 1, epoch_id
+                )
+            else:
+                out = assigned
+        cur = _read_model_meta(zone_dir, IVF_MODEL_DIR)
+        gen_now = -1 if cur is None else cur["gen"]
+        _land_epoch(
+            spark,
+            out.withColumn("model_gen", F.lit(gen_now)),
+            tables["ivf_assign"],
+            os.path.join(zone_dir, "ivf_assign"),
+            zone_dir,
+            "ivf_assign",
+            epoch_id,
+            n_buckets,
+            bucket_col="vec_id",
+        )
+
     def land(batch_df: DataFrame, epoch_id: int) -> None:
         if all(
             epoch_id in committed_epochs(zone_dir, z) for z in tables
@@ -939,6 +1091,8 @@ def run_embedding_ingest(
             _pq_gate(batch_df, epoch_id)
         if ivfpq:
             _ivfpq_gate(batch_df, epoch_id)
+        if ivf:
+            _ivf_gate(batch_df, epoch_id)
         _land_epoch(
             spark, batch_df, tables[name],
             os.path.join(zone_dir, name), zone_dir, name, epoch_id,

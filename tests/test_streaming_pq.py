@@ -11,15 +11,22 @@ import os
 
 import pyspark.sql.functions as F
 
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    ml,
+)
 from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+    as_double,
     ivfpq_model,
     pq_codebook,
     pq_encode,
 )
 from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+    IVF_MODEL_DIR,
     IVFPQ_MODEL_DIR,
     _read_model_meta,
     _read_pq_meta,
+    read_ivf_assign,
+    read_ivf_centroids,
     read_ivfpq_codes,
     read_ivfpq_model,
     read_pq_codebook,
@@ -239,6 +246,104 @@ def test_ivfpq_gate_incremental_then_drift_refit(spark, tmp_path):
             _ivfpq_codes_key(
                 read_ivfpq_codes(spark, tables["ivfpq_codes"], zone)
             )
+            == got
+        )
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _ivf_key(df):
+    return sorted(
+        (r["vec_id"], r["cluster_id"], r["dist"]) for r in df.collect()
+    )
+
+
+def _dvecs(df):
+    return df.select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+
+
+def test_ivf_gate_incremental_then_drift_refit(spark, tmp_path):
+    """The trained-IVF twin: wave 1 runs the gen-0 Lloyd fit (equal to
+    kmeans_fixed over the same vectors — the batch _ivf_model_zone
+    build); wave 2 is ASSIGNED against the frozen landed centroids
+    (kmeans_assign output, meta untouched); wave 3 arrives ×100-scaled
+    and the assignment-distance drift refits over committed + batch
+    (gen 1) to exactly the batch fit over all three waves; replay is a
+    no-op."""
+    raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
+    prefix = "t_ivf3_"
+    tables = {}
+    kw = dict(
+        k=16, iterations=2, dim=64, id_col="vec_id", vec_col="embedding"
+    )
+    try:
+        base = _emb(spark)
+        w1 = base.filter(F.col("vec_id") < 190)
+        w2 = base.filter(F.col("vec_id") >= 190)
+        w3 = base.filter(F.col("vec_id") >= 150).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 100).cast("float")
+            ).alias("embedding"),
+        )
+
+        w1.write.mode("append").parquet(raw)
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivf=True, n_buckets=4, table_prefix=prefix,
+        )
+        assert _read_model_meta(zone, IVF_MODEL_DIR)["gen"] == 0
+        cents0 = read_ivf_centroids(spark, zone)
+        want_c0, = [
+            ml.kmeans_fixed(_dvecs(w1), return_centroids=True, **kw)
+        ]
+        assert sorted(
+            (r["cid"], tuple(r["centroid_vec"])) for r in cents0.collect()
+        ) == sorted(
+            (r["cid"], tuple(r["centroid_vec"])) for r in want_c0.collect()
+        )
+
+        # wave 2: steady state — assign-only against gen-0 centroids
+        w2.write.mode("append").parquet(raw)
+        run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivf=True, n_buckets=4, table_prefix=prefix,
+        )
+        assert _read_model_meta(zone, IVF_MODEL_DIR)["gen"] == 0
+        got_all = read_ivf_assign(spark, tables["ivf_assign"], zone)
+        got_w2 = _ivf_key(got_all.filter(F.col("vec_id") >= 190))
+        want_w2 = _ivf_key(
+            ml.kmeans_assign(
+                _dvecs(w2), cents0, id_col="vec_id", vec_col="embedding"
+            )
+        )
+        assert got_w2 == want_w2 and len(got_w2) == 10
+        assert got_all.count() == 200
+
+        # wave 3: ×100-scaled — drift refit (gen 1) equals the batch
+        # fit over all three waves
+        all_vecs = base.unionByName(w3)
+        w3.write.mode("append").parquet(raw)
+        run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivf=True, n_buckets=4, table_prefix=prefix,
+        )
+        assert _read_model_meta(zone, IVF_MODEL_DIR)["gen"] == 1
+        got = _ivf_key(read_ivf_assign(spark, tables["ivf_assign"], zone))
+        want = _ivf_key(ml.kmeans_fixed(_dvecs(all_vecs), **kw))
+        assert got == want and len(got) == all_vecs.count()
+
+        # replay: no-op
+        run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivf=True, n_buckets=4, table_prefix=prefix,
+        )
+        assert _read_model_meta(zone, IVF_MODEL_DIR)["gen"] == 1
+        assert (
+            _ivf_key(read_ivf_assign(spark, tables["ivf_assign"], zone))
             == got
         )
     finally:
