@@ -522,6 +522,42 @@ IVF_MODEL_DIR = "ivf_model"
 PQ_META_FILE = "_model_meta.json"
 
 
+def compact_model_zone(
+    spark: SparkSession,
+    table: str,
+    zone_dir: str,
+    name: str,
+    model_dir: str,
+    n_buckets: int = 8,
+    bucket_col: str = "vec_id",
+) -> str:
+    """Compact a generation-tracked model-state zone table
+    (``cluster_assignment`` / ``pq_codes`` / ``ivfpq_codes`` /
+    ``ivf_assign``): every drift refit re-lands the FULL corpus under
+    a new ``model_gen`` and the readers filter to the current one, so
+    superseded generations are dead rows the scan still pays for
+    until compaction — this folds the zone to exactly the live
+    generation (reader-identical by construction, since the filter IS
+    the reader's own) and one epoch. ``model_dir`` names the meta dir
+    the table's generations key off (KMEANS_MODEL_DIR / PQ_MODEL_DIR /
+    IVFPQ_MODEL_DIR / IVF_MODEL_DIR)."""
+    meta = (
+        _read_kmeans_meta(zone_dir)
+        if model_dir == KMEANS_MODEL_DIR
+        else _read_model_meta(zone_dir, model_dir)
+    )
+    if meta is None:
+        raise ValueError(
+            f"no model meta under {model_dir!r} — nothing to compact"
+        )
+    gen = meta["gen"]
+    return compact_manifest_zone(
+        spark, table, zone_dir, name,
+        n_buckets=n_buckets, bucket_col=bucket_col,
+        transform=lambda df: df.filter(F.col("model_gen") == gen),
+    )
+
+
 def _read_model_meta(zone_dir: str, model_dir: str) -> dict | None:
     """Meta for any generation-tracked model zone (pq / ivfpq)."""
     import json

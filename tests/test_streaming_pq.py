@@ -346,6 +346,26 @@ def test_ivf_gate_incremental_then_drift_refit(spark, tmp_path):
             _ivf_key(read_ivf_assign(spark, tables["ivf_assign"], zone))
             == got
         )
+
+        # dead-generation compaction: the gen-0 rows superseded by the
+        # drift refit are physically dropped, the reader is identical,
+        # and the zone folds to one epoch of exactly the live rows
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+            compact_model_zone,
+            committed_epochs,
+        )
+
+        assert spark.table(tables["ivf_assign"]).count() > len(got)
+        compact_model_zone(
+            spark, tables["ivf_assign"], zone, "ivf_assign",
+            IVF_MODEL_DIR, n_buckets=4,
+        )
+        assert len(committed_epochs(zone, "ivf_assign")) == 1
+        assert spark.table(tables["ivf_assign"]).count() == len(got)
+        assert (
+            _ivf_key(read_ivf_assign(spark, tables["ivf_assign"], zone))
+            == got
+        )
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
