@@ -5195,9 +5195,13 @@ def _ivfpq_model_zone(spark: SparkSession, sf_dir: str) -> str:
     """Land (once per session per embeddings signature) the full
     IVF-PQ model: 16-row coarse centroids, 64-row residual codebook,
     and the encoded corpus codes table (cell id + 4 sub-codes per
-    vector). At 100 TB the codes table would be written partitioned by
-    ``cluster_id`` so the probe join file-prunes cells; at test scale
-    a flat layout keeps the zone read cheap."""
+    vector), PARTITIONED BY ``cluster_id`` — the inverted-list layout:
+    the serving scan's ``codes ⋈ broadcast(probes)`` join triggers
+    dynamic partition pruning, so only the probed cells' files are
+    read (``PartitionFilters: [dynamicpruningexpression(...)]``,
+    plan-asserted in tests/test_ivf_winnowing.py). At 100 TB that IS
+    the n_probe/n_clusters read-fraction lever every IVF serving
+    system pulls."""
 
     def build(zone: str) -> None:
         from .sinks.files import write_zone_table
@@ -5219,7 +5223,10 @@ def _ivfpq_model_zone(spark: SparkSession, sf_dir: str) -> str:
                 os.path.join(zone, "ivfpq_codebook")
             ),
         )
-        write_zone_table(codes, zone, "ivfpq_codes", layout="flat")
+        write_zone_table(
+            codes, zone, "ivfpq_codes", layout="flat",
+            partition_by="cluster_id",
+        )
 
     return _shared_state_zone("ivfpq_model", sf_dir, build, table="embeddings")
 

@@ -369,6 +369,41 @@ def test_ivfpq_served_model_matches_inline(spark):
     assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
 
 
+def test_ivfpq_partitioned_codes_probe_join_file_prunes(spark, tmp_path):
+    """The inverted-list layout claim, plan-asserted (r11): codes
+    landed PARTITIONED BY cluster_id make the serving scan's
+    ``codes ⋈ broadcast(probes)`` join trigger dynamic partition
+    pruning — the codes FileScan carries a
+    ``dynamicpruningexpression`` PartitionFilter, so only the probed
+    cells' files are read (the n_probe/n_clusters read-fraction lever
+    at 100 TB) — and the pruned plan's results are identical to the
+    flat layout's."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 200)
+    cent, cb, codes = similarity.ivfpq_model(emb)
+    codes.write.partitionBy("cluster_id").parquet(str(tmp_path / "codes"))
+    codes_p = spark.read.parquet(str(tmp_path / "codes"))
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivfpq_topk(
+        emb, q, k=4, centroids=cent, codebook=cb, codes=codes_p
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the executed-plan rendering shows the inserted filter as
+    # "dynamicpruning#N" (sometimes "dynamicpruningexpression(...)"
+    # depending on subquery reuse) — match the stable prefix
+    assert "dynamicpruning" in plan.lower(), (
+        f"probe join did not trigger DPP on the partitioned codes "
+        f"zone:\n{plan[:4000]}"
+    )
+    flat = similarity.ivfpq_topk(
+        emb, q, k=4, centroids=cent, codebook=cb, codes=codes
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+
 def test_ivfpq_centroid_schema_accepted_both_ways(spark):
     """ADVICE r10: the coarse-centroid contract is normalized — both
     entry points accept the vector column as either ``cvec``
