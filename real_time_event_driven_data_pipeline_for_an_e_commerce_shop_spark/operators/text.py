@@ -994,12 +994,6 @@ def bpe_learn_merges(
     the previous call — the per-block instrumentation the merge-depth
     scale measurements (scripts/bench_bpe_depth.py) read to show
     ms/merge stays flat under the re-land discipline."""
-    import os
-    import time
-
-    from ..sinks.files import write_zone_table
-
-    spark = documents.sparkSession
     words = (
         documents.select(
             F.explode(tokens(F.lower(F.col("text")))).alias("word")
@@ -1008,6 +1002,38 @@ def bpe_learn_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return bpe_learn_merges_from_words(
+        words, zone_dir,
+        n_merges=n_merges,
+        checkpoint_every=checkpoint_every,
+        return_vocab=return_vocab,
+        on_checkpoint=on_checkpoint,
+    )
+
+
+def bpe_learn_merges_from_words(
+    words: DataFrame,
+    zone_dir: str,
+    n_merges: int = 8,
+    checkpoint_every: int = 64,
+    return_vocab: bool = False,
+    on_checkpoint=None,
+) -> DataFrame:
+    """:func:`bpe_learn_merges`' merge loop over an already-aggregated
+    weighted word-type table ``(word, n)`` — the composition seam for
+    corpora whose word counts already exist as maintained state: the
+    unified token-event grain's 't' slice (same tokenizer, so
+    ``term_state.groupBy(term).sum(tf)`` is bit-identical to the
+    direct corpus scan) feeds this directly, making the BPE model
+    land ZERO-text-scan when the shared corpus zone is live. The
+    caller owns the ``[a-z0-9]+`` filter when deriving words from a
+    grain that kept other tokens."""
+    import os
+    import time
+
+    from ..sinks.files import write_zone_table
+
+    spark = words.sparkSession
     vocab = words.select(
         F.regexp_replace("word", "(.)", "<$1>").alias("seq"), "n"
     )

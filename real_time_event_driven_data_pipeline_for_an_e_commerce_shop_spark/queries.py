@@ -3975,17 +3975,28 @@ def _bpe_state_zone(spark: SparkSession, sf_dir: str) -> str:
     scratch zone (three independent learns per session, the
     refit-per-run pattern the IVF/k-means tiers already eliminated).
     The zone build IS the self-contained learn
-    (:func:`text.bpe_learn_merges`, the oracle-anchored algorithm);
-    all three registry entries serve from the landed tables under
-    their original full merge-chain DuckDB oracles, so the landed
-    state is value-verified end-to-end, not just row-counted."""
+    (:func:`text.bpe_learn_merges_from_words`, the oracle-anchored
+    algorithm); all three registry entries serve from the landed
+    tables under their original full merge-chain DuckDB oracles, so
+    the landed state is value-verified end-to-end, not just
+    row-counted. The word-type table derives from the SHARED corpus
+    zone's term state (same tokenizer — ``groupBy(term).sum(tf)`` is
+    bit-identical to a direct corpus scan), so with any other
+    ``*_state`` entry live this land performs ZERO documents scans —
+    one grain scan per session serves BM25, the LMs, DSIR, the
+    cluster tier, AND the tokenizer."""
 
     def build(zone: str) -> None:
         from .sinks.files import write_zone_table
 
-        docs = _t(spark, sf_dir, "documents")["documents"]
-        merges, vocab = text.bpe_learn_merges(
-            docs, zone, n_merges=8, return_vocab=True
+        words = (
+            _corpus_states(spark, sf_dir)["term_state"]
+            .filter(F.col("term").rlike("^[a-z0-9]+$"))
+            .groupBy(F.col("term").alias("word"))
+            .agg(F.sum("tf").cast("long").alias("n"))
+        )
+        merges, vocab = text.bpe_learn_merges_from_words(
+            words, zone, n_merges=8, return_vocab=True
         )
         write_zone_table(merges, zone, "bpe_merge_table", layout="flat")
         write_zone_table(vocab, zone, "bpe_vocab_final", layout="flat")
