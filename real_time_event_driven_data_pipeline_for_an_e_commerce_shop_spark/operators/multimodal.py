@@ -197,13 +197,14 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Pure-stdlib decode of an 8-bit non-interlaced PNG (grayscale,
-    RGB, or RGBA) — the engine's first COMPRESSED image format with no
-    codec library (VERDICT r10 "What's missing" #3): chunk walk per
-    the public PNG spec, one ``zlib.decompress`` over the concatenated
-    IDAT stream, then per-row reversal of the five standard filters
-    (None/Sub/Up/Average/Paeth). Returns ``(width, height, pixels)``
-    row-major top-down as (r, g, b) ints; grayscale replicates the
-    sample, RGBA drops alpha (features are luminance-based)."""
+    RGB, RGBA, or PLTE-paletted) — the engine's first COMPRESSED image
+    format with no codec library (VERDICT r10 "What's missing" #3):
+    chunk walk per the public PNG spec, one ``zlib.decompress`` over
+    the concatenated IDAT stream, then per-row reversal of the five
+    standard filters (None/Sub/Up/Average/Paeth). Returns
+    ``(width, height, pixels)`` row-major top-down as (r, g, b) ints;
+    grayscale replicates the sample, RGBA drops alpha (features are
+    luminance-based), palette indices resolve through PLTE."""
     import struct
     import zlib
 
@@ -213,6 +214,7 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     width = height = None
     color_type = 0
     idat = bytearray()
+    palette: list[tuple[int, int, int]] | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -225,21 +227,30 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 raise ValueError(
                     f"only 8-bit PNG supported (got depth {bit_depth})"
                 )
-            if color_type not in (0, 2, 6):
+            if color_type not in (0, 2, 3, 6):
                 raise ValueError(
-                    "only grayscale/RGB/RGBA PNG supported (got color "
-                    f"type {color_type} — palette needs a PLTE decode)"
+                    "only grayscale/palette/RGB/RGBA PNG supported "
+                    f"(got color type {color_type})"
                 )
             if interlace != 0:
                 raise ValueError("Adam7-interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = [
+                (data[i], data[i + 1], data[i + 2])
+                for i in range(0, length, 3)
+            ]
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR chunk")
+    if color_type == 3 and palette is None:
+        raise ValueError("paletted PNG missing its PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     stride = width * nch
     if len(raw) < (stride + 1) * height:
         raise ValueError("truncated PNG IDAT stream")
@@ -276,7 +287,14 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         elif f != 0:
             raise ValueError(f"unknown PNG filter type {f}")
         prev = line
-        if nch == 1:
+        if color_type == 3:
+            try:
+                pixels.extend(palette[v] for v in line)
+            except IndexError:
+                raise ValueError(
+                    "paletted PNG index out of PLTE range"
+                ) from None
+        elif nch == 1:
             pixels.extend((v, v, v) for v in line)
         else:
             pixels.extend(

@@ -213,9 +213,47 @@ def test_builtin_decoder_decodes_png_all_filters(spark):
     assert rows[2] == pytest.approx(want, abs=1e-7)
 
 
+def test_decode_png_palette():
+    """Color type 3: indices resolve through the PLTE chunk to the
+    exact RGB triples; a paletted PNG with no PLTE raises."""
+    import struct
+    import zlib
+
+    plte = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 11, 13)]
+    w, h = 4, 3
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + bytes(idx[y * w : (y + 1) * w]) for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    png = (
+        mm.PNG_SIGNATURE + body
+        + chunk(b"PLTE", b"".join(bytes(c) for c in plte))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    want = [plte[i] for i in idx]
+    assert mm.decode_png(png) == (w, h, want)
+    no_plte = (
+        mm.PNG_SIGNATURE + body
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_png(no_plte)
+
+
 def test_decode_png_rejects_unsupported_shapes():
-    """The honesty boundary inside the format: palette, 16-bit, and
-    interlaced PNGs raise instead of mis-decoding."""
+    """The honesty boundary inside the format: 16-bit and interlaced
+    PNGs raise instead of mis-decoding."""
     import struct
     import zlib
 
@@ -229,8 +267,8 @@ def test_decode_png_rejects_unsupported_shapes():
 
     with pytest.raises(ValueError, match="8-bit"):
         mm.decode_png(sig_ihdr(16, 2, 0))
-    with pytest.raises(ValueError, match="palette"):
-        mm.decode_png(sig_ihdr(8, 3, 0))
+    with pytest.raises(ValueError, match="color type"):
+        mm.decode_png(sig_ihdr(8, 4, 0))  # gray+alpha not wired
     with pytest.raises(ValueError, match="interlaced"):
         mm.decode_png(sig_ihdr(8, 2, 1))
     with pytest.raises(ValueError, match="signature"):
