@@ -1272,6 +1272,103 @@ def cms_heavy_hitters(
     )
 
 
+def hll_registers_from_terms(terms: DataFrame, p: int = 10) -> DataFrame:
+    """HyperLogLog register table ``(r_idx, rho)`` over a ``term``
+    column — ALL-INTEGER and md5-based, so the SQL oracle recomputes
+    it bit-exactly AND epochs merge by MAX (the fourth mergeable-state
+    sketch beside the CMS cells, which merge by SUM): register index
+    is a 48-bit md5 mod ``2^p``; ``rho`` is the classic
+    first-one-bit position in a SECOND 48-bit hash, computed as
+    ``49 - bitlength`` via ``bin()`` string length (identical
+    semantics in Spark and DuckDB, verified) — occupied registers
+    therefore hold rho ∈ [1, 49], and an unoccupied register is rho 0
+    by omission. The register table is ≤ 2^p rows regardless of
+    corpus size — the 100 TB distinct-count state."""
+    m = 1 << p
+    h_w = md5_long(F.concat(F.col("term"), F.lit(":hllw")))
+    rho = (
+        F.when(h_w == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(h_w)))
+        .cast("long")
+    )
+    return (
+        terms.select(
+            (
+                md5_long(F.concat(F.col("term"), F.lit(":hllr"))) % m
+            ).alias("r_idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("r_idx")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def hll_vocab_report(
+    documents: DataFrame,
+    p: int = 10,
+    tolerance: float = 0.05,
+    registers: DataFrame | None = None,
+) -> DataFrame:
+    """HLL distinct-VOCABULARY estimate with its accuracy gate — the
+    custom register-table HLL (the builtin ``approx_count_distinct``
+    tier is JVM-opaque; this one's state is an auditable zone table
+    the streaming gate maintains by per-register MAX). One row:
+    ``(m, n_occupied, max_rho, sum_scaled, exact_vocab,
+    estimate_ok)`` where ``sum_scaled = Σ_occupied 2^(49-rho)`` is the
+    integer-exact harmonic-sum numerator (dyadic powers ≤ 2^48 are
+    exact doubles; the BIGINT sum ≤ m·2^49 < 2^63) — the oracle
+    replays every integer column bit-for-bit and asserts the gate.
+    The estimate itself (standard HLL: ``α_m·m²/Σ2^-rho`` with the
+    linear-counting small-range correction ``m·ln(m/V)``) is computed
+    Spark-side and reported only through the tolerance boolean, the
+    ``approx_distinct_users`` accuracy-gate pattern — transcendental
+    ln never enters the hash."""
+    m = 1 << p
+    terms = documents.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    if registers is None:
+        registers = hll_registers_from_terms(terms, p=p)
+    # else: a MAINTAINED register table (the streaming sketch gate's
+    # max-merged epochs) — bit-exact vs the inline build by construction
+    reg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        F.max("rho").cast("long").alias("max_rho"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(49) - F.col("rho")).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("sum_scaled"),
+    )
+    exact = terms.agg(
+        F.countDistinct("term").cast("long").alias("exact_vocab")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = float(2**49)
+    raw_e = (F.lit(alpha) * m * m * F.lit(scale)) / (
+        F.col("sum_scaled") + (F.lit(m) - F.col("n_occupied")) * F.lit(scale)
+    )
+    v = F.lit(m) - F.col("n_occupied")
+    est = F.when(
+        (raw_e <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw_e)
+    return (
+        reg.crossJoin(F.broadcast(exact))  # one-row exact attach
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            "n_occupied",
+            "max_rho",
+            "sum_scaled",
+            "exact_vocab",
+            (
+                F.abs(est - F.col("exact_vocab"))
+                <= F.col("exact_vocab") * F.lit(tolerance)
+            ).alias("estimate_ok"),
+        )
+    )
+
+
 def bpe_doc_token_count(
     documents: DataFrame,
     zone_dir: str,

@@ -4085,6 +4085,98 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P = 10
+_HLL_ORACLE = f"""
+WITH tok AS (
+    SELECT DISTINCT unnest({_Q_TOKENS_LOWER}) AS term FROM documents
+),
+hashed AS (
+    SELECT ({sql_md5_long("term || ':hllr'")}) % {1 << _HLL_P} AS r_idx,
+           ({sql_md5_long("term || ':hllw'")}) AS h2
+    FROM tok
+),
+reg AS (
+    SELECT r_idx,
+           CAST(MAX(CASE WHEN h2 = 0 THEN 49
+                    ELSE 49 - length(bin(h2)) END) AS BIGINT) AS rho
+    FROM hashed GROUP BY r_idx
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_occupied,
+           CAST(MAX(rho) AS BIGINT) AS max_rho,
+           CAST(SUM(CAST(POWER(2, 49 - rho) AS DECIMAL(38,0)))
+                AS BIGINT) AS sum_scaled
+    FROM reg
+)
+SELECT CAST({1 << _HLL_P} AS BIGINT) AS m, n_occupied, max_rho,
+       sum_scaled,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS exact_vocab,
+       TRUE AS estimate_ok
+FROM agg
+"""
+
+
+@query("hll_vocab", oracle=_HLL_ORACLE)
+def q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom register-table HyperLogLog distinct-vocabulary sketch
+    with its accuracy gate (text.hll_vocab_report) — the FOURTH
+    mergeable-state sketch beside CMS cells (sum-merge), the grain
+    counts, and the builtin HLL++ gate (whose JVM sketch state is
+    opaque; this one's register table is an auditable zone table the
+    streaming gate maintains by per-register MAX). Every integer
+    column — register count, max rho, the 2^(49-rho) harmonic-sum
+    numerator — is replayed bit-for-bit by the DuckDB oracle; the
+    estimate (α_m·m²/Σ2^-rho with linear-counting correction) reports
+    through the tolerance boolean, the approx_distinct_users
+    pattern."""
+    t = _t(spark, sf_dir, "documents")
+    return text.hll_vocab_report(t["documents"], p=_HLL_P)
+
+
+@query("hll_vocab_stream", oracle=ORACLES["hll_vocab"])
+def q_hll_vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED register-table HLL under the batch entry's value
+    oracle (the cms_heavy_hitters_stream pattern): the corpus is
+    delivered to ``run_corpus_ingest(sketch_hll=True)``, the per-epoch
+    register tables land through the manifest, and the report computed
+    from the MAX-MERGED landed registers must hash-match the inline
+    batch build — register max is associative, commutative, AND
+    idempotent, so the lifecycle is bit-exact and replay cannot even
+    double-count. Multi-epoch merge + replay + compaction parity live
+    in ``tests/test_streaming_sketch.py``."""
+    import shutil
+    import tempfile
+
+    from .streaming.pipeline import read_hll_registers, run_corpus_ingest
+
+    base = tempfile.mkdtemp(prefix="q_hll_stream_")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_hll_stream_"
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(raw)
+    try:
+        tables = run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            state_refresh=True, sketch_hll=True, hll_p=_HLL_P,
+            n_buckets=4, table_prefix=prefix,
+        )
+        regs = read_hll_registers(spark, tables["hll_registers"], zone)
+        out = text.hll_vocab_report(
+            t["documents"], p=_HLL_P, registers=regs
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @query("cms_heavy_hitters_stream", oracle=ORACLES["cms_heavy_hitters"])
 def q_cms_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMED Count-Min sketch under the batch entry's value
@@ -6427,6 +6519,8 @@ _SWEEP_PRIORITY = [
     "ann_pq_stream",
     "ann_ivfpq_stream",
     "ann_ivf_stream",
+    "hll_vocab",
+    "hll_vocab_stream",
     "bpe_merges",
     "bpe_subword_stats",
     "bpe_doc_token_count",
@@ -6475,8 +6569,9 @@ _SWEEP_PRIORITY = [
     "token_count_bpe",
     "bm25_search",
     "incremental_dedup",
-    "hybrid_search_rrf",
-    "fuzzy_name_pairs",
+    # (hybrid_search_rrf and fuzzy_name_pairs yield their slots to the
+    # hll_vocab pair — both r8-green with untouched code; rotate them
+    # forward in r12)
     "text_semantic_neardup",
     "lm_perplexity",
     "lm_perplexity_bigram",

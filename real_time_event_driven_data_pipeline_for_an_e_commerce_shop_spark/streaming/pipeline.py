@@ -491,6 +491,44 @@ def read_cms_cells(
     )
 
 
+def read_hll_registers(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """The corpus HLL register table from the streamed zone: registers
+    are MAXes, so the manifest-pruned epoch union folds with one
+    groupBy-max — bit-exact vs the batch
+    ``text.hll_registers_from_terms`` over the same corpus (max is
+    associative/commutative/idempotent, so replay CAN'T even
+    double-count; the CMS cells' sum-merge needs the manifest for
+    that, the registers get it for free)."""
+    df = read_manifest_zone(
+        spark, {"hll_registers": table}, zone_dir
+    )["hll_registers"]
+    return df.groupBy("r_idx").agg(
+        F.max("rho").cast("long").alias("rho")
+    )
+
+
+def compact_hll_registers(
+    spark: SparkSession,
+    table: str,
+    zone_dir: str,
+    name: str = "hll_registers",
+    n_buckets: int = 8,
+) -> str:
+    """:func:`compact_cms_cells` for the register zone — epochs fold
+    by groupBy-MAX at compaction time (the reader's own merge), so the
+    zone collapses to ≤ 2^p rows and one epoch no matter how many
+    ingest waves accumulated."""
+    return compact_manifest_zone(
+        spark, table, zone_dir, name,
+        n_buckets=n_buckets, bucket_col="r_idx",
+        transform=lambda df: df.groupBy("r_idx").agg(
+            F.max("rho").cast("long").alias("rho")
+        ),
+    )
+
+
 def compact_cms_cells(
     spark: SparkSession,
     table: str,
@@ -1469,6 +1507,8 @@ def run_corpus_ingest(
     sketch_cms: bool = False,
     cms_width: int = 1024,
     cms_depth: int = 4,
+    sketch_hll: bool = False,
+    hll_p: int = 10,
     table_prefix: str = "corpus_",
     await_termination: bool = True,
 ) -> dict[str, str]:
@@ -1523,6 +1563,15 @@ def run_corpus_ingest(
       the corpus sketch, bit-exact vs the batch build
       (replay-parity-tested). The d×w cells are the only state — a
       few KB per epoch regardless of vocabulary.
+    * ``sketch_hll`` (requires ``state_refresh``) — maintains the
+      HyperLogLog distinct-vocabulary register table per epoch: each
+      batch's terms (the grain's 't' slice) fold into ≤ 2^p
+      ``(r_idx, rho)`` registers landed through the same manifest;
+      registers are MAXes (associative, commutative, IDEMPOTENT —
+      replay can't even double-count), so
+      :func:`read_hll_registers`' groupBy-max over committed epochs
+      IS the corpus sketch, bit-exact vs the batch
+      ``text.hll_registers_from_terms``.
 
     Gate composition shares work: with both ``semantic_dedup`` and
     ``state_refresh`` on, the batch grain is STAGED once (the single
@@ -1570,6 +1619,11 @@ def run_corpus_ingest(
             "sketch_cms requires state_refresh=True — per-epoch term "
             "counts derive from the batch grain's 't' slice"
         )
+    if sketch_hll and not state_refresh:
+        raise ValueError(
+            "sketch_hll requires state_refresh=True — per-epoch "
+            "registers derive from the batch grain's 't' slice"
+        )
     name = "documents"
     tables: dict[str, str] = {}
     if semantic_dedup:
@@ -1592,6 +1646,8 @@ def run_corpus_ingest(
         tables["cluster_assignment"] = f"{table_prefix}cluster_assignment"
     if sketch_cms:
         tables["cms_cells"] = f"{table_prefix}cms_cells"
+    if sketch_hll:
+        tables["hll_registers"] = f"{table_prefix}hll_registers"
     tables[name] = f"{table_prefix}documents"  # lands LAST — see above
 
     def _mean_dist(assigned: DataFrame) -> float | None:
@@ -1920,6 +1976,25 @@ def run_corpus_ingest(
                         epoch_id,
                         n_buckets,
                         bucket_col="col",
+                    )
+                if sketch_hll:
+                    from ..operators.text import hll_registers_from_terms
+
+                    _land_epoch(
+                        spark,
+                        hll_registers_from_terms(
+                            grain.filter(F.col("kind") == "t").select(
+                                F.col("s").alias("term")
+                            ),
+                            p=hll_p,
+                        ),
+                        tables["hll_registers"],
+                        os.path.join(zone_dir, "hll_registers"),
+                        zone_dir,
+                        "hll_registers",
+                        epoch_id,
+                        n_buckets,
+                        bucket_col="r_idx",
                     )
             _land_epoch(
                 spark, keep, tables[name],

@@ -183,6 +183,15 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "themselves ride a df-capped inverted-index equi-join, same "
         "shape as bm25_search's corpus-stats attach"
     ),
+    "hll_vocab": (
+        "two one-row aggregates attach to each other (the register "
+        "summary × the exact-vocab count) — both sides are single "
+        "rows by construction"
+    ),
+    "hll_vocab_stream": (
+        "same two one-row-aggregate attach as hll_vocab (shared "
+        "hll_vocab_report); the registers come from the landed zone"
+    ),
 }
 
 

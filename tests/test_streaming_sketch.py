@@ -159,3 +159,79 @@ def test_sketch_cms_requires_state_refresh(spark, tmp_path):
             str(tmp_path / "ckpt"),
             sketch_cms=True,
         )
+    with pytest.raises(ValueError, match="state_refresh"):
+        run_corpus_ingest(
+            spark,
+            str(tmp_path / "raw"),
+            str(tmp_path / "zone"),
+            str(tmp_path / "ckpt"),
+            sketch_hll=True,
+        )
+
+
+def test_streamed_hll_registers_match_batch_and_compact(spark, tmp_path):
+    """The max-merge twin of the CMS case: two delivery waves -> two
+    register epochs; the reader's groupBy-max equals the batch
+    register table over the full corpus (max is associative,
+    commutative, and IDEMPOTENT — so a third wave REDELIVERING wave 1
+    verbatim leaves the merged sketch unchanged), and compaction folds
+    the zone to one pre-maxed epoch with an identical read."""
+    import os
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _table_location,
+        compact_hll_registers,
+        committed_epochs,
+        read_hll_registers,
+    )
+
+    raw, zone, ckpt = (
+        str(tmp_path / d) for d in ("raw", "zone", "ckpt")
+    )
+    prefix = "t_hll_ing_"
+    tables = {}
+    try:
+        base = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(60)
+        )
+        w1 = base.filter(F.col("doc_id") % 2 == 0)
+        for wave in (w1, base.filter(F.col("doc_id") % 2 == 1), w1):
+            wave.write.mode("append").parquet(raw)
+            tables = run_corpus_ingest(
+                spark, raw, zone, ckpt,
+                state_refresh=True, sketch_hll=True,
+                n_buckets=4, table_prefix=prefix,
+            )
+        got = _key(read_hll_registers(spark, tables["hll_registers"], zone))
+        want = _key(
+            text.hll_registers_from_terms(
+                base.select(
+                    F.explode(
+                        text.tokens(F.lower(F.col("text")))
+                    ).alias("term")
+                )
+            )
+        )
+        # wave 3 re-delivered wave 1's docs: idempotent max — merged
+        # registers still equal the batch build over waves 1+2
+        assert got == want and len(got) > 0
+        assert len(committed_epochs(zone, "hll_registers")) == 3
+
+        compact_hll_registers(
+            spark, tables["hll_registers"], zone, n_buckets=4
+        )
+        assert len(committed_epochs(zone, "hll_registers")) == 1
+        loc = _table_location(spark, tables["hll_registers"])
+        assert len(
+            [d for d in os.listdir(loc) if d.startswith("_epoch=")]
+        ) == 1
+        assert spark.table(tables["hll_registers"]).count() == len(got)
+        assert (
+            _key(read_hll_registers(spark, tables["hll_registers"], zone))
+            == got
+        )
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
