@@ -127,6 +127,7 @@ HEADLINE = [
     "bpe_subword_stats",
     "bpe_doc_token_count",
     "cms_heavy_hitters",
+    "hll_vocab",
 ]
 
 
