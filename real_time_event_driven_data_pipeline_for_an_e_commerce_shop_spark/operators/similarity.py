@@ -574,6 +574,109 @@ def kmeans_centroids(
     )
 
 
+def _ivf_corpus_lists(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """:func:`ivf_topk`'s corpus inverted-list membership, factored
+    out so the streaming IVF gate lands EXACTLY the rule the serving
+    plan assigns with (cosine argmax — the search metric — with the
+    lowest-cid tie-break): a broadcast join of the k centroid rows
+    onto the corpus and a map-side-combined struct-max, shuffling
+    |corpus| rows. Returns ``(neighbor_id, cluster_id,
+    cvec_corpus)``."""
+    corpus_scored = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cvec_corpus"),
+        )
+        .join(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            F.struct(
+                cosine(F.col("cvec_corpus"), F.col("centroid_vec")).alias("s"),
+                (-F.col("cid")).alias("nc"),
+                F.col("cvec_corpus").alias("vec"),
+            ).alias("_cand"),
+        )
+    )
+    return (
+        corpus_scored.groupBy("neighbor_id")
+        .agg(F.max("_cand").alias("_best"))
+        .select(
+            "neighbor_id",
+            (-F.col("_best.nc")).alias("cluster_id"),
+            F.col("_best.vec").alias("cvec_corpus"),
+        )
+    )
+
+
+def ivf_list_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_dist: bool = False,
+) -> DataFrame:
+    """Search-metric inverted-list membership for an IVF index:
+    assign every corpus vector to the centroid :func:`ivf_topk` would
+    search it under (cosine argmax, lowest-cid ties) — the table a
+    production IVF-Flat index STORES, vector alongside, so serving
+    never rescans the embeddings table. The streaming embedding
+    ingest's IVF gate lands exactly this (partitioned by
+    ``cluster_id``, so the probe join file-prunes); pass the landed
+    zone back through ``ivf_topk(lists=...)``. Returns
+    ``(id_col, cluster_id, vec_col)`` with the vector as doubles.
+
+    Membership MUST use the search metric, not the trainer's: Lloyd
+    fits with L2, but a vector filed under its L2-nearest list while
+    queries probe cosine-nearest lists is silently unreachable —
+    assign-by-search-metric is what FAISS does for
+    METRIC_INNER_PRODUCT IVF indexes.
+
+    ``with_dist=True`` appends a ``dist`` column — the squared-L2
+    distortion to the ASSIGNED centroid (det-round-12 decimal fold,
+    det-round-8 out, the ``kmeans_assign`` arithmetic) — placed
+    between ``cluster_id`` and the vector. The streaming IVF gate
+    thresholds drift on it; squared-L2 (not cosine) on purpose, since
+    cosine is scale-invariant and magnitude drift would be
+    invisible to it."""
+    cent = centroids.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("centroid_vec"),
+    )
+    lists = _ivf_corpus_lists(embeddings, cent, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col),
+        "cluster_id",
+        F.col("cvec_corpus").alias(vec_col),
+    )
+    if not with_dist:
+        return lists
+    cent_b = F.broadcast(
+        cent.select(
+            F.col("cid").alias("cluster_id"),
+            F.col("centroid_vec").alias("_cvec"),
+        )
+    )
+    return lists.join(cent_b, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        det_round(
+            _dec_fold(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("_cvec"),
+                    lambda a, b: (a - b) * (a - b),
+                )
+            ),
+            8,
+        ).alias("dist"),
+        vec_col,
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -584,6 +687,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbors: a deterministic coarse
     quantizer partitions the corpus into inverted lists; each query
@@ -607,9 +711,12 @@ def ivf_topk(
       VERDICT r1 "What's wrong" #2).
     * **Probe + search**: queries fan out to their n_probe lists, then
       one equi-join on ``cluster_id`` co-locates each query with just
-      its lists' vectors — at 100 TB the corpus side would be
-      bucketed/partitioned by ``cluster_id`` on disk so the probe join
-      prunes partitions instead of scanning.
+      its lists' vectors. Pass ``lists`` (a landed
+      :func:`ivf_list_assign` table — e.g. the streamed ``ivf_assign``
+      zone, partitioned by ``cluster_id``) to skip the corpus
+      assignment entirely: the probe join then dynamic-partition-
+      prunes the zone scan to the probed cells' FILES, which is the
+      n_probe/n_clusters read-fraction lever at 100 TB.
 
     Ties (equal cosine) resolve to the lowest centroid id — the struct
     max orders by (sim, -cid), matching the oracle's
@@ -631,28 +738,21 @@ def ivf_topk(
             )
         )
 
-    corpus_scored = (
-        embeddings.select(
+    if lists is not None:
+        # serve from a LANDED inverted list (ivf_list_assign's output,
+        # e.g. the streamed ivf_assign zone): membership and vectors
+        # come from the zone scan — partitioned by cluster_id, the
+        # probe join below dynamic-partition-prunes it to the probed
+        # cells' files, and the embeddings table is never rescanned.
+        # cluster_id is used as-is (no cast): wrapping the partition
+        # column in an expression can defeat DPP insertion.
+        corpus = lists.select(
             F.col(id_col).alias("neighbor_id"),
+            F.col("cluster_id"),
             as_double(F.col(vec_col)).alias("cvec_corpus"),
         )
-        .join(F.broadcast(cent))
-        .select(
-            "neighbor_id",
-            F.struct(
-                cosine(F.col("cvec_corpus"), F.col("centroid_vec")).alias("s"),
-                (-F.col("cid")).alias("nc"),
-                F.col("cvec_corpus").alias("vec"),
-            ).alias("_cand"),
-        )
-    )
-    corpus = corpus_scored.groupBy("neighbor_id").agg(
-        F.max("_cand").alias("_best")
-    ).select(
-        "neighbor_id",
-        (-F.col("_best.nc")).alias("cluster_id"),
-        F.col("_best.vec").alias("cvec_corpus"),
-    )
+    else:
+        corpus = _ivf_corpus_lists(embeddings, cent, id_col, vec_col)
 
     # queries × centroids is tiny (|q| × n_clusters) — join + window
     q = queries.select(

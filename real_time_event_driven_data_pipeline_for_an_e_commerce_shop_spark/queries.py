@@ -4875,14 +4875,20 @@ def q_ann_ivf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     one micro-batch, the gate's gen-0 Lloyd fit runs on exactly the
     corpus the batch zone build fits on, the k-row centroid table
     lands in the generation-tracked model dir, and the IVF probe
-    served from the LANDED centroids must hash-match the in-plan
+    served ENTIRELY from the landed zone — centroids for the probes,
+    the ``cluster_id``-partitioned inverted LISTS for the corpus side
+    (``ivf_topk(lists=...)``: the probe join file-prunes the zone
+    scan via dynamic partition pruning, and the embeddings table is
+    never rescanned at serve time) — must hash-match the in-plan
     refit form. Incremental assign epochs, drift refit, and replay
-    are parity-tested in ``tests/test_streaming_pq.py``."""
+    are parity-tested in ``tests/test_streaming_pq.py``; the DPP
+    plan assertion lives in ``tests/test_ivf_winnowing.py``."""
     import shutil
     import tempfile
 
     from .streaming.pipeline import (
         read_ivf_centroids,
+        read_ivf_lists,
         run_embedding_ingest,
     )
 
@@ -4894,14 +4900,15 @@ def q_ann_ivf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     emb.select("vec_id", "embedding").write.mode("overwrite").parquet(raw)
     try:
-        run_embedding_ingest(
+        tables = run_embedding_ingest(
             spark, raw, zone, ckpt,
             pq=False, ivf=True, n_buckets=4, table_prefix=prefix,
         )
         cents = read_ivf_centroids(spark, zone)
+        lists = read_ivf_lists(spark, tables["ivf_assign"], zone)
         out = similarity.ivf_topk(
             emb, emb.filter(F.col("vec_id") < 10),
-            n_probe=4, k=5, centroids=cents,
+            n_probe=4, k=5, centroids=cents, lists=lists,
         )
         res_dir = os.path.join(base, "result")
         out.write.mode("overwrite").parquet(res_dir)
@@ -5347,7 +5354,13 @@ def q_ann_ivfpq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone = _ivfpq_model_zone(spark, sf_dir)
     cent = spark.read.parquet(os.path.join(zone, "ivfpq_centroids"))
     cb = spark.read.parquet(os.path.join(zone, "ivfpq_codebook"))
-    codes = spark.read.parquet(os.path.join(zone, "ivfpq_codes"))
+    # enforce the landed schema on read (ADVICE r11): path-based
+    # partition-column inference types cluster_id INT where the flat
+    # layout wrote LONG — pin it so the partitioned layout is
+    # schema-identical to the flat one for every reader
+    codes = spark.read.schema(
+        "vec_id long, s long, code long, cluster_id long"
+    ).parquet(os.path.join(zone, "ivfpq_codes"))
     return similarity.ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5,
         centroids=cent, codebook=cb, codes=codes,

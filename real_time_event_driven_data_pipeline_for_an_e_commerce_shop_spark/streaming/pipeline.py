@@ -372,12 +372,19 @@ def _land_epoch(
     n_buckets: int,
     bucket_col: str = "order_id",
     commit_fn=None,
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> None:
     """Idempotent, crash-safe landing of one micro-batch epoch.
 
     ``path`` is only the location for the CREATE on the first-ever
     append; once the table exists its catalog location is
     authoritative (compaction re-points it at a fresh directory).
+
+    ``extra_partition_cols`` nest further partition directories UNDER
+    the ``_epoch`` partition (e.g. ``("cluster_id",)`` for the
+    inverted-list zones, so a probe join dynamic-partition-prunes to
+    the probed cells' files). ``_epoch`` stays outermost so the
+    crash-orphan scrub and the manifest's epoch pruning are untouched.
     """
     import shutil
 
@@ -395,7 +402,7 @@ def _land_epoch(
     staged = df.withColumn("_epoch", F.lit(epoch_id))
     writer = (
         staged.write.format("parquet")
-        .partitionBy("_epoch")
+        .partitionBy("_epoch", *extra_partition_cols)
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
     )
@@ -568,6 +575,7 @@ def compact_model_zone(
     model_dir: str,
     n_buckets: int = 8,
     bucket_col: str = "vec_id",
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> str:
     """Compact a generation-tracked model-state zone table
     (``cluster_assignment`` / ``pq_codes`` / ``ivfpq_codes`` /
@@ -593,6 +601,7 @@ def compact_model_zone(
         spark, table, zone_dir, name,
         n_buckets=n_buckets, bucket_col=bucket_col,
         transform=lambda df: df.filter(F.col("model_gen") == gen),
+        extra_partition_cols=extra_partition_cols,
     )
 
 
@@ -686,9 +695,13 @@ def read_ivf_centroids(
 def read_ivf_assign(
     spark: SparkSession, table: str, zone_dir: str
 ) -> DataFrame:
-    """Current-generation IVF cell assignment from the streamed zone
-    (the inverted-list membership a probe file-prunes on) —
-    generation-filtered like every model-zone reader here."""
+    """Current-generation IVF cell membership from the streamed zone,
+    generation-filtered like every model-zone reader here. Membership
+    is the SEARCH metric's (cosine argmax, lowest-cid ties —
+    ``similarity.ivf_list_assign``, the rule ``ivf_topk`` itself
+    assigns with); ``dist`` is the squared-L2 distortion to the
+    assigned centroid, kept scale-SENSITIVE on purpose so the drift
+    gate can see magnitude shifts cosine is blind to."""
     meta = _read_model_meta(zone_dir, IVF_MODEL_DIR)
     if meta is None:
         return spark.createDataFrame(
@@ -699,6 +712,30 @@ def read_ivf_assign(
     ]
     return df.filter(F.col("model_gen") == meta["gen"]).select(
         "vec_id", "cluster_id", "dist"
+    )
+
+
+def read_ivf_lists(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """Current-generation inverted LISTS from the streamed zone —
+    ``(vec_id, cluster_id, embedding)``, the IVF-Flat serving surface
+    for ``ivf_topk(lists=...)``. The zone lands partitioned by
+    ``cluster_id``, so the serving plan's probe join dynamic-
+    partition-prunes this scan to the probed cells' files: top-k
+    reads n_probe/n_clusters of the corpus bytes and never rescans
+    the embeddings table (plan-asserted in
+    tests/test_ivf_winnowing.py)."""
+    meta = _read_model_meta(zone_dir, IVF_MODEL_DIR)
+    if meta is None:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster_id long, embedding array<double>"
+        )
+    df = read_manifest_zone(spark, {"ivf_assign": table}, zone_dir)[
+        "ivf_assign"
+    ]
+    return df.filter(F.col("model_gen") == meta["gen"]).select(
+        "vec_id", "cluster_id", "embedding"
     )
 
 
@@ -802,11 +839,15 @@ def run_embedding_ingest(
     batch land's streaming twin, closing the last ANN model zone):
     gen-0 runs the deterministic Lloyd fit (``kmeans_fixed(k=
     n_clusters, iterations=ivf_iterations)``) on the first non-empty
-    epoch and lands the k-row centroid table; later epochs
-    broadcast-argmin ASSIGN arrivals (``kmeans_assign`` — the
-    inverted-list membership lands per epoch as ``ivf_assign``);
-    assignment-distance drift refits over committed + batch. Serve
-    via :func:`read_ivf_centroids` → ``ivf_topk(centroids=…)``.
+    epoch and lands the k-row centroid table; every epoch files its
+    arrivals into INVERTED LISTS (``similarity.ivf_list_assign`` —
+    cosine membership, the search metric's rule, with the vector
+    alongside) landed per epoch as ``ivf_assign`` PARTITIONED BY
+    ``cluster_id``; the squared-L2 distortion to the assigned
+    centroid drives drift refits over committed + batch. Serve via
+    :func:`read_ivf_centroids` + :func:`read_ivf_lists` →
+    ``ivf_topk(centroids=…, lists=…)`` — the probe join
+    file-prunes the lists scan, no embeddings rescan.
 
     Land order: ``pq_codes``/``ivfpq_codes``/``ivf_assign`` commit
     BEFORE ``embeddings`` each epoch, so an embeddings-committed
@@ -822,9 +863,10 @@ def run_embedding_ingest(
 
     Returns ``{zone name: catalog table}``.
     """
-    from ..operators.ml import kmeans_assign, kmeans_fixed
+    from ..operators.ml import kmeans_fixed
     from ..operators.similarity import (
         as_double,
+        ivf_list_assign,
         ivfpq_model,
         pq_codebook,
         pq_encode,
@@ -1059,6 +1101,9 @@ def run_embedding_ingest(
             epoch_id,
             n_buckets,
             bucket_col="vec_id",
+            # inverted-list file layout: the ADC serving scan's
+            # codes ⋈ broadcast(probes) join file-prunes via DPP
+            extra_partition_cols=("cluster_id",),
         )
 
     def _ivf_vecs(batch_df: DataFrame) -> DataFrame:
@@ -1070,27 +1115,43 @@ def run_embedding_ingest(
             as_double(F.col("embedding")).alias("embedding"),
         )
 
+    def _ivf_lists(vecs_d: DataFrame, cents: DataFrame) -> DataFrame:
+        """Search-metric inverted-list rows for a batch of vectors —
+        :func:`ivf_list_assign` with the drift-gate distortion column:
+        cosine membership (bit-identical to the serving plan's own
+        corpus assignment), the vector alongside (what IVF-Flat lists
+        store), and the scale-sensitive squared-L2 ``dist``."""
+        return ivf_list_assign(
+            vecs_d, cents, id_col="vec_id", vec_col="embedding",
+            with_dist=True,
+        )
+
     def _ivf_fit_and_land(
         fit_vecs: DataFrame, gen: int, epoch_id: int
     ) -> DataFrame:
-        assigned, cent_df = kmeans_fixed(
+        cent_df = kmeans_fixed(
             fit_vecs, k=n_clusters, iterations=ivf_iterations, dim=dim,
-            id_col="vec_id", vec_col="embedding", return_model=True,
+            id_col="vec_id", vec_col="embedding",
+            return_centroids=True,
         )
         gdir = os.path.join(zone_dir, IVF_MODEL_DIR, f"gen={gen}")
         cent_df.write.mode("overwrite").parquet(gdir)
+        # zone-build discipline (ADVICE r10): membership derives from
+        # the LANDED centroid table — exactly what serving reads
+        # beside the lists — not the in-memory sibling
+        lists = _ivf_lists(fit_vecs, spark.read.parquet(gdir))
         _write_model_meta(
             zone_dir, IVF_MODEL_DIR,
             {
                 "gen": gen,
-                "fit_mean_dist": _mean_dist(assigned),
+                "fit_mean_dist": _mean_dist(lists),
                 "fit_epoch": epoch_id,
                 "k": n_clusters,
                 "iterations": ivf_iterations,
                 "dim": dim,
             },
         )
-        return assigned
+        return lists
 
     def _ivf_gate(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in committed_epochs(zone_dir, "ivf_assign"):
@@ -1119,9 +1180,7 @@ def run_embedding_ingest(
                 out = _ivf_fit_and_land(vecs, 0, epoch_id)
         else:
             cents = read_ivf_centroids(spark, zone_dir, meta["gen"])
-            assigned = kmeans_assign(
-                vecs, cents, id_col="vec_id", vec_col="embedding"
-            )
+            assigned = _ivf_lists(vecs, cents)
             bm = _mean_dist(assigned)
             fit_mean = meta.get("fit_mean_dist")
             if (
@@ -1154,6 +1213,10 @@ def run_embedding_ingest(
             epoch_id,
             n_buckets,
             bucket_col="vec_id",
+            # IVF-Flat inverted lists: rows carry the vector and the
+            # layout carries the cell, so ivf_topk(lists=...) reads
+            # only the probed cells' files (DPP on the probe join)
+            extra_partition_cols=("cluster_id",),
         )
 
     def land(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1281,6 +1344,7 @@ def compact_manifest_zone(
     n_buckets: int = 32,
     bucket_col: str = "order_id",
     transform=None,
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> str:
     """Fold a manifest zone table's accumulated epoch partitions into
     ONE — the small-files maintenance ``sinks.files.
@@ -1301,6 +1365,12 @@ def compact_manifest_zone(
     reads through the catalog and writes with the same partition-by-
     epoch-under-bucket spec, so it is a per-bucket read-sort-write and
     downstream joins stay Exchange-free. Returns the new data dir.
+
+    ``extra_partition_cols`` must repeat whatever the zone's
+    ``_land_epoch`` calls used (e.g. ``("cluster_id",)`` on the
+    inverted-list zones) — the rewrite re-lands with the SAME nested
+    layout, so the dynamic-partition-pruning file layout survives
+    compaction.
 
     ``transform``, if given, is applied to the epoch-stripped union
     before the rewrite — the seam for zone tables whose epochs are
@@ -1328,7 +1398,7 @@ def compact_manifest_zone(
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     (
         df.write.format("parquet")
-        .partitionBy("_epoch")
+        .partitionBy("_epoch", *extra_partition_cols)
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .option("path", new_dir)

@@ -16,6 +16,7 @@ from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators
 )
 from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
     as_double,
+    ivf_list_assign,
     ivfpq_model,
     pq_codebook,
     pq_encode,
@@ -259,6 +260,13 @@ def _ivf_key(df):
     )
 
 
+def _zone_table_location(spark, table):
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row.col_name or "").strip() == "Location":
+            return row.data_type.removeprefix("file:")
+    raise AssertionError(f"no catalog location for {table}")
+
+
 def _dvecs(df):
     return df.select(
         "vec_id", as_double(F.col("embedding")).alias("embedding")
@@ -268,11 +276,15 @@ def _dvecs(df):
 def test_ivf_gate_incremental_then_drift_refit(spark, tmp_path):
     """The trained-IVF twin: wave 1 runs the gen-0 Lloyd fit (equal to
     kmeans_fixed over the same vectors — the batch _ivf_model_zone
-    build); wave 2 is ASSIGNED against the frozen landed centroids
-    (kmeans_assign output, meta untouched); wave 3 arrives ×100-scaled
-    and the assignment-distance drift refits over committed + batch
-    (gen 1) to exactly the batch fit over all three waves; replay is a
-    no-op."""
+    build) and files the batch into search-metric inverted lists
+    (ivf_list_assign: cosine membership, vector alongside, L2 drift
+    dist); wave 2 is FILED against the frozen landed centroids (meta
+    untouched); wave 3 arrives ×100-scaled — cosine membership is
+    scale-invariant but the L2 drift dist is not, so the gate refits
+    over committed + batch (gen 1) to exactly the batch fit over all
+    three waves; replay is a no-op. The zone lands partitioned by
+    (_epoch, cluster_id) — the DPP file layout — and compaction
+    preserves it."""
     raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
     prefix = "t_ivf3_"
     tables = {}
@@ -316,12 +328,21 @@ def test_ivf_gate_incremental_then_drift_refit(spark, tmp_path):
         got_all = read_ivf_assign(spark, tables["ivf_assign"], zone)
         got_w2 = _ivf_key(got_all.filter(F.col("vec_id") >= 190))
         want_w2 = _ivf_key(
-            ml.kmeans_assign(
-                _dvecs(w2), cents0, id_col="vec_id", vec_col="embedding"
+            ivf_list_assign(
+                _dvecs(w2), cents0, id_col="vec_id",
+                vec_col="embedding", with_dist=True,
             )
         )
         assert got_w2 == want_w2 and len(got_w2) == 10
         assert got_all.count() == 200
+        # the zone's file layout is the inverted list: cluster_id
+        # partition dirs nested under each epoch (what the serving
+        # probe join DPP-prunes on)
+        loc = _zone_table_location(spark, tables["ivf_assign"])
+        e0 = os.path.join(loc, "_epoch=0")
+        assert os.path.isdir(e0) and any(
+            d.startswith("cluster_id=") for d in os.listdir(e0)
+        )
 
         # wave 3: ×100-scaled — drift refit (gen 1) equals the batch
         # fit over all three waves
@@ -333,7 +354,15 @@ def test_ivf_gate_incremental_then_drift_refit(spark, tmp_path):
         )
         assert _read_model_meta(zone, IVF_MODEL_DIR)["gen"] == 1
         got = _ivf_key(read_ivf_assign(spark, tables["ivf_assign"], zone))
-        want = _ivf_key(ml.kmeans_fixed(_dvecs(all_vecs), **kw))
+        cents1 = ml.kmeans_fixed(
+            _dvecs(all_vecs), return_centroids=True, **kw
+        )
+        want = _ivf_key(
+            ivf_list_assign(
+                _dvecs(all_vecs), cents1, id_col="vec_id",
+                vec_col="embedding", with_dist=True,
+            )
+        )
         assert got == want and len(got) == all_vecs.count()
 
         # replay: no-op
@@ -359,12 +388,20 @@ def test_ivf_gate_incremental_then_drift_refit(spark, tmp_path):
         compact_model_zone(
             spark, tables["ivf_assign"], zone, "ivf_assign",
             IVF_MODEL_DIR, n_buckets=4,
+            extra_partition_cols=("cluster_id",),
         )
         assert len(committed_epochs(zone, "ivf_assign")) == 1
         assert spark.table(tables["ivf_assign"]).count() == len(got)
         assert (
             _ivf_key(read_ivf_assign(spark, tables["ivf_assign"], zone))
             == got
+        )
+        # compaction preserved the DPP file layout
+        loc = _zone_table_location(spark, tables["ivf_assign"])
+        eps = [d for d in os.listdir(loc) if d.startswith("_epoch=")]
+        assert len(eps) == 1 and any(
+            d.startswith("cluster_id=")
+            for d in os.listdir(os.path.join(loc, eps[0]))
         )
     finally:
         for t in tables.values():
