@@ -61,10 +61,21 @@ def _scratch_zone(name: str) -> str:
     never a content-keyed cache — so a re-run can never read a stale
     table if the input parquet changed between runs; the tables are
     tiny (narrow state grain, e.g. n_docs × 520 B for 64-dim
-    vectors) so the churn is noise next to one corpus scan."""
+    vectors) so the churn is noise next to one corpus scan.
+
+    The dir is reaped at INTERPRETER EXIT, not in the query's own
+    finally block (ADVICE r11: the per-run leak): several ``*_stream``
+    entries must return a DataFrame whose files outlive the function
+    (the driver collects after return), so in-query cleanup is
+    impossible — atexit bounds the leak to one process lifetime
+    instead of forever."""
+    import atexit
+    import shutil
     import tempfile
 
-    return tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+    d = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 # --- shared SQL fragments (DuckDB oracle side) -------------------------
@@ -4145,11 +4156,10 @@ def q_hll_vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-count. Multi-epoch merge + replay + compaction parity live
     in ``tests/test_streaming_sketch.py``."""
     import shutil
-    import tempfile
 
     from .streaming.pipeline import read_hll_registers, run_corpus_ingest
 
-    base = tempfile.mkdtemp(prefix="q_hll_stream_")
+    base = _scratch_zone("q_hll_stream")
     raw = os.path.join(base, "raw")
     zone = os.path.join(base, "zone")
     ckpt = os.path.join(base, "ckpt")
@@ -4189,11 +4199,10 @@ def q_cms_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate) is bit-exact, not just row-counted. Multi-epoch merge +
     replay parity live in ``tests/test_streaming_sketch.py``."""
     import shutil
-    import tempfile
 
     from .streaming.pipeline import read_cms_cells, run_corpus_ingest
 
-    base = tempfile.mkdtemp(prefix="q_cms_stream_")
+    base = _scratch_zone("q_cms_stream")
     raw = os.path.join(base, "raw")
     zone = os.path.join(base, "zone")
     ckpt = os.path.join(base, "ckpt")
@@ -4266,6 +4275,53 @@ def q_bpe_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone = _bpe_state_zone(spark, sf_dir)
     vocab = spark.read.parquet(os.path.join(zone, "bpe_vocab_final"))
     return text.bpe_doc_token_count_from_vocab(t["documents"], vocab)
+
+
+@query("bpe_doc_token_count_stream", oracle=ORACLES["bpe_doc_token_count"])
+def q_bpe_doc_token_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-MAINTAINED BPE tokenizer under
+    bpe_doc_token_count's unrolled merge-chain value oracle (VERDICT
+    r11 #3 — the last learned model without an ingest gate): the
+    corpus is delivered to ``run_corpus_ingest(learn_bpe=True)`` as
+    one micro-batch, the gate's gen-0 learn runs
+    ``bpe_learn_merges_from_words`` over exactly the word-type table
+    the batch ``_bpe_state_zone`` build learns from (the grain's 't'
+    slice — same tokenizer, bit-identical counts), merge table +
+    final vocab land in the generation-tracked model dir, per-epoch
+    word counts land as mergeable SUM state through the manifest
+    (refits re-learn FROM THE FOLDED COUNTS — zero text re-scans),
+    and the corpus tokenized against the LANDED vocab must hash-match
+    the batch form. Incremental epochs, fragmentation-drift refit,
+    and replay no-ops are parity-tested in
+    ``tests/test_streaming_bpe.py``."""
+    import shutil
+
+    from .streaming.pipeline import read_bpe_model, run_corpus_ingest
+
+    base = _scratch_zone("q_bpe_stream")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_bpe_stream_"
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(raw)
+    try:
+        run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            state_refresh=True, learn_bpe=True, bpe_merges=8,
+            n_buckets=4, table_prefix=prefix,
+        )
+        _merges, vocab = read_bpe_model(spark, zone)
+        out = text.bpe_doc_token_count_from_vocab(t["documents"], vocab)
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @query("bpe_subword_stats", oracle=_bpe_subword_oracle(8, 20))
@@ -4884,7 +4940,6 @@ def q_ann_ivf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     are parity-tested in ``tests/test_streaming_pq.py``; the DPP
     plan assertion lives in ``tests/test_ivf_winnowing.py``."""
     import shutil
-    import tempfile
 
     from .streaming.pipeline import (
         read_ivf_centroids,
@@ -4892,7 +4947,7 @@ def q_ann_ivf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_embedding_ingest,
     )
 
-    base = tempfile.mkdtemp(prefix="q_ivf_stream_")
+    base = _scratch_zone("q_ivf_stream")
     raw = os.path.join(base, "raw")
     zone = os.path.join(base, "zone")
     ckpt = os.path.join(base, "ckpt")
@@ -5114,7 +5169,6 @@ def q_ann_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry hash-gates the single-epoch slice the SQL oracle can
     express."""
     import shutil
-    import tempfile
 
     from .streaming.pipeline import (
         read_pq_codebook,
@@ -5122,7 +5176,7 @@ def q_ann_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_embedding_ingest,
     )
 
-    base = tempfile.mkdtemp(prefix="q_pq_stream_")
+    base = _scratch_zone("q_pq_stream")
     raw = os.path.join(base, "raw")
     zone = os.path.join(base, "zone")
     ckpt = os.path.join(base, "ckpt")
@@ -5382,7 +5436,6 @@ def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift refit, and replay no-ops are parity-tested in
     ``tests/test_streaming_pq.py``."""
     import shutil
-    import tempfile
 
     from .streaming.pipeline import (
         read_ivfpq_codes,
@@ -5390,7 +5443,7 @@ def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_embedding_ingest,
     )
 
-    base = tempfile.mkdtemp(prefix="q_ivfpq_stream_")
+    base = _scratch_zone("q_ivfpq_stream")
     raw = os.path.join(base, "raw")
     zone = os.path.join(base, "zone")
     ckpt = os.path.join(base, "ckpt")
@@ -5520,14 +5573,13 @@ def q_cluster_assignment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_streaming_cluster.py``; this entry hash-gates the
     single-epoch slice the SQL oracle can express."""
     import shutil
-    import tempfile
 
     from .streaming.pipeline import (
         read_cluster_assignment,
         run_corpus_ingest,
     )
 
-    base = tempfile.mkdtemp(prefix="q_cluster_stream_")
+    base = _scratch_zone("q_cluster_stream")
     raw = os.path.join(base, "raw")
     zone = os.path.join(base, "zone")
     ckpt = os.path.join(base, "ckpt")
@@ -6520,6 +6572,8 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
 _SWEEP_PRIORITY = [
+    # ---- r12 additions (full rotation at the bottom of the round) --
+    "bpe_doc_token_count_stream",
     # ---- r11 rotation ----------------------------------------------
     # Group A - changed or new this round (VERDICT r10 #1/#2 work):
     # the streaming-maintained PQ model's first driver slot, the three

@@ -536,6 +536,70 @@ def compact_hll_registers(
     )
 
 
+BPE_MODEL_DIR = "bpe_model"
+
+
+def read_bpe_word_counts(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """The corpus weighted word-type table ``(word, n)`` from the
+    streamed zone: per-epoch counts are integer SUMS (the CMS-cell
+    merge law), so the manifest-pruned epoch union folds with one
+    groupBy-sum — bit-exact vs the batch derivation
+    (``term_state.groupBy(term).sum(tf)`` under the ``[a-z0-9]+``
+    filter) over the same corpus. |vocab| rows (Heaps-sublinear), the
+    state BPE refits from WITHOUT re-scanning text."""
+    df = read_manifest_zone(
+        spark, {"bpe_word_counts": table}, zone_dir
+    )["bpe_word_counts"]
+    return df.groupBy("word").agg(F.sum("n").cast("long").alias("n"))
+
+
+def compact_bpe_word_counts(
+    spark: SparkSession,
+    table: str,
+    zone_dir: str,
+    name: str = "bpe_word_counts",
+    n_buckets: int = 8,
+) -> str:
+    """:func:`compact_cms_cells` for the word-count zone — epochs
+    fold by groupBy-SUM at compaction time (the reader's own merge),
+    collapsing the zone to |vocab| rows and one epoch no matter how
+    many ingest waves accumulated."""
+    return compact_manifest_zone(
+        spark, table, zone_dir, name,
+        n_buckets=n_buckets, bucket_col="word",
+        transform=lambda df: df.groupBy("word").agg(
+            F.sum("n").cast("long").alias("n")
+        ),
+    )
+
+
+def read_bpe_model(
+    spark: SparkSession, zone_dir: str, gen: int | None = None
+) -> tuple[DataFrame, DataFrame] | None:
+    """The landed BPE tokenizer model ``(merge_table, vocab_final)``
+    for a model generation (default: the current one per the model
+    meta), or None when no model exists yet. ``merge_table`` is the
+    learned ``(merge_rank, sym_left, sym_right, merged, pair_count)``
+    rows; ``vocab_final`` is the fully-merged symbol-sequence state
+    ``(seq, n)`` the tokenize/apply operators
+    (``bpe_doc_token_count_from_vocab`` /
+    ``bpe_subword_stats_from_vocab``) serve from."""
+    meta = _read_model_meta(zone_dir, BPE_MODEL_DIR)
+    if gen is None:
+        if meta is None:
+            return None
+        gen = meta["gen"]
+    gdir = os.path.join(zone_dir, BPE_MODEL_DIR, f"gen={gen}")
+    if not os.path.isdir(gdir):
+        return None
+    return (
+        spark.read.parquet(os.path.join(gdir, "merge_table")),
+        spark.read.parquet(os.path.join(gdir, "vocab_final")),
+    )
+
+
 def compact_cms_cells(
     spark: SparkSession,
     table: str,
@@ -1579,6 +1643,8 @@ def run_corpus_ingest(
     cms_depth: int = 4,
     sketch_hll: bool = False,
     hll_p: int = 10,
+    learn_bpe: bool = False,
+    bpe_merges: int = 8,
     table_prefix: str = "corpus_",
     await_termination: bool = True,
 ) -> dict[str, str]:
@@ -1642,6 +1708,26 @@ def run_corpus_ingest(
       :func:`read_hll_registers`' groupBy-max over committed epochs
       IS the corpus sketch, bit-exact vs the batch
       ``text.hll_registers_from_terms``.
+    * ``learn_bpe`` (requires ``state_refresh``; VERDICT r11 #3 —
+      the last learned model without an ingest gate) — maintains the
+      BPE tokenizer under ingest: each batch's weighted word-type
+      counts (the grain's 't' slice under the training ``[a-z0-9]+``
+      filter — mergeable integer SUMS, the CMS-cell law) land as a
+      ``bpe_word_counts`` epoch; the first non-empty epoch LEARNS
+      (gen 0, ``text.bpe_learn_merges_from_words`` — bit-exact vs
+      the batch ``_bpe_state_zone`` build over the same corpus) and
+      lands merge table + final vocab in the zone's model dir (meta
+      commits before the counts epoch, the kmeans-gate crash
+      discipline); later epochs only land counts, scoring the
+      batch's FRAGMENTATION (mean subwords per word occurrence
+      under the landed merge table — the tokenizer-quality number)
+      against the model's fit-time mean: drift beyond
+      ``drift_refit_factor ×`` refits gen+1 FROM THE FOLDED COUNTS
+      (:func:`read_bpe_word_counts` + batch — zero text re-scans:
+      Sennrich's algorithm only ever needs the word-type table).
+      Serve via :func:`read_bpe_model` →
+      ``bpe_doc_token_count_from_vocab`` /
+      ``bpe_subword_stats_from_vocab``.
 
     Gate composition shares work: with both ``semantic_dedup`` and
     ``state_refresh`` on, the batch grain is STAGED once (the single
@@ -1694,6 +1780,11 @@ def run_corpus_ingest(
             "sketch_hll requires state_refresh=True — per-epoch "
             "registers derive from the batch grain's 't' slice"
         )
+    if learn_bpe and not state_refresh:
+        raise ValueError(
+            "learn_bpe requires state_refresh=True — per-epoch word "
+            "counts derive from the batch grain's 't' slice"
+        )
     name = "documents"
     tables: dict[str, str] = {}
     if semantic_dedup:
@@ -1718,6 +1809,8 @@ def run_corpus_ingest(
         tables["cms_cells"] = f"{table_prefix}cms_cells"
     if sketch_hll:
         tables["hll_registers"] = f"{table_prefix}hll_registers"
+    if learn_bpe:
+        tables["bpe_word_counts"] = f"{table_prefix}bpe_word_counts"
     tables[name] = f"{table_prefix}documents"  # lands LAST — see above
 
     def _mean_dist(assigned: DataFrame) -> float | None:
@@ -1841,6 +1934,149 @@ def run_corpus_ingest(
             epoch_id,
             n_buckets,
             bucket_col="doc_id",
+        )
+
+    def _bpe_batch_words(grain: DataFrame) -> DataFrame:
+        """The batch's weighted word-type slice under the training
+        filter — bit-identical to the batch zone's derivation
+        (term_state groupBy-sum is the same grain aggregate)."""
+        return (
+            grain.filter(F.col("kind") == "t")
+            .filter(F.col("s").rlike("^[a-z0-9]+$"))
+            .groupBy(F.col("s").alias("word"))
+            .agg(F.sum("c").cast("long").alias("n"))
+        )
+
+    def _bpe_folded_words(batch_words: DataFrame) -> DataFrame:
+        """Committed corpus word counts + the in-flight batch — the
+        REFIT input: |vocab| rows, zero text scans (Sennrich's
+        algorithm only ever needs the word-type table, so
+        refit-from-counts is exact, not an approximation)."""
+        if not spark.catalog.tableExists(tables["bpe_word_counts"]):
+            return batch_words
+        committed = read_bpe_word_counts(
+            spark, tables["bpe_word_counts"], zone_dir
+        )
+        return (
+            committed.unionByName(batch_words)
+            .groupBy("word")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    def _bpe_mean_tokens(vocab: DataFrame) -> float | None:
+        """Weighted mean subwords per word OCCURRENCE of a merged
+        vocab state ``(seq, n)`` — the fragmentation statistic the
+        drift gate thresholds on (integer sums, deterministic
+        decimal ratio; one bounded driver scalar)."""
+        arr = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), "><"
+        )
+        row = vocab.agg(
+            (
+                F.sum(F.col("n") * F.size(arr)).cast("decimal(28,12)")
+                / F.sum("n")
+            )
+            .cast("double")
+            .alias("m")
+        ).collect()[0]
+        return None if row["m"] is None else float(row["m"])
+
+    def _bpe_apply_merges(words: DataFrame, merge_rows) -> DataFrame:
+        """Apply the LANDED merge table to a fresh batch's words —
+        greedy left-to-right replace in rank order, exactly the
+        learn-time rule. The merge table is a bounded driver
+        transfer (n_merges rows); the replace chain is n_merges
+        projections deep (a deployment scoring drift under
+        thousands of merges would re-land through
+        bpe_learn_merges' ping-pong discipline)."""
+        v = words.select(
+            F.regexp_replace("word", "(.)", "<$1>").alias("seq"), "n"
+        )
+        for r in merge_rows:
+            v = v.select(
+                F.replace(
+                    F.col("seq"),
+                    F.lit(f"<{r['sym_left']}><{r['sym_right']}>"),
+                    F.lit(f"<{r['merged']}>"),
+                ).alias("seq"),
+                "n",
+            )
+        return v
+
+    def _bpe_fit_and_land(
+        fit_words: DataFrame, gen: int, epoch_id: int
+    ) -> None:
+        """One deterministic merge learn; merge table + final vocab
+        land under gen=N and the meta (with fit_epoch, for
+        replay-stable refit decisions) commits BEFORE the counts
+        epoch — the kmeans-gate crash discipline."""
+        from ..operators.text import bpe_learn_merges_from_words
+
+        gdir = os.path.join(zone_dir, BPE_MODEL_DIR, f"gen={gen}")
+        merges_df, vocab = bpe_learn_merges_from_words(
+            fit_words, gdir, n_merges=bpe_merges, return_vocab=True
+        )
+        merges_df.write.mode("overwrite").parquet(
+            os.path.join(gdir, "merge_table")
+        )
+        vocab.write.mode("overwrite").parquet(
+            os.path.join(gdir, "vocab_final")
+        )
+        fit_mean = _bpe_mean_tokens(
+            spark.read.parquet(os.path.join(gdir, "vocab_final"))
+        )
+        _write_model_meta(
+            zone_dir, BPE_MODEL_DIR,
+            {
+                "gen": gen,
+                "fit_mean_tokens": fit_mean,
+                "fit_epoch": epoch_id,
+                "n_merges": bpe_merges,
+            },
+        )
+
+    def _bpe_gate(grain: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs(zone_dir, "bpe_word_counts"):
+            return  # replayed, fully landed
+        batch_words = _bpe_batch_words(grain)
+        meta = _read_model_meta(zone_dir, BPE_MODEL_DIR)
+        if meta is not None and meta.get("fit_epoch") == epoch_id:
+            # crash window: the (re)fit's meta committed but the
+            # counts epoch didn't — redo the recorded decision
+            gen = meta["gen"]
+            _bpe_fit_and_land(
+                batch_words
+                if gen == 0
+                else _bpe_folded_words(batch_words),
+                gen,
+                epoch_id,
+            )
+        elif meta is None:
+            if not batch_words.isEmpty():
+                _bpe_fit_and_land(batch_words, 0, epoch_id)
+        else:
+            model = read_bpe_model(spark, zone_dir, meta["gen"])
+            merge_rows = model[0].orderBy("merge_rank").collect()
+            bm = _bpe_mean_tokens(
+                _bpe_apply_merges(batch_words, merge_rows)
+            )
+            fit_mean = meta.get("fit_mean_tokens")
+            if (
+                drift_refit_factor is not None
+                and bm is not None
+                and fit_mean is not None
+                and bm > drift_refit_factor * fit_mean
+            ):
+                _bpe_fit_and_land(
+                    _bpe_folded_words(batch_words),
+                    meta["gen"] + 1,
+                    epoch_id,
+                )
+        _land_epoch(
+            spark, batch_words, tables["bpe_word_counts"],
+            os.path.join(zone_dir, "bpe_word_counts"), zone_dir,
+            "bpe_word_counts", epoch_id, n_buckets,
+            bucket_col="word",
         )
 
     # ADVICE r8: a crash mid-epoch leaves its staging dir behind and a
@@ -2066,6 +2302,8 @@ def run_corpus_ingest(
                         n_buckets,
                         bucket_col="r_idx",
                     )
+                if learn_bpe:
+                    _bpe_gate(grain, epoch_id)
             _land_epoch(
                 spark, keep, tables[name],
                 os.path.join(zone_dir, name), zone_dir, name, epoch_id,
