@@ -456,19 +456,53 @@ def price_quantiles(lineitem: DataFrame) -> DataFrame:
     position ``1 + q·(n−1)``, and a tiny conditional aggregate
     interpolates. A sort/rank formulation was measured at 23.6 s at
     18M rows (the per-group sort serializes); the histogram runs in
-    seconds at any factor and never holds raw rows in memory."""
-    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
-    hist = lineitem.groupBy("l_linestatus", cents.alias("_c")).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    seconds at any factor and never holds raw rows in memory.
+
+    Split into :func:`price_histogram` (the one corpus scan → exact
+    mergeable (group, cents, count) state) and
+    :func:`price_quantiles_from_histogram` (the locate/interpolate
+    half over the small histogram) so the streaming quantile tier can
+    maintain the histogram as per-epoch SUM state and serve quartiles
+    without ever rescanning rows."""
+    return price_quantiles_from_histogram(price_histogram(lineitem))
+
+
+def price_histogram(
+    lineitem: DataFrame,
+    group_col: str = "l_linestatus",
+    value_col: str = "l_extendedprice",
+) -> DataFrame:
+    """The exact cents-histogram state quantiles compute from: one
+    map-side-combined shuffle to ``(group, cents, count)``. Counts
+    are integer SUMS — associative/commutative — so per-epoch
+    histograms folded by groupBy-sum equal the single-pass corpus
+    histogram exactly (the CMS-cell merge law, with zero
+    approximation: money is 2-dp, so integer cents lose nothing).
+    Size is bounded by the price domain (≤ a few million distinct
+    cents), independent of corpus row count."""
+    cents = F.floor(F.col(value_col) * 100.0 + F.lit(0.5)).cast("long")
+    return lineitem.groupBy(group_col, cents.alias("_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
     )
+
+
+def price_quantiles_from_histogram(
+    hist: DataFrame, group_col: str = "l_linestatus"
+) -> DataFrame:
+    """The locate/interpolate half of :func:`price_quantiles` over an
+    already-built (or zone-served, SUM-folded) cents histogram
+    ``(group, _c, _cnt)``: cumulative-count window over the small
+    histogram, two bracketing values per quantile position
+    ``1 + q·(n−1)``, linear interpolation — bit-identical to the
+    single-pass form because the folded histogram is."""
     wcum = (
-        Window.partitionBy("l_linestatus")
+        Window.partitionBy(group_col)
         .orderBy("_c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = Window.partitionBy("l_linestatus")
+    wall = Window.partitionBy(group_col)
     cum = hist.select(
-        "l_linestatus",
+        group_col,
         "_c",
         F.sum("_cnt").over(wcum).alias("_cum"),
         F.sum("_cnt").over(wall).alias("_n"),
@@ -490,7 +524,7 @@ def price_quantiles(lineitem: DataFrame) -> DataFrame:
             + frac * (hi.cast("double") / 100.0 - lo.cast("double") / 100.0)
         )
         aggs.append(det_round(val, 4).alias(name))
-    return cum.groupBy("l_linestatus").agg(*aggs)
+    return cum.groupBy(group_col).agg(*aggs)
 
 
 def status_priority_cube(orders: DataFrame) -> DataFrame:

@@ -2224,6 +2224,51 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap_deep.price_quantiles(t["lineitem"])
 
 
+@query("price_quantiles_stream", oracle=ORACLES["price_quantiles"])
+def q_price_quantiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-MAINTAINED exact-quantile tier under
+    price_quantiles' value oracle (VERDICT r11 #4 — CMS holds
+    frequencies, HLL holds distincts; this closes quantiles): the
+    lineitem rows are delivered to ``run_price_histogram_ingest`` as
+    one micro-batch, the per-epoch cents histogram lands through the
+    manifest (integer counts over integer cents — the 2-dp money
+    domain, so the mergeable state is EXACT, not a sketch), and the
+    quartiles computed from the SUM-folded landed histogram
+    (``price_quantiles_from_histogram``) must hash-match the batch
+    single-pass form. Multi-epoch fold + replay + compaction parity
+    live in ``tests/test_streaming_sketch.py``."""
+    import shutil
+
+    from .operators.olap_deep import price_quantiles_from_histogram
+    from .streaming.pipeline import (
+        read_price_histogram,
+        run_price_histogram_ingest,
+    )
+
+    base = _scratch_zone("q_quant_stream")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_quant_stream_"
+    t = _t(spark, sf_dir, "lineitem")
+    rows = t["lineitem"].select("l_linestatus", "l_extendedprice")
+    rows.write.mode("overwrite").parquet(raw)
+    try:
+        tables = run_price_histogram_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix,
+        )
+        hist = read_price_histogram(spark, tables["price_hist"], zone)
+        out = price_quantiles_from_histogram(hist)
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @query(
     "price_quantiles_gk",
     oracle=f"""
@@ -6574,6 +6619,7 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # ---- r12 additions (full rotation at the bottom of the round) --
     "bpe_doc_token_count_stream",
+    "price_quantiles_stream",
     # ---- r11 rotation ----------------------------------------------
     # Group A - changed or new this round (VERDICT r10 #1/#2 work):
     # the streaming-maintained PQ model's first driver slot, the three

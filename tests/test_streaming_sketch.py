@@ -235,3 +235,71 @@ def test_streamed_hll_registers_match_batch_and_compact(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streamed_price_histogram_matches_batch_and_compacts(
+    spark, tmp_path
+):
+    """The exact-quantile tier's streaming state (VERDICT r11 #4):
+    two delivery waves -> two price_hist epochs; the reader's
+    groupBy-sum equals the batch cents histogram over all rows
+    (integer counts over integer cents — exact, not a sketch), the
+    quartiles served from the folded state equal the batch operator,
+    a replayed run is a no-op, and compaction folds the epochs to ONE
+    pre-summed epoch, reader-identical."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.olap_deep import (
+        price_histogram,
+        price_quantiles,
+        price_quantiles_from_histogram,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        committed_epochs,
+        compact_price_histogram,
+        read_price_histogram,
+        run_price_histogram_ingest,
+    )
+
+    raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
+    prefix = "t_price_ing_"
+    tables = {}
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_linestatus", "l_extendedprice"
+        )
+        for m in range(2):
+            li.filter(F.col("l_orderkey") % 2 == m).select(
+                "l_linestatus", "l_extendedprice"
+            ).write.mode("append").parquet(raw)
+            tables = run_price_histogram_ingest(
+                spark, raw, zone, ckpt, n_buckets=4,
+                table_prefix=prefix,
+            )
+        folded = read_price_histogram(
+            spark, tables["price_hist"], zone
+        )
+        want_hist = _key(price_histogram(li))
+        assert _key(folded) == want_hist
+        assert _key(price_quantiles_from_histogram(folded)) == _key(
+            price_quantiles(li)
+        )
+
+        # replay: no-op (still two epochs, same fold)
+        run_price_histogram_ingest(
+            spark, raw, zone, ckpt, n_buckets=4, table_prefix=prefix,
+        )
+        assert len(committed_epochs(zone, "price_hist")) == 2
+        assert _key(
+            read_price_histogram(spark, tables["price_hist"], zone)
+        ) == want_hist
+
+        # compaction: fold to ONE pre-summed epoch, reader-identical
+        compact_price_histogram(
+            spark, tables["price_hist"], zone, n_buckets=4
+        )
+        assert len(committed_epochs(zone, "price_hist")) == 1
+        assert _key(
+            read_price_histogram(spark, tables["price_hist"], zone)
+        ) == want_hist
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
