@@ -159,14 +159,20 @@ def _trailing_queries(here: str, sf) -> dict[str, float]:
                 num = f[len("BENCH_LOCAL_r"): -len(".json")]
                 if num.isdigit():
                     candidates.append((int(num), f))
-        for _, f in sorted(candidates, reverse=True):
+    except OSError:
+        return {}
+    for _, f in sorted(candidates, reverse=True):
+        # per-file guard (ADVICE r11): one corrupt/unreadable record
+        # must not silently disable the variance guard — skip it and
+        # let the next-newest same-sf record serve as the baseline
+        try:
             with open(os.path.join(here, f)) as fh:
                 rec = json.load(fh)
-            if rec.get("sf") == sf:
-                return rec.get("queries", {}) or {}
-        return {}
-    except (OSError, json.JSONDecodeError):
-        return {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if rec.get("sf") == sf:
+            return rec.get("queries", {}) or {}
+    return {}
 
 
 def _time_entry(

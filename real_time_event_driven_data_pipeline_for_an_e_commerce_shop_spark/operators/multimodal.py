@@ -218,9 +218,22 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
+        # ADVICE r11: a declared length past the payload end is a
+        # malformed PNG, not an engine bug — keep the error contract
+        # in the decoder's ValueError family instead of letting the
+        # short slice surface later as struct/zlib noise
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG: chunk {ctype!r} declares {length} "
+                "bytes past the payload end"
+            )
         data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + CRC
+        pos += 12 + length  # length + type + data + CRC (not checked)
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(
+                    f"malformed PNG IHDR (length {length}, want 13)"
+                )
             (width, height, bit_depth, color_type, _comp, _filt,
              interlace) = struct.unpack(">IIBBBBB", data)
             if bit_depth != 8:
@@ -249,7 +262,10 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         raise ValueError("PNG missing IHDR chunk")
     if color_type == 3 and palette is None:
         raise ValueError("paletted PNG missing its PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     nch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     stride = width * nch
     if len(raw) < (stride + 1) * height:

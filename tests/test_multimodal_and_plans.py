@@ -381,3 +381,36 @@ def test_returned_items_pushes_date_filter(spark):
     assert "l_returnflag" in plan.split("PushedFilters")[1][:400] or (
         "EqualTo(l_returnflag,R)" in plan
     )
+
+
+def test_decode_png_malformed_payloads_raise_valueerror():
+    """ADVICE r11: the malformed-PNG error contract is uniform — a
+    chunk length declared past the payload end, a short IHDR, and a
+    corrupt IDAT all surface as the decoder's documented ValueError
+    family, never raw struct.error/zlib.error."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    # declared chunk length reaches past the payload end
+    lying = mm.PNG_SIGNATURE + struct.pack(">I", 9999) + b"IHDR" + ihdr
+    with pytest.raises(ValueError, match="truncated PNG"):
+        mm.decode_png(lying)
+    # IHDR shorter than the 13 spec bytes
+    short = mm.PNG_SIGNATURE + chunk(b"IHDR", ihdr[:7])
+    with pytest.raises(ValueError, match="IHDR"):
+        mm.decode_png(short)
+    # well-formed chunks, garbage deflate stream
+    bad_idat = (
+        mm.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x99not-deflate\x99")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        mm.decode_png(bad_idat)
