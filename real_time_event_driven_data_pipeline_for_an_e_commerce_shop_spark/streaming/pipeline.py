@@ -400,6 +400,12 @@ def _land_epoch(
         if exists:
             spark.catalog.refreshTable(table)
     staged = df.withColumn("_epoch", F.lit(epoch_id))
+    # align tasks with the bucket spec before writing (same Murmur3
+    # pmod as bucketBy): each of the n_buckets tasks then emits ONE
+    # file per partition dir it touches, so an epoch costs
+    # n_buckets × |dirs| files instead of |input splits| × |dirs| —
+    # the small-files bound the soak test asserts
+    staged = staged.repartition(n_buckets, F.col(bucket_col))
     writer = (
         staged.write.format("parquet")
         .partitionBy("_epoch", *extra_partition_cols)
@@ -1079,7 +1085,7 @@ def run_embedding_ingest(
             dim=dim, stride=stride,
         )
         gdir = os.path.join(zone_dir, PQ_MODEL_DIR, f"gen={gen}")
-        cb.write.mode("overwrite").parquet(gdir)
+        cb.coalesce(1).write.mode("overwrite").parquet(gdir)
         cb_landed = spark.read.parquet(gdir)
         codes_d = pq_encode(
             fit_vecs, cb_landed, n_subspaces=n_subspaces, dim=dim,
@@ -1176,10 +1182,12 @@ def run_embedding_ingest(
             n_codes=n_codes, dim=dim, stride=stride, cb_stride=cb_stride,
         )
         gdir = os.path.join(zone_dir, IVFPQ_MODEL_DIR, f"gen={gen}")
-        cent.write.mode("overwrite").parquet(
+        cent.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(gdir, "centroids")
         )
-        cb.write.mode("overwrite").parquet(os.path.join(gdir, "codebook"))
+        cb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(gdir, "codebook")
+        )
         cent_l = spark.read.parquet(os.path.join(gdir, "centroids"))
         cb_l = spark.read.parquet(os.path.join(gdir, "codebook"))
         _, _, codes_d = ivfpq_model(
@@ -1303,7 +1311,7 @@ def run_embedding_ingest(
             return_centroids=True,
         )
         gdir = os.path.join(zone_dir, IVF_MODEL_DIR, f"gen={gen}")
-        cent_df.write.mode("overwrite").parquet(gdir)
+        cent_df.coalesce(1).write.mode("overwrite").parquet(gdir)
         # zone-build discipline (ADVICE r10): membership derives from
         # the LANDED centroid table — exactly what serving reads
         # beside the lists — not the in-memory sibling
@@ -1561,18 +1569,33 @@ def compact_manifest_zone(
     if transform is not None:
         df = transform(df)
     df = df.withColumn("_epoch", F.lit(keep_epoch))
+    # task/bucket alignment (the small-files point of compacting):
+    # the repartition collapses transformed inputs back to one task
+    # per bucket, and on an untransformed bucketed scan Catalyst
+    # elides it as redundant — but autoBucketedScan would then ALSO
+    # drop the bucketed read ("no operator exploits it") and the
+    # rewrite's |input splits| tasks would each emit a file per
+    # partition dir, multiplying files instead of folding them. Pin
+    # the bucketed scan on for the rewrite action.
+    df = df.repartition(n_buckets, F.col(bucket_col))
     new_dir = os.path.join(zone_dir, f"{name}_compact_{uuid.uuid4().hex[:8]}")
     tmp_table = f"{table}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    (
-        df.write.format("parquet")
-        .partitionBy("_epoch", *extra_partition_cols)
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .option("path", new_dir)
-        .mode("overwrite")
-        .saveAsTable(tmp_table)
-    )
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        (
+            df.write.format("parquet")
+            .partitionBy("_epoch", *extra_partition_cols)
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", new_dir)
+            .mode("overwrite")
+            .saveAsTable(tmp_table)
+        )
+    finally:
+        spark.conf.set(auto_key, prev_auto)
     n_rows = spark.table(tmp_table).count()
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     try:
@@ -1958,7 +1981,7 @@ def run_corpus_ingest(
             return_model=True,
         )
         gdir = os.path.join(zone_dir, KMEANS_MODEL_DIR, f"gen={gen}")
-        cent_df.write.mode("overwrite").parquet(gdir)
+        cent_df.coalesce(1).write.mode("overwrite").parquet(gdir)
         _write_kmeans_meta(
             zone_dir,
             {
@@ -2120,7 +2143,7 @@ def run_corpus_ingest(
         merges_df, vocab = bpe_learn_merges_from_words(
             fit_words, gdir, n_merges=bpe_merges, return_vocab=True
         )
-        merges_df.write.mode("overwrite").parquet(
+        merges_df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(gdir, "merge_table")
         )
         vocab.write.mode("overwrite").parquet(
