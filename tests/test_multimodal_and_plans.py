@@ -48,7 +48,7 @@ def test_real_codec_boundary_stays_honest(spark):
     # nor PPM), surfacing the NotImplementedError from the Arrow
     # workers; resize stays an explicit stub
     media = mm.synthetic_media(spark, 3)
-    with pytest.raises(Exception, match="binary PPM, and 8-bit PNG only"):
+    with pytest.raises(Exception, match="baseline JPEG only"):
         mm.extract_features(media, real=True).collect()
     with pytest.raises(NotImplementedError):
         mm.resize_images(media, 32, 32, real=True)
@@ -414,3 +414,366 @@ def test_decode_png_malformed_payloads_raise_valueerror():
     )
     with pytest.raises(ValueError, match="IDAT"):
         mm.decode_png(bad_idat)
+
+
+# --- baseline JPEG round-trip (VERDICT r11 #8: built, not wontfixed) --
+#
+# Independent test-side encoder: FDCT + quantize + canonical Huffman,
+# emitting real SOI/DQT/SOF0/DHT/DRI/SOS streams with 0xFF stuffing.
+# Tables are MINIMAL valid canonical tables built from the symbols the
+# image actually uses (single code length L with 2^L > n, so the
+# all-ones code is never assigned) — this exercises the decoder's
+# canonical-table construction rather than assuming Annex K.
+
+_JPEG_QL_STD = [  # Annex K luminance table, natural order
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC_STD = [  # Annex K chrominance table, natural order
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def _jpeg_blocks(plane, q, A, zz):
+    """FDCT + quantize + zigzag every 8x8 block of a (H8, W8) plane;
+    returns block rows [(by, bx, [64 ints zigzag])]."""
+    import numpy as np
+
+    out = []
+    for by in range(plane.shape[0] // 8):
+        for bx in range(plane.shape[1] // 8):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = A @ blk @ A.T
+            qz = [
+                int(np.rint(coef.reshape(-1)[zz[k]] / q[zz[k]]))
+                for k in range(64)
+            ]
+            out.append((by, bx, qz))
+    return out
+
+
+def _jpeg_tokens(qz_blocks):
+    """(dc_sym, dc_val) + [(ac_sym, ac_val, size)] per block, with DC
+    prediction across blocks in scan order."""
+    pred = 0
+    toks = []
+    for qz in qz_blocks:
+        diff = qz[0] - pred
+        pred = qz[0]
+        s = diff if diff >= 0 else -diff
+        size = s.bit_length()
+        dc = (size, diff)
+        acs = []
+        run = 0
+        last = 63
+        while last > 0 and qz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = qz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))
+                run -= 16
+            sz = (v if v >= 0 else -v).bit_length()
+            acs.append(((run << 4) | sz, v, sz))
+            run = 0
+        if last < 63:
+            acs.append((0x00, 0, 0))  # EOB
+        toks.append((dc, acs))
+    return toks
+
+
+def _jpeg_minimal_table(symbols):
+    """Canonical table spec (bits, vals) giving every used symbol one
+    code at length L with 2^L > n (all-ones never assigned)."""
+    vals = sorted(set(symbols))
+    L = max(2, (len(vals) + 1).bit_length())
+    bits = [0] * 16
+    bits[L - 1] = len(vals)
+    codes = {v: (L, i) for i, v in enumerate(vals)}
+    return bits, bytes(vals), codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1s per spec
+
+
+def _encode_jpeg(width, height, pixels, gray=False, subsample=False,
+                 q_luma=None, q_chroma=None, restart_interval=0):
+    import struct
+
+    import numpy as np
+
+    zz = mm._JPEG_ZIGZAG
+    ql = q_luma or [1] * 64
+    qc = q_chroma or ql
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16) * np.where(
+        u == 0, np.sqrt(1 / 8.0), np.sqrt(2 / 8.0)
+    )
+    rgb = np.array(pixels, dtype=np.float64).reshape(height, width, 3)
+    y_ = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+          + 0.114 * rgb[..., 2])
+    cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+        + 0.5 * rgb[..., 2]
+    cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+        - 0.081312 * rgb[..., 2]
+
+    hmax = vmax = 2 if subsample else 1
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+
+    def pad(plane, mw, mh):
+        H = -(-plane.shape[0] // mh) * mh
+        W = -(-plane.shape[1] // mw) * mw
+        out = np.empty((H, W))
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1]:] = out[:, plane.shape[1] - 1 : plane.shape[1]]
+        return out
+
+    yp = pad(y_, mcu_w, mcu_h)
+    if not gray:
+        if subsample:
+            cbp = pad(cb, mcu_w, mcu_h)
+            crp = pad(cr, mcu_w, mcu_h)
+            cbp = (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                   + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            crp = (crp[0::2, 0::2] + crp[0::2, 1::2]
+                   + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+        else:
+            cbp, crp = pad(cb, 8, 8), pad(cr, 8, 8)
+
+    # blocks in MCU scan order
+    mcus_x = yp.shape[1] // mcu_w
+    mcus_y = yp.shape[0] // mcu_h
+    comp_planes = [("Y", yp, ql, hmax, vmax)]
+    if not gray:
+        comp_planes += [("Cb", cbp, qc, 1, 1), ("Cr", crp, qc, 1, 1)]
+    blocks = {
+        n: {(by, bx): qz for by, bx, qz in _jpeg_blocks(p, q, A, zz)}
+        for n, p, q, _h, _v in comp_planes
+    }
+    per_comp_scan = {n: [] for n, *_ in comp_planes}
+    mcu_stream = []  # (comp_name, block) in emission order
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for n, _p, _q, ch, cv in comp_planes:
+                for by in range(cv):
+                    for bx in range(ch):
+                        mcu_stream.append(
+                            (n, blocks[n][(my * cv + by, mx * ch + bx)])
+                        )
+    # restart-aware tokenization: DC prediction resets per interval
+    n_mcu_blocks = len(mcu_stream) // (mcus_x * mcus_y)
+    groups = []
+    if restart_interval:
+        per = restart_interval * n_mcu_blocks
+        for i in range(0, len(mcu_stream), per):
+            groups.append(mcu_stream[i : i + per])
+    else:
+        groups = [mcu_stream]
+    tokenized = []  # aligned with groups: [(comp, (dc, acs)), ...]
+    for grp in groups:
+        preds = {n: 0 for n, *_ in comp_planes}
+        gtoks = []
+        for n, qz in grp:
+            diff = qz[0] - preds[n]
+            preds[n] = qz[0]
+            (dc, acs) = _jpeg_tokens([[diff] + qz[1:]])[0]
+            gtoks.append((n, (dc, acs)))
+        tokenized.append(gtoks)
+
+    # minimal canonical tables from the used symbols
+    dc_syms = {"l": [], "c": []}
+    ac_syms = {"l": [], "c": []}
+    for gtoks in tokenized:
+        for n, (dc, acs) in gtoks:
+            t = "l" if n == "Y" else "c"
+            dc_syms[t].append(dc[0])  # the DC symbol IS the size
+            ac_syms[t].extend(sym for sym, _v, _s in acs)
+    tabs = {}
+    for t in ("l", "c"):
+        if not dc_syms[t]:
+            continue
+        tabs[("dc", t)] = _jpeg_minimal_table(dc_syms[t])
+        tabs[("ac", t)] = _jpeg_minimal_table(ac_syms[t])
+
+    def val_bits(v, s):
+        return (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+
+    w = _JpegBitWriter()
+    entropy = bytearray()
+    for gi, gtoks in enumerate(tokenized):
+        if gi:
+            w.flush()
+            entropy.extend(w.out)
+            w = _JpegBitWriter()
+            entropy.extend(bytes([0xFF, 0xD0 + ((gi - 1) % 8)]))
+        for n, (dc, acs) in gtoks:
+            t = "l" if n == "Y" else "c"
+            size, diff = dc
+            L, code = tabs[("dc", t)][2][size]
+            w.put(code, L)
+            if size:
+                w.put(val_bits(diff, size), size)
+            for sym, v, s in acs:
+                L, code = tabs[("ac", t)][2][sym]
+                w.put(code, L)
+                if s:
+                    w.put(val_bits(v, s), s)
+    w.flush()
+    entropy.extend(w.out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(ql[zz[k]] for k in range(64)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qc[zz[k]] for k in range(64)))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    sof += bytes([1, (hmax << 4) | vmax, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for (kind, t), (bits, vals, _codes) in tabs.items():
+        tc = 0 if kind == "dc" else 1
+        th = 0 if t == "l" else 1
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_grayscale_near_lossless_odd_size():
+    """All-ones quant tables make baseline JPEG nearly lossless (only
+    FDCT rounding survives): a 13x9 grayscale gradient round-trips
+    within +/-2 per channel, and the odd size exercises MCU padding
+    + decode-side cropping."""
+    w, h = 13, 9
+    px = [
+        (v, v, v)
+        for y in range(h)
+        for x in range(w)
+        for v in [(x * 17 + y * 5) % 256]
+    ]
+    payload = _encode_jpeg(w, h, px, gray=True)
+    gw, gh, got = mm.decode_jpeg(payload)
+    assert (gw, gh) == (w, h)
+    worst = max(
+        abs(a - b) for p, q in zip(got, px) for a, b in zip(p, q)
+    )
+    assert worst <= 2, f"grayscale round-trip error {worst}"
+
+
+def test_decode_jpeg_color_444_and_420_with_restarts():
+    """YCbCr 4:4:4 with unit tables round-trips within the color
+    conversion's rounding (+/-3); 4:2:0 with the Annex K tables and a
+    2-MCU restart interval stays visually faithful on a smooth
+    gradient (mean abs error < 4, max < 32) — subsampling, RST
+    markers, and standard-table dequantization all exercised."""
+    w, h = 32, 24
+    px = [
+        (
+            (x * 8) % 256,
+            (y * 10) % 256,
+            ((x + y) * 4) % 256,
+        )
+        for y in range(h)
+        for x in range(w)
+    ]
+    p444 = _encode_jpeg(w, h, px, gray=False)
+    gw, gh, got = mm.decode_jpeg(p444)
+    assert (gw, gh) == (w, h)
+    worst = max(
+        abs(a - b) for p, q in zip(got, px) for a, b in zip(p, q)
+    )
+    assert worst <= 3, f"4:4:4 round-trip error {worst}"
+
+    smooth = [
+        (
+            min(255, 40 + x * 3),
+            min(255, 30 + y * 4),
+            min(255, 60 + x + y),
+        )
+        for y in range(h)
+        for x in range(w)
+    ]
+    p420 = _encode_jpeg(
+        w, h, smooth, gray=False, subsample=True,
+        q_luma=_JPEG_QL_STD, q_chroma=_JPEG_QC_STD,
+        restart_interval=2,
+    )
+    gw, gh, got = mm.decode_jpeg(p420)
+    assert (gw, gh) == (w, h)
+    diffs = [
+        abs(a - b) for p, q in zip(got, smooth) for a, b in zip(p, q)
+    ]
+    mean = sum(diffs) / len(diffs)
+    assert mean < 4 and max(diffs) < 32, (
+        f"4:2:0 round-trip mean {mean:.2f} max {max(diffs)}"
+    )
+    # the builtin decoder seam dispatches on the JPEG magic
+    feat = mm.builtin_media_decoder(p420, "image")
+    assert len(feat) == mm.FEATURE_DIM and all(
+        0.0 <= v <= 1.0 for v in feat
+    )
+
+
+def test_decode_jpeg_honesty_boundary():
+    """Progressive (SOF2) and malformed payloads raise ValueError;
+    non-JPEG magic raises on signature."""
+    import struct
+
+    with pytest.raises(ValueError, match="signature|SOI"):
+        mm.decode_jpeg(b"\x00\x01\x02")
+    # minimal stream with an SOF2 marker
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(ValueError, match="BASELINE"):
+        mm.decode_jpeg(sof2)
+    # declared segment length past payload end
+    lying = b"\xff\xd8\xff\xdb" + struct.pack(">H", 9999)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_jpeg(lying)
