@@ -6617,83 +6617,76 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
 _SWEEP_PRIORITY = [
-    # ---- r12 additions (full rotation at the bottom of the round) --
+    # ---- r12 rotation ----------------------------------------------
+    # Group A - new or changed this round: the two new streaming
+    # tiers (BPE gate, exact-quantile histogram), the streamed
+    # IVF/IVFPQ entries whose zones are now cluster_id-partitioned
+    # and (IVF) served from landed inverted lists, ann_ivfpq_state's
+    # schema-pinned zone read, the HLL pair under the widened 2-sigma
+    # gate, and every other *_stream entry + media_features whose
+    # shared machinery (_land_epoch bucket alignment, builtin
+    # decoder) changed underneath them.
     "bpe_doc_token_count_stream",
     "price_quantiles_stream",
-    # ---- r11 rotation ----------------------------------------------
-    # Group A - changed or new this round (VERDICT r10 #1/#2 work):
-    # the streaming-maintained PQ model's first driver slot, the three
-    # BPE entries rewritten to serve the shared landed vocab zone, the
-    # IVFPQ pair whose zone build now encodes from the parquet-round-
-    # tripped model tables (ADVICE r10) plus the operator's new
-    # codebook param, and tfidf_cosine_pairs - hash-green in r10 but
-    # marked weak until the BNLJ-allowlist meta-test fix ships with a
-    # green suite; a fresh row closes it.
-    "ann_pq_stream",
-    "ann_ivfpq_stream",
     "ann_ivf_stream",
+    "ann_ivfpq_stream",
+    "ann_ivfpq_state",
+    "ann_pq_stream",
     "hll_vocab",
     "hll_vocab_stream",
-    "bpe_merges",
-    "bpe_subword_stats",
-    "bpe_doc_token_count",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_state",
-    "tfidf_cosine_pairs",
-    # Group B - the 16 entries whose freshest driver row is r7
-    # (VERDICT r10 "What's missing" #2), all judge-re-verified green in
-    # the r10 session with untouched code; rotating them in moves the
-    # sweep freshness floor to r8.
-    "ansi_sql_passthrough",
-    "approx_distinct_users",
-    "chunk_dedup",
-    "contamination_check",
-    "daily_activity_full_outer",
-    "doc_fingerprint",
-    "event_json_kpi",
-    "event_props_typed",
-    "global_sales_opportunity",
-    "important_parts",
-    "lang_id",
-    "lineitem_stats",
-    "min_cost_supplier",
-    "parts_supplier_relationship",
-    "token_stats",
-    "top_supplier",
-    # Group C - r8-era entries not covered by the r9/r10 sweeps
-    # (everything in the r10 top-50 is fresh and yields its slot):
-    # the reference-parity core first (the S/P/J rows of SURVEY 2),
-    # then the LLM-tier operators longest out of rotation.
-    "validate_orders",
-    "validate_order_items",
-    "validation_rejects",
-    "order_kpi",
-    "quality_model",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_srp_topk",
-    "ann_ivf_topk",
-    "winnowing_fingerprint",
+    "cluster_assignment_stream",
+    "cms_heavy_hitters_stream",
     "media_features",
-    "pii_redaction",
-    "token_pack",
-    "token_count_bpe",
-    "bm25_search",
-    "incremental_dedup",
-    # (hybrid_search_rrf and fuzzy_name_pairs yield their slots to the
-    # hll_vocab pair — both r8-green with untouched code; rotate them
-    # forward in r12)
-    "text_semantic_neardup",
-    "lm_perplexity",
-    "lm_perplexity_bigram",
-    "quality_logreg_train",
-    "curation_funnel",
-    # (mixture_weights and dsir_selection yield their slots to
-    # ann_ivfpq_stream and ann_ivf_stream — both r8-green with
-    # untouched code, and dsir's scoring path got a fresh r10 row via
-    # dsir_selection_state; rotate both forward in r12)
+    # Group B - the 22 entries whose freshest driver row is r8
+    # (VERDICT r11 "What's missing" #5, incl. the two rotated forward
+    # from r11's displacement notes); price_quantiles{,_gk} also sit
+    # on the refactored histogram operator.
+    "dsir_selection",
+    "embedding_quantize_int8",
+    "fuzzy_name_pairs",
+    "hybrid_search_rrf",
+    "mixture_weights",
+    "order_priority_counts",
+    "price_quantiles",
+    "price_quantiles_gk",
+    "pricing_summary",
+    "promotion_suppliers",
+    "quality_logreg_l2",
+    "quality_logreg_scored",
+    "region_revenue",
+    "salted_join_agg",
+    "semantic_neardup_scaled",
+    "source_quota_sample",
+    "status_priority_cube",
+    "stratified_sample",
+    "token_pack_sharded",
+    "top_customers",
+    "trailing_revenue_window",
+    "waiting_suppliers",
+    # Group C - r9-stale entries, alphabetical first 17 of 33 (the
+    # remaining 16 - feature_hash_audit, local_supplier_volume,
+    # market_share, priority_shipment_stats, product_profit,
+    # promo_revenue, returned_items, revenue_forecast,
+    # rollup_revenue, session_window_agg, setops_active_buyers,
+    # shipping_priority, small_quantity_revenue, supplier_balance,
+    # top_terms, volume_shipping - rotate in r13).
+    "activity_dtw_topk",
+    "activity_similarity_topk",
+    "ann_srp_multitable",
+    "asof_last_order",
+    "big_orders",
+    "chunk_documents",
+    "click_attribution",
+    "customer_distribution",
+    "customer_running_total",
+    "daily_anomalies",
+    "daily_revenue_wow",
+    "daily_trend",
+    "discounted_revenue",
+    "doc_repetition",
+    "event_type_pivot",
+    "events_hourly",
+    "events_order_window",
 ]
 
 
