@@ -4940,6 +4940,20 @@ def _ivf_model_zone(spark: SparkSession, sf_dir: str) -> str:
             id_col="vec_id", vec_col="embedding", return_centroids=True,
         )
         write_zone_table(cents, zone, "ivf_centroids", layout="flat")
+        # the inverted LISTS beside the quantizer (r12, mirroring the
+        # streamed zone): search-metric membership with the vector
+        # alongside, partitioned by cluster_id — serving probes then
+        # file-prune via DPP and never rescan the embeddings table.
+        # Zone-build discipline: membership derives from the LANDED
+        # centroid table, not the in-memory sibling.
+        lists = similarity.ivf_list_assign(
+            vecs,
+            spark.read.parquet(os.path.join(zone, "ivf_centroids")),
+        )
+        write_zone_table(
+            lists, zone, "ivf_lists", layout="flat",
+            partition_by="cluster_id",
+        )
 
     return _shared_state_zone("ivf_model", sf_dir, build, table="embeddings")
 
@@ -4955,13 +4969,22 @@ def q_ann_ivf_trained_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster quartet 5×. Same composed oracle as ann_ivf_trained: the
     landed centroids are bit-identical to the in-plan fit
     (det-round-12 decimal-summed means survive the parquet
-    round-trip exactly — doubles, not decimals, on disk)."""
+    round-trip exactly — doubles, not decimals, on disk). r12: the
+    zone also lands the inverted LISTS (cluster_id-partitioned,
+    search-metric membership with the vector alongside), so this
+    serve is probe selection + a DPP-file-pruned lists scan — the
+    embeddings table is never rescanned and only the probed cells'
+    files are read, same as the streamed twin. The landed schema is
+    pinned on read (the ADVICE r11 partition-inference rule)."""
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     zone = _ivf_model_zone(spark, sf_dir)
     cents = spark.read.parquet(os.path.join(zone, "ivf_centroids"))
+    lists = spark.read.schema(
+        "vec_id long, embedding array<double>, cluster_id long"
+    ).parquet(os.path.join(zone, "ivf_lists"))
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10),
-        n_probe=4, k=5, centroids=cents,
+        n_probe=4, k=5, centroids=cents, lists=lists,
     )
 
 
@@ -6637,6 +6660,7 @@ _SWEEP_PRIORITY = [
     "cluster_assignment_stream",
     "cms_heavy_hitters_stream",
     "media_features",
+    "ann_ivf_trained_state",
     # Group B - the 22 entries whose freshest driver row is r8
     # (VERDICT r11 "What's missing" #5, incl. the two rotated forward
     # from r11's displacement notes); price_quantiles{,_gk} also sit
@@ -6686,7 +6710,8 @@ _SWEEP_PRIORITY = [
     "doc_repetition",
     "event_type_pivot",
     "events_hourly",
-    "events_order_window",
+    # (events_order_window yields its slot to ann_ivf_trained_state,
+    # whose serve changed this round; rotate it in r13 with the rest)
 ]
 
 

@@ -523,3 +523,23 @@ def test_streamed_zones_probe_join_file_prunes(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_batch_ivf_state_serve_file_prunes(spark):
+    """r12: the batch `_ivf_model_zone` lands inverted lists
+    (cluster_id-partitioned) beside the trained quantizer, and the
+    registered ann_ivf_trained_state serve reads them with dynamic
+    partition pruning — the batch path gets the same
+    n_probe/n_clusters read-fraction lever as the streamed twin (and
+    never rescans the embeddings table for the corpus side)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+
+    out = QUERIES["ann_ivf_trained_state"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        f"batch ivf_lists scan is not file-pruned:\n{plan[:4000]}"
+    )
