@@ -6,7 +6,12 @@ full-corpus batch recompute a refresh-per-session deployment would
 pay at the same size. O(arrivals) vs O(corpus): the incremental
 epoch's cost should be flat in N while (3) grows with it.
 
-Usage: python scripts/bench_stream_tiers.py [factor] [sf_dir]
+Usage: python scripts/bench_stream_tiers.py [factor] [sf_dir] [compound]
+Pass ``compound`` as the third arg to rewrite the documents as
+compound words (the bench_bpe_depth.py triple-concatenation, ~50k
+types at ×10) — the synthetic corpus's 31-word vocabulary keeps the
+BPE relearn scan trivially small, so the compound run is where the
+refit-from-counts vs relearn-from-text gap is actually visible.
 Prints one JSON line {"metric": "stream_tiers", ...}.
 """
 
@@ -25,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    compound = len(sys.argv) > 3 and sys.argv[3] == "compound"
 
     from pyspark.sql import functions as F
 
@@ -116,6 +122,41 @@ def main() -> None:
         dbulk = dparts[0]
         for p in dparts[1:]:
             dbulk = dbulk.unionByName(p)
+        if compound:
+            # realistic vocabulary: consecutive token triples
+            # concatenated, with a per-replica tag word so types grow
+            # with the factor (the bench_cms_geometry derivation)
+            tagged = [
+                dparts[i].withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f" copytag{i}"))
+                    if i
+                    else F.col("text"),
+                )
+                for i in range(factor)
+            ]
+            dbulk = tagged[0]
+            for p in tagged[1:]:
+                dbulk = dbulk.unionByName(p)
+            arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            n3 = (F.size(arr) / F.lit(3)).cast("int")
+            dbulk = dbulk.filter(F.size(arr) >= 3).withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), n3),
+                        lambda j: F.concat_ws(
+                            "", F.slice(arr, (j - F.lit(1)) * 3 + 1, 3)
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+            dbulk.write.mode("overwrite").parquet(
+                os.path.join(tmp, "b_compound")
+            )
+            dbulk = spark.read.parquet(os.path.join(tmp, "b_compound"))
+            out["compound"] = 1
         out["bpe_docs_bulk"] = dbulk.count()
 
         b_raw = os.path.join(tmp, "b_raw")
