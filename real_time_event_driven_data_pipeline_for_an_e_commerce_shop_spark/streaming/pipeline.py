@@ -971,6 +971,7 @@ def run_embedding_ingest(
     drift_refit_factor: float | None = 2.0,
     n_buckets: int = 8,
     table_prefix: str = "emb_",
+    store_flat_embeddings: bool = True,
     await_termination: bool = True,
 ) -> dict[str, str]:
     """Streaming ingest for the EMBEDDINGS side of the house with a
@@ -1028,6 +1029,18 @@ def run_embedding_ingest(
     epoch implies its codes landed (the aux-before-primary rule every
     gate here follows).
 
+    ``store_flat_embeddings=False`` is the STORE-ONCE knob (requires
+    ``ivf=True``): the flat ``embeddings`` zone is not landed at all —
+    the ``ivf_assign`` inverted lists already hold every vector (that
+    IS IVF-Flat's storage layout), so the corpus lives on disk once
+    instead of twice, and drift refits source their committed vectors
+    from the lists zone's newest landed generation (resolved from the
+    ZONE, not the meta, so a crash between a refit's meta commit and
+    its epoch land still replays the fit over the full committed
+    corpus). At 100 TB this halves the vector footprint for an
+    IVF-Flat deployment; keep the default when the flat zone is the
+    corpus of record for other consumers.
+
     At 100 TB: the model dir holds m·k rows per generation (64 at
     defaults — driver/broadcast-safe by construction), per-epoch work
     is O(batch·m) rows of shuffle, and the serving scan
@@ -1046,6 +1059,13 @@ def run_embedding_ingest(
         pq_encode,
     )
 
+    if not store_flat_embeddings and not ivf:
+        raise ValueError(
+            "store_flat_embeddings=False requires ivf=True — only the "
+            "inverted lists store vectors (PQ/IVFPQ codes are "
+            "compressed), so without them refits would have no "
+            "committed-vector source"
+        )
     name = "embeddings"
     tables: dict[str, str] = {}
     if pq:
@@ -1054,7 +1074,8 @@ def run_embedding_ingest(
         tables["ivfpq_codes"] = f"{table_prefix}ivfpq_codes"
     if ivf:
         tables["ivf_assign"] = f"{table_prefix}ivf_assign"
-    tables[name] = f"{table_prefix}embeddings"  # lands LAST
+    if store_flat_embeddings:
+        tables[name] = f"{table_prefix}embeddings"  # lands LAST
 
     def _mean_dist(codes_d: DataFrame) -> float | None:
         row = codes_d.agg(
@@ -1068,11 +1089,28 @@ def run_embedding_ingest(
         return None if row["m"] is None else float(row["m"])
 
     def _committed_vectors() -> DataFrame | None:
-        if not spark.catalog.tableExists(tables[name]):
+        if store_flat_embeddings:
+            if not spark.catalog.tableExists(tables[name]):
+                return None
+            return read_manifest_zone(
+                spark, {name: tables[name]}, zone_dir
+            )[name].select("vec_id", "embedding")
+        # store-once mode: the inverted lists ARE the corpus. Use the
+        # newest generation present IN THE ZONE, not the meta's — in
+        # a refit's crash window (meta committed, codes epoch not) the
+        # meta already names the new gen, which has no rows yet; the
+        # zone's max landed gen is always the full committed corpus.
+        if not spark.catalog.tableExists(tables["ivf_assign"]):
             return None
-        return read_manifest_zone(
-            spark, {name: tables[name]}, zone_dir
-        )[name].select("vec_id", "embedding")
+        df = read_manifest_zone(
+            spark, {"ivf_assign": tables["ivf_assign"]}, zone_dir
+        )["ivf_assign"]
+        gmax = df.agg(F.max("model_gen")).collect()[0][0]
+        if gmax is None or gmax < 0:
+            return None
+        return df.filter(F.col("model_gen") == gmax).select(
+            "vec_id", "embedding"
+        )
 
     def _fit_and_land_model(
         fit_vecs: DataFrame, gen: int, epoch_id: int
@@ -1406,11 +1444,12 @@ def run_embedding_ingest(
             _ivfpq_gate(batch_df, epoch_id)
         if ivf:
             _ivf_gate(batch_df, epoch_id)
-        _land_epoch(
-            spark, batch_df, tables[name],
-            os.path.join(zone_dir, name), zone_dir, name, epoch_id,
-            n_buckets, bucket_col="vec_id",
-        )
+        if store_flat_embeddings:
+            _land_epoch(
+                spark, batch_df, tables[name],
+                os.path.join(zone_dir, name), zone_dir, name, epoch_id,
+                n_buckets, bucket_col="vec_id",
+            )
 
     stream = spark.readStream.schema(schema).parquet(raw_dir)
     q = (

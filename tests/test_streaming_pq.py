@@ -414,3 +414,115 @@ def test_pq_reader_empty_before_any_model(spark, tmp_path):
     df = read_pq_codes(spark, "nonexistent_table", str(tmp_path / "z"))
     assert df.columns == ["vec_id", "s", "code"]
     assert df.count() == 0
+
+
+def test_store_once_mode_drops_flat_zone_and_refits_from_lists(
+    spark, tmp_path
+):
+    """store_flat_embeddings=False (the store-once knob): no flat
+    embeddings zone is landed — the inverted lists ARE the corpus —
+    and a drift refit sources its committed vectors from the lists
+    zone's newest landed generation: the gen-1 fit equals the batch
+    fit over ALL delivered vectors even though no embeddings table
+    ever existed. PQ refits ride the same fallback. pq-only without
+    ivf is rejected (no vector source)."""
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        ivf_list_assign,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        read_ivf_lists,
+    )
+
+    with pytest.raises(ValueError, match="requires ivf=True"):
+        run_embedding_ingest(
+            spark, str(tmp_path / "r0"), str(tmp_path / "z0"),
+            str(tmp_path / "c0"), pq=True, ivf=False,
+            store_flat_embeddings=False,
+        )
+
+    raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
+    prefix = "t_once_"
+    tables = {}
+    kw = dict(
+        k=16, iterations=2, dim=64, id_col="vec_id", vec_col="embedding"
+    )
+
+    def ingest():
+        return run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=True, ivf=True, n_buckets=4, table_prefix=prefix,
+            store_flat_embeddings=False,
+        )
+
+    try:
+        base = _emb(spark)
+        w1 = base.filter(F.col("vec_id") < 190)
+        w2 = base.filter(F.col("vec_id") >= 190)
+        w3 = base.filter(F.col("vec_id") >= 150).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 100).cast("float")
+            ).alias("embedding"),
+        )
+
+        w1.write.mode("append").parquet(raw)
+        tables = ingest()
+        assert "embeddings" not in tables
+        assert not spark.catalog.tableExists(f"{prefix}embeddings")
+        assert not os.path.isdir(os.path.join(zone, "embeddings"))
+
+        # wave 2: steady state, lists accumulate both waves
+        w2.write.mode("append").parquet(raw)
+        ingest()
+        assert _read_model_meta(zone, IVF_MODEL_DIR)["gen"] == 0
+        lists = read_ivf_lists(spark, tables["ivf_assign"], zone)
+        assert lists.count() == 200
+
+        # wave 3: x100-scaled -> drift refit; committed vectors come
+        # from the LISTS (there is no flat zone), so gen-1 must equal
+        # the batch fit over all three waves
+        all_vecs = base.unionByName(w3)
+        w3.write.mode("append").parquet(raw)
+        ingest()
+        assert _read_model_meta(zone, IVF_MODEL_DIR)["gen"] == 1
+        cents1 = read_ivf_centroids(spark, zone)
+        want_c1 = ml.kmeans_fixed(
+            _dvecs(all_vecs), return_centroids=True, **kw
+        )
+        assert sorted(
+            (r["cid"], tuple(r["centroid_vec"]))
+            for r in cents1.collect()
+        ) == sorted(
+            (r["cid"], tuple(r["centroid_vec"]))
+            for r in want_c1.collect()
+        )
+        assert _ivf_key(
+            read_ivf_assign(spark, tables["ivf_assign"], zone)
+        ) == _ivf_key(
+            ivf_list_assign(
+                _dvecs(all_vecs), want_c1, id_col="vec_id",
+                vec_col="embedding", with_dist=True,
+            )
+        )
+
+        # the PQ refit rode the same lists-sourced fallback
+        assert _read_pq_meta(zone)["gen"] >= 1
+        cb = read_pq_codebook(spark, zone)
+        assert _codes_key(
+            read_pq_codes(spark, tables["pq_codes"], zone)
+        ) == _codes_key(
+            pq_encode(_dvecs(all_vecs), cb).select("vec_id", "s", "code")
+        )
+
+        # replay: no-op
+        g_ivf = _read_model_meta(zone, IVF_MODEL_DIR)["gen"]
+        ingest()
+        assert _read_model_meta(zone, IVF_MODEL_DIR)["gen"] == g_ivf
+        assert read_ivf_lists(
+            spark, tables["ivf_assign"], zone
+        ).count() == all_vecs.count()
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
