@@ -1385,6 +1385,46 @@ def ivfpq_topk(
         codes = cds if codes is None else codes
     else:
         cent = _coarse_centroids(centroids)
+    sim = _ivfpq_scores(
+        queries, cent, codebook, codes,
+        n_probe=n_probe, n_subspaces=n_subspaces, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def _ivfpq_scores(
+    queries: DataFrame,
+    cent: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivfpq_topk`'s scoring body pre-rank — ``(query_id,
+    neighbor_id, _sim)`` for every (query, probed-cell vector) pair —
+    factored out so a MULTI-GENERATION serve (the store-once streamed
+    zone, where vectors encoded under different model generations
+    coexist) can union per-generation score frames and rank ONCE
+    globally. The plan is byte-identical to what ivfpq_topk inlined
+    before the extraction: model-side constant LUTs, probe window,
+    broadcast LUT joins against the probed cells' codes, one
+    map-side-combined decimal reduction per (query, vector)."""
     sub = dim // n_subspaces
 
     # model-side constant LUTs (m·k and n_clusters·m·k rows)
@@ -1487,7 +1527,7 @@ def ivfpq_topk(
             .alias("_rn2"),
         )
     )
-    sim = (
+    return (
         scored.join(
             F.broadcast(cn2.withColumnRenamed("cid", "cluster_id")),
             "cluster_id",
@@ -1507,18 +1547,5 @@ def ivfpq_topk(
                     )
                 )
             ).alias("_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("_sim"), F.asc("neighbor_id")
-    )
-    return (
-        sim.withColumn("sim_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("sim_rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "sim_rank",
-            det_round(F.col("_sim"), 6).alias("cosine_sim"),
         )
     )

@@ -71,3 +71,56 @@ def test_bench_trailing_record_skips_corrupt_files(tmp_path):
     # nothing readable at the requested sf -> empty, never a raise
     assert bench._trailing_queries(str(tmp_path), 0.5) == {}
     assert bench._trailing_queries(str(tmp_path / "missing"), 0.1) == {}
+
+
+def test_parse_describe_location_handles_malformed_rows():
+    """VERDICT r12 #5: the DESCRIBE FORMATTED parse must not raise on
+    (or silently mis-read) malformed rows — rows without the expected
+    fields are skipped, a non-string Location value resolves to None
+    (path-based fallback), and a well-formed row still parses, with
+    the file: scheme stripped."""
+    from types import SimpleNamespace as Row
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _parse_describe_location,
+    )
+
+    # well-formed: the normal DESCRIBE FORMATTED shape
+    rows = [
+        Row(col_name="col1", data_type="bigint"),
+        Row(col_name="Location", data_type="file:/tmp/zone/t"),
+    ]
+    assert _parse_describe_location(rows) == "/tmp/zone/t"
+
+    # no Location row at all
+    assert _parse_describe_location(
+        [Row(col_name="col1", data_type="bigint")]
+    ) is None
+
+    # malformed rows BEFORE the Location row are skipped, not fatal
+    rows = [
+        object(),  # no col_name/data_type fields at all
+        Row(col_name=None, data_type=None),  # null header row
+        Row(col_name="Location", data_type="/no/scheme/prefix"),
+    ]
+    assert _parse_describe_location(rows) == "/no/scheme/prefix"
+
+    # a Location row whose value is not a string degrades to None
+    # (callers fall back to the path argument) instead of raising
+    assert _parse_describe_location(
+        [Row(col_name="Location", data_type=None)]
+    ) is None
+
+    assert _parse_describe_location([]) is None
+
+
+def test_on_disk_epochs_ignores_non_integer_epoch_dirs(tmp_path):
+    """A directory that merely looks like an epoch partition never
+    poisons the scrub set."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        _on_disk_epochs,
+    )
+
+    for d in ("_epoch=3", "_epoch=17", "_epoch=abc", "_epoch=", "other"):
+        (tmp_path / d).mkdir()
+    assert _on_disk_epochs(str(tmp_path)) == {3, 17}
