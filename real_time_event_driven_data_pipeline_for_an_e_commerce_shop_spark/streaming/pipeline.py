@@ -790,6 +790,7 @@ def compact_model_zone(
     n_buckets: int = 8,
     bucket_col: str = "vec_id",
     extra_partition_cols: tuple[str, ...] = (),
+    retained_sample_mode: bool = False,
 ) -> str:
     """Compact a generation-tracked model-state zone table
     (``cluster_assignment`` / ``pq_codes`` / ``ivfpq_codes`` /
@@ -800,7 +801,16 @@ def compact_model_zone(
     generation (reader-identical by construction, since the filter IS
     the reader's own) and one epoch. ``model_dir`` names the meta dir
     the table's generations key off (KMEANS_MODEL_DIR / PQ_MODEL_DIR /
-    IVFPQ_MODEL_DIR / IVF_MODEL_DIR)."""
+    IVFPQ_MODEL_DIR / IVF_MODEL_DIR).
+
+    ``retained_sample_mode=True`` compacts an IVFPQ-only store-once
+    zone, where generations ACCRETE (only the retained sample ∪ the
+    refit batch is re-encoded, older non-sample rows stay live): the
+    kept set is :func:`read_ivfpq_codes`'s own retained-sample live
+    predicate — sample ids at the current generation plus non-sample
+    ids at any — so only the sample ids' superseded encodes drop.
+    ``model_gen`` survives as a column (the multi-gen serve scores
+    each row against its own generation's model)."""
     meta = (
         _read_kmeans_meta(zone_dir)
         if model_dir == KMEANS_MODEL_DIR
@@ -811,10 +821,22 @@ def compact_model_zone(
             f"no model meta under {model_dir!r} — nothing to compact"
         )
     gen = meta["gen"]
+    if retained_sample_mode:
+        is_sample = (F.col("vec_id") % meta["stride"] == 0) | (
+            F.col("vec_id") % meta["cb_stride"] == 0
+        )
+        keep = (F.col("model_gen") == gen) | (
+            ~is_sample & (F.col("model_gen") <= gen)
+        )
+        transform = lambda df: df.filter(keep)  # noqa: E731
+    else:
+        transform = lambda df: df.filter(  # noqa: E731
+            F.col("model_gen") == gen
+        )
     return compact_manifest_zone(
         spark, table, zone_dir, name,
         n_buckets=n_buckets, bucket_col=bucket_col,
-        transform=lambda df: df.filter(F.col("model_gen") == gen),
+        transform=transform,
         extra_partition_cols=extra_partition_cols,
     )
 
@@ -974,21 +996,160 @@ def read_ivfpq_model(
 
 
 def read_ivfpq_codes(
-    spark: SparkSession, table: str, zone_dir: str
+    spark: SparkSession,
+    table: str,
+    zone_dir: str,
+    retained_sample_mode: bool = False,
 ) -> DataFrame:
     """Current-generation IVFPQ codes from the streamed zone —
     :func:`read_pq_codes` with the cell id alongside (the probe join
-    key the ADC scan prunes on)."""
+    key the ADC scan prunes on).
+
+    ``retained_sample_mode=True`` is the reader for the IVFPQ-only
+    store-once zone (``run_embedding_ingest(store_flat_embeddings=
+    False, ivfpq=True, ivf=False)``), where generations ACCRETE: a
+    drift refit re-encodes only the retained fit sample ∪ its batch
+    under the new generation, so each vector's newest encode — the one
+    to serve — is resolved by PURE PREDICATE rather than a per-vector
+    window: sample ids (``vec_id % stride == 0`` or ``% cb_stride ==
+    0``, the strides pinned in the model meta) are re-encoded by every
+    refit and therefore live only at the CURRENT generation, while
+    non-sample ids are encoded exactly once, at whatever generation
+    was current when they arrived. Both arms are plain filters that
+    push to the parquet scan, so the serving plan keeps predicate
+    pushdown and cluster_id DPP — the reason this is not a
+    ``max(model_gen) over (partition by vec_id)`` window, which would
+    block both. Returns ``model_gen`` alongside so the multi-gen serve
+    (:func:`ivfpq_topk_streamed`) can score each row against its own
+    generation's model."""
     meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
     if meta is None:
-        return spark.createDataFrame(
-            [], "vec_id long, cluster_id long, s long, code long"
-        )
+        schema = "vec_id long, cluster_id long, s long, code long"
+        if retained_sample_mode:
+            schema += ", model_gen long"
+        return spark.createDataFrame([], schema)
     df = read_manifest_zone(spark, {"ivfpq_codes": table}, zone_dir)[
         "ivfpq_codes"
     ]
-    return df.filter(F.col("model_gen") == meta["gen"]).select(
-        "vec_id", "cluster_id", "s", "code"
+    if not retained_sample_mode:
+        return df.filter(F.col("model_gen") == meta["gen"]).select(
+            "vec_id", "cluster_id", "s", "code"
+        )
+    is_sample = (F.col("vec_id") % meta["stride"] == 0) | (
+        F.col("vec_id") % meta["cb_stride"] == 0
+    )
+    return df.filter(
+        (F.col("model_gen") == meta["gen"])
+        | (~is_sample & (F.col("model_gen") <= meta["gen"]))
+    ).select("vec_id", "cluster_id", "s", "code", "model_gen")
+
+
+def read_fit_sample(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """The retained strided fit diet of an IVFPQ-only store-once zone
+    — ``(vec_id, embedding)`` raw rows, manifest-pruned. This is the
+    drift-refit's committed-vector source and the ONLY raw vectors the
+    deployment keeps (sized corpus/stride + corpus/cb_stride ≈ 6.7% at
+    the 29/31 defaults, vs 100% for the flat zone or the IVF lists)."""
+    return read_manifest_zone(spark, {"fit_sample": table}, zone_dir)[
+        "fit_sample"
+    ].select("vec_id", "embedding")
+
+
+def ivfpq_topk_streamed(
+    spark: SparkSession,
+    table: str,
+    zone_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-generation ADC top-k over an IVFPQ-only store-once zone.
+
+    In retained-sample mode generations accrete (see
+    :func:`read_ivfpq_codes`), so one query must score codes encoded
+    under DIFFERENT models: each generation's rows against that
+    generation's own coarse centroids + residual codebook. Per live
+    generation this computes :func:`operators.similarity.
+    _ivfpq_scores` — the exact scoring plan ``ivfpq_topk`` serves with
+    — then unions the score frames and ranks ONCE globally, so the
+    top-k is exact over the union corpus. Model geometry (n_subspaces,
+    dim) comes from the model meta; the generation list is the zone's
+    distinct ``model_gen`` — a bounded driver collect (one row per
+    generation ever landed, a handful at most, the same order as the
+    centroid-table collects the engine already allows).
+
+    Scale shape: #gens × (probe window over |q|·k_cells + DPP-pruned
+    codes scan of that generation's rows + broadcast LUT joins). Each
+    per-gen branch's cell filter and generation filter are pure
+    predicates on the scan, so the zone bytes read stay
+    Σ_g |probed cells of gen g|, never #gens × corpus."""
+    from ..operators.similarity import _coarse_centroids, _ivfpq_scores
+    from ..operators.similarity import det_round as _det_round
+
+    meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
+    if meta is None:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, sim_rank long, "
+            "cosine_sim double",
+        )
+    codes = read_ivfpq_codes(
+        spark, table, zone_dir, retained_sample_mode=True
+    )
+    gens = sorted(
+        r["model_gen"]
+        for r in codes.select("model_gen").distinct().collect()
+        if r["model_gen"] is not None and r["model_gen"] >= 0
+    )
+    sims = []
+    for g in gens:
+        model = read_ivfpq_model(spark, zone_dir, g)
+        if model is None:
+            raise ValueError(
+                f"ivfpq codes landed under gen {g} but no model dir "
+                f"exists for it — zone and model dirs are out of sync"
+            )
+        cent, cb = model
+        sims.append(
+            _ivfpq_scores(
+                queries,
+                _coarse_centroids(cent),
+                cb,
+                codes.filter(F.col("model_gen") == g).drop("model_gen"),
+                n_probe=n_probe,
+                n_subspaces=meta["n_subspaces"],
+                dim=meta["dim"],
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        )
+    if not sims:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, sim_rank long, "
+            "cosine_sim double",
+        )
+    sim = sims[0]
+    for s in sims[1:]:
+        sim = sim.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            _det_round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
     )
 
 
@@ -1070,16 +1231,48 @@ def run_embedding_ingest(
     gate here follows).
 
     ``store_flat_embeddings=False`` is the STORE-ONCE knob (requires
-    ``ivf=True``): the flat ``embeddings`` zone is not landed at all —
-    the ``ivf_assign`` inverted lists already hold every vector (that
-    IS IVF-Flat's storage layout), so the corpus lives on disk once
-    instead of twice, and drift refits source their committed vectors
-    from the lists zone's newest landed generation (resolved from the
-    ZONE, not the meta, so a crash between a refit's meta commit and
-    its epoch land still replays the fit over the full committed
-    corpus). At 100 TB this halves the vector footprint for an
-    IVF-Flat deployment; keep the default when the flat zone is the
-    corpus of record for other consumers.
+    ``ivf=True`` or ``ivfpq=True``): the flat ``embeddings`` zone is
+    not landed at all. With ``ivf=True`` the ``ivf_assign`` inverted
+    lists already hold every vector (that IS IVF-Flat's storage
+    layout), so the corpus lives on disk once instead of twice, and
+    drift refits source their committed vectors from the lists zone's
+    newest landed generation (resolved from the ZONE, not the meta, so
+    a crash between a refit's meta commit and its epoch land still
+    replays the fit over the full committed corpus). At 100 TB this
+    halves the vector footprint for an IVF-Flat deployment; keep the
+    default when the flat zone is the corpus of record for other
+    consumers.
+
+    ``store_flat_embeddings=False, ivfpq=True, ivf=False, pq=False``
+    is the IVFPQ-ONLY store-once deployment (VERDICT r12 #3): the
+    corpus lives as 64×-compressed codes plus a tiny ``fit_sample``
+    side zone retaining exactly the raw vectors the model fits ever
+    touch — ids with ``vec_id % stride == 0`` or ``% cb_stride == 0``,
+    the deterministic strided fit diet of both the coarse quantizer
+    and the residual codebook (:func:`operators.similarity.
+    ivfpq_model`'s own sampling rule). Because the fit diet is a pure
+    id predicate, a drift refit over (retained sample ∪ batch)
+    produces the BIT-IDENTICAL model a full-corpus refit would — the
+    strided filter of both inputs selects the same rows — so model
+    quality is unchanged while the footprint drops to codes + sample.
+    What a refit can NOT do here is re-encode vectors whose raw form
+    was never retained, so generations accrete instead of superseding:
+    the refit epoch re-encodes (sample ∪ batch) under gen+1, committed
+    non-sample codes stay live at their original generation, and
+    serving is multi-generation — :func:`read_ivfpq_codes` with
+    ``retained_sample_mode=True`` resolves each vector's newest encode
+    BY PREDICATE (sample ids live only at the current gen; non-sample
+    ids are encoded exactly once), keeping the scan filter-pushdown-
+    and DPP-prunable, and :func:`ivfpq_topk_streamed` unions
+    per-generation ADC scores before one global rank. The fit-time
+    ``fit_mean_dist`` baseline in this mode is measured over the
+    retained diet ∪ batch (the full corpus's raw distortion is
+    unobservable without its raw vectors), so later drift decisions
+    track the sample's distortion — document-equivalent at the default
+    strides, but not bit-identical to the flat twin's baseline.
+    ``pq=True`` is rejected in this configuration: a PQ drift refit
+    re-encodes the full corpus, which needs a raw-vector source (the
+    flat zone or the IVF lists).
 
     At 100 TB: the model dir holds m·k rows per generation (64 at
     defaults — driver/broadcast-safe by construction), per-epoch work
@@ -1099,12 +1292,21 @@ def run_embedding_ingest(
         pq_encode,
     )
 
-    if not store_flat_embeddings and not ivf:
+    if not store_flat_embeddings and not ivf and not ivfpq:
         raise ValueError(
-            "store_flat_embeddings=False requires ivf=True — only the "
-            "inverted lists store vectors (PQ/IVFPQ codes are "
-            "compressed), so without them refits would have no "
-            "committed-vector source"
+            "store_flat_embeddings=False requires ivf=True or "
+            "ivfpq=True — PQ codes alone are compressed beyond "
+            "recovery, so refits would have no committed-vector source"
+        )
+    # the IVFPQ-only store-once deployment: codes + retained fit diet
+    retain_fit_sample = not store_flat_embeddings and ivfpq and not ivf
+    if retain_fit_sample and pq:
+        raise ValueError(
+            "store_flat_embeddings=False with ivfpq=True and ivf=False "
+            "cannot also serve a PQ zone: a PQ drift refit re-encodes "
+            "the full corpus, which needs a raw-vector source (the "
+            "flat zone or the IVF lists) — pass pq=False, or enable "
+            "ivf=True / store_flat_embeddings=True"
         )
     name = "embeddings"
     tables: dict[str, str] = {}
@@ -1114,6 +1316,8 @@ def run_embedding_ingest(
         tables["ivfpq_codes"] = f"{table_prefix}ivfpq_codes"
     if ivf:
         tables["ivf_assign"] = f"{table_prefix}ivf_assign"
+    if retain_fit_sample:
+        tables["fit_sample"] = f"{table_prefix}fit_sample"  # lands LAST
     if store_flat_embeddings:
         tables[name] = f"{table_prefix}embeddings"  # lands LAST
 
@@ -1135,6 +1339,16 @@ def run_embedding_ingest(
             return read_manifest_zone(
                 spark, {name: tables[name]}, zone_dir
             )[name].select("vec_id", "embedding")
+        if retain_fit_sample:
+            # IVFPQ-only store-once: the retained strided fit diet is
+            # the refit's committed-vector source. It lands LAST each
+            # epoch (the flat zone's slot), so it never contains the
+            # in-flight batch — the union below stays duplicate-free.
+            if not spark.catalog.tableExists(tables["fit_sample"]):
+                return None
+            return read_manifest_zone(
+                spark, {"fit_sample": tables["fit_sample"]}, zone_dir
+            )["fit_sample"].select("vec_id", "embedding")
         # store-once mode: the inverted lists ARE the corpus. Use the
         # newest generation present IN THE ZONE, not the meta's — in
         # a refit's crash window (meta committed, codes epoch not) the
@@ -1484,6 +1698,26 @@ def run_embedding_ingest(
             _ivfpq_gate(batch_df, epoch_id)
         if ivf:
             _ivf_gate(batch_df, epoch_id)
+        if retain_fit_sample:
+            # the strided fit diet, raw — a pure function of the
+            # batch, landed AFTER the codes (aux-before-primary is
+            # codes-before-sample here: a sample-committed epoch
+            # implies its codes landed; the reverse crash window
+            # replays and re-lands only the sample, idempotently)
+            _land_epoch(
+                spark,
+                batch_df.filter(
+                    (F.col("vec_id") % stride == 0)
+                    | (F.col("vec_id") % cb_stride == 0)
+                ).select("vec_id", "embedding"),
+                tables["fit_sample"],
+                os.path.join(zone_dir, "fit_sample"),
+                zone_dir,
+                "fit_sample",
+                epoch_id,
+                n_buckets,
+                bucket_col="vec_id",
+            )
         if store_flat_embeddings:
             _land_epoch(
                 spark, batch_df, tables[name],

@@ -526,3 +526,301 @@ def test_store_once_mode_drops_flat_zone_and_refits_from_lists(
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_store_once_ivfpq_only_mode(spark, tmp_path):
+    """VERDICT r12 #3 — the IVFPQ-only store-once deployment: the
+    corpus lives as codes + a retained strided fit-diet sample, no
+    flat zone and no lists. The drift refit fit over (retained sample
+    ∪ batch) must reproduce the flat twin's full-corpus refit model
+    BIT-IDENTICALLY (the fit diet is a pure id predicate, so both
+    inputs stride to the same rows); the retained-sample reader must
+    resolve every vector's newest encode by predicate; and the
+    multi-generation serve must score each row against its own
+    generation's model — value-checked here against an independent
+    python ADC reconstruction, not the engine's own scoring code."""
+    import math
+
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        compact_model_zone,
+        committed_epochs,
+        ivfpq_topk_streamed,
+        read_fit_sample,
+    )
+
+    # pq=True cannot ride this mode (a PQ refit re-encodes the full
+    # corpus, which needs a raw source); no index at all is rejected
+    with pytest.raises(ValueError, match="cannot also serve a PQ"):
+        run_embedding_ingest(
+            spark, str(tmp_path / "r0"), str(tmp_path / "z0"),
+            str(tmp_path / "c0"), pq=True, ivfpq=True, ivf=False,
+            store_flat_embeddings=False,
+        )
+    with pytest.raises(ValueError, match="requires ivf=True or"):
+        run_embedding_ingest(
+            spark, str(tmp_path / "r1"), str(tmp_path / "z1"),
+            str(tmp_path / "c1"), pq=True, ivfpq=False, ivf=False,
+            store_flat_embeddings=False,
+        )
+
+    STRIDE, CB_STRIDE, M, DIM = 29, 31, 4, 64
+    base = _emb(spark)
+    w1 = base.filter(F.col("vec_id") < 190)
+    w2 = base.filter(F.col("vec_id") >= 190)
+    w3 = base.filter(F.col("vec_id") >= 150).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    queries = base.filter(F.col("vec_id").isin([3, 57, 111]))
+
+    zones = {}  # mode -> (raw, zone, ckpt)
+    tabs = {}
+    try:
+        for mode, flat in (("flat", True), ("once", False)):
+            raw, zone, ckpt = (
+                str(tmp_path / f"{d}_{mode}")
+                for d in ("raw", "zone", "ckpt")
+            )
+            zones[mode] = (raw, zone, ckpt)
+
+        def ingest(mode):
+            raw, zone, ckpt = zones[mode]
+            return run_embedding_ingest(
+                spark, raw, zone, ckpt,
+                pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                table_prefix=f"t_ipqonce_{mode}_",
+                store_flat_embeddings=(mode == "flat"),
+            )
+
+        def deliver(wave):
+            for mode in ("flat", "once"):
+                wave.write.mode("append").parquet(zones[mode][0])
+                tabs[mode] = ingest(mode)
+
+        def model_key(zone, gen):
+            cent, cb = read_ivfpq_model(spark, zone, gen)
+            return (
+                sorted(
+                    (r["cid"], tuple(r["cvec"])) for r in cent.collect()
+                ),
+                sorted(
+                    (r["s"], r["j"], tuple(r["cw"])) for r in cb.collect()
+                ),
+            )
+
+        def icodes_key(df):
+            return sorted(
+                (r["vec_id"], r["s"], r["cluster_id"], r["code"])
+                for r in df.collect()
+            )
+
+        # waves 1+2: gen 0 in both twins, bit-identical state
+        deliver(w1)
+        deliver(w2)
+        zf, zo = zones["flat"][1], zones["once"][1]
+        assert "embeddings" not in tabs["once"]
+        assert "fit_sample" in tabs["once"]
+        assert not os.path.isdir(os.path.join(zo, "embeddings"))
+        assert _read_model_meta(zo, IVFPQ_MODEL_DIR)["gen"] == 0
+        assert model_key(zf, 0) == model_key(zo, 0)
+
+        # the retained sample is exactly the strided fit diet, raw
+        sample_ids = sorted(
+            r["vec_id"]
+            for r in read_fit_sample(
+                spark, tabs["once"]["fit_sample"], zo
+            ).collect()
+        )
+        assert sample_ids == sorted(
+            i for i in range(200) if i % STRIDE == 0 or i % CB_STRIDE == 0
+        )
+
+        # single-generation: retained reader == flat twin's reader
+        got0 = read_ivfpq_codes(
+            spark, tabs["once"]["ivfpq_codes"], zo,
+            retained_sample_mode=True,
+        )
+        assert set(r["model_gen"] for r in got0.collect()) == {0}
+        assert icodes_key(got0.drop("model_gen")) == icodes_key(
+            read_ivfpq_codes(spark, tabs["flat"]["ivfpq_codes"], zf)
+        )
+        gen0_once = icodes_key(got0.drop("model_gen"))
+
+        # single-generation serve: the streamed multi-gen path equals
+        # the direct landed-model serve exactly
+        served = ivfpq_topk_streamed(
+            spark, tabs["once"]["ivfpq_codes"], zo, queries, k=5
+        )
+        centf, cbf = read_ivfpq_model(spark, zf, 0)
+        want = ivfpq_topk(
+            base, queries, centroids=centf, codebook=cbf,
+            codes=read_ivfpq_codes(
+                spark, tabs["flat"]["ivfpq_codes"], zf
+            ),
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r["query_id"], r["sim_rank"], r["neighbor_id"],
+             r["cosine_sim"])
+            for r in df.collect()
+        )
+        assert key(served) == key(want)
+
+        # wave 3 (×100-scaled): drift refit -> gen 1 in both twins;
+        # the once twin fit over (retained sample ∪ batch) must equal
+        # the flat twin's full-corpus refit BIT-IDENTICALLY
+        deliver(w3)
+        assert _read_model_meta(zf, IVFPQ_MODEL_DIR)["gen"] == 1
+        assert _read_model_meta(zo, IVFPQ_MODEL_DIR)["gen"] == 1
+        assert model_key(zf, 1) == model_key(zo, 1)
+
+        # retained reader: every delivered vector exactly once; sample
+        # ids serve from gen 1, old non-sample ids still from gen 0
+        got = read_ivfpq_codes(
+            spark, tabs["once"]["ivfpq_codes"], zo,
+            retained_sample_mode=True,
+        ).collect()
+        per_vec = {}
+        for r in got:
+            per_vec.setdefault(r["vec_id"], set()).add(r["model_gen"])
+        assert len(per_vec) == 250 and len(got) == 250 * M
+        for vid, gens in per_vec.items():
+            assert len(gens) == 1
+            want_gen = (
+                1
+                if vid >= 1000 or vid % STRIDE == 0 or vid % CB_STRIDE == 0
+                else 0
+            )
+            assert gens == {want_gen}, (vid, gens)
+
+        # gen-0 rows are FROZEN (never re-encoded) and gen-1 rows
+        # match the flat twin's re-encode of the same vectors
+        gen0_now = icodes_key(
+            spark.createDataFrame(
+                [r for r in got if r["model_gen"] == 0]
+            ).drop("model_gen")
+        )
+        assert set(gen0_now) <= set(gen0_once)
+        flat1 = set(
+            icodes_key(
+                read_ivfpq_codes(
+                    spark, tabs["flat"]["ivfpq_codes"], zf
+                )
+            )
+        )
+        gen1_now = icodes_key(
+            spark.createDataFrame(
+                [r for r in got if r["model_gen"] == 1]
+            ).drop("model_gen")
+        )
+        assert set(gen1_now) <= flat1
+
+        # multi-generation serve, value-checked against an independent
+        # python ADC reconstruction (x̂ = c + r̂ assembled from each
+        # row's OWN generation's model)
+        served = ivfpq_topk_streamed(
+            spark, tabs["once"]["ivfpq_codes"], zo, queries, k=5
+        )
+        models = {}
+        for g in (0, 1):
+            cent, cb = read_ivfpq_model(spark, zo, g)
+            cents = {r["cid"]: list(r["cvec"]) for r in cent.collect()}
+            cws = {
+                (r["s"], r["j"]): list(r["cw"]) for r in cb.collect()
+            }
+            models[g] = (cents, cws)
+        sub = DIM // M
+        recon = {}
+        for vid, rows in {
+            v: [r for r in got if r["vec_id"] == v] for v in per_vec
+        }.items():
+            g = rows[0]["model_gen"]
+            cents, cws = models[g]
+            c = cents[rows[0]["cluster_id"]]
+            xhat = list(c)
+            for r in sorted(rows, key=lambda r: r["s"]):
+                cw = cws[(r["s"], r["code"])]
+                for i, x in enumerate(cw):
+                    xhat[r["s"] * sub + i] += x
+            recon[vid] = xhat
+        qvecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in queries.collect()
+        }
+        # python mirror of the probe: per query, per gen, top-n_probe
+        # cells by cosine (ties: lowest cid)
+        import heapq
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        expected = {}
+        for qid, qv in qvecs.items():
+            cands = []
+            for g in (0, 1):
+                cents, _ = models[g]
+                probed = heapq.nsmallest(
+                    4, cents, key=lambda cid: (-cos(qv, cents[cid]), cid)
+                )
+                for vid, gens in per_vec.items():
+                    if gens != {g} or vid == qid:
+                        continue
+                    rows = [r for r in got if r["vec_id"] == vid]
+                    if rows[0]["cluster_id"] not in probed:
+                        continue
+                    cands.append((vid, cos(qv, recon[vid])))
+            cands.sort(key=lambda t: (-t[1], t[0]))
+            expected[qid] = cands[:5]
+        got_serve = {}
+        for r in served.collect():
+            got_serve.setdefault(r["query_id"], []).append(
+                (r["sim_rank"], r["neighbor_id"], r["cosine_sim"])
+            )
+        for qid, exp in expected.items():
+            rows = sorted(got_serve[qid])
+            assert [n for _, n, _ in rows] == [v for v, _ in exp], (
+                qid, rows, exp,
+            )
+            for (_, _, sim), (_, want_sim) in zip(rows, exp):
+                assert abs(sim - want_sim) < 1e-6
+
+        # replay: no-op
+        for mode in ("flat", "once"):
+            ingest(mode)
+        assert _read_model_meta(zo, IVFPQ_MODEL_DIR)["gen"] == 1
+        assert key(
+            ivfpq_topk_streamed(
+                spark, tabs["once"]["ivfpq_codes"], zo, queries, k=5
+            )
+        ) == key(served)
+
+        # compaction in retained-sample mode: only the sample ids'
+        # superseded gen-0 encodes drop; reader and serve identical
+        before = spark.table(tabs["once"]["ivfpq_codes"]).count()
+        compact_model_zone(
+            spark, tabs["once"]["ivfpq_codes"], zo, "ivfpq_codes",
+            IVFPQ_MODEL_DIR, n_buckets=4,
+            extra_partition_cols=("cluster_id",),
+            retained_sample_mode=True,
+        )
+        assert len(committed_epochs(zo, "ivfpq_codes")) == 1
+        after = spark.table(tabs["once"]["ivfpq_codes"]).count()
+        assert after == 250 * M < before
+        assert key(
+            ivfpq_topk_streamed(
+                spark, tabs["once"]["ivfpq_codes"], zo, queries, k=5
+            )
+        ) == key(served)
+    finally:
+        for t in tabs.values():
+            for name in t.values():
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
