@@ -721,6 +721,15 @@ def ivf_topk(
     Ties (equal cosine) resolve to the lowest centroid id — the struct
     max orders by (sim, -cid), matching the oracle's
     ``ROW_NUMBER() ... ORDER BY sim DESC, cid ASC``.
+
+    Batched-serving rule (VERDICT r12 #4): DPP admits the UNION of the
+    batch's probed cells, so a many-query batch whose probes union to
+    every cell reads the whole zone in one scan. That is the right
+    plan for offline scoring; for an ONLINE batch that should keep the
+    n_probe/n_clusters read fraction, serve per cell-affine probe
+    group via :func:`ivf_topk_cell_affine` (result-identical, scans
+    bounded to ``max_cells`` cells each), or keep batches cell-affine
+    upstream — route queries to probe-group queues by coarse cell.
     """
     if centroids is not None:
         cent = centroids.select(
@@ -793,6 +802,163 @@ def ivf_topk(
             det_round(F.col("_sim"), 6).alias("cosine_sim"),
         )
     )
+
+
+def ivf_probe_assignments(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(query_id, cluster_id)`` — the cells each query would probe,
+    under :func:`ivf_topk`'s exact probe rule (cosine DESC, cid ASC,
+    first ``n_probe``). |q| × n_probe rows; the batching seam
+    :func:`ivf_topk_cell_affine` groups on."""
+    cent = centroids.select(
+        F.col("cid").cast("long").alias("cid"),
+        as_double(F.col("centroid_vec")).alias("centroid_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    probed = q.join(F.broadcast(cent)).select(
+        "query_id",
+        F.col("cid").alias("cluster_id"),
+        cosine(F.col("qvec"), F.col("centroid_vec")).alias("_csim"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), F.asc("cluster_id")
+    )
+    return (
+        probed.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "cluster_id")
+    )
+
+
+def cell_affine_groups(
+    probe_rows: list[tuple[int, int]], max_cells: int
+) -> list[tuple[list[int], list[int]]]:
+    """Greedy, deterministic grouping of a query batch by probed-cell
+    affinity: queries are ordered by their sorted cell signature (so
+    identical and near-identical probe sets are adjacent), then packed
+    sequentially into groups whose cell UNION never exceeds
+    ``max_cells``. Returns ``[(query_ids, cells), ...]`` with both
+    lists sorted.
+
+    This is the batched-serving rule for partitioned lists/codes
+    zones (VERDICT r12 #4). The physics first: DPP admits the UNION
+    of a batch's probed cells, and no post-hoc split of a batch can
+    read fewer TOTAL bytes than that union (every union cell belongs
+    to at least one group, so Σ_groups |cells| ≥ |union| always).
+    The byte lever is therefore BATCH COMPOSITION: this grouping is
+    the router's rule — queries sharing a probe signature belong in
+    the same batch, and a signature-affine batch's single DPP scan
+    reads ~the single-query n_probe/n_clusters fraction regardless of
+    batch size (measured in scripts/bench_ivf_dpp.py). Applied to a
+    MIXED batch that already arrived, per-group serving is the
+    bounded-scan fallback: each group's scan is pruned to ≤ max_cells
+    cells (bounded memory, independently schedulable, early results),
+    at a total-Σ cost the caller sees honestly — when the Σ exceeds
+    the union by much and one big scan is acceptable, plain
+    ``ivf_topk`` over the whole batch is the cheaper plan.
+
+    Pure driver-side: input is |q| × n_probe (query, cell) pairs — a
+    bounded collect of the probe table, the same order as the
+    centroid-table collects the engine already allows."""
+    per_q: dict[int, set[int]] = {}
+    for qid, cell in probe_rows:
+        per_q.setdefault(qid, set()).add(cell)
+    ordered = sorted(
+        per_q.items(), key=lambda kv: (sorted(kv[1]), kv[0])
+    )
+    groups: list[tuple[list[int], set[int]]] = []
+    for qid, cells in ordered:
+        if len(cells) > max_cells:
+            raise ValueError(
+                f"query {qid} alone probes {len(cells)} cells > "
+                f"max_cells={max_cells}; raise max_cells to at least "
+                f"n_probe"
+            )
+        if groups and len(groups[-1][1] | cells) <= max_cells:
+            groups[-1][0].append(qid)
+            groups[-1][1].update(cells)
+        else:
+            groups.append(([qid], set(cells)))
+    return [(sorted(qids), sorted(cells)) for qids, cells in groups]
+
+
+def ivf_topk_cell_affine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    lists: DataFrame | None = None,
+    max_cells: int | None = None,
+) -> DataFrame:
+    """:func:`ivf_topk` served per cell-affine probe group — the
+    online-batch serving mode for a cluster_id-partitioned lists zone.
+
+    Result-identical to ``ivf_topk`` over the same batch (each query's
+    top-k is independent; grouping only changes WHICH scan serves it),
+    but each group's plan carries a probe join whose DPP filter admits
+    at most ``max_cells`` cells (default ``2 × n_probe``), so a
+    cell-affine batch reads ~the single-query byte fraction instead of
+    the batch-union fraction. See :func:`cell_affine_groups` for the
+    rule and when to prefer the plain single-scan form."""
+    if max_cells is None:
+        max_cells = 2 * n_probe
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("centroid_vec").alias("centroid_vec"),
+        )
+    else:
+        cent = (
+            embeddings.filter(F.col(id_col) % stride == 0)
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).cast("long").alias("cid"),
+                as_double(F.col(vec_col)).alias("centroid_vec"),
+            )
+        )
+    probe_rows = [
+        (r["query_id"], r["cluster_id"])
+        for r in ivf_probe_assignments(
+            queries, cent, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+        ).collect()
+    ]
+    groups = cell_affine_groups(probe_rows, max_cells)
+    out: DataFrame | None = None
+    for qids, _cells in groups:
+        part = ivf_topk(
+            embeddings,
+            queries.filter(F.col(id_col).isin(qids)),
+            n_clusters=n_clusters,
+            n_probe=n_probe,
+            k=k,
+            stride=stride,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=cent,
+            lists=lists,
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return ivf_topk(
+            embeddings, queries, n_clusters=n_clusters, n_probe=n_probe,
+            k=k, stride=stride, id_col=id_col, vec_col=vec_col,
+            centroids=cent, lists=lists,
+        )
+    return out
 
 
 def quantize_int8(embeddings: DataFrame, err_digits: int = 9) -> DataFrame:

@@ -209,6 +209,90 @@ def main() -> None:
                 sum(per_q_fracs) / len(per_q_fracs), 4
             )
 
+        # batched-serving cell-affinity (VERDICT r12 #4). The physics:
+        # DPP admits the UNION of a batch's probed cells, and serving
+        # per sub-group can never read fewer TOTAL bytes than that
+        # union (every union cell sits in >= 1 group) — so the byte
+        # lever is the BATCH COMPOSITION, not post-hoc splitting. The
+        # serving rule is therefore: route queries into batches by
+        # probe SIGNATURE (cell_affine_groups is that router's rule),
+        # and a signature-affine batch's one DPP scan reads ~the
+        # single-query fraction no matter the batch size. Measured
+        # here: a 10-query signature-affine batch (the largest
+        # signature bucket of a 200-query pool — what the router
+        # produces) vs the random 10-query batch above; plus
+        # ivf_topk_cell_affine on the random batch — the bounded-scan
+        # fallback for a MIXED batch, whose per-group scans stay
+        # <= max_cells cells each (scheduling/memory boundedness;
+        # its total Σ is reported honestly, >= the union by
+        # construction).
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+            cell_affine_groups,
+            ivf_topk_cell_affine,
+        )
+
+        sizes = cell_sizes("ivf_assign")
+        total = sum(sizes.values())
+        pool = emb.filter(F.col("vec_id") < 500)
+        pool_probes = probed_cells(cents, pool)
+        pool_rows = [
+            (qid, c) for qid, cs in pool_probes.items() for c in cs
+        ]
+        routed = cell_affine_groups(pool_rows, max_cells=8)
+        members, _cells = max(
+            routed, key=lambda g: (len(g[0]), g[0])
+        )
+        affine_ids = sorted(members)[:10]
+        affine_q = emb.filter(F.col("vec_id").isin(affine_ids))
+        batch_cells = set().union(
+            *(pool_probes[q] for q in affine_ids)
+        )
+        out["affine_batch_size"] = len(affine_ids)
+        out["affine_batch_read_fraction"] = round(
+            sum(sizes.get(c, 0) for c in batch_cells) / total, 4
+        )
+        out["affine_batch_serve_sec"] = timed(
+            lambda: ivf_topk(
+                emb, affine_q, n_probe=4, k=5,
+                centroids=cents, lists=lists,
+            )
+        )
+
+        # the mixed-batch fallback: bounded per-group scans
+        rand_rows = [
+            (qid, c)
+            for qid, cs in probed_cells(cents, queries).items()
+            for c in cs
+        ]
+        groups = cell_affine_groups(rand_rows, max_cells=8)
+        group_fracs = [
+            sum(sizes.get(c, 0) for c in cells) / total
+            for _qids, cells in groups
+        ]
+        out["mixed_batch_n_groups"] = len(groups)
+        out["mixed_batch_max_group_read_fraction"] = round(
+            max(group_fracs), 4
+        )
+        out["mixed_batch_total_grouped_read_fraction"] = round(
+            sum(group_fracs), 4
+        )
+        out["mixed_batch_union_read_fraction"] = out[
+            "ivf_assign_read_fraction_batch10"
+        ]
+
+        # result parity: grouped serve == plain serve on the same batch
+        plain = ivf_topk(
+            emb, queries, n_probe=4, k=5, centroids=cents, lists=lists
+        )
+        grouped = ivf_topk_cell_affine(
+            emb, queries, n_probe=4, k=5,
+            centroids=cents, lists=lists, max_cells=8,
+        )
+        key = lambda df: sorted(  # noqa: E731
+            map(tuple, df.collect())
+        )
+        assert key(plain) == key(grouped), "cell-affine serve diverged"
+
         print(json.dumps({"metric": "ivf_dpp", "factor": factor, **out}))
     finally:
         for t in tables.values():

@@ -543,3 +543,111 @@ def test_batch_ivf_state_serve_file_prunes(spark):
     assert "dynamicpruning" in plan.lower(), (
         f"batch ivf_lists scan is not file-pruned:\n{plan[:4000]}"
     )
+
+
+def test_cell_affine_groups_packing_rules():
+    """The batched-serving grouping rule (VERDICT r12 #4): identical
+    probe signatures merge, unions never exceed max_cells, ordering is
+    deterministic, and a single query probing more than max_cells
+    cells is rejected rather than silently split."""
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        cell_affine_groups,
+    )
+
+    # three queries sharing one signature, one disjoint straggler
+    rows = (
+        [(1, c) for c in (0, 1, 2, 3)]
+        + [(2, c) for c in (0, 1, 2, 3)]
+        + [(7, c) for c in (1, 2, 3, 4)]
+        + [(9, c) for c in (10, 11, 12, 13)]
+    )
+    groups = cell_affine_groups(rows, max_cells=5)
+    assert groups == [
+        ([1, 2, 7], [0, 1, 2, 3, 4]),
+        ([9], [10, 11, 12, 13]),
+    ]
+    # tighter cap: the overlapping third query no longer fits
+    groups = cell_affine_groups(rows, max_cells=4)
+    assert groups == [
+        ([1, 2], [0, 1, 2, 3]),
+        ([7], [1, 2, 3, 4]),
+        ([9], [10, 11, 12, 13]),
+    ]
+    # input order never matters (signature sort is the order)
+    assert cell_affine_groups(list(reversed(rows)), 4) == groups
+    with pytest.raises(ValueError, match="raise max_cells"):
+        cell_affine_groups(rows, max_cells=3)
+
+
+def test_ivf_topk_cell_affine_matches_plain_serve(spark, tmp_path):
+    """Grouped serving is result-identical to the single-scan form —
+    over both the in-plan corpus and a landed lists zone — and the
+    probe-assignment helper mirrors ivf_topk's probe rule exactly."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        ivf_list_assign,
+        ivf_probe_assignments,
+        ivf_topk,
+        ivf_topk_cell_affine,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    queries = emb.filter(F.col("vec_id").isin([3, 18, 57, 111, 160]))
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    plain = ivf_topk(emb, queries, n_probe=4, k=5)
+    assert key(
+        ivf_topk_cell_affine(emb, queries, n_probe=4, k=5, max_cells=8)
+    ) == key(plain)
+    # degenerate cap = n_probe: every group is a single signature
+    assert key(
+        ivf_topk_cell_affine(emb, queries, n_probe=4, k=5, max_cells=4)
+    ) == key(plain)
+
+    # served from a landed cluster_id-partitioned lists zone
+    cent = (
+        emb.filter(F.col("vec_id") % 29 == 0)
+        .orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "centroid_vec"
+            ),
+        )
+    )
+    lists = ivf_list_assign(emb, cent)
+    zone = str(tmp_path / "lists")
+    lists.write.partitionBy("cluster_id").parquet(zone)
+    landed = spark.read.schema(
+        "vec_id long, embedding array<double>, cluster_id long"
+    ).parquet(zone)
+    plain_z = ivf_topk(
+        emb, queries, n_probe=4, k=5, centroids=cent, lists=landed
+    )
+    assert key(
+        ivf_topk_cell_affine(
+            emb, queries, n_probe=4, k=5, centroids=cent,
+            lists=landed, max_cells=8,
+        )
+    ) == key(plain_z)
+
+    # the probe helper returns exactly n_probe cells per query, and
+    # re-running it is deterministic
+    probes = ivf_probe_assignments(queries, cent, n_probe=4)
+    rows = probes.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], set()).add(r["cluster_id"])
+    assert set(per_q) == {3, 18, 57, 111, 160}
+    assert all(len(cs) == 4 for cs in per_q.values())
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, ivf_probe_assignments(queries, cent, n_probe=4).collect())
+    )
