@@ -1737,6 +1737,109 @@ def run_embedding_ingest(
     return dict(tables)
 
 
+def stream_zone_freshness(
+    spark: SparkSession,
+    zone_dir: str,
+    zones: dict[str, tuple[str, str | None]],
+) -> DataFrame:
+    """Operational freshness report over streamed manifest zones
+    (VERDICT r12 #7 — the dashboard a production deployment pages on):
+    one row per zone, built from the zone's commit MARKERS, its model
+    META, and a count-only scan of the zone itself.
+
+    ``zones`` maps zone name → ``(catalog table, model_dir or None)``
+    — pass the model dir (IVF_MODEL_DIR / IVFPQ_MODEL_DIR /
+    PQ_MODEL_DIR / KMEANS_MODEL_DIR) for generation-tracked zones,
+    None for plain zones like the flat embeddings corpus.
+
+    Columns: ``zone``, ``n_epochs`` / ``last_epoch`` /
+    ``committed_rows`` (from the manifest markers alone),
+    ``model_gen`` / ``fit_epoch`` (the current generation and the
+    epoch of its fit — i.e. the last drift refit — from the model
+    meta; -1 where no model), ``live_rows`` / ``dead_rows`` (the
+    zone's rows the generation-filtered reader serves vs the
+    superseded rows compaction would reclaim — a count-only scan of
+    the generation column), and ``dead_epochs`` (epochs wholly
+    superseded by the last full-re-encode refit: every epoch before
+    ``fit_epoch``; meaningful for the full-re-encode zones, 0 for
+    plain and retained-sample zones).
+
+    Dead-generation BYTES are deliberately not a column: manifests
+    don't carry file sizes and parquet bytes are a filesystem fact the
+    cross-engine oracle cannot reproduce — the rows are the
+    compactor's reclaim estimate; byte measurements live in the bench
+    scripts. Meta reads are driver-side single-JSON-file reads (the
+    same bounded order as the k-row centroid collects); everything
+    row-scaled stays a DataFrame aggregation."""
+    out: DataFrame | None = None
+    for name in sorted(zones):
+        table, model_dir = zones[name]
+        # the directory, not a *.json glob: Spark's file index already
+        # skips the dot-prefixed in-flight marker tmps, and a glob
+        # path makes the reader probe it for stream metadata (noisy
+        # FileNotFoundException WARNs on every call)
+        markers = spark.read.schema("epoch long, rows long").json(
+            _manifest_dir(zone_dir, name)
+        )
+        if model_dir is None:
+            gen, fit_epoch = -1, -1
+        else:
+            meta = (
+                _read_kmeans_meta(zone_dir)
+                if model_dir == KMEANS_MODEL_DIR
+                else _read_model_meta(zone_dir, model_dir)
+            )
+            gen = -1 if meta is None else meta["gen"]
+            fit_epoch = -1 if meta is None else meta.get("fit_epoch", -1)
+        m = markers.agg(
+            F.count(F.lit(1)).alias("n_epochs"),
+            F.max("epoch").alias("last_epoch"),
+            F.sum("rows").alias("committed_rows"),
+            F.sum(
+                F.when(F.col("epoch") < fit_epoch, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dead_epochs"),
+        )
+        zdf = read_manifest_zone(spark, {name: table}, zone_dir)[name]
+        if model_dir is None:
+            z = zdf.agg(
+                F.count(F.lit(1)).cast("long").alias("live_rows")
+            ).select(
+                "live_rows", F.lit(0).cast("long").alias("dead_rows")
+            )
+        else:
+            z = zdf.agg(
+                F.sum(
+                    F.when(F.col("model_gen") == gen, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("long").alias("live_rows"),
+                F.sum(
+                    F.when(F.col("model_gen") != gen, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("long").alias("dead_rows"),
+            )
+        # two one-row aggregates attach with a cross join — the
+        # bounded-broadcast shape every stat-attach in the engine uses
+        row = m.crossJoin(z).select(
+            F.lit(name).alias("zone"),
+            F.col("n_epochs").cast("long").alias("n_epochs"),
+            F.col("last_epoch").cast("long").alias("last_epoch"),
+            F.col("committed_rows").cast("long").alias("committed_rows"),
+            F.lit(gen).cast("long").alias("model_gen"),
+            F.lit(fit_epoch).cast("long").alias("fit_epoch"),
+            F.col("live_rows").cast("long").alias("live_rows"),
+            F.col("dead_rows").cast("long").alias("dead_rows"),
+            F.col("dead_epochs").cast("long").alias("dead_epochs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("stream_zone_freshness needs at least one zone")
+    return out
+
+
 def run_bucketed_ingest_manifest(
     spark: SparkSession,
     raw_dir: str,
