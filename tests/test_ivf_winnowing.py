@@ -651,3 +651,51 @@ def test_ivf_topk_cell_affine_matches_plain_serve(spark, tmp_path):
     assert sorted(map(tuple, rows)) == sorted(
         map(tuple, ivf_probe_assignments(queries, cent, n_probe=4).collect())
     )
+
+
+def test_store_once_multigen_serve_file_prunes(spark, tmp_path):
+    """r13: the IVFPQ-only store-once zone's multi-generation serve
+    keeps dynamic partition pruning — the retained-sample live filter
+    is a pure predicate (no per-vector window), so each generation's
+    ADC scan still file-prunes to the probed cells. Asserted on a
+    post-drift zone where BOTH generations are live."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        ivfpq_topk_streamed,
+        run_embedding_ingest,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    drift = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
+    prefix = "t_dpp_once_"
+    tables = {}
+    try:
+        for wave in (emb, drift):
+            wave.write.mode("append").parquet(raw)
+            tables = run_embedding_ingest(
+                spark, raw, zone, ckpt,
+                pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                table_prefix=prefix, store_flat_embeddings=False,
+            )
+        out = ivfpq_topk_streamed(
+            spark, tables["ivfpq_codes"], zone,
+            emb.filter(F.col("vec_id") < 3), k=4,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.lower().count("dynamicpruning") >= 2, (
+            f"multi-gen store-once serve lost file pruning:"
+            f"\n{plan[:4000]}"
+        )
+        assert out.count() > 0
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
