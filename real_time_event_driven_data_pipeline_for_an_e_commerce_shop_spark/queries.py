@@ -5509,6 +5509,237 @@ def _ivfpq_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
     """
 
 
+def _ivfpq_once_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
+                       sub: int = 16, n_codes: int = 16, stride: int = 29,
+                       cb_stride: int = 31, k: int = 5,
+                       offset: int = 1_000_000) -> str:
+    """DuckDB mirror of the IVFPQ-only STORE-ONCE lifecycle
+    (``run_embedding_ingest(store_flat_embeddings=False, ivfpq=True,
+    ivf=False)`` + ``ivfpq_topk_streamed``): two full IVFADC model
+    chains — gen 0 fit over wave 1 (the whole corpus), gen 1 refit
+    over (retained strided fit sample ∪ the ×100 drift wave, the
+    engine's exact refit diet) — then the retained-sample live rule
+    (sample ids serve from gen 1, non-sample originals stay at gen 0,
+    drift-wave ids at gen 1) and ONE global rank over the union of
+    both generations' ADC scores. The drift wave's float32 ×100 is
+    mirrored as round-to-REAL of an exact double product — bit-equal
+    to Spark's float multiply because a 24-bit mantissa times 100
+    is exact in double, so both engines round the same exact value."""
+    r12 = lambda x: round_sql(x, 12)
+    dsum = lambda t: (
+        f"CAST(SUM(CAST({r12(t)} AS DECIMAL(28,12))) AS DOUBLE)"
+    )
+    dim = m * sub
+    cos = (
+        "(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))))"
+    )
+    sq = (f"(e.rvec[c.s*{sub} + r.range] - c.cw[r.range])"
+          f" * (e.rvec[c.s*{sub} + r.range] - c.cw[r.range])")
+    sample = f"(vec_id % {stride} = 0 OR vec_id % {cb_stride} = 0)"
+
+    def chain(g: str, corpus: str) -> str:
+        """One generation's model + codes CTE block over ``corpus``
+        (the _ivfpq_oracle lifecycle, gen-suffixed)."""
+        return f"""
+    cents{g} AS (
+        SELECT vec_id AS cid, vec AS cvec FROM {corpus}
+        WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {n_clusters}
+    ),
+    assign{g} AS (
+        SELECT vec_id, cid, vec, cvec FROM (
+            SELECT a.vec_id, c.cid, a.vec, c.cvec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cos.format(a="a.vec", b="c.cvec")} DESC,
+                           c.cid ASC) AS rn
+            FROM {corpus} a CROSS JOIN cents{g} c)
+        WHERE rn = 1
+    ),
+    res{g} AS (
+        SELECT vec_id, cid,
+               list_transform(range(1, {dim + 1}),
+                              i -> vec[i] - cvec[i]) AS rvec
+        FROM assign{g}
+    ),
+    cb{g} AS (
+        SELECT s.range AS s, smp.vec_id AS j,
+               (smp.rvec)[(s.range*{sub}+1):((s.range+1)*{sub})] AS cw
+        FROM (SELECT vec_id, rvec FROM res{g}
+              WHERE vec_id % {cb_stride} = 0
+              ORDER BY vec_id LIMIT {n_codes}) smp
+        CROSS JOIN range(0, {m}) s
+    ),
+    dists{g} AS (
+        SELECT e.vec_id, e.cid, c.s, c.j, {dsum(sq)} AS dist
+        FROM res{g} e CROSS JOIN cb{g} c CROSS JOIN range(1, {sub + 1}) r
+        GROUP BY e.vec_id, e.cid, c.s, c.j
+    ),
+    codes{g} AS (
+        SELECT vec_id, cid, s, j FROM dists{g}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY dist ASC, j ASC) = 1
+    ),
+    cw2{g} AS (
+        SELECT c.s, c.j, {dsum("c.cw[r.range] * c.cw[r.range]")} AS cw2
+        FROM cb{g} c CROSS JOIN range(1, {sub + 1}) r GROUP BY c.s, c.j
+    ),
+    cdt{g} AS (
+        SELECT t.cid, c.s, c.j,
+               {dsum(f"t.cvec[c.s*{sub} + r.range] * c.cw[r.range]")} AS cdot
+        FROM cents{g} t CROSS JOIN cb{g} c CROSS JOIN range(1, {sub + 1}) r
+        GROUP BY t.cid, c.s, c.j
+    ),
+    cn2{g} AS (
+        SELECT cid, {dsum("cvec[r.range] * cvec[r.range]")} AS cnorm2
+        FROM cents{g} CROSS JOIN range(1, {dim + 1}) r GROUP BY cid
+    ),
+    qc{g} AS (
+        SELECT q.query_id, c.cid,
+               {cos.format(a="q.qvec", b="c.cvec")} AS csim
+        FROM q CROSS JOIN cents{g} c
+    ),
+    qd{g} AS (
+        SELECT q.query_id, c.cid,
+               {dsum("q.qvec[r.range] * c.cvec[r.range]")} AS qdotc
+        FROM q CROSS JOIN cents{g} c CROSS JOIN range(1, {dim + 1}) r
+        GROUP BY q.query_id, c.cid
+    ),
+    probes{g} AS (
+        SELECT query_id, cid, qdotc FROM (
+            SELECT qc.query_id, qc.cid, qd.qdotc,
+                   ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                       ORDER BY qc.csim DESC, qc.cid ASC) AS rn
+            FROM qc{g} qc JOIN qd{g} qd USING (query_id, cid))
+        WHERE rn <= {n_probe}
+    ),
+    lut{g} AS (
+        SELECT q.query_id, c.s, c.j,
+               {dsum(f"q.qvec[c.s*{sub} + r.range] * c.cw[r.range]")} AS pdot
+        FROM q CROSS JOIN cb{g} c CROSS JOIN range(1, {sub + 1}) r
+        GROUP BY q.query_id, c.s, c.j
+    ),
+    scored{g} AS (
+        SELECT p.query_id, cd.vec_id AS neighbor_id, cd.cid, p.qdotc,
+               CAST(SUM(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE) AS rdot,
+               CAST(SUM(CAST(dt.cdot AS DECIMAL(28,12))) AS DOUBLE) AS rcdot,
+               CAST(SUM(CAST(w2.cw2 AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+        FROM live{g} cd
+        JOIN probes{g} p ON p.cid = cd.cid
+        JOIN lut{g} l ON l.query_id = p.query_id
+                     AND l.s = cd.s AND l.j = cd.j
+        JOIN cdt{g} dt ON dt.cid = cd.cid AND dt.s = cd.s AND dt.j = cd.j
+        JOIN cw2{g} w2 ON w2.s = cd.s AND w2.j = cd.j
+        WHERE cd.vec_id != p.query_id
+        GROUP BY p.query_id, cd.vec_id, cd.cid, p.qdotc
+    ),
+    sims{g} AS (
+        SELECT s.query_id, s.neighbor_id,
+               (s.qdotc + s.rdot)
+               / (q.qnorm * sqrt(n.cnorm2 + 2.0 * s.rcdot + s.rn2)) AS sim
+        FROM scored{g} s JOIN cn2{g} n ON n.cid = s.cid
+        JOIN q USING (query_id)
+    )"""
+
+    return f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    w2 AS (
+        SELECT vec_id + {offset} AS vec_id,
+               list_transform(
+                   embedding,
+                   x -> CAST(CAST(CAST(x AS DOUBLE) * 100 AS REAL)
+                             AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    fit1 AS (
+        SELECT vec_id, vec FROM v WHERE {sample}
+        UNION ALL SELECT vec_id, vec FROM w2
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec,
+                 sqrt(list_dot_product(vec, vec)) AS qnorm
+          FROM v WHERE vec_id < 10),{chain("0", "v")},
+    live0 AS (
+        SELECT vec_id, cid, s, j FROM codes0 WHERE NOT {sample}
+    ),{chain("1", "fit1")},
+    live1 AS (SELECT vec_id, cid, s, j FROM codes1),
+    sims AS (
+        SELECT query_id, neighbor_id, sim FROM sims0
+        UNION ALL SELECT query_id, neighbor_id, sim FROM sims1
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM sims
+    QUALIFY sim_rank <= {k}
+    """
+
+
+@query("ann_ivfpq_once_stream", oracle=_ivfpq_once_oracle())
+def q_ann_ivfpq_once_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFPQ-only STORE-ONCE deployment end-to-end under a full
+    value oracle (r13 — VERDICT r12 #3 taken from lifecycle-tested to
+    hash-gated): wave 1 delivers the whole corpus to
+    ``run_embedding_ingest(store_flat_embeddings=False, ivfpq=True,
+    ivf=False, pq=False)`` (gen-0 fit + encode; the strided fit diet
+    lands in the ``fit_sample`` side zone — the only raw vectors the
+    deployment keeps); wave 2 delivers the corpus ×100-scaled under
+    offset ids, forcing a drift refit whose diet is exactly (retained
+    sample ∪ batch) — bit-identical to a full-corpus refit because the
+    diet is a pure id predicate; then ``ivfpq_topk_streamed`` serves
+    one top-k over BOTH live generations (non-sample originals from
+    their frozen gen-0 codes against the gen-0 model, sample + drift
+    ids from gen 1 against gen 1), ranking once globally. The oracle
+    rebuilds both generations' full IVFADC chains, applies the same
+    retained-sample live rule, and unions the score spaces — a wrong
+    refit diet, a generation leak in the reader (a sample id served
+    twice, a non-sample id re-encoded), or a cross-generation scoring
+    mixup all hash-mismatch."""
+    import shutil
+
+    from .streaming.pipeline import (
+        ivfpq_topk_streamed,
+        run_embedding_ingest,
+    )
+
+    base = _scratch_zone("q_ivfpq_once")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_ivfpq_once_"
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    drift = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    try:
+        tables = {}
+        for wave in (emb, drift):
+            wave.write.mode("append").parquet(raw)
+            tables = run_embedding_ingest(
+                spark, raw, zone, ckpt,
+                pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                table_prefix=prefix, store_flat_embeddings=False,
+            )
+        out = ivfpq_topk_streamed(
+            spark, tables["ivfpq_codes"], zone,
+            emb.filter(F.col("vec_id") < 10), k=5,
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ / IVFADC approximate top-k (Jegou et al. 2011 §IV — the
@@ -6747,11 +6978,13 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SWEEP_PRIORITY = [
     # ---- r13 rotation ----------------------------------------------
-    # Group A - new or changed this round: the new freshness-report
-    # entry, plus the three ivfpq entries whose shared scoring body
-    # was factored through _ivfpq_scores (plan-identical extraction
-    # for the multi-generation store-once serve - re-verify anyway).
+    # Group A - new or changed this round: the freshness-report and
+    # store-once-lifecycle entries (both new), plus the three ivfpq
+    # entries whose shared scoring body was factored through
+    # _ivfpq_scores (plan-identical extraction for the
+    # multi-generation store-once serve - re-verify anyway).
     "stream_zone_freshness",
+    "ann_ivfpq_once_stream",
     "ann_ivfpq_topk",
     "ann_ivfpq_state",
     "ann_ivfpq_stream",
@@ -6775,11 +7008,13 @@ _SWEEP_PRIORITY = [
     "supplier_balance",
     "top_terms",
     "volume_shipping",
-    # Group C - r10-stale entries, alphabetical first 29 of 41 (the
-    # remaining 12 - lm_perplexity_bigram_state, lm_perplexity_state,
-    # market_basket, ngram_jaccard, ngram_novelty, order_kpi_bucketed,
-    # revenue_deciles, rfm_segments, semantic_neardup_auto, sessionize,
-    # source_token_drift, text_quality - rotate in r14).
+    # Group C - r10-stale entries, alphabetical first 28 of 41 (the
+    # remaining 13 - kpi_unpivot (yielded its slot to
+    # ann_ivfpq_once_stream), lm_perplexity_bigram_state,
+    # lm_perplexity_state, market_basket, ngram_jaccard, ngram_novelty,
+    # order_kpi_bucketed, revenue_deciles, rfm_segments,
+    # semantic_neardup_auto, sessionize, source_token_drift,
+    # text_quality - rotate in r14).
     "ann_ivf_trained",
     "ann_pq_state",
     "ann_pq_topk",
@@ -6808,7 +7043,6 @@ _SWEEP_PRIORITY = [
     "grouping_sets_sql",
     "kmeans_fit_report",
     "kmeans_fit_report_state",
-    "kpi_unpivot",
 ]
 
 
