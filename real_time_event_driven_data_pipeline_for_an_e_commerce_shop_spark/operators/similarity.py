@@ -961,6 +961,92 @@ def ivf_topk_cell_affine(
     return out
 
 
+def ivfpq_topk_cell_affine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    stride: int = 29,
+    cb_stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    max_cells: int | None = None,
+) -> DataFrame:
+    """:func:`ivfpq_topk` served per cell-affine probe group — the ADC
+    twin of :func:`ivf_topk_cell_affine`, for a cluster_id-partitioned
+    codes zone. Same contract: result-identical to the plain serve
+    (each query's top-k is independent), each group's scan DPP-pruned
+    to ≤ ``max_cells`` cells (default ``2 × n_probe``); see
+    :func:`cell_affine_groups` for the router rule and the honest
+    bytes physics."""
+    if max_cells is None:
+        max_cells = 2 * n_probe
+    if centroids is not None:
+        cent = _coarse_centroids(centroids)
+    elif codes is not None and codebook is not None:
+        raise ValueError(
+            "serving from landed codes/codebook needs the landed "
+            "centroids too (probe selection and grouping key off them)"
+        )
+    else:
+        cent = (
+            embeddings.filter(F.col(id_col) % stride == 0)
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).cast("long").alias("cid"),
+                as_double(F.col(vec_col)).alias("cvec"),
+            )
+        )
+    probe_rows = [
+        (r["query_id"], r["cluster_id"])
+        for r in ivf_probe_assignments(
+            queries,
+            cent.select("cid", F.col("cvec").alias("centroid_vec")),
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).collect()
+    ]
+    groups = cell_affine_groups(probe_rows, max_cells)
+    out: DataFrame | None = None
+    for qids, _cells in groups:
+        part = ivfpq_topk(
+            embeddings,
+            queries.filter(F.col(id_col).isin(qids)),
+            n_clusters=n_clusters,
+            n_probe=n_probe,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            dim=dim,
+            k=k,
+            stride=stride,
+            cb_stride=cb_stride,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=cent,
+            codebook=codebook,
+            codes=codes,
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return ivfpq_topk(
+            embeddings, queries, n_clusters=n_clusters, n_probe=n_probe,
+            n_subspaces=n_subspaces, n_codes=n_codes, dim=dim, k=k,
+            stride=stride, cb_stride=cb_stride, id_col=id_col,
+            vec_col=vec_col, centroids=cent, codebook=codebook,
+            codes=codes,
+        )
+    return out
+
+
 def quantize_int8(embeddings: DataFrame, err_digits: int = 9) -> DataFrame:
     """Symmetric per-vector int8 quantization — the ANN tier's storage
     scale path (the compression every large-scale vector system applies

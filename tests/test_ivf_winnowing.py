@@ -699,3 +699,55 @@ def test_store_once_multigen_serve_file_prunes(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_topk_cell_affine_matches_plain_serve(spark, tmp_path):
+    """The ADC twin of the grouped serve: result-identical to plain
+    ivfpq_topk over both the in-plan form and a landed
+    cluster_id-partitioned codes zone; landed-serve misuse (codes +
+    codebook without the centroids they key off) is rejected."""
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        ivfpq_model,
+        ivfpq_topk,
+        ivfpq_topk_cell_affine,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    queries = emb.filter(F.col("vec_id").isin([3, 18, 57, 111, 160]))
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    plain = ivfpq_topk(emb, queries, k=5)
+    assert key(
+        ivfpq_topk_cell_affine(emb, queries, k=5, max_cells=8)
+    ) == key(plain)
+
+    # landed zone serve
+    cent, cb, codes = ivfpq_model(emb)
+    zone = str(tmp_path / "codes")
+    codes.write.partitionBy("cluster_id").parquet(zone)
+    landed = spark.read.schema(
+        "vec_id long, s long, code long, cluster_id long"
+    ).parquet(zone)
+    plain_z = ivfpq_topk(
+        emb, queries, k=5, centroids=cent, codebook=cb, codes=landed
+    )
+    assert key(
+        ivfpq_topk_cell_affine(
+            emb, queries, k=5, centroids=cent, codebook=cb,
+            codes=landed, max_cells=8,
+        )
+    ) == key(plain_z)
+    assert key(plain_z) == key(plain)
+
+    with pytest.raises(ValueError, match="landed centroids"):
+        ivfpq_topk_cell_affine(
+            emb, queries, k=5, codebook=cb, codes=landed
+        )
