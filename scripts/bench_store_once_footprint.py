@@ -108,6 +108,52 @@ def main() -> None:
             out[mode]["vs_flat"] = round(
                 out[mode]["total_bytes"] / flat_b, 4
             )
+
+        # multi-generation serve cost (ROADMAP r14 #2's measure-first):
+        # time ivfpq_topk_streamed on the single-generation zone, then
+        # force a drift refit (x100 wave) and time the two-generation
+        # serve - the per-generation constant is the delta.
+        import time
+
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+            ivfpq_topk_streamed,
+        )
+
+        zone = os.path.join(tmp, "zone_ivfpq_only")
+        queries = emb.filter(F.col("vec_id") < 10)
+
+        def timed(fn, reps=3):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        out["serve_1gen_sec"] = timed(
+            lambda: ivfpq_topk_streamed(
+                spark, tables["ivfpq_only"]["ivfpq_codes"], zone,
+                queries, k=5,
+            )
+        )
+        drift = big.select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 100).cast("float")
+            ).alias("embedding"),
+        )
+        drift.write.mode("append").parquet(raw0)
+        run_embedding_ingest(
+            spark, raw0, zone, os.path.join(tmp, "ckpt_ivfpq_only"),
+            n_buckets=8, table_prefix="fp_ivfpq_only_",
+            **configs["ivfpq_only"],
+        )
+        out["serve_2gen_sec"] = timed(
+            lambda: ivfpq_topk_streamed(
+                spark, tables["ivfpq_only"]["ivfpq_codes"], zone,
+                queries, k=5,
+            )
+        )
         print(json.dumps({"metric": "store_once_footprint", **out}))
     finally:
         for t in tables.values():
