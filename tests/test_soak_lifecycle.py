@@ -412,3 +412,148 @@ def test_embedding_ingest_soak_all_model_gates(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_store_once_ivfpq_soak(spark, tmp_path):
+    """20 epochs through the IVFPQ-only STORE-ONCE deployment (r13):
+    forced drift at epoch 10, so generations accrete mid-run.
+    End-state invariants, regardless of when refits fired: the
+    retained fit_sample zone holds exactly the delivered strided ids;
+    the predicate reader serves every delivered vector EXACTLY once
+    (sample ids at the current generation); each generation's rows
+    equal the batch encode of those vectors against THAT generation's
+    landed model; multi-gen serve returns a full top-k; compaction in
+    retained-sample mode drops only superseded sample encodes and is
+    reader- and serve-identical; a replayed run is a no-op."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        ivfpq_topk_streamed,
+        read_fit_sample,
+    )
+
+    raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
+    prefix = "t_soak_once_"
+    tables = {}
+
+    def ingest(**kw):
+        return run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivf=False, ivfpq=True, n_buckets=4,
+            table_prefix=prefix, store_flat_embeddings=False, **kw,
+        )
+
+    try:
+        base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        for w in range(N_WAVES):
+            base.filter(
+                (F.col("vec_id") >= w * 25) & (F.col("vec_id") < (w + 1) * 25)
+            ).write.mode("append").parquet(raw)
+            tables = ingest(
+                drift_refit_factor=1e-9 if w == DRIFT_WAVE else 2.0
+            )
+
+        meta = _read_model_meta(zone, IVFPQ_MODEL_DIR)
+        cur = meta["gen"]
+        assert cur >= 1 and meta["fit_epoch"] >= DRIFT_WAVE
+
+        # the retained sample is exactly the delivered strided diet
+        assert sorted(
+            r["vec_id"]
+            for r in read_fit_sample(
+                spark, tables["fit_sample"], zone
+            ).collect()
+        ) == sorted(
+            i for i in range(500) if i % 29 == 0 or i % 31 == 0
+        )
+
+        # predicate reader: every delivered vector exactly once;
+        # sample ids at the current generation
+        got = read_ivfpq_codes(
+            spark, tables["ivfpq_codes"], zone,
+            retained_sample_mode=True,
+        ).collect()
+        per_vec: dict[int, set[int]] = {}
+        for r in got:
+            per_vec.setdefault(r["vec_id"], set()).add(r["model_gen"])
+        assert len(per_vec) == 500 and len(got) == 500 * 4
+        for vid, gens in per_vec.items():
+            assert len(gens) == 1, (vid, gens)
+            if vid % 29 == 0 or vid % 31 == 0:
+                assert gens == {cur}, (vid, gens)
+
+        # per-generation parity: each generation's rows equal the
+        # batch encode of exactly those vectors against that
+        # generation's landed model
+        def gen_key(rows):
+            return sorted(
+                (r["vec_id"], r["s"], r["cluster_id"], r["code"])
+                for r in rows
+            )
+
+        for g in sorted({r["model_gen"] for r in got}):
+            g_rows = [r for r in got if r["model_gen"] == g]
+            g_ids = sorted({r["vec_id"] for r in g_rows})
+            cent_g, cb_g = read_ivfpq_model(spark, zone, g)
+            _c, _b, want = ivfpq_model(
+                base.filter(F.col("vec_id").isin(g_ids)),
+                centroids=cent_g, codebook=cb_g,
+            )
+            assert gen_key(g_rows) == gen_key(
+                want.select(
+                    "vec_id", "cluster_id", "s", "code"
+                ).collect()
+            ), f"gen {g} rows diverge from batch encode"
+
+        # multi-gen serve: full top-k per query
+        queries = base.filter(F.col("vec_id").isin([7, 123, 400]))
+        served = ivfpq_topk_streamed(
+            spark, tables["ivfpq_codes"], zone, queries, k=5
+        )
+        rows = served.collect()
+        assert len(rows) == 15
+        served_key = sorted(map(tuple, rows))
+
+        # compaction (retained-sample mode) + vacuum: one epoch, only
+        # superseded sample encodes dropped, reader and serve identical
+        before = spark.table(tables["ivfpq_codes"]).count()
+        compact_model_zone(
+            spark, tables["ivfpq_codes"], zone, "ivfpq_codes",
+            IVFPQ_MODEL_DIR, n_buckets=4,
+            extra_partition_cols=("cluster_id",),
+            retained_sample_mode=True,
+        )
+        assert len(committed_epochs(zone, "ivfpq_codes")) == 1
+        after = spark.table(tables["ivfpq_codes"]).count()
+        assert after == 500 * 4 <= before
+        vacuum_manifest_zone(
+            spark, tables["ivfpq_codes"], zone, "ivfpq_codes",
+            min_age_seconds=0,
+        )
+        assert gen_key(
+            read_ivfpq_codes(
+                spark, tables["ivfpq_codes"], zone,
+                retained_sample_mode=True,
+            ).drop("model_gen").collect()
+        ) == gen_key(got)
+        assert sorted(
+            map(
+                tuple,
+                ivfpq_topk_streamed(
+                    spark, tables["ivfpq_codes"], zone, queries, k=5
+                ).collect(),
+            )
+        ) == served_key
+
+        # crash-replay: no-op
+        epochs_before = {
+            t: sorted(committed_epochs(zone, t)) for t in tables
+        }
+        ingest()
+        assert epochs_before == {
+            t: sorted(committed_epochs(zone, t)) for t in tables
+        }
+        assert _read_model_meta(zone, IVFPQ_MODEL_DIR)["gen"] == cur
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
