@@ -136,6 +136,32 @@ def main() -> None:
                 queries, k=5,
             )
         )
+
+        # steady-state epoch cost, flat vs store-once: deliver the
+        # same +10% arrival wave to both deployments (appended to the
+        # shared raw dir, consumed via each deployment's ORIGINAL
+        # checkpoint so it lands as the next encode-only epoch against
+        # the frozen gen). The store-once epoch does strictly less
+        # I/O: codes + the tiny strided sample vs codes + the full
+        # flat re-land of the batch. Measured BEFORE the drift wave so
+        # neither twin refits here.
+        inc = emb.select(
+            (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        ).limit(max_id * factor // 10)
+        inc.write.mode("append").parquet(raw0)
+        for mode in ("flat", "ivfpq_only"):
+            t0 = __import__("time").perf_counter()
+            run_embedding_ingest(
+                spark, raw0, os.path.join(tmp, f"zone_{mode}"),
+                os.path.join(tmp, f"ckpt_{mode}"),
+                n_buckets=8, table_prefix=f"fp_{mode}_",
+                **configs[mode],
+            )
+            out[f"incremental_epoch_{mode}_sec"] = round(
+                __import__("time").perf_counter() - t0, 2
+            )
+
         drift = big.select(
             (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
             F.transform(
@@ -154,6 +180,7 @@ def main() -> None:
                 queries, k=5,
             )
         )
+
         print(json.dumps({"metric": "store_once_footprint", **out}))
     finally:
         for t in tables.values():
