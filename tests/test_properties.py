@@ -539,3 +539,52 @@ def test_token_event_grain_matches_independent_derivations(spark, texts):
     assert key(corpus_state.shingle_state_from_event_counts(grain)) == key(
         shingle_want
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # query_id
+            st.integers(min_value=0, max_value=15),  # cell
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_cell_affine_groups_invariants(rows, max_cells):
+    """The batched-serving router rule holds for ANY probe table:
+    every query lands in exactly one group, each group's cell union is
+    bounded by max_cells and covers every member's probes, the output
+    is deterministic under input permutation, and the only rejection
+    is a single query probing more than max_cells cells."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        cell_affine_groups,
+    )
+
+    per_q: dict[int, set[int]] = {}
+    for qid, cell in rows:
+        per_q.setdefault(qid, set()).add(cell)
+    oversized = any(len(cs) > max_cells for cs in per_q.values())
+    if oversized:
+        import pytest
+
+        with pytest.raises(ValueError, match="raise max_cells"):
+            cell_affine_groups(rows, max_cells)
+        return
+    groups = cell_affine_groups(rows, max_cells)
+    seen: list[int] = []
+    for qids, cells in groups:
+        assert len(cells) <= max_cells
+        assert qids == sorted(qids) and cells == sorted(cells)
+        for qid in qids:
+            assert per_q[qid] <= set(cells), (
+                "a group must cover every member's probe cells"
+            )
+        seen.extend(qids)
+    assert sorted(seen) == sorted(per_q), (
+        "every query in exactly one group"
+    )
+    # deterministic under permutation
+    assert cell_affine_groups(list(reversed(rows)), max_cells) == groups
