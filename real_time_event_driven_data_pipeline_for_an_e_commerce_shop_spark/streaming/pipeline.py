@@ -970,6 +970,18 @@ def read_ivf_lists(
     df = read_manifest_zone(spark, {"ivf_assign": table}, zone_dir)[
         "ivf_assign"
     ]
+    from pyspark.sql.types import ArrayType, FloatType
+
+    emb_field = df.schema["embedding"].dataType
+    if isinstance(emb_field, ArrayType) and isinstance(
+        emb_field.elementType, FloatType
+    ):
+        # a lists_vector_dtype="float" zone: promote back to double —
+        # exact (float→double is lossless), so serving and refit
+        # values are bit-identical to a double-stored zone
+        df = df.withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
     return df.filter(F.col("model_gen") == meta["gen"]).select(
         "vec_id", "cluster_id", "embedding"
     )
@@ -1173,6 +1185,7 @@ def run_embedding_ingest(
     n_buckets: int = 8,
     table_prefix: str = "emb_",
     store_flat_embeddings: bool = True,
+    lists_vector_dtype: str = "double",
     await_termination: bool = True,
 ) -> dict[str, str]:
     """Streaming ingest for the EMBEDDINGS side of the house with a
@@ -1274,6 +1287,19 @@ def run_embedding_ingest(
     re-encodes the full corpus, which needs a raw-vector source (the
     flat zone or the IVF lists).
 
+    ``lists_vector_dtype="float"`` stores the IVF lists' vector column
+    as ``array<float>`` instead of ``array<double>`` — LOSSLESS here
+    by construction, because the ingest schema's vectors are float32
+    (``array<float>``) and float→double is exact, so the double the
+    assignment computed round-trips through float32 bit-exactly; the
+    reader promotes back to double and every serve/refit value is
+    bit-identical (test-gated). Halves the lists zone's vector bytes —
+    at 100 TB the lists ARE the corpus in the IVF store-once
+    deployment, so this is a 2× storage lever. Keep the default if
+    vectors ever arrive as true float64 (the cast would then lose
+    precision; this engine's ingest contract is float32, so the knob
+    is safe for every current caller).
+
     At 100 TB: the model dir holds m·k rows per generation (64 at
     defaults — driver/broadcast-safe by construction), per-epoch work
     is O(batch·m) rows of shuffle, and the serving scan
@@ -1297,6 +1323,11 @@ def run_embedding_ingest(
             "store_flat_embeddings=False requires ivf=True or "
             "ivfpq=True — PQ codes alone are compressed beyond "
             "recovery, so refits would have no committed-vector source"
+        )
+    if lists_vector_dtype not in ("double", "float"):
+        raise ValueError(
+            f"lists_vector_dtype must be 'double' or 'float', got "
+            f"{lists_vector_dtype!r}"
         )
     # the IVFPQ-only store-once deployment: codes + retained fit diet
     retain_fit_sample = not store_flat_embeddings and ivfpq and not ivf
@@ -1671,6 +1702,12 @@ def run_embedding_ingest(
                 out = assigned
         cur = _read_model_meta(zone_dir, IVF_MODEL_DIR)
         gen_now = -1 if cur is None else cur["gen"]
+        if lists_vector_dtype == "float":
+            # lossless for float32-contract inputs (see the knob's
+            # docstring); the reader promotes back to double
+            out = out.withColumn(
+                "embedding", F.col("embedding").cast("array<float>")
+            )
         _land_epoch(
             spark,
             out.withColumn("model_gen", F.lit(gen_now)),

@@ -65,6 +65,9 @@ def main() -> None:
                      store_flat_embeddings=True),
         "lists": dict(pq=False, ivfpq=False, ivf=True,
                       store_flat_embeddings=False),
+        "lists_f32": dict(pq=False, ivfpq=False, ivf=True,
+                          store_flat_embeddings=False,
+                          lists_vector_dtype="float"),
         "ivfpq_only": dict(pq=False, ivfpq=True, ivf=False,
                            store_flat_embeddings=False),
     }
@@ -104,7 +107,7 @@ def main() -> None:
                 "zones": zones,
             }
         flat_b = out["flat"]["total_bytes"]
-        for mode in ("lists", "ivfpq_only"):
+        for mode in ("lists", "lists_f32", "ivfpq_only"):
             out[mode]["vs_flat"] = round(
                 out[mode]["total_bytes"] / flat_b, 4
             )

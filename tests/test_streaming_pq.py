@@ -824,3 +824,114 @@ def test_store_once_ivfpq_only_mode(spark, tmp_path):
         for t in tabs.values():
             for name in t.values():
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_float32_lists_zone_is_lossless_and_smaller(spark, tmp_path):
+    """lists_vector_dtype="float" (r13): the IVF lists zone stores the
+    vector column as array<float> — lossless for the ingest contract's
+    float32 vectors (float→double is exact both ways), so the reader's
+    promoted doubles, the serve, and a drift refit are all
+    BIT-IDENTICAL to the double-stored twin, at roughly half the
+    vector bytes on disk."""
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        read_ivf_centroids,
+        read_ivf_lists,
+    )
+
+    with pytest.raises(ValueError, match="lists_vector_dtype"):
+        run_embedding_ingest(
+            spark, str(tmp_path / "r0"), str(tmp_path / "z0"),
+            str(tmp_path / "c0"), ivf=True, lists_vector_dtype="half",
+        )
+
+    base = _emb(spark)
+    drift = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    queries = base.filter(F.col("vec_id") < 5)
+    tabs = {}
+
+    def zone_bytes(zone, sub):
+        total = 0
+        for root, _d, files in os.walk(os.path.join(zone, sub)):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    try:
+        for mode in ("double", "float"):
+            raw, zone, ckpt = (
+                str(tmp_path / f"{d}_{mode}")
+                for d in ("raw", "zone", "ckpt")
+            )
+            for wave in (base, drift):
+                wave.write.mode("append").parquet(raw)
+                tabs[mode] = run_embedding_ingest(
+                    spark, raw, zone, ckpt,
+                    pq=False, ivf=True, n_buckets=4,
+                    table_prefix=f"t_f32_{mode}_",
+                    store_flat_embeddings=False,
+                    lists_vector_dtype=mode,
+                )
+
+        zd, zf = str(tmp_path / "zone_double"), str(tmp_path / "zone_float")
+        # the float zone's landed column IS float32
+        t = spark.table(tabs["float"]["ivf_assign"])
+        assert t.schema["embedding"].dataType.elementType.typeName() == "float"
+
+        # reader promotion: bit-identical rows incl. the vectors
+        def lk(zone, table):
+            return sorted(
+                (r["vec_id"], r["cluster_id"], tuple(r["embedding"]))
+                for r in read_ivf_lists(spark, table, zone).collect()
+            )
+
+        assert lk(zf, tabs["float"]["ivf_assign"]) == lk(
+            zd, tabs["double"]["ivf_assign"]
+        )
+
+        # the drift refit (gen 1, sourced from the float lists) landed
+        # bit-identical centroids
+        assert _read_model_meta(zf, IVF_MODEL_DIR)["gen"] == 1
+        ck = lambda z: sorted(  # noqa: E731
+            (r["cid"], tuple(r["centroid_vec"]))
+            for r in read_ivf_centroids(spark, z).collect()
+        )
+        assert ck(zf) == ck(zd)
+
+        # serve bit-identical
+        def serve(zone, table):
+            return sorted(
+                map(
+                    tuple,
+                    ivf_topk(
+                        base.unionByName(drift), queries, k=5,
+                        centroids=read_ivf_centroids(spark, zone),
+                        lists=read_ivf_lists(spark, table, zone),
+                    ).collect(),
+                )
+            )
+
+        assert serve(zf, tabs["float"]["ivf_assign"]) == serve(
+            zd, tabs["double"]["ivf_assign"]
+        )
+
+        # and the zone is materially smaller (at this 200-vector test
+        # scale parquet framing + the non-vector columns dilute the 2x
+        # vector-payload cut to ~0.77x; the factor-10 measurement in
+        # scripts/bench_store_once_footprint.py shows the real ratio)
+        bf = zone_bytes(zf, "ivf_assign")
+        bd = zone_bytes(zd, "ivf_assign")
+        assert bf < 0.85 * bd, (bf, bd)
+    finally:
+        for t in tabs.values():
+            for name in t.values():
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
