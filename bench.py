@@ -322,11 +322,6 @@ def main() -> None:
     finally:
         shutil.rmtree(zone_dir, ignore_errors=True)
 
-    # Key ORDER is load-bearing (VERDICT r7 #5): the driver records only
-    # the TAIL of this line, so the steady-state numbers — the ones
-    # BASELINE.md comparisons need — go LAST (cold first, warm + value
-    # last) and the full artifact is also written to the repo so every
-    # number survives regardless of truncation.
     record = {
         "metric": "headline_queries_total",
         "unit": "sec",
@@ -342,19 +337,63 @@ def main() -> None:
         "value": round(sum(warm.values()), 3),
         "queries": warm,
     }
-    try:
-        rounds = [
-            int(f[len("BENCH_r"): -len(".json")])
-            for f in os.listdir(here)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and f[len("BENCH_r"): -len(".json")].isdigit()
-        ]
-        n = max(rounds, default=0) + 1
-        with open(os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json"), "w") as f:
-            json.dump(record, f, indent=1)
-    except OSError:
-        pass  # read-only checkout: the printed line is still complete
+    # --record writes BENCH_LOCAL_r{next}.json (VERDICT r13 #4): the
+    # builder's idle-box run passes it; the driver's per-round refresh
+    # does NOT, so a recordless run leaves the tree clean and the
+    # committed idle record survives the snapshot.
+    if "--record" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_BENCH_RECORD"
+    ) == "1":
+        try:
+            rounds = [
+                int(f[len("BENCH_r"): -len(".json")])
+                for f in os.listdir(here)
+                if f.startswith("BENCH_r") and f.endswith(".json")
+                and f[len("BENCH_r"): -len(".json")].isdigit()
+            ]
+            n = max(rounds, default=0) + 1
+            path = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
+            with open(path, "w") as f:
+                json.dump(record, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: the printed lines are complete
     print(json.dumps(record))
+    # The driver keeps only the last ~2000 chars of stdout and parses
+    # the FINAL line (VERDICT r13 #5: BENCH_r13 "parsed": null because
+    # the full record overflows that window, so the tail started
+    # mid-JSON). Emit a compact closing line that provably fits:
+    # 2-decimal per-query values, then 1-decimal, then drop the
+    # fastest entries into "queries_omitted" — slowest queries (the
+    # ones regressions show up in) always survive.
+    print(_compact_line(record))
+
+
+def _compact_line(record: dict, limit: int = 1950) -> str:
+    base = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "sf": record["sf"],
+        "outliers": sorted(record.get("outliers", {})),
+    }
+    for ndigits in (2, 1):
+        q = {k: round(v, ndigits) for k, v in record["queries"].items()}
+        by_slow = sorted(q, key=lambda k: (-q[k], k))
+        for keep in range(len(by_slow), -1, -1):
+            out = dict(base)
+            out["queries"] = {k: q[k] for k in by_slow[:keep]}
+            omitted = len(by_slow) - keep
+            if omitted:
+                out["queries_omitted"] = omitted
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= limit:
+                if ndigits == 2 and omitted:
+                    break  # try 1-decimal before dropping entries
+                return line
+    return json.dumps(
+        {**base, "queries": {}, "queries_omitted": len(record["queries"])},
+        separators=(",", ":"),
+    )
 
 
 if __name__ == "__main__":
