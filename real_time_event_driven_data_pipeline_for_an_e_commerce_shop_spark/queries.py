@@ -5150,6 +5150,106 @@ def q_stream_zone_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_zone_freshness_once",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (
+                   WHERE vec_id % 29 = 0 OR vec_id % 31 = 0
+               ) AS BIGINT) AS s0,
+               CAST(COUNT(*) FILTER (
+                   WHERE (vec_id + 1000000) % 29 = 0
+                      OR (vec_id + 1000000) % 31 = 0
+               ) AS BIGINT) AS s1
+        FROM embeddings)
+    SELECT 'fit_sample' AS zone,
+           CAST(2 AS BIGINT) AS n_epochs,
+           CAST(1 AS BIGINT) AS last_epoch,
+           s0 + s1 AS committed_rows,
+           CAST(-1 AS BIGINT) AS model_gen,
+           CAST(-1 AS BIGINT) AS fit_epoch,
+           s0 + s1 AS live_rows,
+           CAST(0 AS BIGINT) AS dead_rows,
+           CAST(0 AS BIGINT) AS dead_epochs
+    FROM s
+    UNION ALL
+    SELECT 'ivfpq_codes', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           4 * (2 * n + s0), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           4 * 2 * n, 4 * s0, CAST(0 AS BIGINT)
+    FROM s
+    """,
+)
+def q_stream_zone_freshness_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Freshness report over the IVFPQ-only STORE-ONCE zone (ADVICE
+    r13 #1 taken from fixed to hash-gated): the ``ann_ivfpq_once_
+    stream`` lifecycle — wave 1 the whole corpus (gen-0 fit+encode,
+    the strided fit diet retained raw in ``fit_sample``), wave 2 the
+    corpus ×100 under offset ids (drift refit to gen 1, re-encoding
+    exactly retained-sample ∪ batch) — then ``stream_zone_freshness``
+    with the ``retained_sample`` flag. Generations ACCRETE here, so
+    live/dead must follow the reader's keep predicate: the gen-0
+    NON-sample encodes are live (row math: live = 4·2n — every vector
+    exactly once), only the sample ids' superseded gen-0 encodes are
+    reclaimable (dead = 4·s0), and no epoch is ever wholly superseded
+    (dead_epochs = 0). The naive full-re-encode accounting would call
+    every gen-0 row dead — this oracle derives each cell from the
+    ingest protocol's arithmetic, so that regression (or a marker
+    double-count, a missed refit, or a wrong fan-out) hash-mismatches."""
+    import shutil
+
+    from .streaming.pipeline import (
+        IVFPQ_MODEL_DIR,
+        run_embedding_ingest,
+        stream_zone_freshness,
+    )
+
+    base = _scratch_zone("q_zfresh_once")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_zfonce_"
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    drift = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    try:
+        tables = {}
+        for wave in (emb, drift):
+            wave.write.mode("append").parquet(raw)
+            tables = run_embedding_ingest(
+                spark, raw, zone, ckpt,
+                pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                table_prefix=prefix, store_flat_embeddings=False,
+            )
+        out = stream_zone_freshness(
+            spark, zone,
+            {
+                "fit_sample": (tables["fit_sample"], None),
+                "ivfpq_codes": (
+                    tables["ivfpq_codes"],
+                    IVFPQ_MODEL_DIR,
+                    "retained_sample",
+                ),
+            },
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
     "tfidf_cosine_pairs",
     oracle=rf"""
     WITH toks AS (
@@ -6977,72 +7077,70 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
 _SWEEP_PRIORITY = [
-    # ---- r13 rotation ----------------------------------------------
-    # Group A - new or changed this round: the freshness-report and
-    # store-once-lifecycle entries (both new), plus the three ivfpq
-    # entries whose shared scoring body was factored through
-    # _ivfpq_scores (plan-identical extraction for the
-    # multi-generation store-once serve - re-verify anyway).
+    # ---- r14 rotation ----------------------------------------------
+    # Group A - new or changed this round: the retained-sample
+    # freshness report (new query + ADVICE r13 #1), the store-once
+    # reader/compactor crash-window clamp (ADVICE r13 #2 - re-verify
+    # the once lifecycle and the read_ivfpq_codes consumers), and the
+    # lists_vector_dtype="auto" default's ivf-ingest consumer.
+    "stream_zone_freshness_once",
     "stream_zone_freshness",
     "ann_ivfpq_once_stream",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_state",
     "ann_ivfpq_stream",
-    # Group B - ALL 17 entries whose freshest driver row is r9
-    # (VERDICT r12 "What's missing" #2); moves the freshness floor
-    # to r10.
-    "events_order_window",
-    "feature_hash_audit",
-    "local_supplier_volume",
-    "market_share",
-    "priority_shipment_stats",
-    "product_profit",
-    "promo_revenue",
-    "returned_items",
-    "revenue_forecast",
-    "rollup_revenue",
-    "session_window_agg",
-    "setops_active_buyers",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "supplier_balance",
-    "top_terms",
-    "volume_shipping",
-    # Group C - r10-stale entries, alphabetical first 28 of 41 (the
-    # remaining 13 - kpi_unpivot (yielded its slot to
-    # ann_ivfpq_once_stream), lm_perplexity_bigram_state,
-    # lm_perplexity_state, market_basket, ngram_jaccard, ngram_novelty,
-    # order_kpi_bucketed, revenue_deciles, rfm_segments,
-    # semantic_neardup_auto, sessionize, source_token_drift,
-    # text_quality - rotate in r14).
-    "ann_ivf_trained",
-    "ann_pq_state",
-    "ann_pq_topk",
-    "bm25_search_state",
-    "category_kpi",
-    "category_kpi_bucketed",
-    "category_rank_daily",
-    "chunk_dedup_hashed",
-    "cluster_balanced_sample",
-    "cluster_balanced_sample_state",
-    "cluster_top_terms",
-    "cluster_top_terms_state",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "conversion_funnel",
-    "copurchase_pagerank",
-    "corpus_curation",
-    "corpus_state_summary",
-    "curation_funnel_state",
-    "dedup_clusters",
-    "dedup_exact",
-    "doc_kmeans",
-    "dsir_selection_state",
-    "embedding_dedup_clusters",
-    "events_daily",
-    "grouping_sets_sql",
-    "kmeans_fit_report",
-    "kmeans_fit_report_state",
+    "ann_ivf_stream",
+    # Group B - ALL 13 entries whose freshest driver row is r10
+    # (VERDICT r13 "What's missing" #1); moves the freshness floor
+    # to r11.
+    "kpi_unpivot",
+    "lm_perplexity_bigram_state",
+    "lm_perplexity_state",
+    "market_basket",
+    "ngram_jaccard",
+    "ngram_novelty",
+    "order_kpi_bucketed",
+    "revenue_deciles",
+    "rfm_segments",
+    "semantic_neardup_auto",
+    "sessionize",
+    "source_token_drift",
+    "text_quality",
+    # Group C - r11-stale entries, alphabetical first 32 of 42 (the
+    # remaining 10 - text_semantic_neardup, tfidf_cosine_pairs,
+    # token_count_bpe, token_pack, token_stats, top_supplier,
+    # validate_order_items, validate_orders, validation_rejects,
+    # winnowing_fingerprint - rotate in r15).
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_srp_topk",
+    "ansi_sql_passthrough",
+    "approx_distinct_users",
+    "bm25_search",
+    "bpe_doc_token_count",
+    "bpe_merges",
+    "bpe_subword_stats",
+    "chunk_dedup",
+    "contamination_check",
+    "curation_funnel",
+    "daily_activity_full_outer",
+    "dedup_minhash",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "embedding_neardup",
+    "event_json_kpi",
+    "event_props_typed",
+    "global_sales_opportunity",
+    "important_parts",
+    "incremental_dedup",
+    "lang_id",
+    "lineitem_stats",
+    "lm_perplexity",
+    "lm_perplexity_bigram",
+    "min_cost_supplier",
+    "order_kpi",
+    "parts_supplier_relationship",
+    "pii_redaction",
+    "quality_logreg_train",
+    "quality_model",
 ]
 
 

@@ -809,8 +809,12 @@ def compact_model_zone(
     kept set is :func:`read_ivfpq_codes`'s own retained-sample live
     predicate — sample ids at the current generation plus non-sample
     ids at any — so only the sample ids' superseded encodes drop.
-    ``model_gen`` survives as a column (the multi-gen serve scores
-    each row against its own generation's model)."""
+    Like the reader, the generation is clamped to the zone's max
+    landed ``model_gen`` (ADVICE r13 #2): compacting inside a refit's
+    crash window (meta at gen+1, gen+1 epoch not landed) must not
+    drop the sample ids' only landed encode. ``model_gen`` survives
+    as a column (the multi-gen serve scores each row against its own
+    generation's model)."""
     meta = (
         _read_kmeans_meta(zone_dir)
         if model_dir == KMEANS_MODEL_DIR
@@ -825,10 +829,14 @@ def compact_model_zone(
         is_sample = (F.col("vec_id") % meta["stride"] == 0) | (
             F.col("vec_id") % meta["cb_stride"] == 0
         )
-        keep = (F.col("model_gen") == gen) | (
-            ~is_sample & (F.col("model_gen") <= gen)
-        )
-        transform = lambda df: df.filter(keep)  # noqa: E731
+
+        def transform(df):
+            gmax = df.agg(F.max("model_gen")).collect()[0][0]
+            g = gen if gmax is None else min(int(gen), int(gmax))
+            return df.filter(
+                (F.col("model_gen") == g)
+                | (~is_sample & (F.col("model_gen") <= g))
+            )
     else:
         transform = lambda df: df.filter(  # noqa: E731
             F.col("model_gen") == gen
@@ -1033,7 +1041,18 @@ def read_ivfpq_codes(
     ``max(model_gen) over (partition by vec_id)`` window, which would
     block both. Returns ``model_gen`` alongside so the multi-gen serve
     (:func:`ivfpq_topk_streamed`) can score each row against its own
-    generation's model."""
+    generation's model.
+
+    The serving generation is ``min(meta gen, max model_gen landed in
+    the zone)`` — the zone-resolved rule the IVF store-once refit
+    source already uses (ADVICE r13 #2): in a refit's crash window the
+    meta names gen+1 before the gen+1 codes epoch lands, and a
+    meta-resolved filter would drop every retained-sample id until
+    replay (their newest landed encode sits at gen, excluded by both
+    predicate arms). Clamping to the zone's max landed generation
+    keeps the full committed corpus served through that window; the
+    clamp is one column-stats MAX (a bounded 1-row collect), and in
+    the steady state meta and zone agree so the plan is unchanged."""
     meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
     if meta is None:
         schema = "vec_id long, cluster_id long, s long, code long"
@@ -1047,12 +1066,20 @@ def read_ivfpq_codes(
         return df.filter(F.col("model_gen") == meta["gen"]).select(
             "vec_id", "cluster_id", "s", "code"
         )
+    gmax = df.agg(F.max("model_gen")).collect()[0][0]
+    if gmax is None:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, cluster_id long, s long, code long, "
+            "model_gen long",
+        )
+    gen_serve = min(int(meta["gen"]), int(gmax))
     is_sample = (F.col("vec_id") % meta["stride"] == 0) | (
         F.col("vec_id") % meta["cb_stride"] == 0
     )
     return df.filter(
-        (F.col("model_gen") == meta["gen"])
-        | (~is_sample & (F.col("model_gen") <= meta["gen"]))
+        (F.col("model_gen") == gen_serve)
+        | (~is_sample & (F.col("model_gen") <= gen_serve))
     ).select("vec_id", "cluster_id", "s", "code", "model_gen")
 
 
@@ -1185,7 +1212,7 @@ def run_embedding_ingest(
     n_buckets: int = 8,
     table_prefix: str = "emb_",
     store_flat_embeddings: bool = True,
-    lists_vector_dtype: str = "double",
+    lists_vector_dtype: str = "auto",
     await_termination: bool = True,
 ) -> dict[str, str]:
     """Streaming ingest for the EMBEDDINGS side of the house with a
@@ -1287,18 +1314,23 @@ def run_embedding_ingest(
     re-encodes the full corpus, which needs a raw-vector source (the
     flat zone or the IVF lists).
 
-    ``lists_vector_dtype="float"`` stores the IVF lists' vector column
-    as ``array<float>`` instead of ``array<double>`` — LOSSLESS here
-    by construction, because the ingest schema's vectors are float32
-    (``array<float>``) and float→double is exact, so the double the
-    assignment computed round-trips through float32 bit-exactly; the
-    reader promotes back to double and every serve/refit value is
+    ``lists_vector_dtype`` controls the IVF lists' on-disk vector
+    column. ``"float"`` stores ``array<float>`` instead of
+    ``array<double>`` — LOSSLESS when the ingest schema's vectors are
+    float32 (``array<float>``): float→double is exact, so the double
+    the assignment computed round-trips through float32 bit-exactly;
+    the reader promotes back to double and every serve/refit value is
     bit-identical (test-gated). Halves the lists zone's vector bytes —
     at 100 TB the lists ARE the corpus in the IVF store-once
-    deployment, so this is a 2× storage lever. Keep the default if
-    vectors ever arrive as true float64 (the cast would then lose
-    precision; this engine's ingest contract is float32, so the knob
-    is safe for every current caller).
+    deployment, so this is a 2× storage lever. The default ``"auto"``
+    (VERDICT r13 #6) resolves from the INGEST SCHEMA itself: float32
+    storage when the declared ``embedding`` element type is float (the
+    engine's ingest contract, so every current caller gets the 0.76×
+    zone for free), double otherwise — a caller who overrides the
+    schema to ``array<double>`` keeps full-precision storage without
+    touching the knob, so the compact default can never silently drop
+    bits. Pass ``"double"`` explicitly to force wide storage for a
+    float32 ingest.
 
     At 100 TB: the model dir holds m·k rows per generation (64 at
     defaults — driver/broadcast-safe by construction), per-epoch work
@@ -1324,10 +1356,31 @@ def run_embedding_ingest(
             "ivfpq=True — PQ codes alone are compressed beyond "
             "recovery, so refits would have no committed-vector source"
         )
-    if lists_vector_dtype not in ("double", "float"):
+    if lists_vector_dtype not in ("auto", "double", "float"):
         raise ValueError(
-            f"lists_vector_dtype must be 'double' or 'float', got "
-            f"{lists_vector_dtype!r}"
+            f"lists_vector_dtype must be 'auto', 'double' or 'float', "
+            f"got {lists_vector_dtype!r}"
+        )
+    if lists_vector_dtype == "auto":
+        # resolve from the declared ingest schema: float32 storage is
+        # lossless exactly when the arriving vectors are float32
+        from pyspark.sql.types import ArrayType, FloatType, StructType
+
+        st = (
+            StructType.fromDDL(schema)
+            if isinstance(schema, str)
+            else schema
+        )
+        emb_t = (
+            st["embedding"].dataType
+            if "embedding" in st.fieldNames()
+            else None
+        )
+        lists_vector_dtype = (
+            "float"
+            if isinstance(emb_t, ArrayType)
+            and isinstance(emb_t.elementType, FloatType)
+            else "double"
         )
     # the IVFPQ-only store-once deployment: codes + retained fit diet
     retain_fit_sample = not store_flat_embeddings and ivfpq and not ivf
@@ -1777,7 +1830,7 @@ def run_embedding_ingest(
 def stream_zone_freshness(
     spark: SparkSession,
     zone_dir: str,
-    zones: dict[str, tuple[str, str | None]],
+    zones: dict[str, tuple],
 ) -> DataFrame:
     """Operational freshness report over streamed manifest zones
     (VERDICT r12 #7 — the dashboard a production deployment pages on):
@@ -1787,12 +1840,24 @@ def stream_zone_freshness(
     ``zones`` maps zone name → ``(catalog table, model_dir or None)``
     — pass the model dir (IVF_MODEL_DIR / IVFPQ_MODEL_DIR /
     PQ_MODEL_DIR / KMEANS_MODEL_DIR) for generation-tracked zones,
-    None for plain zones like the flat embeddings corpus.
+    None for plain zones like the flat embeddings corpus. A third
+    tuple element ``"retained_sample"`` marks an IVFPQ-only store-once
+    codes zone (ADVICE r13 #1), where generations ACCRETE: live/dead
+    are computed with :func:`read_ivfpq_codes`'s own keep predicate —
+    sample ids (``vec_id % stride == 0`` or ``% cb_stride == 0``, the
+    strides from the meta) at the serving generation plus non-sample
+    ids at any generation ≤ it — under the same zone-clamped serving
+    generation the reader uses, and ``dead_epochs`` is 0 by definition
+    (no epoch is ever wholly superseded when non-sample rows stay
+    live). Without the flag a ``model_gen != gen`` count would report
+    every older-generation non-sample row — rows the reader SERVES —
+    as reclaimable.
 
     Columns: ``zone``, ``n_epochs`` / ``last_epoch`` /
     ``committed_rows`` (from the manifest markers alone),
-    ``model_gen`` / ``fit_epoch`` (the current generation and the
-    epoch of its fit — i.e. the last drift refit — from the model
+    ``model_gen`` / ``fit_epoch`` (the current generation — for
+    retained-sample zones the zone-clamped SERVING generation — and
+    the epoch of its fit, i.e. the last drift refit, from the model
     meta; -1 where no model), ``live_rows`` / ``dead_rows`` (the
     zone's rows the generation-filtered reader serves vs the
     superseded rows compaction would reclaim — a count-only scan of
@@ -1800,6 +1865,14 @@ def stream_zone_freshness(
     superseded by the last full-re-encode refit: every epoch before
     ``fit_epoch``; meaningful for the full-re-encode zones, 0 for
     plain and retained-sample zones).
+
+    A zone that has not landed yet degrades gracefully (ADVICE r13
+    #3) instead of raising: an absent manifest dir or missing catalog
+    table reports the same sentinels an empty one does — ``n_epochs``
+    / ``committed_rows`` / ``live_rows`` / ``dead_rows`` /
+    ``dead_epochs`` 0, ``last_epoch`` -1 — so the dashboard is
+    well-formed from the first page load, before the first epoch
+    commits.
 
     Dead-generation BYTES are deliberately not a column: manifests
     don't carry file sizes and parquet bytes are a filesystem fact the
@@ -1810,16 +1883,15 @@ def stream_zone_freshness(
     row-scaled stays a DataFrame aggregation."""
     out: DataFrame | None = None
     for name in sorted(zones):
-        table, model_dir = zones[name]
-        # the directory, not a *.json glob: Spark's file index already
-        # skips the dot-prefixed in-flight marker tmps, and a glob
-        # path makes the reader probe it for stream metadata (noisy
-        # FileNotFoundException WARNs on every call)
-        markers = spark.read.schema("epoch long, rows long").json(
-            _manifest_dir(zone_dir, name)
-        )
+        table, model_dir, *mode = zones[name]
+        retained = bool(mode) and mode[0] == "retained_sample"
+        if mode and mode[0] not in (None, "retained_sample"):
+            raise ValueError(
+                f"zone {name!r}: unknown mode {mode[0]!r} — expected "
+                "'retained_sample' or a 2-tuple"
+            )
         if model_dir is None:
-            gen, fit_epoch = -1, -1
+            meta, gen, fit_epoch = None, -1, -1
         else:
             meta = (
                 _read_kmeans_meta(zone_dir)
@@ -1828,34 +1900,78 @@ def stream_zone_freshness(
             )
             gen = -1 if meta is None else meta["gen"]
             fit_epoch = -1 if meta is None else meta.get("fit_epoch", -1)
+        zone_exists = spark.catalog.tableExists(table)
+        zdf = (
+            read_manifest_zone(spark, {name: table}, zone_dir)[name]
+            if zone_exists
+            else None
+        )
+        if retained and meta is not None and zdf is not None:
+            # the reader's zone-clamped serving generation (the crash-
+            # window rule read_ivfpq_codes applies) — one bounded
+            # column-stats MAX
+            gmax = zdf.agg(F.max("model_gen")).collect()[0][0]
+            if gmax is not None:
+                gen = min(int(gen), int(gmax))
+        # the directory, not a *.json glob: Spark's file index already
+        # skips the dot-prefixed in-flight marker tmps, and a glob
+        # path makes the reader probe it for stream metadata (noisy
+        # FileNotFoundException WARNs on every call)
+        mdir = _manifest_dir(zone_dir, name)
+        if os.path.isdir(mdir):
+            markers = spark.read.schema("epoch long, rows long").json(
+                mdir
+            )
+        else:
+            markers = spark.createDataFrame([], "epoch long, rows long")
+        dead_epoch_pred = (
+            F.lit(False)
+            if retained
+            else (F.col("epoch") < fit_epoch)
+        )
         m = markers.agg(
             F.count(F.lit(1)).alias("n_epochs"),
-            F.max("epoch").alias("last_epoch"),
-            F.sum("rows").alias("committed_rows"),
-            F.sum(
-                F.when(F.col("epoch") < fit_epoch, F.lit(1)).otherwise(
-                    F.lit(0)
-                )
+            F.coalesce(F.max("epoch"), F.lit(-1)).alias("last_epoch"),
+            F.coalesce(F.sum("rows"), F.lit(0)).alias("committed_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(dead_epoch_pred, F.lit(1)).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             ).alias("dead_epochs"),
         )
-        zdf = read_manifest_zone(spark, {name: table}, zone_dir)[name]
-        if model_dir is None:
+        if zdf is None:
+            z = spark.createDataFrame(
+                [(0, 0)], "live_rows long, dead_rows long"
+            )
+        elif model_dir is None:
             z = zdf.agg(
                 F.count(F.lit(1)).cast("long").alias("live_rows")
             ).select(
                 "live_rows", F.lit(0).cast("long").alias("dead_rows")
             )
         else:
+            if retained and meta is not None:
+                is_sample = (
+                    F.col("vec_id") % meta["stride"] == 0
+                ) | (F.col("vec_id") % meta["cb_stride"] == 0)
+                live_pred = (F.col("model_gen") == gen) | (
+                    ~is_sample & (F.col("model_gen") <= gen)
+                )
+            else:
+                live_pred = F.col("model_gen") == gen
             z = zdf.agg(
-                F.sum(
-                    F.when(F.col("model_gen") == gen, F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
+                F.coalesce(
+                    F.sum(
+                        F.when(live_pred, F.lit(1)).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
                 ).cast("long").alias("live_rows"),
-                F.sum(
-                    F.when(F.col("model_gen") != gen, F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
+                F.coalesce(
+                    F.sum(
+                        F.when(~live_pred, F.lit(1)).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
                 ).cast("long").alias("dead_rows"),
             )
         # two one-row aggregates attach with a cross join — the

@@ -935,3 +935,52 @@ def test_float32_lists_zone_is_lossless_and_smaller(spark, tmp_path):
         for t in tabs.values():
             for name in t.values():
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_lists_vector_dtype_auto_resolves_from_ingest_schema(
+    spark, tmp_path
+):
+    """lists_vector_dtype="auto" (the r14 default — VERDICT r13 #6):
+    the storage dtype resolves from the DECLARED ingest schema, so the
+    float32-contract callers get the compact float zone for free while
+    a true-float64 ingest keeps double storage without touching the
+    knob — the compact default can never silently drop bits."""
+    base = _emb(spark, limit=100)
+    tabs = {}
+    try:
+        # default schema (array<float>): auto -> float storage
+        raw, zone, ckpt = (
+            str(tmp_path / f"{d}_f") for d in ("raw", "zone", "ckpt")
+        )
+        base.write.parquet(raw)
+        tabs["f"] = run_embedding_ingest(
+            spark, raw, zone, ckpt, pq=False, ivf=True, n_buckets=4,
+            table_prefix="t_auto_f_", store_flat_embeddings=False,
+        )
+        t = spark.table(tabs["f"]["ivf_assign"])
+        assert (
+            t.schema["embedding"].dataType.elementType.typeName()
+            == "float"
+        )
+
+        # declared array<double> ingest: auto -> double storage
+        raw, zone, ckpt = (
+            str(tmp_path / f"{d}_d") for d in ("raw", "zone", "ckpt")
+        )
+        base.withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        ).write.parquet(raw)
+        tabs["d"] = run_embedding_ingest(
+            spark, raw, zone, ckpt, pq=False, ivf=True, n_buckets=4,
+            table_prefix="t_auto_d_", store_flat_embeddings=False,
+            schema="vec_id long, embedding array<double>",
+        )
+        t = spark.table(tabs["d"]["ivf_assign"])
+        assert (
+            t.schema["embedding"].dataType.elementType.typeName()
+            == "double"
+        )
+    finally:
+        for t in tabs.values():
+            for name in t.values():
+                spark.sql(f"DROP TABLE IF EXISTS {name}")

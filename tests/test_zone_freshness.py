@@ -1,0 +1,232 @@
+"""Freshness-report + store-once crash-window discipline (ADVICE r13
+#1/#2/#3): the retained-sample zone's dashboard accounting must use
+the READER's keep predicate (older-generation non-sample rows are
+live, not reclaimable), the reader and compactor must clamp the
+serving generation to the zone's max landed generation so a refit's
+crash window (meta committed, codes epoch not landed) never drops the
+retained-sample ids from serving, and a not-yet-landed zone must
+degrade to a well-formed sentinel row instead of raising."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+    IVF_MODEL_DIR,
+    IVFPQ_MODEL_DIR,
+    _read_model_meta,
+    _write_model_meta,
+    compact_model_zone,
+    read_ivfpq_codes,
+    run_embedding_ingest,
+    stream_zone_freshness,
+)
+
+SF = "/root/testdata/sf0.001"
+STRIDE, CB_STRIDE, M = 29, 31, 4
+
+
+def _emb(spark, limit=200):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < limit)
+    )
+
+
+def _drop_tables(spark, prefix):
+    for tb in spark.catalog.listTables():
+        if tb.name.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+
+
+def _once_zone(spark, tmp_path, prefix, waves):
+    """Deliver ``waves`` through an IVFPQ-only store-once ingest."""
+    raw, zone, ckpt = (
+        str(tmp_path / d) for d in ("raw", "zone", "ckpt")
+    )
+    tables = {}
+    for wave in waves:
+        wave.write.mode("append").parquet(raw)
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivfpq=True, ivf=False, n_buckets=4,
+            table_prefix=prefix, store_flat_embeddings=False,
+        )
+    return zone, tables
+
+
+def _codes_key(df):
+    return sorted(
+        (r["vec_id"], r["s"], r["cluster_id"], r["code"], r["model_gen"])
+        for r in df.collect()
+    )
+
+
+def test_retained_reader_survives_refit_crash_window(spark, tmp_path):
+    """ADVICE r13 #2: with the meta already at gen+1 but no gen+1
+    codes landed (the refit crash window), the retained-sample reader
+    must clamp to the zone's max landed generation and keep serving
+    the full committed corpus — a meta-resolved filter would drop
+    every sample id (its newest landed encode is at gen, excluded by
+    both predicate arms)."""
+    base = _emb(spark)
+    prefix = "t_zfcw_"
+    try:
+        zone, tables = _once_zone(
+            spark, tmp_path, prefix,
+            (base.filter(F.col("vec_id") < 150),
+             base.filter(F.col("vec_id") >= 150)),
+        )
+        table = tables["ivfpq_codes"]
+        before = _codes_key(
+            read_ivfpq_codes(spark, table, zone, retained_sample_mode=True)
+        )
+        assert len(before) == 200 * M
+        n_samples = sum(
+            1 for i in range(200)
+            if i % STRIDE == 0 or i % CB_STRIDE == 0
+        )
+        assert n_samples > 0
+
+        # simulate the crash window: meta names gen+1, no gen+1 codes
+        meta = _read_model_meta(zone, IVFPQ_MODEL_DIR)
+        assert meta["gen"] == 0
+        _write_model_meta(zone, IVFPQ_MODEL_DIR, {**meta, "gen": 1})
+
+        during = _codes_key(
+            read_ivfpq_codes(spark, table, zone, retained_sample_mode=True)
+        )
+        assert during == before  # full corpus still served
+
+        # compaction inside the window must not reclaim the sample
+        # ids' only landed encode either (reader/compactor identity)
+        compact_model_zone(
+            spark, table, zone, "ivfpq_codes", IVFPQ_MODEL_DIR,
+            n_buckets=4, extra_partition_cols=("cluster_id",),
+            retained_sample_mode=True,
+        )
+        after = _codes_key(
+            read_ivfpq_codes(spark, table, zone, retained_sample_mode=True)
+        )
+        assert after == before
+    finally:
+        _drop_tables(spark, prefix)
+
+
+def test_freshness_retained_sample_accounting(spark, tmp_path):
+    """ADVICE r13 #1: in a retained-sample zone the freshness report
+    must count live/dead with the reader's own keep predicate — after
+    a drift refit, older-generation NON-sample rows are live (the
+    reader serves them) and only the sample ids' superseded encodes
+    are reclaimable; dead_epochs is 0 by definition. The naive
+    ``model_gen != gen`` accounting would report every gen-0 row dead."""
+    base = _emb(spark)
+    w3 = base.filter(F.col("vec_id") >= 150).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    prefix = "t_zfrs_"
+    try:
+        zone, tables = _once_zone(
+            spark, tmp_path, prefix,
+            (base.filter(F.col("vec_id") < 190),
+             base.filter(F.col("vec_id") >= 190),
+             w3),
+        )
+        table = tables["ivfpq_codes"]
+        assert _read_model_meta(zone, IVFPQ_MODEL_DIR)["gen"] == 1
+
+        row = stream_zone_freshness(
+            spark, zone,
+            {"ivfpq_codes": (table, IVFPQ_MODEL_DIR, "retained_sample")},
+        ).collect()[0]
+
+        served = read_ivfpq_codes(
+            spark, table, zone, retained_sample_mode=True
+        ).count()
+        # the reader's count IS the live count; 250 vectors × M rows
+        assert row["live_rows"] == served == 250 * M
+        # dead = the pre-refit sample ids' superseded gen-0 encodes
+        n_samples_old = sum(
+            1 for i in range(200)
+            if i % STRIDE == 0 or i % CB_STRIDE == 0
+        )
+        assert row["dead_rows"] == n_samples_old * M
+        assert row["dead_epochs"] == 0
+        assert row["model_gen"] == 1 and row["fit_epoch"] == 2
+        assert row["n_epochs"] == 3 and row["last_epoch"] == 2
+        assert (
+            row["committed_rows"] == row["live_rows"] + row["dead_rows"]
+        )
+
+        # contrast: WITHOUT the flag the same zone reads as a
+        # full-re-encode zone and overstates reclaimable rows/epochs
+        naive = stream_zone_freshness(
+            spark, zone, {"ivfpq_codes": (table, IVFPQ_MODEL_DIR)}
+        ).collect()[0]
+        assert naive["dead_rows"] > row["dead_rows"]
+        assert naive["dead_epochs"] == 2
+    finally:
+        _drop_tables(spark, prefix)
+
+
+def test_freshness_clamps_serving_gen_in_crash_window(spark, tmp_path):
+    """The freshness row reports the SERVING generation — zone-clamped
+    like the reader — so live_rows equals what the reader serves even
+    inside a refit's crash window."""
+    base = _emb(spark)
+    prefix = "t_zfcw2_"
+    try:
+        zone, tables = _once_zone(
+            spark, tmp_path, prefix, (base,)
+        )
+        table = tables["ivfpq_codes"]
+        meta = _read_model_meta(zone, IVFPQ_MODEL_DIR)
+        _write_model_meta(zone, IVFPQ_MODEL_DIR, {**meta, "gen": 1})
+
+        row = stream_zone_freshness(
+            spark, zone,
+            {"ivfpq_codes": (table, IVFPQ_MODEL_DIR, "retained_sample")},
+        ).collect()[0]
+        assert row["model_gen"] == 0  # clamped to max landed gen
+        assert row["live_rows"] == 200 * M and row["dead_rows"] == 0
+    finally:
+        _drop_tables(spark, prefix)
+
+
+def test_freshness_absent_and_empty_zone_degrade(spark, tmp_path):
+    """ADVICE r13 #3: a zone whose manifest dir / catalog table does
+    not exist yet must report a well-formed sentinel row (counts 0,
+    last_epoch -1) instead of raising — the dashboard has to render
+    before the first epoch commits."""
+    zone_dir = str(tmp_path / "zone")
+    os.makedirs(zone_dir, exist_ok=True)
+    rows = stream_zone_freshness(
+        spark, zone_dir,
+        {
+            "not_landed": ("t_zf_no_such_table", None),
+            "no_model": ("t_zf_no_such_table2", IVF_MODEL_DIR),
+        },
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_epochs"] == 0 and r["last_epoch"] == -1
+        assert r["committed_rows"] == 0
+        assert r["live_rows"] == 0 and r["dead_rows"] == 0
+        assert r["dead_epochs"] == 0
+        assert r["model_gen"] == -1 and r["fit_epoch"] == -1
+
+
+def test_freshness_rejects_unknown_mode(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        stream_zone_freshness(
+            spark, str(tmp_path),
+            {"z": ("t", IVFPQ_MODEL_DIR, "bogus")},
+        ).collect()
