@@ -1111,22 +1111,32 @@ def ivfpq_topk_streamed(
     In retained-sample mode generations accrete (see
     :func:`read_ivfpq_codes`), so one query must score codes encoded
     under DIFFERENT models: each generation's rows against that
-    generation's own coarse centroids + residual codebook. Per live
-    generation this computes :func:`operators.similarity.
-    _ivfpq_scores` — the exact scoring plan ``ivfpq_topk`` serves with
-    — then unions the score frames and ranks ONCE globally, so the
-    top-k is exact over the union corpus. Model geometry (n_subspaces,
-    dim) comes from the model meta; the generation list is the zone's
-    distinct ``model_gen`` — a bounded driver collect (one row per
-    generation ever landed, a handful at most, the same order as the
-    centroid-table collects the engine already allows).
+    generation's own coarse centroids + residual codebook. The serve
+    is ONE generation-as-data plan (:func:`operators.similarity.
+    _ivfpq_scores_multigen`, VERDICT r13 #2): the per-generation
+    centroid/codebook tables union with a ``gen`` column (k·G and
+    m·k·G rows — broadcast-sized), every model-side LUT and scoring
+    join gains ``gen`` as a key, the query-side subspace explode is
+    computed once and shared, and ONE DPP-pruned codes scan serves all
+    generations before one global rank — so the top-k is exact over
+    the union corpus and BIT-IDENTICAL to scoring each generation with
+    its own :func:`_ivfpq_scores` chain (every (query, vector) decimal
+    group is unchanged; the dual-chain oracle hash-gates it). Model
+    geometry (n_subspaces, dim) comes from the model meta; the
+    generation list is the zone's distinct ``model_gen`` — a bounded
+    driver collect (one row per generation ever landed).
 
-    Scale shape: #gens × (probe window over |q|·k_cells + DPP-pruned
-    codes scan of that generation's rows + broadcast LUT joins). Each
-    per-gen branch's cell filter and generation filter are pure
-    predicates on the scan, so the zone bytes read stay
-    Σ_g |probed cells of gen g|, never #gens × corpus."""
-    from ..operators.similarity import _coarse_centroids, _ivfpq_scores
+    Scale shape: ONE probe window over |q|·k·G rows + ONE DPP-pruned
+    codes scan + broadcast LUT joins keyed by gen. The zone bytes read
+    stay Σ_g |probed cells of gen g| — the same I/O floor the
+    per-generation loop paid — while the per-generation PLAN constant
+    (measured ~1.2 s/gen at ×10, linear to 8.9 s at 7 live gens for
+    the loop: scripts/bench_store_once_gens.py) collapses to one
+    plan's worth."""
+    from ..operators.similarity import (
+        _coarse_centroids,
+        _ivfpq_scores_multigen,
+    )
     from ..operators.similarity import det_round as _det_round
 
     meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
@@ -1144,7 +1154,13 @@ def ivfpq_topk_streamed(
         for r in codes.select("model_gen").distinct().collect()
         if r["model_gen"] is not None and r["model_gen"] >= 0
     )
-    sims = []
+    if not gens:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, sim_rank long, "
+            "cosine_sim double",
+        )
+    cents_parts, cb_parts = [], []
     for g in gens:
         model = read_ivfpq_model(spark, zone_dir, g)
         if model is None:
@@ -1153,28 +1169,29 @@ def ivfpq_topk_streamed(
                 f"exists for it — zone and model dirs are out of sync"
             )
         cent, cb = model
-        sims.append(
-            _ivfpq_scores(
-                queries,
-                _coarse_centroids(cent),
-                cb,
-                codes.filter(F.col("model_gen") == g).drop("model_gen"),
-                n_probe=n_probe,
-                n_subspaces=meta["n_subspaces"],
-                dim=meta["dim"],
-                id_col=id_col,
-                vec_col=vec_col,
+        cents_parts.append(
+            _coarse_centroids(cent).withColumn(
+                "gen", F.lit(g).cast("long")
             )
         )
-    if not sims:
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, sim_rank long, "
-            "cosine_sim double",
-        )
-    sim = sims[0]
-    for s in sims[1:]:
-        sim = sim.unionByName(s)
+        cb_parts.append(cb.withColumn("gen", F.lit(g).cast("long")))
+    cents_g = cents_parts[0]
+    for c in cents_parts[1:]:
+        cents_g = cents_g.unionByName(c)
+    cb_g = cb_parts[0]
+    for c in cb_parts[1:]:
+        cb_g = cb_g.unionByName(c)
+    sim = _ivfpq_scores_multigen(
+        queries,
+        cents_g,
+        cb_g,
+        codes.withColumnRenamed("model_gen", "gen"),
+        n_probe=n_probe,
+        n_subspaces=meta["n_subspaces"],
+        dim=meta["dim"],
+        id_col=id_col,
+        vec_col=vec_col,
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
