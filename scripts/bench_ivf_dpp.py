@@ -293,6 +293,57 @@ def main() -> None:
         )
         assert key(plain) == key(grouped), "cell-affine serve diverged"
 
+        # the ADC twin (VERDICT r13 #3): the same affinity physics on
+        # the cluster_id-partitioned CODES zone — probe signatures come
+        # from IVFPQ's own coarse quantizer, routing is the identical
+        # rule, and a signature-affine batch's one DPP-pruned ADC scan
+        # reads ~the single-query fraction of the codes bytes.
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+            ivfpq_topk_cell_affine,
+        )
+
+        psizes = cell_sizes("ivfpq_codes")
+        ptotal = sum(psizes.values())
+        ppool_probes = probed_cells(pcent, pool)
+        ppool_rows = [
+            (qid, c) for qid, cs in ppool_probes.items() for c in cs
+        ]
+        prouted = cell_affine_groups(ppool_rows, max_cells=8)
+        pmembers, _pcells = max(
+            prouted, key=lambda g: (len(g[0]), g[0])
+        )
+        paffine_ids = sorted(pmembers)[:10]
+        paffine_q = emb.filter(F.col("vec_id").isin(paffine_ids))
+        pbatch_cells = set().union(
+            *(ppool_probes[q] for q in paffine_ids)
+        )
+        out["ivfpq_affine_batch_size"] = len(paffine_ids)
+        out["ivfpq_affine_batch_read_fraction"] = round(
+            sum(psizes.get(c, 0) for c in pbatch_cells) / ptotal, 4
+        )
+        out["ivfpq_random_batch10_read_fraction"] = out[
+            "ivfpq_codes_read_fraction_batch10"
+        ]
+        out["ivfpq_affine_batch_serve_sec"] = timed(
+            lambda: ivfpq_topk(
+                emb, paffine_q, k=5,
+                centroids=pcent, codebook=pcb, codes=codes,
+            )
+        )
+
+        # ADC parity: the grouped codes-zone serve == the plain one
+        p_plain = ivfpq_topk(
+            emb, queries, k=5,
+            centroids=pcent, codebook=pcb, codes=codes,
+        )
+        p_grouped = ivfpq_topk_cell_affine(
+            emb, queries, k=5,
+            centroids=pcent, codebook=pcb, codes=codes, max_cells=8,
+        )
+        assert key(p_plain) == key(p_grouped), (
+            "ivfpq cell-affine serve diverged"
+        )
+
         print(json.dumps({"metric": "ivf_dpp", "factor": factor, **out}))
     finally:
         for t in tables.values():
