@@ -1891,6 +1891,13 @@ def stream_zone_freshness(
     well-formed from the first page load, before the first epoch
     commits.
 
+    A model-tracked zone whose TABLE carries no ``model_gen`` column
+    (the BPE word-count / CMS-cell shape: generations live in the
+    model dir, the zone rows are generation-independent folded state)
+    reports every committed row live and ``dead_epochs`` 0, while
+    ``model_gen`` / ``fit_epoch`` still come from the meta — so every
+    gate's zone fits one dashboard call.
+
     Dead-generation BYTES are deliberately not a column: manifests
     don't carry file sizes and parquet bytes are a filesystem fact the
     cross-engine oracle cannot reproduce — the rows are the
@@ -1941,10 +1948,16 @@ def stream_zone_freshness(
             )
         else:
             markers = spark.createDataFrame([], "epoch long, rows long")
+        # epochs are wholly superseded ONLY in full-re-encode
+        # generation-tracked zones: retained-sample zones keep old
+        # non-sample rows live, and counts-shaped zones (no model_gen
+        # column — BPE word counts, CMS cells) fold rather than
+        # supersede
+        gen_rows = zdf is not None and "model_gen" in zdf.columns
         dead_epoch_pred = (
-            F.lit(False)
-            if retained
-            else (F.col("epoch") < fit_epoch)
+            (F.col("epoch") < fit_epoch)
+            if (model_dir is not None and not retained and gen_rows)
+            else F.lit(False)
         )
         m = markers.agg(
             F.count(F.lit(1)).alias("n_epochs"),
@@ -1961,7 +1974,13 @@ def stream_zone_freshness(
             z = spark.createDataFrame(
                 [(0, 0)], "live_rows long, dead_rows long"
             )
-        elif model_dir is None:
+        elif model_dir is None or "model_gen" not in zdf.columns:
+            # plain zones, and model-tracked zones whose TABLE carries
+            # no generation column (the BPE word-count / CMS-cell
+            # shape: the model generations live in the model dir, the
+            # zone rows are generation-independent folded state) —
+            # every committed row is live; gen/fit_epoch still report
+            # from the meta where one exists
             z = zdf.agg(
                 F.count(F.lit(1)).cast("long").alias("live_rows")
             ).select(

@@ -171,6 +171,17 @@ def test_freshness_retained_sample_accounting(spark, tmp_path):
         ).collect()[0]
         assert naive["dead_rows"] > row["dead_rows"]
         assert naive["dead_epochs"] == 2
+
+        # counts-shaped zone under a model dir (no model_gen column —
+        # the BPE/CMS shape): every committed row live, dead_epochs 0,
+        # gen/fit_epoch still from the meta
+        fs = stream_zone_freshness(
+            spark, zone,
+            {"fit_sample": (tables["fit_sample"], IVFPQ_MODEL_DIR)},
+        ).collect()[0]
+        assert fs["model_gen"] == 1 and fs["fit_epoch"] == 2
+        assert fs["dead_rows"] == 0 and fs["dead_epochs"] == 0
+        assert fs["live_rows"] == fs["committed_rows"] > 0
     finally:
         _drop_tables(spark, prefix)
 
