@@ -1230,6 +1230,7 @@ def run_embedding_ingest(
     table_prefix: str = "emb_",
     store_flat_embeddings: bool = True,
     lists_vector_dtype: str = "auto",
+    auto_compact_every: int | None = None,
     await_termination: bool = True,
 ) -> dict[str, str]:
     """Streaming ingest for the EMBEDDINGS side of the house with a
@@ -1349,6 +1350,22 @@ def run_embedding_ingest(
     bits. Pass ``"double"`` explicitly to force wide storage for a
     float32 ingest.
 
+    ``auto_compact_every=N`` folds each landed zone back to ONE epoch
+    whenever its committed epoch count reaches N (r14 — the measured
+    rule: at 20 epochs the store-once serve pays ~2.3 s of pure
+    epoch-layout overhead vs the folded twin, and a compaction costs
+    ~one serve; scripts/bench_store_once_epochs.py). The fold is
+    :func:`compact_model_zone` for the generation-tracked code zones
+    (retained-sample-aware for the store-once deployment) and
+    :func:`compact_manifest_zone` for the plain fit_sample/embeddings
+    zones — both reader-identical by construction, and the manifest
+    resets to one marker so the trigger self-resets. Best-effort
+    maintenance: it runs AFTER the epoch fully commits, so a crash in
+    the compaction window replays as an already-landed epoch and the
+    fold simply waits for the next trigger. VACUUM stays an operator
+    action (`vacuum_manifest_zone` — its retention guard must not run
+    inside a live writer).
+
     At 100 TB: the model dir holds m·k rows per generation (64 at
     defaults — driver/broadcast-safe by construction), per-epoch work
     is O(batch·m) rows of shuffle, and the serving scan
@@ -1377,6 +1394,11 @@ def run_embedding_ingest(
         raise ValueError(
             f"lists_vector_dtype must be 'auto', 'double' or 'float', "
             f"got {lists_vector_dtype!r}"
+        )
+    if auto_compact_every is not None and auto_compact_every < 1:
+        raise ValueError(
+            f"auto_compact_every must be >= 1 or None, got "
+            f"{auto_compact_every!r}"
         )
     if lists_vector_dtype == "auto":
         # resolve from the declared ingest schema: float32 storage is
@@ -1831,6 +1853,56 @@ def run_embedding_ingest(
                 os.path.join(zone_dir, name), zone_dir, name, epoch_id,
                 n_buckets, bucket_col="vec_id",
             )
+        _maybe_auto_compact()
+
+    def _maybe_auto_compact() -> None:
+        """Fold any zone whose committed epoch count reached the
+        threshold (runs after the epoch fully commits — a crash here
+        replays as an already-landed epoch and the fold waits for the
+        next trigger)."""
+        if not auto_compact_every:
+            return
+        gen_zones = []
+        if pq:
+            gen_zones.append(("pq_codes", PQ_MODEL_DIR, (), False))
+        if ivfpq:
+            gen_zones.append(
+                (
+                    "ivfpq_codes",
+                    IVFPQ_MODEL_DIR,
+                    ("cluster_id",),
+                    retain_fit_sample,
+                )
+            )
+        if ivf:
+            gen_zones.append(
+                ("ivf_assign", IVF_MODEL_DIR, ("cluster_id",), False)
+            )
+        for zname, mdir, extra, retained in gen_zones:
+            if (
+                len(committed_epochs(zone_dir, zname))
+                >= auto_compact_every
+            ):
+                compact_model_zone(
+                    spark, tables[zname], zone_dir, zname, mdir,
+                    n_buckets=n_buckets, bucket_col="vec_id",
+                    extra_partition_cols=extra,
+                    retained_sample_mode=retained,
+                )
+        plain_zones = []
+        if retain_fit_sample:
+            plain_zones.append("fit_sample")
+        if store_flat_embeddings:
+            plain_zones.append(name)
+        for zname in plain_zones:
+            if (
+                len(committed_epochs(zone_dir, zname))
+                >= auto_compact_every
+            ):
+                compact_manifest_zone(
+                    spark, tables[zname], zone_dir, zname,
+                    n_buckets=n_buckets, bucket_col="vec_id",
+                )
 
     stream = spark.readStream.schema(schema).parquet(raw_dir)
     q = (

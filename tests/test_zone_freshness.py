@@ -241,3 +241,102 @@ def test_freshness_rejects_unknown_mode(spark, tmp_path):
             spark, str(tmp_path),
             {"z": ("t", IVFPQ_MODEL_DIR, "bogus")},
         ).collect()
+
+
+def test_auto_compact_every_folds_epochs_and_preserves_serving(
+    spark, tmp_path
+):
+    """auto_compact_every=N (r14 — the measured epoch-layout rule
+    shipped as a gate knob): the ingest folds each zone back to one
+    epoch whenever its committed epoch count reaches N, and the folded
+    zone is reader- and serve-identical to the never-compacted twin.
+    Six same-distribution waves (encode-only, gen 0) with N=3: the
+    epoch count must never exceed 3, and the final multi-gen serve
+    must equal the uncompacted twin's exactly."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        committed_epochs,
+        ivfpq_topk_streamed,
+    )
+
+    base = _emb(spark, limit=120)
+    queries = base.filter(F.col("vec_id") < 5)
+    prefix_a, prefix_b = "t_acmp_a_", "t_acmp_b_"
+    tabs = {}
+    try:
+        zones = {}
+        for mode, prefix, every in (
+            ("auto", prefix_a, 3),
+            ("plain", prefix_b, None),
+        ):
+            raw, zone, ckpt = (
+                str(tmp_path / f"{d}_{mode}")
+                for d in ("raw", "zone", "ckpt")
+            )
+            zones[mode] = zone
+            for e in range(6):
+                wave = base.select(
+                    (F.col("vec_id") + F.lit(e * 10_000)).alias(
+                        "vec_id"
+                    ),
+                    "embedding",
+                )
+                wave.write.mode("append").parquet(raw)
+                tabs[mode] = run_embedding_ingest(
+                    spark, raw, zone, ckpt,
+                    pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                    table_prefix=prefix, store_flat_embeddings=False,
+                    auto_compact_every=every,
+                )
+                if every:
+                    for zname in ("ivfpq_codes", "fit_sample"):
+                        assert (
+                            len(committed_epochs(zone, zname)) <= every
+                        ), (mode, zname, e)
+
+        # 6 epochs accumulated uncompacted; folded twin sits at 2
+        # (compact at 3 -> 1, waves 4-5 -> 3 -> compact -> 1, wave 6 -> 2)
+        assert len(committed_epochs(zones["plain"], "ivfpq_codes")) == 6
+        assert len(committed_epochs(zones["auto"], "ivfpq_codes")) == 2
+
+        # reader parity: identical live rows
+        ka = _codes_key(
+            read_ivfpq_codes(
+                spark, tabs["auto"]["ivfpq_codes"], zones["auto"],
+                retained_sample_mode=True,
+            )
+        )
+        kb = _codes_key(
+            read_ivfpq_codes(
+                spark, tabs["plain"]["ivfpq_codes"], zones["plain"],
+                retained_sample_mode=True,
+            )
+        )
+        assert ka == kb and len(ka) == 6 * 120 * M
+
+        # serve parity: exact same top-k
+        def serve(mode):
+            return sorted(
+                map(
+                    tuple,
+                    ivfpq_topk_streamed(
+                        spark, tabs[mode]["ivfpq_codes"], zones[mode],
+                        queries, k=5,
+                    ).collect(),
+                )
+            )
+
+        assert serve("auto") == serve("plain")
+    finally:
+        _drop_tables(spark, prefix_a)
+        _drop_tables(spark, prefix_b)
+
+
+def test_auto_compact_every_rejects_bad_values(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="auto_compact_every"):
+        run_embedding_ingest(
+            spark, str(tmp_path / "r"), str(tmp_path / "z"),
+            str(tmp_path / "c"), ivfpq=True, ivf=False, pq=False,
+            store_flat_embeddings=False, auto_compact_every=0,
+        )
