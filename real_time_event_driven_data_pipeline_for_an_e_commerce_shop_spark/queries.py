@@ -5250,6 +5250,143 @@ def q_stream_zone_freshness_once(
 
 
 @query(
+    "stream_zone_freshness_corpus",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, doc_id % 3 <> 0 AS w1,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    tk AS (SELECT doc_id, w1, t, len(t) AS n FROM base),
+    per_doc AS (
+        SELECT doc_id, w1,
+               len(list_distinct(t)) AS n_t,
+               len(list_distinct(list_transform(
+                   range(1, n), i -> t[i] || ' ' || t[i + 1]
+               ))) AS n_b,
+               CASE WHEN n >= 5 THEN len(list_distinct(list_transform(
+                   range(1, n - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                        || t[i+3] || ' ' || t[i+4]
+               ))) ELSE 0 END AS n_s
+        FROM tk),
+    grain AS (
+        SELECT CAST(SUM(n_t + n_b + n_s) AS BIGINT) AS g_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM per_doc),
+    words AS (
+        SELECT w1, tok FROM tk, unnest(t) AS u(tok)
+        WHERE regexp_full_match(tok, '[a-z0-9]+')
+        GROUP BY w1, tok),
+    wtypes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS w_rows FROM words)
+    SELECT 'bpe_word_counts' AS zone,
+           CAST(2 AS BIGINT) AS n_epochs,
+           CAST(1 AS BIGINT) AS last_epoch,
+           w.w_rows AS committed_rows,
+           CAST(0 AS BIGINT) AS model_gen,
+           CAST(0 AS BIGINT) AS fit_epoch,
+           w.w_rows AS live_rows,
+           CAST(0 AS BIGINT) AS dead_rows,
+           CAST(0 AS BIGINT) AS dead_epochs
+    FROM wtypes w
+    UNION ALL
+    SELECT 'cluster_assignment', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           g.n_docs, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           g.n_docs, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM grain g
+    UNION ALL
+    SELECT 'documents', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           g.n_docs, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           g.n_docs, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM grain g
+    UNION ALL
+    SELECT 'token_events', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           g.g_rows, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           g.g_rows, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM grain g
+    ORDER BY zone
+    """,
+)
+def q_stream_zone_freshness_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One freshness-dashboard call over the CORPUS ingest's gate
+    zones (ROADMAP r15 #3 pulled into r14): two same-distribution
+    document waves (``doc_id % 3``) through ``run_corpus_ingest(
+    state_refresh=True, cluster_assign=True, learn_bpe=True)``, then
+    ``stream_zone_freshness`` over all four landed zones at once —
+    the plain documents zone, the token-event grain, the
+    generation-tracked k-means assignment (gen 0, no refit on a
+    same-distribution wave), and the counts-shaped BPE word-count
+    zone whose generations live only in the model dir (the r14
+    counts-shape handling: every committed row live, dead_epochs 0,
+    gen/fit_epoch from the meta).
+
+    The oracle derives every cell from the protocols themselves:
+    documents/cluster rows = doc counts, token_events rows = Σ per
+    doc of |distinct tokens| + |distinct adjacent bigrams| +
+    |distinct 5-shingles| (the grain's exact event arithmetic,
+    mirrored with the engine's whitespace tokenizer), bpe rows = the
+    per-wave distinct ``[a-z0-9]+`` word types (the training
+    filter). A marker double-count, a grain fan-out bug, a spurious
+    kmeans/BPE refit, or a regression in the counts-shape freshness
+    handling all hash-mismatch."""
+    import shutil
+
+    from .streaming.pipeline import (
+        BPE_MODEL_DIR,
+        KMEANS_MODEL_DIR,
+        run_corpus_ingest,
+        stream_zone_freshness,
+    )
+
+    base = _scratch_zone("q_zfresh_corpus")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_zfcorp_"
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    waves = (
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    )
+    try:
+        tables = {}
+        for wave in waves:
+            wave.write.mode("append").parquet(raw)
+            tables = run_corpus_ingest(
+                spark, raw, zone, ckpt,
+                state_refresh=True, cluster_assign=True,
+                learn_bpe=True, n_buckets=4, table_prefix=prefix,
+            )
+        out = stream_zone_freshness(
+            spark, zone,
+            {
+                "documents": (tables["documents"], None),
+                "token_events": (tables["token_events"], None),
+                "cluster_assignment": (
+                    tables["cluster_assignment"],
+                    KMEANS_MODEL_DIR,
+                ),
+                "bpe_word_counts": (
+                    tables["bpe_word_counts"],
+                    BPE_MODEL_DIR,
+                ),
+            },
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
     "tfidf_cosine_pairs",
     oracle=rf"""
     WITH toks AS (
@@ -7079,11 +7216,13 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_PRIORITY = [
     # ---- r14 rotation ----------------------------------------------
     # Group A - new or changed this round: the retained-sample
-    # freshness report (new query + ADVICE r13 #1), the store-once
+    # freshness report (new query + ADVICE r13 #1), the multi-gate
+    # corpus freshness dashboard (new), the store-once
     # reader/compactor crash-window clamp (ADVICE r13 #2 - re-verify
     # the once lifecycle and the read_ivfpq_codes consumers), and the
     # lists_vector_dtype="auto" default's ivf-ingest consumer.
     "stream_zone_freshness_once",
+    "stream_zone_freshness_corpus",
     "stream_zone_freshness",
     "ann_ivfpq_once_stream",
     "ann_ivfpq_stream",
@@ -7104,11 +7243,12 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 32 of 42 (the
-    # remaining 10 - text_semantic_neardup, tfidf_cosine_pairs,
-    # token_count_bpe, token_pack, token_stats, top_supplier,
-    # validate_order_items, validate_orders, validation_rejects,
-    # winnowing_fingerprint - rotate in r15).
+    # Group C - r11-stale entries, alphabetical first 31 of 42 (the
+    # remaining 11 - quality_model (yielded its slot to the new
+    # stream_zone_freshness_corpus), text_semantic_neardup,
+    # tfidf_cosine_pairs, token_count_bpe, token_pack, token_stats,
+    # top_supplier, validate_order_items, validate_orders,
+    # validation_rejects, winnowing_fingerprint - rotate in r15).
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_srp_topk",
@@ -7140,7 +7280,6 @@ _SWEEP_PRIORITY = [
     "parts_supplier_relationship",
     "pii_redaction",
     "quality_logreg_train",
-    "quality_model",
 ]
 
 
