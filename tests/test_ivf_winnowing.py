@@ -695,6 +695,19 @@ def test_store_once_multigen_serve_file_prunes(spark, tmp_path):
             f"multi-gen store-once serve lost file pruning:"
             f"\n{plan[:4000]}"
         )
+        # r14 structural claim: the generation-as-data serve reads the
+        # codes zone in ONE scan for ALL live generations — the r13
+        # loop-of-chains shape planned one scan per generation (the
+        # measured 1.2 s/gen plan constant)
+        n_code_scans = sum(
+            1
+            for line in plan.splitlines()
+            if "ivfpq_codes" in line and "Scan" in line
+        )
+        assert n_code_scans == 1, (
+            f"expected ONE codes-zone scan for the multi-gen serve, "
+            f"found {n_code_scans}:\n{plan[:4000]}"
+        )
         assert out.count() > 0
     finally:
         for t in tables.values():

@@ -340,3 +340,80 @@ def test_auto_compact_every_rejects_bad_values(spark, tmp_path):
             str(tmp_path / "c"), ivfpq=True, ivf=False, pq=False,
             store_flat_embeddings=False, auto_compact_every=0,
         )
+
+
+def test_auto_compact_interleaves_with_drift_refit(spark, tmp_path):
+    """auto_compact_every × drift refit: a fold firing BETWEEN waves
+    must not perturb the refit — the refit diet reads the fit_sample
+    zone (compaction is reader-identical there too), so the refitted
+    model, the reader's live rows, and the multi-gen serve all stay
+    exactly equal to the never-compacted twin's."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        ivfpq_topk_streamed,
+    )
+
+    base = _emb(spark, limit=120)
+    w3 = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    waves = (
+        base.filter(F.col("vec_id") < 100),
+        base.filter(F.col("vec_id") >= 100),
+        w3,  # x100 drift -> refit to gen 1 at epoch 2
+    )
+    queries = base.filter(F.col("vec_id") < 5)
+    tabs, zones = {}, {}
+    try:
+        for mode, every in (("auto", 2), ("plain", None)):
+            raw, zone, ckpt = (
+                str(tmp_path / f"{d}_{mode}")
+                for d in ("raw", "zone", "ckpt")
+            )
+            zones[mode] = zone
+            for wave in waves:
+                wave.write.mode("append").parquet(raw)
+                tabs[mode] = run_embedding_ingest(
+                    spark, raw, zone, ckpt,
+                    pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                    table_prefix=f"t_acdr_{mode}_",
+                    store_flat_embeddings=False,
+                    auto_compact_every=every,
+                )
+
+        # both twins refit to gen 1 and the models are bit-identical
+        for mode in ("auto", "plain"):
+            assert (
+                _read_model_meta(zones[mode], IVFPQ_MODEL_DIR)["gen"]
+                == 1
+            ), mode
+
+        ka, kb = (
+            _codes_key(
+                read_ivfpq_codes(
+                    spark, tabs[m]["ivfpq_codes"], zones[m],
+                    retained_sample_mode=True,
+                )
+            )
+            for m in ("auto", "plain")
+        )
+        assert ka == kb and len(ka) == 240 * M
+
+        serves = [
+            sorted(
+                map(
+                    tuple,
+                    ivfpq_topk_streamed(
+                        spark, tabs[m]["ivfpq_codes"], zones[m],
+                        queries, k=5,
+                    ).collect(),
+                )
+            )
+            for m in ("auto", "plain")
+        ]
+        assert serves[0] == serves[1]
+    finally:
+        _drop_tables(spark, "t_acdr_auto_")
+        _drop_tables(spark, "t_acdr_plain_")
