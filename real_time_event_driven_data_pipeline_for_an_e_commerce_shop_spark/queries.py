@@ -7213,6 +7213,47 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the displaced tail is exactly the TPC-H-shaped queries that have been
 # driver-green since round 1 and were judge-re-verified in rounds 2–3.
 
+@query("ann_ivf_affine", oracle=None)
+def q_ann_ivf_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF serving through the cell-affinity router
+    (``ivf_topk_cell_affine`` — VERDICT r12 #4's grouped serve, given
+    its own correctness row in r14): route the 10-query batch into
+    probe-signature groups under a ``max_cells=8`` union cap and serve
+    each group with one DPP-bounded scan. Result-identical to the
+    plain ``ivf_topk`` by contract (grouping only changes WHICH scan
+    serves a query), so the oracle IS ``ann_ivf_topk``'s — a routing
+    bug that drops, duplicates, or re-ranks any query's neighbors
+    hash-mismatches here. Read-fraction physics measured in
+    ``scripts/bench_ivf_dpp.py`` (affine batch 0.51 vs 1.0 unrouted)."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return similarity.ivf_topk_cell_affine(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_clusters=16, n_probe=4, k=5, stride=29, max_cells=8,
+    )
+
+
+ORACLES["ann_ivf_affine"] = ORACLES["ann_ivf_topk"]
+
+
+@query("ann_ivfpq_affine", oracle=None)
+def q_ann_ivfpq_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC twin of ``ann_ivf_affine``: ``ivfpq_topk_cell_affine``
+    routes the batch by probe signature over IVFPQ's own coarse
+    quantizer and serves each group's ADC scan DPP-bounded to
+    ``max_cells`` cells. Result-identical to the plain ``ivfpq_topk``,
+    so the oracle IS ``ann_ivfpq_topk``'s full IVFADC chain; the
+    codes-zone read fraction (0.486 affine vs 1.0 unrouted) is the
+    r14 BASELINE.md line."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivfpq_topk_cell_affine(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, max_cells=8,
+    )
+
+
+ORACLES["ann_ivfpq_affine"] = ORACLES["ann_ivfpq_topk"]
+
+
 _SWEEP_PRIORITY = [
     # ---- r14 rotation ----------------------------------------------
     # Group A - new or changed this round: the retained-sample
@@ -7224,6 +7265,8 @@ _SWEEP_PRIORITY = [
     "stream_zone_freshness_once",
     "stream_zone_freshness_corpus",
     "stream_zone_freshness",
+    "ann_ivf_affine",
+    "ann_ivfpq_affine",
     "ann_ivfpq_once_stream",
     "ann_ivfpq_stream",
     "ann_ivf_stream",
@@ -7243,9 +7286,11 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 31 of 42 (the
-    # remaining 11 - quality_model (yielded its slot to the new
-    # stream_zone_freshness_corpus), text_semantic_neardup,
+    # Group C - r11-stale entries, alphabetical first 29 of 42 (the
+    # remaining 13 - pii_redaction, quality_logreg_train and
+    # quality_model (yielded their slots to the new
+    # stream_zone_freshness_corpus / ann_ivf_affine /
+    # ann_ivfpq_affine entries), text_semantic_neardup,
     # tfidf_cosine_pairs, token_count_bpe, token_pack, token_stats,
     # top_supplier, validate_order_items, validate_orders,
     # validation_rejects, winnowing_fingerprint - rotate in r15).
@@ -7278,8 +7323,6 @@ _SWEEP_PRIORITY = [
     "min_cost_supplier",
     "order_kpi",
     "parts_supplier_relationship",
-    "pii_redaction",
-    "quality_logreg_train",
 ]
 
 
