@@ -2450,6 +2450,7 @@ def run_corpus_ingest(
     learn_bpe: bool = False,
     bpe_merges: int = 8,
     table_prefix: str = "corpus_",
+    auto_compact_every: int | None = None,
     await_termination: bool = True,
 ) -> dict[str, str]:
     """THE canonical corpus ingest (VERDICT r8 #1): one streaming
@@ -2542,6 +2543,15 @@ def run_corpus_ingest(
     arriving document serves dedup AND state maintenance, and the
     grain never contains dropped near-dups.
 
+    ``auto_compact_every=N`` (r14, the embedding ingest's knob applied
+    symmetrically) folds any landed zone back to ONE epoch whenever
+    its committed epoch count reaches N, each through its own
+    reader-identical compactor (groupBy-SUM for cms/bpe counts,
+    groupBy-MAX for hll registers, the generation filter for the
+    kmeans assignment, plain folds for documents/grain/vectors/pairs);
+    aux zones fold before documents, the fold runs only after the
+    epoch fully commits, and vacuum stays an operator action.
+
     Crash-window discipline (unchanged from the folded entries):
     auxiliary tables land BEFORE the documents table and each
     ``_land_epoch`` is an idempotent no-op once its own manifest holds
@@ -2588,6 +2598,11 @@ def run_corpus_ingest(
         raise ValueError(
             "learn_bpe requires state_refresh=True — per-epoch word "
             "counts derive from the batch grain's 't' slice"
+        )
+    if auto_compact_every is not None and auto_compact_every < 1:
+        raise ValueError(
+            f"auto_compact_every must be >= 1 or None, got "
+            f"{auto_compact_every!r}"
         )
     name = "documents"
     tables: dict[str, str] = {}
@@ -3113,9 +3128,77 @@ def run_corpus_ingest(
                 os.path.join(zone_dir, name), zone_dir, name, epoch_id,
                 n_buckets, bucket_col="doc_id",
             )
+            _maybe_auto_compact()
         finally:
             if staging is not None:
                 shutil.rmtree(staging, ignore_errors=True)
+
+    def _maybe_auto_compact() -> None:
+        """auto_compact_every for the corpus gates (the embedding
+        ingest's r14 knob, symmetric here): fold any zone whose
+        committed epoch count reached the threshold, using each
+        zone's OWN reader-identical compactor — groupBy-SUM for
+        cms/bpe counts, groupBy-MAX for hll registers, the
+        generation filter for the kmeans assignment, a plain fold
+        for documents/grain/vectors/pairs. Aux zones fold BEFORE
+        documents (the aux-before-primary crash rule: the semantic
+        gate filters doc_vectors by the DOCUMENTS zone's committed
+        epochs, so a fold interrupted after vectors but before docs
+        still leaves every vector row inside the docs' epoch set).
+        Runs after the epoch fully commits — a crash in the fold
+        window replays as an already-landed epoch and the fold waits
+        for the next trigger."""
+        if not auto_compact_every:
+            return
+
+        def due(zname: str) -> bool:
+            return (
+                len(committed_epochs(zone_dir, zname))
+                >= auto_compact_every
+            )
+
+        if semantic_dedup:
+            for zname, bcol in (
+                ("doc_vectors", "doc_id"),
+                ("neardup_pairs", "vec_a"),
+            ):
+                if due(zname):
+                    compact_manifest_zone(
+                        spark, tables[zname], zone_dir, zname,
+                        n_buckets=n_buckets, bucket_col=bcol,
+                    )
+        if state_refresh and due("token_events"):
+            compact_manifest_zone(
+                spark, tables["token_events"], zone_dir,
+                "token_events", n_buckets=n_buckets,
+                bucket_col="doc_id",
+            )
+        if cluster_assign and due("cluster_assignment"):
+            compact_model_zone(
+                spark, tables["cluster_assignment"], zone_dir,
+                "cluster_assignment", KMEANS_MODEL_DIR,
+                n_buckets=n_buckets, bucket_col="doc_id",
+            )
+        if sketch_cms and due("cms_cells"):
+            compact_cms_cells(
+                spark, tables["cms_cells"], zone_dir,
+                n_buckets=n_buckets,
+            )
+        if sketch_hll and due("hll_registers"):
+            compact_hll_registers(
+                spark, tables["hll_registers"], zone_dir,
+                n_buckets=n_buckets,
+            )
+        if learn_bpe and due("bpe_word_counts"):
+            compact_bpe_word_counts(
+                spark, tables["bpe_word_counts"], zone_dir,
+                n_buckets=n_buckets,
+            )
+        if due(name):
+            compact_manifest_zone(
+                spark, tables[name], zone_dir, name,
+                n_buckets=n_buckets, bucket_col="doc_id",
+            )
 
     stream = spark.readStream.schema(schema).parquet(raw_dir)
     q = (

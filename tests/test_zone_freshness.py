@@ -417,3 +417,118 @@ def test_auto_compact_interleaves_with_drift_refit(spark, tmp_path):
     finally:
         _drop_tables(spark, "t_acdr_auto_")
         _drop_tables(spark, "t_acdr_plain_")
+
+
+def test_corpus_auto_compact_preserves_every_gate_state(
+    spark, tmp_path
+):
+    """auto_compact_every on the CORPUS ingest (r14): three waves
+    through every gate with N=2 must leave each zone's epoch count
+    bounded and every served state — documents, token grain, kmeans
+    assignment, folded BPE word counts, CMS cells, HLL registers —
+    exactly equal to the never-compacted twin's (each compactor is
+    the reader's own fold, so this is an identity, not a tolerance)."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        committed_epochs,
+        read_bpe_word_counts,
+        read_cluster_assignment,
+        read_cms_cells,
+        read_hll_registers,
+        read_manifest_zone,
+        run_corpus_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    waves = (
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 == 2),
+    )
+    tabs, zones = {}, {}
+    try:
+        for mode, every in (("auto", 2), ("plain", None)):
+            raw, zone, ckpt = (
+                str(tmp_path / f"{d}_{mode}")
+                for d in ("raw", "zone", "ckpt")
+            )
+            zones[mode] = zone
+            for wave in waves:
+                wave.write.mode("append").parquet(raw)
+                tabs[mode] = run_corpus_ingest(
+                    spark, raw, zone, ckpt,
+                    state_refresh=True, cluster_assign=True,
+                    sketch_cms=True, sketch_hll=True, learn_bpe=True,
+                    n_buckets=4, table_prefix=f"t_cac_{mode}_",
+                    auto_compact_every=every,
+                )
+                if every:
+                    for zname in (
+                        "documents", "token_events",
+                        "cluster_assignment", "cms_cells",
+                        "hll_registers", "bpe_word_counts",
+                    ):
+                        assert (
+                            len(committed_epochs(zone, zname)) <= every
+                        ), (zname,)
+
+        assert (
+            len(committed_epochs(zones["plain"], "documents")) == 3
+        )
+
+        def rows(df, cols):
+            return sorted(
+                tuple(r[c] for c in cols) for r in df.collect()
+            )
+
+        readers = {
+            "documents": lambda m: rows(
+                read_manifest_zone(
+                    spark,
+                    {"documents": tabs[m]["documents"]},
+                    zones[m],
+                )["documents"],
+                ("doc_id", "text"),
+            ),
+            "grain": lambda m: rows(
+                read_manifest_zone(
+                    spark,
+                    {"token_events": tabs[m]["token_events"]},
+                    zones[m],
+                )["token_events"],
+                ("doc_id", "kind", "s", "h", "h2", "c"),
+            ),
+            "kmeans": lambda m: rows(
+                read_cluster_assignment(
+                    spark, tabs[m]["cluster_assignment"], zones[m]
+                ),
+                ("doc_id", "cluster_id", "dist"),
+            ),
+            "bpe": lambda m: rows(
+                read_bpe_word_counts(
+                    spark, tabs[m]["bpe_word_counts"], zones[m]
+                ),
+                ("word", "n"),
+            ),
+            "cms": lambda m: rows(
+                read_cms_cells(
+                    spark, tabs[m]["cms_cells"], zones[m]
+                ),
+                ("row_i", "col", "cell"),
+            ),
+            "hll": lambda m: rows(
+                read_hll_registers(
+                    spark, tabs[m]["hll_registers"], zones[m]
+                ),
+                ("r_idx", "rho"),
+            ),
+        }
+        for label, fn in readers.items():
+            a, b = fn("auto"), fn("plain")
+            assert a == b and len(a) > 0, label
+    finally:
+        _drop_tables(spark, "t_cac_auto_")
+        _drop_tables(spark, "t_cac_plain_")
