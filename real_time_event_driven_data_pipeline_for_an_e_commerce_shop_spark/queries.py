@@ -5250,6 +5250,105 @@ def q_stream_zone_freshness_once(
 
 
 @query(
+    "stream_zone_freshness_compacted",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (
+                   WHERE vec_id % 29 = 0 OR vec_id % 31 = 0
+               ) AS BIGINT) AS s0,
+               CAST(COUNT(*) FILTER (
+                   WHERE (vec_id + 1000000) % 29 = 0
+                      OR (vec_id + 1000000) % 31 = 0
+               ) AS BIGINT) AS s1
+        FROM embeddings)
+    SELECT 'fit_sample' AS zone,
+           CAST(1 AS BIGINT) AS n_epochs,
+           CAST(1 AS BIGINT) AS last_epoch,
+           s0 + s1 AS committed_rows,
+           CAST(-1 AS BIGINT) AS model_gen,
+           CAST(-1 AS BIGINT) AS fit_epoch,
+           s0 + s1 AS live_rows,
+           CAST(0 AS BIGINT) AS dead_rows,
+           CAST(0 AS BIGINT) AS dead_epochs
+    FROM s
+    UNION ALL
+    SELECT 'ivfpq_codes', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           4 * 2 * n, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           4 * 2 * n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM s
+    """,
+)
+def q_stream_zone_freshness_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``stream_zone_freshness_once`` lifecycle under
+    ``auto_compact_every=1`` (r14): every epoch triggers the in-gate
+    fold, so after the two-wave drift lifecycle the codes zone's
+    manifest holds ONE marker at the last epoch whose row count is
+    exactly the retained-sample KEEP SET (live = 4·2n, the sample
+    ids' superseded gen-0 encodes already reclaimed — dead_rows 0),
+    and the fit_sample zone folds to one marker carrying both waves'
+    sample rows. Versus the uncompacted twin's oracle (n_epochs 2,
+    committed = 4·(2n + s0), dead = 4·s0), every cell that the fold
+    changes is pinned: a compactor that drops live rows, keeps dead
+    ones, fails to reset the manifest, or mis-sizes the folded marker
+    hash-mismatches here — the auto-compact arithmetic is now
+    driver-gated end-to-end, not only twin-tested."""
+    import shutil
+
+    from .streaming.pipeline import (
+        IVFPQ_MODEL_DIR,
+        run_embedding_ingest,
+        stream_zone_freshness,
+    )
+
+    base = _scratch_zone("q_zfresh_cmp")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_zfcmp_"
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    drift = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    try:
+        tables = {}
+        for wave in (emb, drift):
+            wave.write.mode("append").parquet(raw)
+            tables = run_embedding_ingest(
+                spark, raw, zone, ckpt,
+                pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                table_prefix=prefix, store_flat_embeddings=False,
+                auto_compact_every=1,
+            )
+        out = stream_zone_freshness(
+            spark, zone,
+            {
+                "fit_sample": (tables["fit_sample"], None),
+                "ivfpq_codes": (
+                    tables["ivfpq_codes"],
+                    IVFPQ_MODEL_DIR,
+                    "retained_sample",
+                ),
+            },
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
     "stream_zone_freshness_corpus",
     oracle=r"""
     WITH base AS (
@@ -7263,6 +7362,7 @@ _SWEEP_PRIORITY = [
     # the once lifecycle and the read_ivfpq_codes consumers), and the
     # lists_vector_dtype="auto" default's ivf-ingest consumer.
     "stream_zone_freshness_once",
+    "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
     "stream_zone_freshness",
     "ann_ivf_affine",
@@ -7286,14 +7386,15 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 29 of 42 (the
-    # remaining 13 - pii_redaction, quality_logreg_train and
-    # quality_model (yielded their slots to the new
-    # stream_zone_freshness_corpus / ann_ivf_affine /
-    # ann_ivfpq_affine entries), text_semantic_neardup,
-    # tfidf_cosine_pairs, token_count_bpe, token_pack, token_stats,
-    # top_supplier, validate_order_items, validate_orders,
-    # validation_rejects, winnowing_fingerprint - rotate in r15).
+    # Group C - r11-stale entries, alphabetical first 28 of 42 (the
+    # remaining 14 - parts_supplier_relationship, pii_redaction,
+    # quality_logreg_train and quality_model (yielded their slots to
+    # the four new r14 entries: stream_zone_freshness_corpus,
+    # stream_zone_freshness_compacted, ann_ivf_affine,
+    # ann_ivfpq_affine), text_semantic_neardup, tfidf_cosine_pairs,
+    # token_count_bpe, token_pack, token_stats, top_supplier,
+    # validate_order_items, validate_orders, validation_rejects,
+    # winnowing_fingerprint - rotate in r15).
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_srp_topk",
@@ -7322,7 +7423,6 @@ _SWEEP_PRIORITY = [
     "lm_perplexity_bigram",
     "min_cost_supplier",
     "order_kpi",
-    "parts_supplier_relationship",
 ]
 
 
