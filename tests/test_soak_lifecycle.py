@@ -554,6 +554,68 @@ def test_store_once_ivfpq_soak(spark, tmp_path):
             t: sorted(committed_epochs(zone, t)) for t in tables
         }
         assert _read_model_meta(zone, IVFPQ_MODEL_DIR)["gen"] == cur
+
+        # auto_compact_every twin (r14, ROADMAP r15 #2): the SAME 20
+        # waves with the in-gate fold firing every 4 epochs — folds
+        # interleave with the forced drift refit and the epoch count
+        # stays bounded, yet the end-state reader rows and the
+        # multi-gen serve are exactly the plain zone's, and a replay
+        # is still a no-op against the folded manifests
+        raw2, zone2, ckpt2 = (
+            str(tmp_path / f"{d}_ac") for d in ("raw", "zone", "ckpt")
+        )
+        tables2 = {}
+        try:
+            for w in range(N_WAVES):
+                base.filter(
+                    (F.col("vec_id") >= w * 25)
+                    & (F.col("vec_id") < (w + 1) * 25)
+                ).write.mode("append").parquet(raw2)
+                tables2 = run_embedding_ingest(
+                    spark, raw2, zone2, ckpt2,
+                    pq=False, ivf=False, ivfpq=True, n_buckets=4,
+                    table_prefix="t_soak_once_ac_",
+                    store_flat_embeddings=False,
+                    auto_compact_every=4,
+                    drift_refit_factor=(
+                        1e-9 if w == DRIFT_WAVE else 2.0
+                    ),
+                )
+                for zname in ("ivfpq_codes", "fit_sample"):
+                    assert (
+                        len(committed_epochs(zone2, zname)) <= 4
+                    ), (zname, w)
+            assert _read_model_meta(zone2, IVFPQ_MODEL_DIR)["gen"] == cur
+            assert gen_key(
+                read_ivfpq_codes(
+                    spark, tables2["ivfpq_codes"], zone2,
+                    retained_sample_mode=True,
+                ).drop("model_gen").collect()
+            ) == gen_key(got)
+            assert sorted(
+                map(
+                    tuple,
+                    ivfpq_topk_streamed(
+                        spark, tables2["ivfpq_codes"], zone2,
+                        queries, k=5,
+                    ).collect(),
+                )
+            ) == served_key
+            ac_epochs = {
+                t: sorted(committed_epochs(zone2, t)) for t in tables2
+            }
+            run_embedding_ingest(
+                spark, raw2, zone2, ckpt2,
+                pq=False, ivf=False, ivfpq=True, n_buckets=4,
+                table_prefix="t_soak_once_ac_",
+                store_flat_embeddings=False, auto_compact_every=4,
+            )
+            assert ac_epochs == {
+                t: sorted(committed_epochs(zone2, t)) for t in tables2
+            }
+        finally:
+            for t in tables2.values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
