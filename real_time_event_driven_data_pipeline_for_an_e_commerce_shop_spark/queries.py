@@ -5350,7 +5350,7 @@ def q_stream_zone_freshness_compacted(
 
 @query(
     "stream_zone_freshness_corpus",
-    oracle=r"""
+    oracle=rf"""
     WITH base AS (
         SELECT doc_id, doc_id % 3 <> 0 AS w1,
                regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -5372,12 +5372,26 @@ def q_stream_zone_freshness_compacted(
         SELECT CAST(SUM(n_t + n_b + n_s) AS BIGINT) AS g_rows,
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM per_doc),
-    words AS (
-        SELECT w1, tok FROM tk, unnest(t) AS u(tok)
-        WHERE regexp_full_match(tok, '[a-z0-9]+')
+    terms AS (
+        SELECT w1, tok AS term FROM tk, unnest(t) AS u(tok)
         GROUP BY w1, tok),
+    words AS (
+        SELECT w1, term AS tok FROM terms
+        WHERE regexp_full_match(term, '[a-z0-9]+')),
     wtypes AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS w_rows FROM words)
+        SELECT CAST(COUNT(*) AS BIGINT) AS w_rows FROM words),
+    cms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c_rows FROM (
+            SELECT DISTINCT w1, r.i,
+                   ({sql_md5_long("term || ':cms' || CAST(r.i AS VARCHAR)")})
+                       % {_CMS_W} AS col
+            FROM terms CROSS JOIN range(0, {_CMS_D}) r(i))),
+    hll AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS h_rows FROM (
+            SELECT DISTINCT w1,
+                   ({sql_md5_long("term || ':hllr'")}) % {1 << _HLL_P}
+                       AS r_idx
+            FROM terms))
     SELECT 'bpe_word_counts' AS zone,
            CAST(2 AS BIGINT) AS n_epochs,
            CAST(1 AS BIGINT) AS last_epoch,
@@ -5394,10 +5408,20 @@ def q_stream_zone_freshness_compacted(
            g.n_docs, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
     FROM grain g
     UNION ALL
+    SELECT 'cms_cells', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           c.c_rows, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           c.c_rows, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM cms c
+    UNION ALL
     SELECT 'documents', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
            g.n_docs, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
            g.n_docs, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
     FROM grain g
+    UNION ALL
+    SELECT 'hll_registers', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           h.h_rows, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           h.h_rows, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM hll h
     UNION ALL
     SELECT 'token_events', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
            g.g_rows, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
@@ -5409,17 +5433,18 @@ def q_stream_zone_freshness_compacted(
 def q_stream_zone_freshness_corpus(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """One freshness-dashboard call over the CORPUS ingest's gate
-    zones (ROADMAP r15 #3 pulled into r14): two same-distribution
-    document waves (``doc_id % 3``) through ``run_corpus_ingest(
-    state_refresh=True, cluster_assign=True, learn_bpe=True)``, then
-    ``stream_zone_freshness`` over all four landed zones at once —
+    """One freshness-dashboard call over ALL SIX of the corpus
+    ingest's gate zones (ROADMAP r15 #3/#4 pulled into r14): two
+    same-distribution document waves (``doc_id % 3``) through
+    ``run_corpus_ingest`` with every state gate enabled, then
+    ``stream_zone_freshness`` over the six landed zones at once —
     the plain documents zone, the token-event grain, the
     generation-tracked k-means assignment (gen 0, no refit on a
-    same-distribution wave), and the counts-shaped BPE word-count
-    zone whose generations live only in the model dir (the r14
+    same-distribution wave), the counts-shaped BPE word-count zone
+    whose generations live only in the model dir (the r14
     counts-shape handling: every committed row live, dead_epochs 0,
-    gen/fit_epoch from the meta).
+    gen/fit_epoch from the meta), and the CMS cell / HLL register
+    sketch zones.
 
     The oracle derives every cell from the protocols themselves:
     documents/cluster rows = doc counts, token_events rows = Σ per
@@ -5427,9 +5452,12 @@ def q_stream_zone_freshness_corpus(
     |distinct 5-shingles| (the grain's exact event arithmetic,
     mirrored with the engine's whitespace tokenizer), bpe rows = the
     per-wave distinct ``[a-z0-9]+`` word types (the training
-    filter). A marker double-count, a grain fan-out bug, a spurious
-    kmeans/BPE refit, or a regression in the counts-shape freshness
-    handling all hash-mismatch."""
+    filter), cms rows = the per-wave distinct md5-salted (depth,
+    col) cells touched, hll rows = the per-wave distinct md5
+    register indexes — the sketches' exact hashing geometry replayed
+    in SQL. A marker double-count, a grain fan-out bug, a spurious
+    kmeans/BPE refit, a sketch-geometry drift, or a regression in
+    the counts-shape freshness handling all hash-mismatch."""
     import shutil
 
     from .streaming.pipeline import (
@@ -5458,6 +5486,7 @@ def q_stream_zone_freshness_corpus(
             tables = run_corpus_ingest(
                 spark, raw, zone, ckpt,
                 state_refresh=True, cluster_assign=True,
+                sketch_cms=True, sketch_hll=True,
                 learn_bpe=True, n_buckets=4, table_prefix=prefix,
             )
         out = stream_zone_freshness(
@@ -5473,6 +5502,8 @@ def q_stream_zone_freshness_corpus(
                     tables["bpe_word_counts"],
                     BPE_MODEL_DIR,
                 ),
+                "cms_cells": (tables["cms_cells"], None),
+                "hll_registers": (tables["hll_registers"], None),
             },
         )
         res_dir = os.path.join(base, "result")
