@@ -77,6 +77,12 @@ HEADLINE = [
     "ann_pq_state",
     "ann_ivfpq_topk",
     "ann_ivfpq_state",
+    # the refine tier: ADC shortlist → exact rerank; the state twin
+    # serves shortlist from the landed model zone (the production
+    # deployment), hard negatives are the label-filtered form
+    "ann_ivfpq_rerank_state",
+    "hard_negative_mining",
+    "ann_recall_report",
     "tfidf_cosine_pairs",
     "winnowing_fingerprint",
     "token_count_bpe",

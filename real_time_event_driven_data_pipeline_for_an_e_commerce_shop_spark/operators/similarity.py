@@ -1657,6 +1657,239 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    shortlist: int = 20,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    stride: int = 29,
+    cb_stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_same_label: bool = False,
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVFPQ shortlist → EXACT rerank (the FAISS ``IndexRefineFlat``
+    pattern, Jegou et al. 2011 §V): the compressed ADC serve is a
+    RECALL device, not a precision device — quantization error can
+    swap near-ties, so production serving over-fetches a ``shortlist``
+    of candidates from the codes (cheap: probed cells × m small ints)
+    and re-scores ONLY those against the flat vectors (expensive per
+    row, but |q|·shortlist rows total). Near-exact top-k at a tiny
+    fraction of brute-force cost.
+
+    Plan shape: the ADC stage is :func:`ivfpq_topk` verbatim (probed
+    cells only, broadcast LUTs, decimal reductions); the rerank stage
+    broadcasts the |q|·shortlist id set against ONE narrow pass over
+    the flat embeddings (equi-key broadcast hash join — the corpus is
+    never crossed), computes the exact sequential-fold cosine, and
+    ranks. At 100 TB keep the flat zone sorted by ``vec_id`` so the
+    shortlist join's min/max stats prune row groups; this is also why
+    the store-once (codes-only) deployment documents that rerank
+    requires retaining a flat zone.
+
+    ``exclude_same_label=True`` turns the operator into HARD-NEGATIVE
+    MINING for contrastive training: the shortlist is post-filtered to
+    neighbors whose ``label_col`` differs from the query's, so the
+    result is the top-k most-similar *different-class* examples. Size
+    ``shortlist`` with over-fetch headroom (the filter discards
+    same-class candidates; a query whose probed cells are dominated by
+    its own class yields fewer than k rows — honest, not padded).
+
+    Output: ``(query_id, neighbor_id, sim_rank, cosine_sim, adc_sim)``
+    — exact rank and cosine plus the ADC estimate that won the
+    candidate its shortlist slot, so the refinement is auditable.
+    Ties: rank (exact sim DESC, neighbor_id ASC); shortlist membership
+    inherits ivfpq_topk's determinism.
+    """
+    short = ivfpq_topk(
+        embeddings, queries,
+        n_clusters=n_clusters, n_probe=n_probe, n_subspaces=n_subspaces,
+        n_codes=n_codes, dim=dim, k=shortlist, stride=stride,
+        cb_stride=cb_stride, id_col=id_col, vec_col=vec_col,
+        centroids=centroids, codebook=codebook, codes=codes,
+    ).select("query_id", "neighbor_id", F.col("cosine_sim").alias("adc_sim"))
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    cand = embeddings.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+        *([F.col(label_col).alias("_nlabel")] if exclude_same_label else []),
+    ).join(F.broadcast(short), "neighbor_id")
+    if exclude_same_label:
+        qlab = queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            F.col(label_col).alias("_qlabel"),
+        )
+        cand = cand.join(F.broadcast(qlab), "query_id").filter(
+            F.col("_nlabel") != F.col("_qlabel")
+        )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        "adc_sim",
+        cosine(F.col("qvec"), F.col("cvec")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+            "adc_sim",
+        )
+    )
+
+
+def contrastive_triplets(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **model_kwargs,
+) -> DataFrame:
+    """(anchor, positive, negative) triplet construction for
+    contrastive / metric-learning training — the data product an
+    embedding-training pipeline mines from its own corpus: per anchor,
+    the most-similar SAME-label example (the positive) and the
+    most-similar DIFFERENT-label example (the hard negative), plus the
+    margin between them (≤ 0 ⇒ the negative currently outranks the
+    positive — exactly the triplets a trainer wants most).
+
+    One refine pass does all the work: :func:`ivfpq_rerank_topk` with
+    ``k = shortlist`` exact-scores the ADC shortlist once; labels then
+    SPLIT the ranked candidates instead of re-searching per class.
+    Anchors whose probed cells lack one side honestly drop (inner
+    semantics via the margin's non-null requirement) rather than
+    pairing with a fabricated example.
+
+    Determinism: both sides rank by (round-6 exact cosine DESC,
+    neighbor_id ASC) — the already-deterministic rerank output order.
+    """
+    ranked = ivfpq_rerank_topk(
+        embeddings, queries, shortlist=shortlist, k=shortlist,
+        id_col=id_col, vec_col=vec_col, **model_kwargs,
+    )
+    labels = embeddings.select(
+        F.col(id_col).cast("long").alias("_lid"),
+        F.col(label_col).alias("_lab"),
+    )
+    flagged = (
+        ranked.join(
+            F.broadcast(
+                labels.select(
+                    F.col("_lid").alias("query_id"),
+                    F.col("_lab").alias("_qlab"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("_lid").alias("neighbor_id"),
+                    F.col("_lab").alias("_nlab"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .withColumn("_is_pos", F.col("_qlab") == F.col("_nlab"))
+    )
+    w = Window.partitionBy("query_id", "_is_pos").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    first = flagged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    # ≤ 1 row per (anchor, side) after the rank filter, so the
+    # conditional max IS that row — no tie left to break
+    agg = first.groupBy("query_id").agg(
+        F.max(F.when(F.col("_is_pos"), F.col("neighbor_id"))).alias(
+            "positive_id"
+        ),
+        F.max(F.when(F.col("_is_pos"), F.col("cosine_sim"))).alias(
+            "pos_sim"
+        ),
+        F.max(F.when(~F.col("_is_pos"), F.col("neighbor_id"))).alias(
+            "negative_id"
+        ),
+        F.max(F.when(~F.col("_is_pos"), F.col("cosine_sim"))).alias(
+            "neg_sim"
+        ),
+    )
+    return (
+        agg.filter(
+            F.col("positive_id").isNotNull()
+            & F.col("negative_id").isNotNull()
+        )
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "positive_id",
+            "pos_sim",
+            "negative_id",
+            "neg_sim",
+            det_round(F.col("pos_sim") - F.col("neg_sim"), 6).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+def recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against the
+    exact baseline — MEASUREMENT AS DATA: the number every ANN
+    deployment tunes against (n_probe, shortlist, codebook size),
+    served as a hash-gateable table instead of a log line. Both inputs
+    are ``(query_id, neighbor_id, ...)`` top-k results (any of the
+    tier's serves: SRP / IVF / PQ / IVFPQ / rerank vs
+    :func:`brute_force_topk`).
+
+    recall@k = |approx ∩ exact| / k per query. The join is |q|·k rows
+    on both sides — driver-free, broadcast-sized by construction; at
+    100 TB the exact side is the expensive input, so run the report on
+    a query SAMPLE (the standard recall-evaluation protocol) while the
+    approximate serve handles full traffic.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        e.join(F.broadcast(a), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.lit(k).cast("long").alias("k"),
+            det_round(F.col("hits") / F.lit(float(k)), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 def _ivfpq_scores_multigen(
     queries: DataFrame,
     cents_g: DataFrame,

@@ -5745,16 +5745,19 @@ def q_ann_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def _ivfpq_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
-                  sub: int = 16, n_codes: int = 16, stride: int = 29,
-                  cb_stride: int = 31, k: int = 5) -> str:
-    """DuckDB mirror of similarity.ivfpq_topk's self-contained form —
-    the full IVFADC lifecycle: strided coarse cells → cosine-argmax
-    assignment → residuals → strided residual codebook → det-round-12
-    decimal-summed encode argmin → ADC scoring (dot(q,c) + Σ_s LUT
-    terms over the probed cells only) → per-query rank. Every
+def _ivfpq_chain_sql(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
+                     sub: int = 16, n_codes: int = 16, stride: int = 29,
+                     cb_stride: int = 31) -> str:
+    """The shared IVFADC CTE chain (``v`` … ``sims``) — DuckDB mirror
+    of similarity.ivfpq_topk's self-contained form: strided coarse
+    cells → cosine-argmax assignment → residuals → strided residual
+    codebook → det-round-12 decimal-summed encode argmin → ADC scoring
+    (dot(q,c) + Σ_s LUT terms over the probed cells only). Every
     cross-component sum is the exact r12→DECIMAL(28,12) accumulation
-    the engine's ``_dec_fold`` / decimal partial aggregates do."""
+    the engine's ``_dec_fold`` / decimal partial aggregates do.
+    Returned WITHOUT the ``WITH`` keyword or a final SELECT so the
+    plain top-k, rerank, hard-negative, and recall oracles compose
+    their own tails onto one chain."""
     r12 = lambda x: round_sql(x, 12)
     dsum = lambda t: (
         f"CAST(SUM(CAST({r12(t)} AS DECIMAL(28,12))) AS DOUBLE)"
@@ -5767,8 +5770,7 @@ def _ivfpq_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
     )
     sq = (f"(e.rvec[c.s*{sub} + r.range] - c.cw[r.range])"
           f" * (e.rvec[c.s*{sub} + r.range] - c.cw[r.range])")
-    return f"""
-    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    return f"""v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
     cents AS (
         SELECT vec_id AS cid, vec AS cvec FROM v
         WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {n_clusters}
@@ -5866,13 +5868,168 @@ def _ivfpq_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
                (s.qdotc + s.rdot)
                / (q.qnorm * sqrt(n.cnorm2 + 2.0 * s.rcdot + s.rn2)) AS sim
         FROM scored s JOIN cn2 n ON n.cid = s.cid JOIN q USING (query_id)
+    )"""
+
+
+def _ivfpq_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
+                  sub: int = 16, n_codes: int = 16, stride: int = 29,
+                  cb_stride: int = 31, k: int = 5) -> str:
+    """The plain IVFADC top-k oracle: :func:`_ivfpq_chain_sql` + the
+    per-query rank tail."""
+    chain = _ivfpq_chain_sql(
+        n_clusters, n_probe, m, sub, n_codes, stride, cb_stride
     )
+    return f"""
+    WITH {chain}
     SELECT query_id, neighbor_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
            {round_sql("sim", 6)} AS cosine_sim
     FROM sims
     QUALIFY sim_rank <= {k}
+    """
+
+
+def _ivfpq_rerank_oracle(shortlist: int = 20, k: int = 5,
+                         negatives: bool = False) -> str:
+    """DuckDB mirror of similarity.ivfpq_rerank_topk: the shared
+    IVFADC chain selects the ADC shortlist (unrounded sims — the same
+    values the engine ranks), the flat vectors re-score exactly those
+    candidates with the exact cosine (the ann_cosine_topk formula),
+    and one final rank orders by exact similarity. With ``negatives``
+    the shortlist is post-filtered to different-label candidates —
+    the hard-negative-mining tail."""
+    chain = _ivfpq_chain_sql()
+    lab_filter = (
+        "JOIN lab ql ON ql.vec_id = s.query_id\n"
+        "        JOIN lab nl ON nl.vec_id = s.neighbor_id"
+        " AND nl.label != ql.label"
+        if negatives else ""
+    )
+    return f"""
+    WITH {chain},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    short AS (
+        SELECT query_id, neighbor_id, sim AS adc_raw FROM (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM sims)
+        WHERE rn <= {shortlist}
+    ),
+    cand AS (
+        SELECT s.query_id, s.neighbor_id, s.adc_raw, v.vec AS cvec
+        FROM short s
+        JOIN v ON v.vec_id = s.neighbor_id
+        {lab_filter}
+    ),
+    rer AS (
+        SELECT c.query_id, c.neighbor_id, c.adc_raw,
+               (list_dot_product(q.qvec, c.cvec)
+                / (q.qnorm * sqrt(list_dot_product(c.cvec, c.cvec))))
+               AS sim
+        FROM cand c JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim,
+           {round_sql("adc_raw", 6)} AS adc_sim
+    FROM rer
+    QUALIFY sim_rank <= {k}
+    """
+
+
+def _contrastive_triplets_oracle(shortlist: int = 40) -> str:
+    """DuckDB mirror of similarity.contrastive_triplets: the shared
+    IVFADC chain + exact rerank of the full shortlist (no rank cut),
+    then labels SPLIT the ranked candidates — first same-label row is
+    the positive, first different-label row the hard negative; anchors
+    missing either side drop. Ranking uses the ROUND-6 exact cosine on
+    both engines (the rerank output's deterministic order)."""
+    chain = _ivfpq_chain_sql()
+    return f"""
+    WITH {chain},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM sims)
+        WHERE rn <= {shortlist}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               {round_sql(
+                   "(list_dot_product(q.qvec, v.vec)"
+                   " / (q.qnorm * sqrt(list_dot_product(v.vec, v.vec))))",
+                   6,
+               )} AS sim6
+        FROM short s
+        JOIN v ON v.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+    ),
+    flagged AS (
+        SELECT r.query_id, r.neighbor_id, r.sim6,
+               (ql.label = nl.label) AS is_pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.query_id, (ql.label = nl.label)
+                   ORDER BY r.sim6 DESC, r.neighbor_id ASC) AS rn
+        FROM rer r
+        JOIN lab ql ON ql.vec_id = r.query_id
+        JOIN lab nl ON nl.vec_id = r.neighbor_id
+    ),
+    agg AS (
+        SELECT query_id,
+               MAX(CASE WHEN is_pos THEN neighbor_id END) AS positive_id,
+               MAX(CASE WHEN is_pos THEN sim6 END) AS pos_sim,
+               MAX(CASE WHEN NOT is_pos THEN neighbor_id END)
+                   AS negative_id,
+               MAX(CASE WHEN NOT is_pos THEN sim6 END) AS neg_sim
+        FROM flagged WHERE rn = 1 GROUP BY query_id
+    )
+    SELECT query_id AS anchor_id, positive_id, pos_sim,
+           negative_id, neg_sim,
+           {round_sql("pos_sim - neg_sim", 6)} AS margin
+    FROM agg
+    WHERE positive_id IS NOT NULL AND negative_id IS NOT NULL
+    """
+
+
+def _ann_recall_oracle(k: int = 5) -> str:
+    """DuckDB mirror of the recall_report(brute_force, ivfpq) compose:
+    the exact chain is ann_cosine_topk's cross-score, the approximate
+    chain is the shared IVFADC chain, recall@k = overlap / k per
+    query."""
+    chain = _ivfpq_chain_sql()
+    return f"""
+    WITH {chain},
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM sims)
+        WHERE rn <= {k}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY {SQL_COS} DESC, a.vec_id ASC) AS rn
+            FROM v a CROSS JOIN v b
+            WHERE b.vec_id < 10 AND a.vec_id != b.vec_id)
+        WHERE rn <= {k}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.query_id) AS BIGINT) AS hits,
+           CAST({k} AS BIGINT) AS k,
+           {round_sql(f"COUNT(a.query_id) / {k}.0", 4)} AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
     """
 
 
@@ -6241,6 +6398,98 @@ def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             if tb.name.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query("ann_ivfpq_rerank", oracle=_ivfpq_rerank_oracle())
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ shortlist → EXACT rerank (the FAISS IndexRefineFlat
+    pattern): the compressed ADC serve over-fetches a shortlist of 20
+    candidates from the probed cells' codes, then re-scores ONLY those
+    20 per query against the flat vectors with the exact sequential-
+    fold cosine — near-exact top-5 while the corpus-side scan still
+    reads codes, never vectors. The hash gate covers shortlist
+    membership (ADC chain), the exact re-score, AND the audit column
+    pairing each winner with the ADC estimate that shortlisted it.
+    Reference scope: extends the ANN tier (the reference has no vector
+    surface)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivfpq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), shortlist=20, k=5,
+    )
+
+
+@query("ann_ivfpq_rerank_state", oracle=ORACLES["ann_ivfpq_rerank"])
+def q_ann_ivfpq_rerank_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivfpq_rerank served from the LANDED model zone (the
+    production refine deployment): ADC shortlist from the landed
+    centroids + codebook + cluster-partitioned codes (DPP-pruned probe
+    scan), exact re-score from the flat embeddings table — which is
+    exactly why the store-once (codes-only) deployment documents that
+    rerank requires retaining a flat zone. Same oracle: the model
+    tables survive the parquet round-trip bit-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _ivfpq_model_zone(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(zone, "ivfpq_centroids"))
+    cb = spark.read.parquet(os.path.join(zone, "ivfpq_codebook"))
+    codes = spark.read.schema(
+        "vec_id long, s long, code long, cluster_id long"
+    ).parquet(os.path.join(zone, "ivfpq_codes"))
+    return similarity.ivfpq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), shortlist=20, k=5,
+        centroids=cent, codebook=cb, codes=codes,
+    )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=_ivfpq_rerank_oracle(shortlist=40, negatives=True),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the embedding-
+    model data-pipeline staple): per query, the top-5 most-similar
+    DIFFERENT-label examples — mined as filtered ANN with over-fetch
+    (shortlist 40 = 8× k headroom for the label filter) + exact
+    rerank, the production pattern for attribute-filtered vector
+    search. A query whose probed cells are dominated by its own class
+    honestly yields fewer than 5 rows rather than padding with distant
+    negatives. Reference scope: extends the ANN tier."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivfpq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), shortlist=40, k=5,
+        exclude_same_label=True,
+    )
+
+
+@query("contrastive_triplets", oracle=_contrastive_triplets_oracle())
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard negative) triplet mining for
+    contrastive embedding training: ONE refine pass exact-scores the
+    ADC shortlist, labels split the ranked candidates into the
+    most-similar same-class example and the most-similar
+    different-class example, and the margin column surfaces the
+    triplets a trainer wants most (margin ≤ 0: the negative currently
+    outranks the positive). Anchors whose probed cells lack one side
+    honestly drop. Reference scope: extends the ANN/curation tier."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.contrastive_triplets(
+        emb, emb.filter(F.col("vec_id") < 10), shortlist=40,
+    )
+
+
+@query("ann_recall_report", oracle=_ann_recall_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the compressed IVFPQ serve against the exact
+    baseline, per query — MEASUREMENT AS DATA: the tuning number every
+    ANN deployment watches (n_probe / codebook size / shortlist),
+    served as a hash-gated table. Both chains run in-plan (the exact
+    side is ann_cosine_topk's broadcast cross-score, the approximate
+    side the full IVFADC chain); at 100 TB the report runs on a query
+    SAMPLE while the compressed serve handles traffic."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivfpq_topk(emb, q, k=5)
+    return similarity.recall_report(exact, approx, k=5)
 
 
 def _cluster_ctfidf_top_terms(
@@ -7391,7 +7640,15 @@ _SWEEP_PRIORITY = [
     # corpus freshness dashboard (new), the store-once
     # reader/compactor crash-window clamp (ADVICE r13 #2 - re-verify
     # the once lifecycle and the read_ivfpq_codes consumers), and the
-    # lists_vector_dtype="auto" default's ivf-ingest consumer.
+    # lists_vector_dtype="auto" default's ivf-ingest consumer. The
+    # four late-r14 ANN additions (rerank/refine, its state-served
+    # twin, hard-negative mining, the recall report) take the head:
+    # first driver rows.
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_rerank_state",
+    "hard_negative_mining",
+    "ann_recall_report",
+    "contrastive_triplets",
     "stream_zone_freshness_once",
     "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
@@ -7417,10 +7674,15 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 28 of 42 (the
-    # remaining 14 - parts_supplier_relationship, pii_redaction,
-    # quality_logreg_train and quality_model (yielded their slots to
-    # the four new r14 entries: stream_zone_freshness_corpus,
+    # Group C - r11-stale entries, alphabetical first 23 of 42 (the
+    # remaining 19 - lineitem_stats, lm_perplexity,
+    # lm_perplexity_bigram, min_cost_supplier and order_kpi (yielded
+    # their slots to the five late-r14 ANN entries: ann_ivfpq_rerank,
+    # ann_ivfpq_rerank_state, hard_negative_mining, ann_recall_report,
+    # contrastive_triplets),
+    # parts_supplier_relationship, pii_redaction, quality_logreg_train
+    # and quality_model (yielded their slots to the four earlier r14
+    # entries: stream_zone_freshness_corpus,
     # stream_zone_freshness_compacted, ann_ivf_affine,
     # ann_ivfpq_affine), text_semantic_neardup, tfidf_cosine_pairs,
     # token_count_bpe, token_pack, token_stats, top_supplier,
@@ -7449,11 +7711,6 @@ _SWEEP_PRIORITY = [
     "important_parts",
     "incremental_dedup",
     "lang_id",
-    "lineitem_stats",
-    "lm_perplexity",
-    "lm_perplexity_bigram",
-    "min_cost_supplier",
-    "order_kpi",
 ]
 
 

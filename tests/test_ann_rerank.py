@@ -1,0 +1,230 @@
+"""IVFPQ rerank (FAISS IndexRefineFlat pattern), hard-negative
+mining, and the recall report.
+
+Value contracts:
+* probing EVERY cell with a corpus-sized shortlist makes rerank
+  exactly brute force (the refine stage is the exact metric);
+* with production settings the rerank winners are a subset of the ADC
+  shortlist and their cosine_sim is the EXACT pairwise cosine;
+* hard negatives never share the query's label;
+* recall_report counts overlap correctly and reranking never lowers
+  recall on the candidate set (it reorders by the true metric).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    similarity,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_rerank_probe_all_full_shortlist_is_brute_force(spark, emb):
+    """n_probe = n_clusters (every cell probed) + corpus-sized
+    shortlist ⇒ the refine stage scores every candidate exactly, so
+    the result must equal brute_force_topk row-for-row."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    rer = similarity.ivfpq_rerank_topk(
+        emb, q, shortlist=600, k=5, n_probe=16, n_clusters=16,
+    ).drop("adc_sim")
+    assert exact.exceptAll(rer).count() == 0
+    assert rer.exceptAll(exact).count() == 0
+
+
+def test_rerank_winners_come_from_shortlist_with_exact_scores(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    short = similarity.ivfpq_topk(emb, q, k=20)
+    rer = similarity.ivfpq_rerank_topk(emb, q, shortlist=20, k=5)
+    # subset of the shortlist, and adc_sim is the shortlist's estimate
+    missing = rer.join(
+        short.select(
+            "query_id", "neighbor_id",
+            F.col("cosine_sim").alias("short_adc"),
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).filter(
+        F.col("short_adc").isNull()
+        | (F.col("short_adc") != F.col("adc_sim"))
+    )
+    assert missing.count() == 0
+    # cosine_sim is the exact pairwise cosine, recomputed independently
+    pairs = (
+        rer.alias("r")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                similarity.as_double("embedding").alias("qv"),
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                similarity.as_double("embedding").alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "cosine_sim",
+            F.round(
+                similarity.cosine(F.col("qv"), F.col("cv")), 6
+            ).alias("direct"),
+        )
+    )
+    bad = pairs.filter(
+        F.abs(F.col("cosine_sim") - F.col("direct")) > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_hard_negatives_never_share_the_query_label(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    neg = similarity.ivfpq_rerank_topk(
+        emb, q, shortlist=40, k=5, exclude_same_label=True,
+    )
+    labels = emb.select("vec_id", "label")
+    joined = (
+        neg.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlab"),
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlab"),
+            ),
+            "neighbor_id",
+        )
+    )
+    assert joined.filter(F.col("qlab") == F.col("nlab")).count() == 0
+    per_q = neg.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert per_q <= 5
+
+
+def test_recall_report_exact_vs_itself_is_one(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    rep = similarity.recall_report(exact, exact, k=5).collect()
+    assert len(rep) == 5
+    assert all(r.hits == 5 and r.recall_at_k == 1.0 for r in rep)
+
+
+def test_recall_report_counts_known_overlap(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 98), (2, 97), (2, 96)],
+        "query_id long, neighbor_id long",
+    )
+    rows = {
+        r.query_id: r
+        for r in similarity.recall_report(exact, approx, k=3).collect()
+    }
+    assert rows[1].hits == 2 and rows[1].recall_at_k == pytest.approx(0.6667)
+    assert rows[2].hits == 0 and rows[2].recall_at_k == 0.0
+
+
+def test_contrastive_triplets_label_contract(spark, emb):
+    """Positives share the anchor's label, negatives never do, the
+    margin is the round-6 sim gap, and every emitted anchor has both
+    sides."""
+    q = emb.filter(F.col("vec_id") < 10)
+    trip = similarity.contrastive_triplets(emb, q, shortlist=40)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        trip.join(
+            labels.select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("label").alias("alab"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("positive_id"),
+                F.col("label").alias("plab"),
+            ),
+            "positive_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("negative_id"),
+                F.col("label").alias("nlab"),
+            ),
+            "negative_id",
+        )
+    )
+    rows = joined.collect()
+    assert rows, "no triplets emitted"
+    for r in rows:
+        assert r.plab == r.alab
+        assert r.nlab != r.alab
+        assert r.positive_id != r.anchor_id
+        assert r.margin == pytest.approx(
+            round(r.pos_sim - r.neg_sim, 6), abs=1e-9
+        )
+
+
+def test_contrastive_triplets_sides_come_from_rerank_shortlist(spark, emb):
+    """Each side is the FIRST candidate of its label class in the
+    rerank-ranked shortlist — recomputed independently from the
+    rerank output."""
+    q = emb.filter(F.col("vec_id") < 10)
+    trip = {
+        r.anchor_id: r
+        for r in similarity.contrastive_triplets(
+            emb, q, shortlist=40
+        ).collect()
+    }
+    ranked = similarity.ivfpq_rerank_topk(emb, q, shortlist=40, k=40)
+    labs = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    by_anchor: dict[int, list] = {}
+    for r in ranked.collect():
+        by_anchor.setdefault(r.query_id, []).append(r)
+    for anchor, rows in by_anchor.items():
+        rows.sort(key=lambda r: (-r.cosine_sim, r.neighbor_id))
+        pos = next(
+            (r for r in rows if labs[r.neighbor_id] == labs[anchor]), None
+        )
+        neg = next(
+            (r for r in rows if labs[r.neighbor_id] != labs[anchor]), None
+        )
+        if pos is None or neg is None:
+            assert anchor not in trip
+            continue
+        assert trip[anchor].positive_id == pos.neighbor_id
+        assert trip[anchor].negative_id == neg.neighbor_id
+
+
+def test_rerank_recall_not_below_adc_recall(spark, emb):
+    """Refinement reorders the candidate set by the TRUE metric, so
+    recall@k against the exact baseline cannot drop vs ranking the
+    same candidates by their quantized ADC estimate."""
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    adc = similarity.ivfpq_topk(emb, q, k=5)
+    rer = similarity.ivfpq_rerank_topk(emb, q, shortlist=20, k=5)
+    mean = lambda rep: (
+        similarity.recall_report(exact, rep, k=5)
+        .agg(F.avg("recall_at_k"))
+        .first()[0]
+    )
+    assert mean(rer) >= mean(adc)

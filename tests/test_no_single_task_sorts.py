@@ -138,6 +138,38 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "assignment/encode live in the one-time model-zone build, not "
         "in this plan"
     ),
+    "ann_ivf_affine": (
+        "built on ann_ivf_topk's k-centroid broadcasts (in-plan strided "
+        "quantizer, corpus argmax assign + query probe selection); the "
+        "cell-affinity router adds only bounded grouping and equi-joins"
+    ),
+    "ann_ivfpq_affine": (
+        "built on ann_ivfpq_topk's k coarse-centroid broadcasts; the "
+        "cell-affinity router adds only bounded grouping and equi-joins"
+    ),
+    "ann_ivfpq_rerank": (
+        "built on ann_ivfpq_topk's k-centroid broadcasts; the rerank "
+        "stage adds only an equi-key broadcast hash join of the "
+        "|q|*shortlist id set against one flat-embeddings pass"
+    ),
+    "ann_ivfpq_rerank_state": (
+        "built on ann_ivfpq_state's landed-centroid probe broadcast; "
+        "rerank adds only the bounded shortlist equi-join"
+    ),
+    "hard_negative_mining": (
+        "same bounded broadcasts as ann_ivfpq_rerank (shared "
+        "ivfpq_rerank_topk); the label filter changes rows, not joins"
+    ),
+    "contrastive_triplets": (
+        "same bounded broadcasts as ann_ivfpq_rerank (shared "
+        "ivfpq_rerank_topk refine pass); the label split adds only "
+        "broadcast equi-joins and a two-row-per-anchor aggregate"
+    ),
+    "ann_recall_report": (
+        "built on ann_cosine_topk's exact baseline (the report's "
+        "ground-truth side) plus ann_ivfpq_topk's k-centroid "
+        "broadcasts; the overlap join is |q|*k rows on both sides"
+    ),
     "hybrid_search_rrf": "built on ann_cosine_topk's exact baseline",
     "dsir_selection": (
         "one-row model-total broadcasts (n_raw, n_tgt) — the hashed "
