@@ -110,6 +110,7 @@ HEADLINE = [
     "semantic_neardup_auto",
     "dsir_selection",
     "ngram_novelty",
+    "duplicate_span_removal",
     "copurchase_pagerank",
     "curation_funnel",
     "quality_logreg_train",

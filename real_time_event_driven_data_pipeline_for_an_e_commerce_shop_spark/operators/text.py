@@ -1553,6 +1553,112 @@ def ngram_novelty(
     return ngram_novelty_from_shingle_state(tf, threshold=threshold)
 
 
+def duplicate_span_removal(
+    documents: DataFrame, n: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring deduplication at SPAN grain (the second half of
+    Lee et al. 2022's recipe — ``ngram_novelty`` is the audit, this is
+    the SURGERY): remove from every document the token positions
+    covered by any n-gram occurring ≥ ``min_count`` times corpus-wide,
+    and emit the cleaned text. Adjacent duplicated n-grams merge into
+    maximal spans naturally (coverage is a union of [g, g+n-1]
+    windows), so a 200-token boilerplate block shared by 50 docs
+    disappears from all 50 in one pass while their unique prose
+    survives — the dedup mode exact-doc and near-dup DOC dropping both
+    miss.
+
+    Dup detection hashes LOWERCASED grams (``ngram_novelty``'s
+    convention); the emitted text keeps the original tokens,
+    whitespace-normalized to single spaces (the tokenizer's grain —
+    same contract as every text op built on :func:`tokens`).
+
+    Scale shape: sliding shingles via the O(k) ``zip_with`` chain, one
+    corpus-wide (hash → count) aggregate, dup starts rejoin by shuffle
+    on the 48-bit hash (never broadcast — unbounded), coverage
+    explodes only DUPLICATED gram starts ×n, and reassembly is one
+    per-doc aggregate (``array_sort`` of (pos, token) structs — no
+    collect_list order dependence). Windows partition by doc_id —
+    bounded by document length. Cost is Σ n-grams + Σ duplicated
+    positions, never pairs². The streamed shingle state
+    (``doc_shingle_counts_streaming``) carries counts but not
+    positions, so the span pass is deliberately scan-served; at 100 TB
+    it runs as the periodic corpus-rewrite job it is in production.
+    """
+    from pyspark.sql import Window
+
+    t_orig = tokens(F.col("text"))
+    tl = tokens(F.lower(F.col("text")))
+    sz = F.size(tl)
+    sh = tl
+    for j in range(1, n):
+        shifted = F.slice(tl, j + 1, F.greatest(sz - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    base = documents.select(
+        "doc_id", t_orig.alias("_t"), full.alias("_sh")
+    )
+    grams = base.select(
+        "doc_id", F.posexplode("_sh").alias("g", "_sgl")
+    ).select("doc_id", "g", md5_long(F.col("_sgl")).alias("_h"))
+    corpus = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_ct"))
+    dup_starts = grams.join(
+        corpus.filter(F.col("_ct") >= min_count).select("_h"), "_h"
+    ).select("doc_id", "g")
+    covered = dup_starts.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("g"), F.col("g") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    toks = base.select("doc_id", F.posexplode("_t").alias("pos", "tok"))
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    wrun = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        covered.withColumn("_prev", F.lag("pos").over(wrun))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (F.col("pos") - F.col("_prev") != 1)
+            ).cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_new").cast("long").alias("n_spans"),
+            F.count(F.lit(1)).cast("long").alias("n_removed"),
+        )
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text")
+    )
+    totals = base.select(
+        "doc_id", F.size("_t").cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(runs, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias(
+                "clean_text"
+            ),
+        )
+    )
+
+
 def ngram_novelty_from_shingle_state(
     shingle_state: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

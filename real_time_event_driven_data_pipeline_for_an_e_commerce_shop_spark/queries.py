@@ -7273,6 +7273,85 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_novelty(t["documents"], n=5, threshold=0.5)
 
 
+@query(
+    "duplicate_span_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS} AS T, {_Q_TOKENS_LOWER} AS TL
+        FROM documents
+    ),
+    gpos AS (
+        SELECT doc_id, unnest(range(1, len(TL) - 3)) AS i
+        FROM toks WHERE len(TL) >= 5
+    ),
+    grams AS (
+        SELECT g.doc_id, g.i - 1 AS g,
+               ({sql_md5_long(
+                   "concat_ws(' ', t.TL[g.i], t.TL[g.i+1], "
+                   "t.TL[g.i+2], t.TL[g.i+3], t.TL[g.i+4])"
+               )}) AS h
+        FROM gpos g JOIN toks t USING (doc_id)
+    ),
+    c AS (SELECT h, COUNT(*) AS ct FROM grams GROUP BY h),
+    dup AS (
+        SELECT doc_id, g FROM grams JOIN c USING (h) WHERE ct >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, g + r.range AS pos
+        FROM dup CROSS JOIN range(0, 5) r
+    ),
+    tpos AS (
+        SELECT doc_id, unnest(range(1, len(T) + 1)) AS i FROM toks
+    ),
+    tok AS (
+        SELECT p.doc_id, p.i - 1 AS pos, t.T[p.i] AS tok
+        FROM tpos p JOIN toks t USING (doc_id)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tok t
+        LEFT JOIN covered cv
+            ON cv.doc_id = t.doc_id AND cv.pos = t.pos
+        WHERE cv.doc_id IS NULL
+    ),
+    runs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN prev IS NULL OR pos - prev != 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+               CAST(COUNT(*) AS BIGINT) AS n_removed
+        FROM (SELECT doc_id, pos,
+                     LAG(pos) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS prev
+              FROM covered)
+        GROUP BY doc_id
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.T) AS BIGINT) AS n_tokens,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           COALESCE(r.n_spans, 0) AS n_spans,
+           COALESCE(cl.clean_text, '') AS clean_text
+    FROM toks t
+    LEFT JOIN runs r USING (doc_id)
+    LEFT JOIN clean cl USING (doc_id)
+    """,
+)
+def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at SPAN grain (Lee et al. 2022's
+    ExactSubstr surgery, token-5-gram flavor): strip every token
+    position covered by a corpus-duplicated 5-gram and emit the
+    cleaned text plus (tokens, removed, span-count) accounting —
+    boilerplate shared across docs disappears while unique prose
+    survives, the removal mode doc-level dedup cannot express. The
+    hash gate covers the cleaned TEXT itself, not just counts.
+    Reference scope: extends the curation tier."""
+    t = _t(spark, sf_dir, "documents")
+    return text.duplicate_span_removal(t["documents"], n=5, min_count=2)
+
+
 # Shared by dsir_selection (plan-pure) and dsir_selection_state (the
 # single-scan corpus-state composition) — identical semantics, so one
 # oracle gates both.
@@ -7649,6 +7728,7 @@ _SWEEP_PRIORITY = [
     "hard_negative_mining",
     "ann_recall_report",
     "contrastive_triplets",
+    "duplicate_span_removal",
     "stream_zone_freshness_once",
     "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
@@ -7674,12 +7754,12 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 23 of 42 (the
-    # remaining 19 - lineitem_stats, lm_perplexity,
+    # Group C - r11-stale entries, alphabetical first 22 of 42 (the
+    # remaining 20 - lang_id, lineitem_stats, lm_perplexity,
     # lm_perplexity_bigram, min_cost_supplier and order_kpi (yielded
-    # their slots to the five late-r14 ANN entries: ann_ivfpq_rerank,
+    # their slots to the six late-r14 entries: ann_ivfpq_rerank,
     # ann_ivfpq_rerank_state, hard_negative_mining, ann_recall_report,
-    # contrastive_triplets),
+    # contrastive_triplets, duplicate_span_removal),
     # parts_supplier_relationship, pii_redaction, quality_logreg_train
     # and quality_model (yielded their slots to the four earlier r14
     # entries: stream_zone_freshness_corpus,
@@ -7710,7 +7790,6 @@ _SWEEP_PRIORITY = [
     "global_sales_opportunity",
     "important_parts",
     "incremental_dedup",
-    "lang_id",
 ]
 
 

@@ -1,0 +1,93 @@
+"""duplicate_span_removal — exact-substring dedup at span grain
+(Lee et al. 2022 ExactSubstr, token-5-gram flavor).
+
+Hand-constructed corpus pins the semantics: cross-doc shared blocks
+vanish from BOTH docs while unique tokens survive, coverage is the
+union of duplicated 5-gram windows (maximal spans, counted), dup
+detection is case-INsensitive while the emitted text keeps original
+case, intra-doc repeats count as duplicates, and sub-5-token docs are
+untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    text,
+)
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.duplicate_span_removal(df, n=5, min_count=2)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_shared_blocks_removed_unique_tokens_survive(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta UNIQUE1 "
+            "one two three four five END1"),
+        (2, "Alpha BETA gamma delta epsilon zeta UNIQUE2 "
+            "one two three four five END2"),
+        (3, "totally unique text with no duplicated grams at all"),
+        (4, "tiny doc"),
+    ]
+    got = _run(spark, rows)
+    # doc 1: positions 0-5 (two overlapping dup grams merge into one
+    # span) and 7-11 (the shared 5-gram) go; UNIQUE1 and END1 stay
+    assert got[1].clean_text == "UNIQUE1 END1"
+    assert got[1].n_tokens == 13
+    assert got[1].n_removed == 11
+    assert got[1].n_spans == 2
+    # doc 2: dup detection is case-insensitive, output keeps case
+    assert got[2].clean_text == "UNIQUE2 END2"
+    assert got[2].n_spans == 2
+    # doc 3: untouched, text round-trips whitespace-normalized
+    assert got[3].n_removed == 0
+    assert got[3].n_spans == 0
+    assert got[3].clean_text == rows[2][1]
+    # doc 4: < 5 tokens, no grams, untouched
+    assert got[4].n_removed == 0
+    assert got[4].clean_text == "tiny doc"
+
+
+def test_intra_doc_repeat_counts_as_duplicate(spark):
+    got = _run(
+        spark,
+        [(7, "x1 x2 x3 x4 x5 filler x1 x2 x3 x4 x5 tail")],
+    )
+    r = got[7]
+    assert r.clean_text == "filler tail"
+    assert r.n_removed == 10
+    assert r.n_spans == 2
+
+
+def test_fully_duplicated_doc_empties(spark):
+    got = _run(
+        spark,
+        [
+            (10, "same five tokens exactly here"),
+            (11, "same five tokens exactly here"),
+        ],
+    )
+    for d in (10, 11):
+        assert got[d].clean_text == ""
+        assert got[d].n_removed == 5
+        assert got[d].n_tokens == 5
+        assert got[d].n_spans == 1
+
+
+def test_accounting_consistency_on_testdata(spark):
+    """n_removed + len(clean tokens) == n_tokens on the real corpus,
+    and spans only exist where removal happened."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text.duplicate_span_removal(docs)
+    kept_len = F.when(
+        F.col("clean_text") == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col("clean_text"), r"\s+")))
+    bad = out.filter(
+        (F.col("n_removed") + kept_len != F.col("n_tokens"))
+        | ((F.col("n_spans") > 0) != (F.col("n_removed") > 0))
+    )
+    assert bad.count() == 0
