@@ -1890,6 +1890,64 @@ def recall_report(
     )
 
 
+def matryoshka_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Truncation-recall report for Matryoshka-style serving
+    (Kusupati et al. 2022 MRL evaluation): recall@k of exact search
+    over the first-``d`` PREFIX of every embedding against exact
+    search at full dimension, one row per candidate ``d``. The
+    storage/latency question this answers at 100 TB: how many leading
+    dimensions can the serving index keep (d/64 of the bytes, of the
+    scan, of the shuffle) before recall drops below target — the same
+    read-fraction lever as PQ, pulled on the dimension axis, and the
+    table a deployment reads before choosing its truncation point.
+
+    ``mean_recall`` is exact integer arithmetic (Σ hits / (|q|·k)) —
+    no float-order dependence — so the report hash-gates cleanly.
+    """
+    exact = brute_force_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    outs = []
+    for d in dims:
+        sliced_c = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        sliced_q = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        approx = brute_force_topk(
+            sliced_c, sliced_q, k=k, id_col=id_col, vec_col=vec_col
+        )
+        outs.append(
+            recall_report(exact, approx, k)
+            .agg(
+                F.sum("hits").cast("long").alias("total_hits"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+            )
+            .select(
+                F.lit(d).cast("long").alias("trunc_dim"),
+                "total_hits",
+                "n_queries",
+                det_round(
+                    F.col("total_hits").cast("double")
+                    / (F.col("n_queries") * F.lit(k)).cast("double"),
+                    4,
+                ).alias("mean_recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _ivfpq_scores_multigen(
     queries: DataFrame,
     cents_g: DataFrame,

@@ -5997,6 +5997,61 @@ def _contrastive_triplets_oracle(shortlist: int = 40) -> str:
     """
 
 
+def _matryoshka_oracle(dims: tuple[int, ...] = (8, 16, 32, 64),
+                       k: int = 5) -> str:
+    """DuckDB mirror of similarity.matryoshka_recall: exact top-k at
+    full dimension (the ann_cosine_topk chain) vs exact top-k over the
+    first-d prefix per candidate d; mean recall is pure integer
+    arithmetic (Σ hits / (|q|·k)) so no float-order dependence."""
+    def cos_d(d: int) -> str:
+        return (
+            f"(list_dot_product(a.vec[1:{d}], b.vec[1:{d}])"
+            f" / (sqrt(list_dot_product(a.vec[1:{d}], a.vec[1:{d}]))"
+            f" * sqrt(list_dot_product(b.vec[1:{d}], b.vec[1:{d}]))))"
+        )
+
+    blocks = []
+    selects = []
+    for d in dims:
+        blocks.append(f"""
+    a{d} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY {cos_d(d)} DESC, a.vec_id ASC) AS rn
+            FROM v a CROSS JOIN v b
+            WHERE b.vec_id < 10 AND a.vec_id != b.vec_id)
+        WHERE rn <= {k}
+    ),
+    r{d} AS (
+        SELECT CAST({d} AS BIGINT) AS trunc_dim,
+               CAST(COUNT(x.query_id) AS BIGINT) AS total_hits,
+               CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries
+        FROM exact e LEFT JOIN a{d} x
+            ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id
+    )""")
+        selects.append(
+            f"SELECT trunc_dim, total_hits, n_queries, "
+            f"{round_sql(f'CAST(total_hits AS DOUBLE) / (n_queries * {k})', 4)}"
+            f" AS mean_recall FROM r{d}"
+        )
+    body = ",".join(blocks)
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY {SQL_COS} DESC, a.vec_id ASC) AS rn
+            FROM v a CROSS JOIN v b
+            WHERE b.vec_id < 10 AND a.vec_id != b.vec_id)
+        WHERE rn <= {k}
+    ),{body}
+    {union}
+    """
+
+
 def _ann_recall_oracle(k: int = 5) -> str:
     """DuckDB mirror of the recall_report(brute_force, ivfpq) compose:
     the exact chain is ann_cosine_topk's cross-score, the approximate
@@ -6473,6 +6528,22 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.contrastive_triplets(
         emb, emb.filter(F.col("vec_id") < 10), shortlist=40,
+    )
+
+
+@query("matryoshka_recall", oracle=_matryoshka_oracle())
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-recall table (the MRL serving decision,
+    Kusupati et al. 2022): recall@5 of exact search over the first
+    8/16/32/64 embedding dimensions against full-dimension exact
+    search — the read-fraction lever pulled on the DIMENSION axis (a
+    16-dim prefix index is 1/4 the bytes, scan, and shuffle of the
+    full vectors), reported as the table a deployment reads before
+    choosing its truncation point. Mean recall is pure integer
+    arithmetic. Reference scope: extends the ANN tier."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < 10), dims=(8, 16, 32, 64), k=5,
     )
 
 
@@ -7729,6 +7800,7 @@ _SWEEP_PRIORITY = [
     "ann_recall_report",
     "contrastive_triplets",
     "duplicate_span_removal",
+    "matryoshka_recall",
     "stream_zone_freshness_once",
     "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
@@ -7754,12 +7826,13 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 22 of 42 (the
-    # remaining 20 - lang_id, lineitem_stats, lm_perplexity,
-    # lm_perplexity_bigram, min_cost_supplier and order_kpi (yielded
-    # their slots to the six late-r14 entries: ann_ivfpq_rerank,
-    # ann_ivfpq_rerank_state, hard_negative_mining, ann_recall_report,
-    # contrastive_triplets, duplicate_span_removal),
+    # Group C - r11-stale entries, alphabetical first 21 of 42 (the
+    # remaining 21 - incremental_dedup, lang_id, lineitem_stats,
+    # lm_perplexity, lm_perplexity_bigram, min_cost_supplier and
+    # order_kpi (yielded their slots to the seven late-r14 entries:
+    # ann_ivfpq_rerank, ann_ivfpq_rerank_state, hard_negative_mining,
+    # ann_recall_report, contrastive_triplets, duplicate_span_removal,
+    # matryoshka_recall),
     # parts_supplier_relationship, pii_redaction, quality_logreg_train
     # and quality_model (yielded their slots to the four earlier r14
     # entries: stream_zone_freshness_corpus,
@@ -7789,7 +7862,6 @@ _SWEEP_PRIORITY = [
     "event_props_typed",
     "global_sales_opportunity",
     "important_parts",
-    "incremental_dedup",
 ]
 
 

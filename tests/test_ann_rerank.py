@@ -214,6 +214,27 @@ def test_contrastive_triplets_sides_come_from_rerank_shortlist(spark, emb):
         assert trip[anchor].negative_id == neg.neighbor_id
 
 
+def test_matryoshka_full_dim_row_is_perfect(spark, emb):
+    """The full-dimension row is recall 1.0 by construction (it IS
+    the baseline), every row's hits are bounded by |q|·k, and
+    mean_recall is the exact integer ratio."""
+    q = emb.filter(F.col("vec_id") < 10)
+    rows = {
+        r.trunc_dim: r
+        for r in similarity.matryoshka_recall(
+            emb, q, dims=(16, 64), k=5
+        ).collect()
+    }
+    assert rows[64].mean_recall == 1.0
+    assert rows[64].total_hits == 50
+    for r in rows.values():
+        assert r.n_queries == 10
+        assert 0 <= r.total_hits <= 50
+        assert r.mean_recall == pytest.approx(
+            round(r.total_hits / 50.0, 4), abs=1e-12
+        )
+
+
 def test_rerank_recall_not_below_adc_recall(spark, emb):
     """Refinement reorders the candidate set by the TRUE metric, so
     recall@k against the exact baseline cannot drop vs ranking the

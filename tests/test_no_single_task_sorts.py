@@ -165,6 +165,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "ivfpq_rerank_topk refine pass); the label split adds only "
         "broadcast equi-joins and a two-row-per-anchor aggregate"
     ),
+    "matryoshka_recall": (
+        "four instances of ann_cosine_topk's documented exact baseline "
+        "(one per truncation dim) — the 10-row query set broadcasts "
+        "against the corpus; the report itself is one-row aggregates"
+    ),
     "ann_recall_report": (
         "built on ann_cosine_topk's exact baseline (the report's "
         "ground-truth side) plus ann_ivfpq_topk's k-centroid "
