@@ -36,6 +36,7 @@ SCALE_DOC_QUERIES = [
     "source_quota_sample",
     "dsir_selection",
     "ngram_novelty",
+    "duplicate_span_removal",
     "curation_funnel",
 ]
 # text_semantic_neardup (8-plane single-table) and the r=12-pinned
