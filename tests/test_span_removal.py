@@ -78,6 +78,33 @@ def test_fully_duplicated_doc_empties(spark):
         assert got[d].n_spans == 1
 
 
+def test_decontaminate_spans_removes_probe_grams_only(spark):
+    """A probe 5-gram is stripped wherever it appears (any position,
+    any case); text without a probe match round-trips."""
+    rows = [
+        (1, "the SECRET eval answer is here inside a long document"),
+        (2, "prefix words then the secret EVAL answer is trailing"),
+        (3, "completely unrelated prose that matches no probe at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [("the secret eval answer is",)], "probe string"
+    )
+    got = {
+        r.doc_id: r
+        for r in text.decontaminate_spans(df, probes, n=5).collect()
+    }
+    # doc 1: positions 0-4 covered
+    assert got[1].clean_text == "here inside a long document"
+    assert got[1].n_removed == 5 and got[1].n_spans == 1
+    # doc 2: the probe sits at positions 3-7, case-insensitively
+    assert got[2].clean_text == "prefix words then trailing"
+    assert got[2].n_removed == 5 and got[2].n_spans == 1
+    # doc 3: untouched
+    assert got[3].n_removed == 0
+    assert got[3].clean_text == rows[2][1]
+
+
 def test_accounting_consistency_on_testdata(spark):
     """n_removed + len(clean tokens) == n_tokens on the real corpus,
     and spans only exist where removal happened."""
