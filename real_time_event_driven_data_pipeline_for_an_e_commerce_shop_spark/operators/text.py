@@ -1584,8 +1584,21 @@ def duplicate_span_removal(
     positions, so the span pass is deliberately scan-served; at 100 TB
     it runs as the periodic corpus-rewrite job it is in production.
     """
-    from pyspark.sql import Window
+    base = _span_gram_base(documents, n)
+    grams = base.select(
+        "doc_id", F.posexplode("_sh").alias("g", "_sgl")
+    ).select("doc_id", "g", md5_long(F.col("_sgl")).alias("_h"))
+    corpus = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_ct"))
+    dup_starts = grams.join(
+        corpus.filter(F.col("_ct") >= min_count).select("_h"), "_h"
+    ).select("doc_id", "g")
+    return _strip_covered_positions(base, dup_starts, n)
 
+
+def _span_gram_base(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, _t original tokens, _sh lowercased n-gram array) — the
+    shared grain of the span-surgery pair (corpus-dup removal and
+    benchmark decontamination)."""
     t_orig = tokens(F.col("text"))
     tl = tokens(F.lower(F.col("text")))
     sz = F.size(tl)
@@ -1594,16 +1607,17 @@ def duplicate_span_removal(
         shifted = F.slice(tl, j + 1, F.greatest(sz - j, F.lit(0)))
         sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
     full = F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(0)))
-    base = documents.select(
-        "doc_id", t_orig.alias("_t"), full.alias("_sh")
-    )
-    grams = base.select(
-        "doc_id", F.posexplode("_sh").alias("g", "_sgl")
-    ).select("doc_id", "g", md5_long(F.col("_sgl")).alias("_h"))
-    corpus = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_ct"))
-    dup_starts = grams.join(
-        corpus.filter(F.col("_ct") >= min_count).select("_h"), "_h"
-    ).select("doc_id", "g")
+    return documents.select("doc_id", t_orig.alias("_t"), full.alias("_sh"))
+
+
+def _strip_covered_positions(
+    base: DataFrame, dup_starts: DataFrame, n: int
+) -> DataFrame:
+    """Shared surgery tail: explode flagged gram starts into covered
+    positions, drop covered tokens, count maximal removed spans, and
+    reassemble the cleaned text deterministically."""
+    from pyspark.sql import Window
+
     covered = dup_starts.select(
         "doc_id",
         F.explode(
@@ -1657,6 +1671,40 @@ def duplicate_span_removal(
             ),
         )
     )
+
+
+def decontaminate_spans(
+    documents: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    probe_col: str = "probe",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION at span grain: strip from every
+    document the token positions covered by an n-gram that appears
+    verbatim in the eval-probe set — the surgical alternative to
+    dropping whole contaminated documents (``contamination_check``
+    reports them; this operator cleans them, keeping the uncontaminated
+    prose). The standard pre-training hygiene pass: eval-suite n-grams
+    must not survive into training text, but a 2,000-token document
+    should not die for one leaked question.
+
+    ``probes`` carries lowercase space-joined n-token strings
+    (``curation.contamination_probes``' grain — in production the
+    eval-suite shingles loaded from a file). It is broadcast (tiny by
+    construction); corpus work is one gram explode + a broadcast
+    equi-join on the gram STRING + the shared coverage/reassembly tail
+    — linear in Σ n-grams, embarrassingly parallel, and the probe set
+    never shuffles the corpus.
+    """
+    base = _span_gram_base(documents, n)
+    grams = base.select(
+        "doc_id", F.posexplode("_sh").alias("g", "_sgl")
+    )
+    dup_starts = grams.join(
+        F.broadcast(probes.select(F.col(probe_col).alias("_sgl"))),
+        "_sgl",
+    ).select("doc_id", "g")
+    return _strip_covered_positions(base, dup_starts, n)
 
 
 def ngram_novelty_from_shingle_state(

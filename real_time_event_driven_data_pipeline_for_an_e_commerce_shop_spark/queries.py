@@ -7423,6 +7423,91 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.duplicate_span_removal(t["documents"], n=5, min_count=2)
 
 
+@query(
+    "decontaminate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS} AS T, {_Q_TOKENS_LOWER} AS TL
+        FROM documents
+    ),
+    probes AS (
+        SELECT DISTINCT array_to_string(TL[1:5], ' ') AS probe
+        FROM toks WHERE doc_id % 50 = 0
+    ),
+    gpos AS (
+        SELECT doc_id, unnest(range(1, len(TL) - 3)) AS i
+        FROM toks WHERE len(TL) >= 5
+    ),
+    gtxt AS (
+        SELECT g.doc_id, g.i - 1 AS g,
+               concat_ws(' ', t.TL[g.i], t.TL[g.i+1], t.TL[g.i+2],
+                         t.TL[g.i+3], t.TL[g.i+4]) AS sgl
+        FROM gpos g JOIN toks t USING (doc_id)
+    ),
+    dup AS (
+        SELECT DISTINCT gt.doc_id, gt.g
+        FROM gtxt gt JOIN probes p ON gt.sgl = p.probe
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, g + r.range AS pos
+        FROM dup CROSS JOIN range(0, 5) r
+    ),
+    tpos AS (
+        SELECT doc_id, unnest(range(1, len(T) + 1)) AS i FROM toks
+    ),
+    tok AS (
+        SELECT p.doc_id, p.i - 1 AS pos, t.T[p.i] AS tok
+        FROM tpos p JOIN toks t USING (doc_id)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tok t
+        LEFT JOIN covered cv
+            ON cv.doc_id = t.doc_id AND cv.pos = t.pos
+        WHERE cv.doc_id IS NULL
+    ),
+    runs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN prev IS NULL OR pos - prev != 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+               CAST(COUNT(*) AS BIGINT) AS n_removed
+        FROM (SELECT doc_id, pos,
+                     LAG(pos) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS prev
+              FROM covered)
+        GROUP BY doc_id
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.T) AS BIGINT) AS n_tokens,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           COALESCE(r.n_spans, 0) AS n_spans,
+           COALESCE(cl.clean_text, '') AS clean_text
+    FROM toks t
+    LEFT JOIN runs r USING (doc_id)
+    LEFT JOIN clean cl USING (doc_id)
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at SPAN grain: strip the token
+    positions covered by an eval-probe 5-gram (the deterministic
+    probe set ``curation.contamination_probes`` stands in for the
+    eval-suite shingles) and emit the cleaned text — the surgical
+    alternative to dropping whole contaminated docs, beside
+    ``contamination_check``'s probe-side report. The probe set rides
+    a broadcast string equi-join; the hash gate covers the cleaned
+    text. Reference scope: extends the curation tier."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    probes = curation.contamination_probes(docs, every=50, probe_tokens=5)
+    return text.decontaminate_spans(docs, probes, n=5)
+
+
 # Shared by dsir_selection (plan-pure) and dsir_selection_state (the
 # single-scan corpus-state composition) — identical semantics, so one
 # oracle gates both.
@@ -7801,6 +7886,7 @@ _SWEEP_PRIORITY = [
     "contrastive_triplets",
     "duplicate_span_removal",
     "matryoshka_recall",
+    "decontaminate_spans",
     "stream_zone_freshness_once",
     "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
@@ -7826,13 +7912,13 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 21 of 42 (the
-    # remaining 21 - incremental_dedup, lang_id, lineitem_stats,
-    # lm_perplexity, lm_perplexity_bigram, min_cost_supplier and
-    # order_kpi (yielded their slots to the seven late-r14 entries:
-    # ann_ivfpq_rerank, ann_ivfpq_rerank_state, hard_negative_mining,
-    # ann_recall_report, contrastive_triplets, duplicate_span_removal,
-    # matryoshka_recall),
+    # Group C - r11-stale entries, alphabetical first 20 of 42 (the
+    # remaining 22 - important_parts, incremental_dedup, lang_id,
+    # lineitem_stats, lm_perplexity, lm_perplexity_bigram,
+    # min_cost_supplier and order_kpi (yielded their slots to the
+    # eight late-r14 entries: ann_ivfpq_rerank, ann_ivfpq_rerank_state,
+    # hard_negative_mining, ann_recall_report, contrastive_triplets,
+    # duplicate_span_removal, matryoshka_recall, decontaminate_spans),
     # parts_supplier_relationship, pii_redaction, quality_logreg_train
     # and quality_model (yielded their slots to the four earlier r14
     # entries: stream_zone_freshness_corpus,
@@ -7861,7 +7947,6 @@ _SWEEP_PRIORITY = [
     "event_json_kpi",
     "event_props_typed",
     "global_sales_opportunity",
-    "important_parts",
 ]
 
 
