@@ -7423,11 +7423,11 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.duplicate_span_removal(t["documents"], n=5, min_count=2)
 
 
-@query(
-    "decontaminate_spans",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {SQL_TOKENS} AS T, {_Q_TOKENS_LOWER} AS TL
+# shared by decontaminate_spans (batch, the 5-col accounting frame)
+# and decontaminate_spans_stream (the ingest gate's landed documents):
+# the probe build, coverage, span runs, and reassembly CTEs
+_DECONTAM_CTES = f"""toks AS (
+        SELECT doc_id, text, {SQL_TOKENS} AS T, {_Q_TOKENS_LOWER} AS TL
         FROM documents
     ),
     probes AS (
@@ -7480,7 +7480,13 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean AS (
         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
         FROM kept GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "decontaminate_spans",
+    oracle=f"""
+    WITH {_DECONTAM_CTES}
     SELECT t.doc_id,
            CAST(len(t.T) AS BIGINT) AS n_tokens,
            COALESCE(r.n_removed, 0) AS n_removed,
@@ -7506,6 +7512,64 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     probes = curation.contamination_probes(docs, every=50, probe_tokens=5)
     return text.decontaminate_spans(docs, probes, n=5)
+
+
+@query(
+    "decontaminate_spans_stream",
+    oracle=f"""
+    WITH {_DECONTAM_CTES}
+    SELECT t.doc_id,
+           CASE WHEN COALESCE(r.n_removed, 0) > 0
+                THEN cl.clean_text ELSE t.text END AS text
+    FROM toks t
+    LEFT JOIN runs r USING (doc_id)
+    LEFT JOIN clean cl USING (doc_id)
+    WHERE NOT (COALESCE(r.n_removed, 0) > 0
+               AND COALESCE(cl.clean_text, '') = '')
+    """,
+)
+def q_decontaminate_spans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST-TIME decontamination gate
+    (``run_corpus_ingest(decontaminate_probes=...)``): arriving docs
+    are span-cleaned against the static probe table BEFORE anything
+    fingerprints or tokenizes them, docs with a removal land with the
+    surgically-cleaned text (untouched docs land byte-for-byte,
+    emptied docs drop), and the LANDED documents zone must hash-match
+    the batch operator's cleaned output — production hygiene where
+    contamination never reaches disk, not a post-hoc rewrite. Gate
+    ordering pays here: cleaned twins collapse in the exact-dedup
+    gate downstream (tested in tests/test_streaming.py)."""
+    import shutil
+
+    from .operators import curation
+    from .streaming.pipeline import read_manifest_zone, run_corpus_ingest
+
+    base = _scratch_zone("q_decontam_stream")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_decontam_stream_"
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    probes = curation.contamination_probes(docs, every=50, probe_tokens=5)
+    docs.write.mode("overwrite").parquet(raw)
+    try:
+        tables = run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            decontaminate_probes=probes,
+            n_buckets=4, table_prefix=prefix,
+        )
+        landed = read_manifest_zone(
+            spark, {"documents": tables["documents"]}, zone
+        )["documents"].select("doc_id", "text")
+        res_dir = os.path.join(base, "result")
+        landed.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # Shared by dsir_selection (plan-pure) and dsir_selection_state (the
@@ -7887,6 +7951,7 @@ _SWEEP_PRIORITY = [
     "duplicate_span_removal",
     "matryoshka_recall",
     "decontaminate_spans",
+    "decontaminate_spans_stream",
     "stream_zone_freshness_once",
     "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
@@ -7912,13 +7977,14 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 20 of 42 (the
-    # remaining 22 - important_parts, incremental_dedup, lang_id,
-    # lineitem_stats, lm_perplexity, lm_perplexity_bigram,
-    # min_cost_supplier and order_kpi (yielded their slots to the
-    # eight late-r14 entries: ann_ivfpq_rerank, ann_ivfpq_rerank_state,
-    # hard_negative_mining, ann_recall_report, contrastive_triplets,
-    # duplicate_span_removal, matryoshka_recall, decontaminate_spans),
+    # Group C - r11-stale entries, alphabetical first 19 of 42 (the
+    # remaining 23 - global_sales_opportunity, important_parts,
+    # incremental_dedup, lang_id, lineitem_stats, lm_perplexity,
+    # lm_perplexity_bigram, min_cost_supplier and order_kpi (yielded
+    # their slots to the nine late-r14 entries: ann_ivfpq_rerank,
+    # ann_ivfpq_rerank_state, hard_negative_mining, ann_recall_report,
+    # contrastive_triplets, duplicate_span_removal, matryoshka_recall,
+    # decontaminate_spans, decontaminate_spans_stream),
     # parts_supplier_relationship, pii_redaction, quality_logreg_train
     # and quality_model (yielded their slots to the four earlier r14
     # entries: stream_zone_freshness_corpus,
@@ -7946,7 +8012,6 @@ _SWEEP_PRIORITY = [
     "embedding_neardup",
     "event_json_kpi",
     "event_props_typed",
-    "global_sales_opportunity",
 ]
 
 

@@ -2428,6 +2428,8 @@ def run_corpus_ingest(
     zone_dir: str,
     checkpoint_dir: str,
     schema: str = "doc_id long, text string",
+    decontaminate_probes: DataFrame | None = None,
+    decontaminate_n: int = 5,
     exact_dedup: bool = False,
     semantic_dedup: bool = False,
     state_refresh: bool = False,
@@ -2460,6 +2462,15 @@ def run_corpus_ingest(
     gates in order and lands through the same atomic ``_epoch``
     manifest commits as :func:`run_bucketed_ingest_manifest`:
 
+    * ``decontaminate_probes`` — the FIRST gate (late r14): arriving
+      text is rewritten by ``text.decontaminate_spans`` against the
+      static eval-probe table BEFORE anything fingerprints, vectorizes,
+      or tokenizes it, so every downstream gate and landed zone sees
+      only decontaminated text — and two docs differing ONLY by a
+      contaminated span collapse in the exact-dedup gate, which
+      post-hoc cleaning would miss. Docs emptied by the surgery are
+      dropped (a fully-contaminated doc must not land as ""). The gate
+      is a pure function of (batch, probes) — replays bit-identically.
     * ``exact_dedup`` — the ``operators.dedup.incremental_dedup``
       fingerprint gate against the ALREADY-LANDED corpus (plus an
       optional external ``base_fingerprints`` snapshot): only
@@ -2912,6 +2923,30 @@ def run_corpus_ingest(
 
         keep = batch_df
         batch_vecs = None  # set by the semantic gate; cluster gate shares
+        if decontaminate_probes is not None:
+            from ..operators.text import decontaminate_spans
+
+            # only docs with an actual removal are rewritten (their
+            # whitespace normalizes to the surgery's token grain);
+            # untouched docs land byte-for-byte, emptied docs drop
+            cleaned = decontaminate_spans(
+                keep, decontaminate_probes, n=decontaminate_n
+            ).select(
+                "doc_id",
+                F.col("clean_text").alias("_clean_text"),
+                F.col("n_removed").alias("_n_removed"),
+            )
+            keep = (
+                keep.join(cleaned, "doc_id")
+                .withColumn(
+                    "text",
+                    F.when(
+                        F.col("_n_removed") > 0, F.col("_clean_text")
+                    ).otherwise(F.col("text")),
+                )
+                .drop("_clean_text", "_n_removed")
+                .filter(F.col("text") != "")
+            )
         if exact_dedup:
             fps = None
             if spark.catalog.tableExists(tables[name]):

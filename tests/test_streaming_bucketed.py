@@ -578,6 +578,73 @@ def test_corpus_ingest_dedup_manifest_end_to_end(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_corpus_ingest_decontaminate_gate(spark, tmp_path):
+    """The ingest-time decontamination gate: arriving docs are
+    span-cleaned against the probe set BEFORE landing (and before the
+    dedup fingerprint), so (a) contaminated spans never reach disk,
+    (b) untouched docs land byte-for-byte, (c) a fully-contaminated
+    doc drops, (d) two docs that differ ONLY by a contaminated span
+    collapse in the exact-dedup gate — the gate-order payoff a
+    post-hoc rewrite cannot give — and (e) replay is a no-op."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        read_manifest_zone,
+        run_corpus_ingest,
+    )
+
+    raw = str(tmp_path / "raw")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    prefix = "t_decontam_gate_"
+    table = f"{prefix}documents"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    probes = spark.createDataFrame(
+        [("the leaked eval answer text",)], "probe string"
+    )
+    try:
+        b1 = spark.createDataFrame(
+            [
+                # contaminated mid-doc; survives cleaned
+                (1, "intro words the leaked eval answer text outro"),
+                # clean doc; must land byte-for-byte (double space kept)
+                (2, "perfectly clean  prose here"),
+                # fully contaminated; must drop
+                (3, "the leaked eval answer text"),
+                # differs from 1 ONLY by the contaminated span's case —
+                # after cleaning it is an exact dup of 1 and must drop
+                (4, "intro words THE LEAKED EVAL ANSWER TEXT outro"),
+            ],
+            "doc_id long, text string",
+        )
+        b1.write.mode("append").parquet(raw)
+        run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            decontaminate_probes=probes, exact_dedup=True,
+            n_buckets=4, table_prefix=prefix,
+        )
+        landed = {
+            r["doc_id"]: r["text"]
+            for r in read_manifest_zone(spark, {"documents": table}, zone)[
+                "documents"
+            ].collect()
+        }
+        assert set(landed) == {1, 2}
+        assert landed[1] == "intro words outro"
+        assert landed[2] == "perfectly clean  prose here"
+
+        # replay with nothing new: no-op
+        run_corpus_ingest(
+            spark, raw, zone, ckpt,
+            decontaminate_probes=probes, exact_dedup=True,
+            n_buckets=4, table_prefix=prefix,
+        )
+        again = read_manifest_zone(spark, {"documents": table}, zone)[
+            "documents"
+        ]
+        assert {r["doc_id"] for r in again.collect()} == {1, 2}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_manifest_zone_vacuum(spark, tmp_path):
     """vacuum_manifest_zone — the retention-guarded file reaper: young
     directories survive (a live writer's in-flight epoch looks like an
