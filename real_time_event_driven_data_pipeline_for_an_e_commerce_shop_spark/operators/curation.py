@@ -838,6 +838,44 @@ def dsir_from_feature_state(
 # --- end-to-end curation funnel ----------------------------------------
 
 
+def quality_curriculum(documents: DataFrame, n_phases: int = 4) -> DataFrame:
+    """Curriculum-ordering report: the corpus cut into ``n_phases``
+    EXACT quality quantiles (phase 1 = the highest-scoring docs under
+    the deterministic logistic quality model) with each phase's doc
+    and token mass — the schedule table a quality-curriculum training
+    run consumes (start on the cleanest quartile, anneal in the rest;
+    the token column is the budget axis schedulers actually plan in).
+
+    Built on :func:`~.olap_deep.global_ntile`, so the population
+    ordering is range-partitioned — no single-task NTILE window even
+    at corpus scale; the roll-up moves ``n_phases`` rows. Ordering is
+    total (score DESC, doc_id ASC), so phases are deterministic and
+    the oracle's SQL NTILE reproduces them bit-for-bit.
+    """
+    from .olap_deep import global_ntile
+    from .text import quality_model_score, tokens
+
+    scored = quality_model_score(documents).select(
+        "doc_id", "model_quality"
+    )
+    ntok = documents.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tiled = global_ntile(
+        scored.join(ntok, "doc_id"),
+        n_phases,
+        [F.desc("model_quality"), F.asc("doc_id")],
+        "phase",
+    )
+    return tiled.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("phase_tokens"),
+        F.min("model_quality").alias("floor_quality"),
+        F.max("model_quality").alias("ceil_quality"),
+    )
+
+
 def curation_funnel(
     documents: DataFrame,
     quality_threshold: float = 0.5,

@@ -629,7 +629,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(t["documents"])
 
 
-def _quality_model_oracle() -> str:
+def _quality_score_sql() -> str:
+    """The round-4 logistic quality score expression — shared by the
+    quality_model oracle and the quality_curriculum oracle."""
     w = text.QUALITY_MODEL_WEIGHTS
     n_chars = "length(text)"
     n_tokens = f"len({SQL_TOKENS})"
@@ -652,7 +654,11 @@ def _quality_model_oracle() -> str:
         f" + {w['punct_ratio']} * {punct_ratio}"
         f" + {w['ttr']} * {ttr})"
     )
-    score = round_sql(f"(1.0 / (1.0 + exp(-{z})))", 4)
+    return round_sql(f"(1.0 / (1.0 + exp(-{z})))", 4)
+
+
+def _quality_model_oracle() -> str:
+    score = _quality_score_sql()
     return f"""
     SELECT doc_id,
            {score} AS model_quality,
@@ -668,6 +674,42 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen expressions only."""
     t = _t(spark, sf_dir, "documents")
     return text.quality_model_score(t["documents"])
+
+
+@query(
+    "quality_curriculum",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_quality_score_sql()} AS q,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, q, n_tokens,
+               CAST(NTILE(4) OVER (ORDER BY q DESC, doc_id ASC)
+                    AS BIGINT) AS phase
+        FROM scored
+    )
+    SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+           MIN(q) AS floor_quality,
+           MAX(q) AS ceil_quality
+    FROM t GROUP BY phase
+    """,
+)
+def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule table: the corpus cut into 4 EXACT quality
+    quartiles (phase 1 = cleanest docs under the logistic quality
+    model) with per-phase doc and token mass — what a
+    quality-curriculum training run consumes (train on phase 1 first,
+    anneal in the rest by token budget). Rides global_ntile's
+    range-partitioned exact NTILE, so no single-task sort at corpus
+    scale; hash-gated against SQL NTILE. Reference scope: extends the
+    curation tier."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.quality_curriculum(t["documents"], n_phases=4)
 
 
 def _lang_id_oracle() -> str:
@@ -7952,6 +7994,7 @@ _SWEEP_PRIORITY = [
     "matryoshka_recall",
     "decontaminate_spans",
     "decontaminate_spans_stream",
+    "quality_curriculum",
     "stream_zone_freshness_once",
     "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
@@ -7977,14 +8020,15 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 19 of 42 (the
-    # remaining 23 - global_sales_opportunity, important_parts,
-    # incremental_dedup, lang_id, lineitem_stats, lm_perplexity,
-    # lm_perplexity_bigram, min_cost_supplier and order_kpi (yielded
-    # their slots to the nine late-r14 entries: ann_ivfpq_rerank,
-    # ann_ivfpq_rerank_state, hard_negative_mining, ann_recall_report,
-    # contrastive_triplets, duplicate_span_removal, matryoshka_recall,
-    # decontaminate_spans, decontaminate_spans_stream),
+    # Group C - r11-stale entries, alphabetical first 18 of 42 (the
+    # remaining 24 - event_props_typed, global_sales_opportunity,
+    # important_parts, incremental_dedup, lang_id, lineitem_stats,
+    # lm_perplexity, lm_perplexity_bigram, min_cost_supplier and
+    # order_kpi (yielded their slots to the ten late-r14 entries:
+    # ann_ivfpq_rerank, ann_ivfpq_rerank_state, hard_negative_mining,
+    # ann_recall_report, contrastive_triplets, duplicate_span_removal,
+    # matryoshka_recall, decontaminate_spans,
+    # decontaminate_spans_stream, quality_curriculum),
     # parts_supplier_relationship, pii_redaction, quality_logreg_train
     # and quality_model (yielded their slots to the four earlier r14
     # entries: stream_zone_freshness_corpus,
@@ -8011,7 +8055,6 @@ _SWEEP_PRIORITY = [
     "doc_fingerprint",
     "embedding_neardup",
     "event_json_kpi",
-    "event_props_typed",
 ]
 
 
