@@ -111,6 +111,8 @@ HEADLINE = [
     "dsir_selection",
     "ngram_novelty",
     "duplicate_span_removal",
+    "decontaminate_spans",
+    "quality_curriculum",
     "copurchase_pagerank",
     "curation_funnel",
     "quality_logreg_train",
