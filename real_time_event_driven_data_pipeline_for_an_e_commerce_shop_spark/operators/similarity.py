@@ -677,6 +677,79 @@ def ivf_list_assign(
     )
 
 
+def ivf_cell_stats(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    lists: DataFrame | None = None,
+) -> DataFrame:
+    """IVF index-health report: per-cell occupancy of the inverted
+    lists — the number every IVF deployment watches, because serving
+    cost and recall both ride on it. ``imbalance`` is each cell's
+    occupancy over the uniform expectation (total / n_clusters): a
+    cell at 4.0 makes every query probing it pay 4× the expected scan,
+    and a crowd of near-empty cells means the quantizer wastes probe
+    budget — the signal to retrain (``kmeans_centroids``) or re-size
+    ``n_clusters``. Empty cells appear as explicit 0 rows (silently
+    missing rows would hide exactly the pathology the report exists
+    to catch).
+
+    Membership is the SEARCH-metric assignment (:func:`ivf_list_assign`
+    — the same rule the serving plan probes under); pass ``lists`` (a
+    landed assignment zone) to score the report from the index itself
+    with zero embedding scans, or ``centroids`` for a trained
+    quantizer. All arithmetic is integer counts and exact ratios —
+    cross-engine bit-stable.
+    """
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("centroid_vec"),
+        )
+    else:
+        cent = (
+            embeddings.filter(F.col(id_col) % stride == 0)
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).cast("long").alias("cid"),
+                as_double(F.col(vec_col)).alias("centroid_vec"),
+            )
+        )
+    assign = (
+        lists
+        if lists is not None
+        else ivf_list_assign(embeddings, cent, id_col, vec_col)
+    )
+    counts = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    cells = cent.select(F.col("cid").alias("cluster_id"))
+    full = cells.join(counts, "cluster_id", "left").select(
+        "cluster_id",
+        F.coalesce(F.col("n_vectors"), F.lit(0))
+        .cast("long")
+        .alias("n_vectors"),
+    )
+    tot = full.agg(F.sum("n_vectors").cast("long").alias("_tot"))
+    return full.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n_vectors",
+        det_round(
+            F.col("n_vectors").cast("double") / F.col("_tot"), 6
+        ).alias("cell_frac"),
+        det_round(
+            F.col("n_vectors").cast("double")
+            * F.lit(float(n_clusters))
+            / F.col("_tot"),
+            4,
+        ).alias("imbalance"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

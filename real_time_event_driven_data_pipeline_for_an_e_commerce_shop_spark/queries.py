@@ -6497,6 +6497,53 @@ def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@query(
+    "ivf_cell_stats",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cid, vec AS cvec FROM v
+        WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT a.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY (list_dot_product(a.vec, c.cvec)
+                           / (sqrt(list_dot_product(a.vec, a.vec))
+                            * sqrt(list_dot_product(c.cvec, c.cvec))))
+                           DESC, c.cid ASC) AS rn
+            FROM v a CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    counts AS (
+        SELECT c.cid AS cluster_id,
+               CAST(COUNT(a.vec_id) AS BIGINT) AS n_vectors
+        FROM cents c LEFT JOIN assign a ON a.cid = c.cid
+        GROUP BY c.cid
+    ),
+    tot AS (SELECT SUM(n_vectors) AS t FROM counts)
+    SELECT cluster_id, n_vectors,
+           {round_sql("CAST(n_vectors AS DOUBLE) / t", 6)} AS cell_frac,
+           {round_sql("CAST(n_vectors AS DOUBLE) * 16.0 / t", 4)}
+               AS imbalance
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-cell inverted-list occupancy with
+    the imbalance factor (occupancy / uniform expectation) — serving
+    cost and recall both ride on it; a hot cell makes every query
+    probing it pay that multiple of the expected scan, and empty
+    cells (explicit 0 rows) mean wasted probe budget — the retrain /
+    re-size signal. Same search-metric assignment the serving plan
+    probes under; integer counts and exact ratios, bit-stable.
+    Reference scope: extends the ANN tier."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_cell_stats(emb, n_clusters=16, stride=29)
+
+
 @query("ann_ivfpq_rerank", oracle=_ivfpq_rerank_oracle())
 def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ shortlist → EXACT rerank (the FAISS IndexRefineFlat
@@ -7995,6 +8042,7 @@ _SWEEP_PRIORITY = [
     "decontaminate_spans",
     "decontaminate_spans_stream",
     "quality_curriculum",
+    "ivf_cell_stats",
     "stream_zone_freshness_once",
     "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
@@ -8020,15 +8068,16 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 18 of 42 (the
-    # remaining 24 - event_props_typed, global_sales_opportunity,
-    # important_parts, incremental_dedup, lang_id, lineitem_stats,
-    # lm_perplexity, lm_perplexity_bigram, min_cost_supplier and
-    # order_kpi (yielded their slots to the ten late-r14 entries:
-    # ann_ivfpq_rerank, ann_ivfpq_rerank_state, hard_negative_mining,
-    # ann_recall_report, contrastive_triplets, duplicate_span_removal,
-    # matryoshka_recall, decontaminate_spans,
-    # decontaminate_spans_stream, quality_curriculum),
+    # Group C - r11-stale entries, alphabetical first 17 of 42 (the
+    # remaining 25 - event_json_kpi, event_props_typed,
+    # global_sales_opportunity, important_parts, incremental_dedup,
+    # lang_id, lineitem_stats, lm_perplexity, lm_perplexity_bigram,
+    # min_cost_supplier and order_kpi (yielded their slots to the
+    # eleven late-r14 entries: ann_ivfpq_rerank,
+    # ann_ivfpq_rerank_state, hard_negative_mining, ann_recall_report,
+    # contrastive_triplets, duplicate_span_removal, matryoshka_recall,
+    # decontaminate_spans, decontaminate_spans_stream,
+    # quality_curriculum, ivf_cell_stats),
     # parts_supplier_relationship, pii_redaction, quality_logreg_train
     # and quality_model (yielded their slots to the four earlier r14
     # entries: stream_zone_freshness_corpus,
@@ -8054,7 +8103,6 @@ _SWEEP_PRIORITY = [
     "dedup_simhash",
     "doc_fingerprint",
     "embedding_neardup",
-    "event_json_kpi",
 ]
 
 

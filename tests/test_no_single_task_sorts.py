@@ -165,6 +165,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "ivfpq_rerank_topk refine pass); the label split adds only "
         "broadcast equi-joins and a two-row-per-anchor aggregate"
     ),
+    "ivf_cell_stats": (
+        "built on ann_ivf_topk's k-centroid broadcast (the argmax "
+        "assign) plus a one-row corpus-total attach for the "
+        "occupancy ratios — both bounded by construction"
+    ),
     "matryoshka_recall": (
         "four instances of ann_cosine_topk's documented exact baseline "
         "(one per truncation dim) — the 10-row query set broadcasts "
