@@ -83,6 +83,7 @@ HEADLINE = [
     "ann_ivfpq_rerank_state",
     "hard_negative_mining",
     "ann_recall_report",
+    "ivf_cell_stats",
     "tfidf_cosine_pairs",
     "winnowing_fingerprint",
     "token_count_bpe",

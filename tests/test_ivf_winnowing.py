@@ -545,6 +545,25 @@ def test_batch_ivf_state_serve_file_prunes(spark):
     )
 
 
+def test_rerank_state_serve_file_prunes(spark):
+    """The refine deployment's ADC shortlist stage inherits the
+    landed-model DPP lever: the registered ann_ivfpq_rerank_state
+    plan's codes scan must still carry the dynamicpruning partition
+    filter — the rerank join must not have broken the probe-side
+    pruning that makes the shortlist stage cheap."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.queries import (
+        QUERIES,
+    )
+
+    out = QUERIES["ann_ivfpq_rerank_state"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        f"rerank_state codes scan is not file-pruned:\n{plan[:4000]}"
+    )
+
+
 def test_cell_affine_groups_packing_rules():
     """The batched-serving grouping rule (VERDICT r12 #4): identical
     probe signatures merge, unions never exceed max_cells, ordering is
