@@ -68,20 +68,32 @@ def _parquet_files(zone_dir: str) -> int:
 
 
 def test_corpus_ingest_soak_all_gates(spark, tmp_path):
-    """20 epochs through every corpus gate at once (exact + semantic
-    dedup, grain, cluster, CMS, HLL, BPE), forced drift at epoch 10,
-    compaction + vacuum at epochs 6 and 13, replay at the end. Every
-    mergeable zone must equal its batch derivation over the KEPT
-    docs; every model zone must equal the batch fit over the grain
-    its meta says it fit on, with post-fit epochs served against the
-    landed model."""
+    """20 epochs through every corpus gate at once (decontamination,
+    exact + semantic dedup, grain, cluster, CMS, HLL, BPE), forced
+    drift at epoch 10, compaction + vacuum at epochs 6 and 13, replay
+    at the end. Every mergeable zone must equal its batch derivation
+    over the KEPT docs; every model zone must equal the batch fit
+    over the grain its meta says it fit on, with post-fit epochs
+    served against the landed model; no probe 5-gram survives into
+    any landed document."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (
+        contamination_probes,
+    )
+
     raw, zone, ckpt = (str(tmp_path / d) for d in ("raw", "zone", "ckpt"))
     prefix = "t_soak_c_"
     tables = {}
 
+    base_all = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    probes = contamination_probes(base_all, every=50, probe_tokens=5)
+
     def ingest(**kw):
         return run_corpus_ingest(
             spark, raw, zone, ckpt,
+            decontaminate_probes=probes,
             exact_dedup=True, semantic_dedup=True, state_refresh=True,
             cluster_assign=True, sketch_cms=True, sketch_hll=True,
             learn_bpe=True, threshold=0.95, n_buckets=4,
@@ -89,10 +101,7 @@ def test_corpus_ingest_soak_all_gates(spark, tmp_path):
         )
 
     try:
-        base = (
-            spark.read.parquet(f"{SF}/documents.parquet")
-            .select("doc_id", "text")
-        )
+        base = base_all
         for w in range(N_WAVES):
             base.filter(
                 (F.col("doc_id") >= w * 25) & (F.col("doc_id") < (w + 1) * 25)
@@ -121,6 +130,20 @@ def test_corpus_ingest_soak_all_gates(spark, tmp_path):
         )["documents"].select("doc_id", "text")
         n_kept = kept.count()
         assert 0 < n_kept <= 500
+
+        # the decontamination gate's invariant: no landed doc contains
+        # a probe 5-gram (case-insensitively, at any position)
+        from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.dedup import (
+            shingles,
+        )
+
+        kept_grams = kept.select(
+            F.explode(shingles(F.col("text"), 5)).alias("g")
+        )
+        leaked = kept_grams.join(
+            probes.select(F.col("probe").alias("g")), "g"
+        )
+        assert leaked.count() == 0
 
         # mergeable sketch zones == batch builds over the kept docs
         terms = kept.select(
