@@ -588,3 +588,50 @@ def test_cell_affine_groups_invariants(rows, max_cells):
     )
     # deterministic under permutation
     assert cell_affine_groups(list(reversed(rows)), max_cells) == groups
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30)),
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(1, 6),
+)
+@FAST
+def test_recall_report_hits_are_exact_intersections(
+    spark, exact_pairs, approx_pairs, k
+):
+    """recall_report's hits column equals |exact ∩ approx| per query
+    and recall is hits/k, for ARBITRARY (query, neighbor) sets — not
+    just well-formed top-k results."""
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        recall_report,
+    )
+
+    exact = spark.createDataFrame(
+        exact_pairs, "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        approx_pairs or [(-(10 ** 6), -(10 ** 6))],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r.query_id: (r.hits, r.recall_at_k)
+        for r in recall_report(exact, approx, k=k).collect()
+    }
+    aset = set(approx_pairs)
+    want_hits: dict[int, int] = {}
+    for q, n in exact_pairs:
+        want_hits.setdefault(q, 0)
+        want_hits[q] += (q, n) in aset
+    assert set(got) == set(want_hits)
+    for q, hits in want_hits.items():
+        assert got[q][0] == hits
+        assert got[q][1] == math.floor(hits / k * 1e4 + 0.5) / 1e4
