@@ -235,6 +235,27 @@ def test_matryoshka_full_dim_row_is_perfect(spark, emb):
         )
 
 
+def test_ivf_cell_stats_from_landed_lists_matches_inplan(spark, emb):
+    """The index-health report scored FROM the assignment table
+    (zero embedding scans — the production path) must equal the
+    in-plan assignment form row-for-row, and its counts must sum to
+    the corpus."""
+    cent = emb.filter(F.col("vec_id") % 29 == 0).orderBy("vec_id").limit(
+        16
+    ).select(
+        F.col("vec_id").alias("cid"),
+        similarity.as_double("embedding").alias("centroid_vec"),
+    )
+    lists = similarity.ivf_list_assign(emb, cent)
+    via_lists = similarity.ivf_cell_stats(emb, centroids=cent, lists=lists)
+    inplan = similarity.ivf_cell_stats(emb, n_clusters=16, stride=29)
+    assert sorted(map(tuple, via_lists.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+    total = via_lists.agg(F.sum("n_vectors")).first()[0]
+    assert total == emb.count()
+
+
 def test_rerank_recall_not_below_adc_recall(spark, emb):
     """Refinement reorders the candidate set by the TRUE metric, so
     recall@k against the exact baseline cannot drop vs ranking the
