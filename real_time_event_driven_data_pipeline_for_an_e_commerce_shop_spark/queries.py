@@ -6652,6 +6652,53 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.recall_report(exact, approx, k=5)
 
 
+@query("ann_recall_report_state", oracle=ORACLES["ann_recall_report"])
+def q_ann_recall_report_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_recall_report with the approximate side served from the
+    LANDED model zone — the per-deploy health check as it actually
+    runs in production: after a model lands (or refits), score
+    recall-vs-exact on a query sample from the zone itself, beside
+    ivf_cell_stats' occupancy report. Same oracle: the landed tables
+    round-trip bit-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    zone = _ivfpq_model_zone(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(zone, "ivfpq_centroids"))
+    cb = spark.read.parquet(os.path.join(zone, "ivfpq_codebook"))
+    codes = spark.read.schema(
+        "vec_id long, s long, code long, cluster_id long"
+    ).parquet(os.path.join(zone, "ivfpq_codes"))
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivfpq_topk(
+        emb, q, k=5, centroids=cent, codebook=cb, codes=codes
+    )
+    return similarity.recall_report(exact, approx, k=5)
+
+
+@query(
+    "contrastive_triplets_state",
+    oracle=ORACLES["contrastive_triplets"],
+)
+def q_contrastive_triplets_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contrastive_triplets mined from the LANDED model zone (the
+    nightly-mining deployment: the ADC shortlist stage reads the
+    DPP-pruned codes, the exact re-score reads the flat table — zero
+    model fits in the serving plan). Same oracle: shortlist
+    membership, rerank, and the label split are unchanged by where
+    the model tables come from."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _ivfpq_model_zone(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(zone, "ivfpq_centroids"))
+    cb = spark.read.parquet(os.path.join(zone, "ivfpq_codebook"))
+    codes = spark.read.schema(
+        "vec_id long, s long, code long, cluster_id long"
+    ).parquet(os.path.join(zone, "ivfpq_codes"))
+    return similarity.contrastive_triplets(
+        emb, emb.filter(F.col("vec_id") < 10), shortlist=40,
+        centroids=cent, codebook=cb, codes=codes,
+    )
+
+
 def _cluster_ctfidf_top_terms(
     term_state: DataFrame,
     clusters: DataFrame,
@@ -8043,6 +8090,8 @@ _SWEEP_PRIORITY = [
     "decontaminate_spans_stream",
     "quality_curriculum",
     "ivf_cell_stats",
+    "ann_recall_report_state",
+    "contrastive_triplets_state",
     "stream_zone_freshness_once",
     "stream_zone_freshness_compacted",
     "stream_zone_freshness_corpus",
@@ -8068,16 +8117,18 @@ _SWEEP_PRIORITY = [
     "sessionize",
     "source_token_drift",
     "text_quality",
-    # Group C - r11-stale entries, alphabetical first 17 of 42 (the
-    # remaining 25 - event_json_kpi, event_props_typed,
-    # global_sales_opportunity, important_parts, incremental_dedup,
-    # lang_id, lineitem_stats, lm_perplexity, lm_perplexity_bigram,
-    # min_cost_supplier and order_kpi (yielded their slots to the
-    # eleven late-r14 entries: ann_ivfpq_rerank,
-    # ann_ivfpq_rerank_state, hard_negative_mining, ann_recall_report,
-    # contrastive_triplets, duplicate_span_removal, matryoshka_recall,
-    # decontaminate_spans, decontaminate_spans_stream,
-    # quality_curriculum, ivf_cell_stats),
+    # Group C - r11-stale entries, alphabetical first 15 of 42 (the
+    # remaining 27 - doc_fingerprint, embedding_neardup,
+    # event_json_kpi, event_props_typed, global_sales_opportunity,
+    # important_parts, incremental_dedup, lang_id, lineitem_stats,
+    # lm_perplexity, lm_perplexity_bigram, min_cost_supplier and
+    # order_kpi (yielded their slots to the thirteen late-r14
+    # entries: ann_ivfpq_rerank, ann_ivfpq_rerank_state,
+    # hard_negative_mining, ann_recall_report,
+    # ann_recall_report_state, contrastive_triplets,
+    # contrastive_triplets_state, duplicate_span_removal,
+    # matryoshka_recall, decontaminate_spans,
+    # decontaminate_spans_stream, quality_curriculum, ivf_cell_stats),
     # parts_supplier_relationship, pii_redaction, quality_logreg_train
     # and quality_model (yielded their slots to the four earlier r14
     # entries: stream_zone_freshness_corpus,
@@ -8101,8 +8152,6 @@ _SWEEP_PRIORITY = [
     "daily_activity_full_outer",
     "dedup_minhash",
     "dedup_simhash",
-    "doc_fingerprint",
-    "embedding_neardup",
 ]
 
 

@@ -180,6 +180,16 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "ground-truth side) plus ann_ivfpq_topk's k-centroid "
         "broadcasts; the overlap join is |q|*k rows on both sides"
     ),
+    "ann_recall_report_state": (
+        "same exact-baseline broadcast as ann_recall_report; the "
+        "approximate side serves from the landed zone (probe "
+        "broadcast only)"
+    ),
+    "contrastive_triplets_state": (
+        "built on ann_ivfpq_state's landed-centroid probe broadcast "
+        "(shared ivfpq_rerank_topk refine pass); the label split "
+        "adds only broadcast equi-joins"
+    ),
     "hybrid_search_rrf": "built on ann_cosine_topk's exact baseline",
     "dsir_selection": (
         "one-row model-total broadcasts (n_raw, n_tgt) — the hashed "
