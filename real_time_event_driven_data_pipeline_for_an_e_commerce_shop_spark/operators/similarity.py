@@ -703,13 +703,22 @@ def ivf_cell_stats(
     with zero embedding scans, or ``centroids`` for a trained
     quantizer. All arithmetic is integer counts and exact ratios —
     cross-engine bit-stable.
+
+    Cell universe (ADVICE r14): the explicit-0 empty-cell rows are
+    only meaningful against the quantizer that PRODUCED the
+    assignment, so when ``lists`` is given without ``centroids`` the
+    universe is the lists' own distinct ``cluster_id`` set (truly zero
+    embedding scans; empty cells are not representable — pass the
+    index's ``centroids`` alongside to surface them). The strided
+    default universe is never silently substituted for a landed zone's
+    unknown quantizer.
     """
     if centroids is not None:
         cent = centroids.select(
             F.col("cid").cast("long").alias("cid"),
             F.col("centroid_vec"),
         )
-    else:
+    elif lists is None:
         cent = (
             embeddings.filter(F.col(id_col) % stride == 0)
             .orderBy(F.col(id_col))
@@ -719,6 +728,8 @@ def ivf_cell_stats(
                 as_double(F.col(vec_col)).alias("centroid_vec"),
             )
         )
+    else:
+        cent = None  # lists-only: universe derived from the index itself
     assign = (
         lists
         if lists is not None
@@ -727,14 +738,21 @@ def ivf_cell_stats(
     counts = assign.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
-    cells = cent.select(F.col("cid").alias("cluster_id"))
+    cells = (
+        cent.select(F.col("cid").alias("cluster_id"))
+        if cent is not None
+        else assign.select("cluster_id").distinct()
+    )
     full = cells.join(counts, "cluster_id", "left").select(
         "cluster_id",
         F.coalesce(F.col("n_vectors"), F.lit(0))
         .cast("long")
         .alias("n_vectors"),
     )
-    tot = full.agg(F.sum("n_vectors").cast("long").alias("_tot"))
+    tot = full.agg(
+        F.sum("n_vectors").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_ncells"),
+    )
     return full.crossJoin(F.broadcast(tot)).select(
         "cluster_id",
         "n_vectors",
@@ -743,7 +761,7 @@ def ivf_cell_stats(
         ).alias("cell_frac"),
         det_round(
             F.col("n_vectors").cast("double")
-            * F.lit(float(n_clusters))
+            * F.col("_ncells").cast("double")
             / F.col("_tot"),
             4,
         ).alias("imbalance"),
@@ -1855,6 +1873,13 @@ def contrastive_triplets(
 
     Determinism: both sides rank by (round-6 exact cosine DESC,
     neighbor_id ASC) — the already-deterministic rerank output order.
+
+    Broadcast discipline (ADVICE r14): the label table is CORPUS-sized
+    and must never ride the broadcast side at 100 TB; the
+    |q|·shortlist ranked set is the bounded side, so BOTH label
+    attaches scan ``embeddings`` (two-column pruned) and broadcast the
+    ranked rows — the same orientation :func:`ivfpq_rerank_topk` uses
+    for its flat-vector rejoin.
     """
     ranked = ivfpq_rerank_topk(
         embeddings, queries, shortlist=shortlist, k=shortlist,
@@ -1864,25 +1889,16 @@ def contrastive_triplets(
         F.col(id_col).cast("long").alias("_lid"),
         F.col(label_col).alias("_lab"),
     )
+    with_qlab = labels.select(
+        F.col("_lid").alias("query_id"),
+        F.col("_lab").alias("_qlab"),
+    ).join(F.broadcast(ranked), "query_id")
     flagged = (
-        ranked.join(
-            F.broadcast(
-                labels.select(
-                    F.col("_lid").alias("query_id"),
-                    F.col("_lab").alias("_qlab"),
-                )
-            ),
-            "query_id",
+        labels.select(
+            F.col("_lid").alias("neighbor_id"),
+            F.col("_lab").alias("_nlab"),
         )
-        .join(
-            F.broadcast(
-                labels.select(
-                    F.col("_lid").alias("neighbor_id"),
-                    F.col("_lab").alias("_nlab"),
-                )
-            ),
-            "neighbor_id",
-        )
+        .join(F.broadcast(with_qlab), "neighbor_id")
         .withColumn("_is_pos", F.col("_qlab") == F.col("_nlab"))
     )
     w = Window.partitionBy("query_id", "_is_pos").orderBy(
@@ -1984,6 +2000,8 @@ def matryoshka_recall(
     ``mean_recall`` is exact integer arithmetic (Σ hits / (|q|·k)) —
     no float-order dependence — so the report hash-gates cleanly.
     """
+    if not dims:
+        raise ValueError("dims must be non-empty")
     exact = brute_force_topk(
         embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
     )

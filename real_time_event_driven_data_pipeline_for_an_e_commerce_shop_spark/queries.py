@@ -6361,6 +6361,66 @@ def q_ann_ivfpq_once_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@query("ann_ivfpq_affine_stream", oracle=_ivfpq_once_oracle())
+def q_ann_ivfpq_affine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION serving composition (VERDICT r14 #4): a
+    cell-AFFINE batch served over a LIVE multi-generation store-once
+    zone — ``ivfpq_topk_streamed(affine_max_cells=…)`` routes the
+    query batch into probe-signature groups over the composite
+    (generation, cell) grain and serves each group with its own
+    DPP-pruned multigen scores plan. Zone setup is byte-identical to
+    ``ann_ivfpq_once_stream`` (two waves, drift refit, retained-sample
+    live rule) and the SAME dual-chain oracle hash-gates the result —
+    the router is required to change only WHICH scan serves a query,
+    never its top-k. A single query probes n_probe cells in EACH of
+    the two live generations (8 composite cells), so the cap of 12
+    forces real grouping (several groups, each scan pruned to ≤ 12 of
+    the 32 (gen, cell) partitions) rather than one batch-union scan."""
+    import shutil
+
+    from .streaming.pipeline import (
+        ivfpq_topk_streamed,
+        run_embedding_ingest,
+    )
+
+    base = _scratch_zone("q_ivfpq_affine_stream")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_ivfpq_affstream_"
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    drift = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    try:
+        tables = {}
+        for wave in (emb, drift):
+            wave.write.mode("append").parquet(raw)
+            tables = run_embedding_ingest(
+                spark, raw, zone, ckpt,
+                pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                table_prefix=prefix, store_flat_embeddings=False,
+            )
+        out = ivfpq_topk_streamed(
+            spark, tables["ivfpq_codes"], zone,
+            emb.filter(F.col("vec_id") < 10), k=5,
+            affine_max_cells=12,
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ / IVFADC approximate top-k (Jegou et al. 2011 §IV — the

@@ -1105,6 +1105,7 @@ def ivfpq_topk_streamed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    affine_max_cells: int | None = None,
 ) -> DataFrame:
     """Multi-generation ADC top-k over an IVFPQ-only store-once zone.
 
@@ -1132,10 +1133,27 @@ def ivfpq_topk_streamed(
     per-generation loop paid — while the per-generation PLAN constant
     (measured ~1.2 s/gen at ×10, linear to 8.9 s at 7 live gens for
     the loop: scripts/bench_store_once_gens.py) collapses to one
-    plan's worth."""
+    plan's worth.
+
+    ``affine_max_cells`` composes the cell-affinity router
+    (:func:`operators.similarity.cell_affine_groups`, VERDICT r14 #4)
+    with this serve — the production batch-serving mode over a LIVE
+    multi-generation zone: the batch's (gen, cell) probe signatures
+    (a bounded |q|·G·n_probe collect, the same order as the router's
+    batch form) pack into groups whose composite-cell union never
+    exceeds the cap, and each group runs its own multigen scores plan
+    whose DPP filter admits ≤ ``affine_max_cells`` (gen, cluster_id)
+    partitions. Result-IDENTICAL to the plain serve (each query's
+    top-k is independent; the same dual-chain oracle hash-gates both
+    forms) — only the bytes each scan touches change. A single query
+    probes ``n_probe × G`` composite cells, so the cap must be at
+    least that."""
     from ..operators.similarity import (
         _coarse_centroids,
         _ivfpq_scores_multigen,
+        as_double,
+        cell_affine_groups,
+        cosine,
     )
     from ..operators.similarity import det_round as _det_round
 
@@ -1181,18 +1199,70 @@ def ivfpq_topk_streamed(
     cb_g = cb_parts[0]
     for c in cb_parts[1:]:
         cb_g = cb_g.unionByName(c)
-    sim = _ivfpq_scores_multigen(
-        queries,
-        cents_g,
-        cb_g,
-        codes.withColumnRenamed("model_gen", "gen"),
-        n_probe=n_probe,
-        n_subspaces=meta["n_subspaces"],
-        dim=meta["dim"],
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    codes_g = codes.withColumnRenamed("model_gen", "gen")
     from pyspark.sql import Window
+
+    def _scores(qdf: DataFrame) -> DataFrame:
+        return _ivfpq_scores_multigen(
+            qdf,
+            cents_g,
+            cb_g,
+            codes_g,
+            n_probe=n_probe,
+            n_subspaces=meta["n_subspaces"],
+            dim=meta["dim"],
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    if affine_max_cells is None:
+        sim = _scores(queries)
+    else:
+        # router probe rows: per (query, gen) top-n_probe cells under
+        # that generation's centroids — the identical selection rule
+        # and tie-break _ivfpq_scores_multigen applies inside each
+        # group's plan, so grouping never changes WHICH cells serve a
+        # query, only which scan does
+        qv = queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            as_double(F.col(vec_col)).alias("qvec"),
+        )
+        wprobe = Window.partitionBy("query_id", "gen").orderBy(
+            F.desc("_csim"), F.asc("cluster_id")
+        )
+        probe_rows = (
+            qv.join(F.broadcast(cents_g))
+            .select(
+                "query_id",
+                "gen",
+                F.col("cid").alias("cluster_id"),
+                cosine(F.col("qvec"), F.col("cvec")).alias("_csim"),
+            )
+            .withColumn("_pr", F.row_number().over(wprobe))
+            .filter(F.col("_pr") <= n_probe)
+            .select("query_id", "gen", "cluster_id")
+            .collect()
+        )
+        # composite (gen, cell) → dense int, deterministically ordered
+        cell_ids = {
+            gc: i
+            for i, gc in enumerate(
+                sorted({(r["gen"], r["cluster_id"]) for r in probe_rows})
+            )
+        }
+        groups = cell_affine_groups(
+            [
+                (r["query_id"], cell_ids[(r["gen"], r["cluster_id"])])
+                for r in probe_rows
+            ],
+            affine_max_cells,
+        )
+        sim = None
+        for qids, _cells in groups:
+            part = _scores(queries.filter(F.col(id_col).isin(qids)))
+            sim = part if sim is None else sim.unionByName(part)
+        if sim is None:
+            sim = _scores(queries)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_sim"), F.asc("neighbor_id")
@@ -2936,8 +3006,18 @@ def run_corpus_ingest(
                 F.col("clean_text").alias("_clean_text"),
                 F.col("n_removed").alias("_n_removed"),
             )
+            # drop only docs the surgery EMPTIED (n_removed>0 and
+            # nothing left) — a doc whose ORIGINAL text was already
+            # empty was never touched (n_removed=0) and must land
+            # byte-for-byte, matching the batch oracle (ADVICE r14)
             keep = (
                 keep.join(cleaned, "doc_id")
+                .filter(
+                    ~(
+                        (F.col("_n_removed") > 0)
+                        & (F.col("_clean_text") == "")
+                    )
+                )
                 .withColumn(
                     "text",
                     F.when(
@@ -2945,7 +3025,6 @@ def run_corpus_ingest(
                     ).otherwise(F.col("text")),
                 )
                 .drop("_clean_text", "_n_removed")
-                .filter(F.col("text") != "")
             )
         if exact_dedup:
             fps = None

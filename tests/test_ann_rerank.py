@@ -256,6 +256,50 @@ def test_ivf_cell_stats_from_landed_lists_matches_inplan(spark, emb):
     assert total == emb.count()
 
 
+def test_ivf_cell_stats_lists_only_universe_from_lists(spark, emb):
+    """lists WITHOUT centroids (ADVICE r14): the cell universe must
+    come from the lists' own distinct cluster_id set — never the
+    strided default, which may be a DIFFERENT quantizer than the one
+    that produced the landed assignment. Occupied-cell rows must match
+    the centroids+lists form exactly; explicit-0 empty cells are only
+    representable when centroids are passed."""
+    # a quantizer the strided default would NOT pick (stride 7, 8 cells)
+    cent = emb.filter(F.col("vec_id") % 7 == 0).orderBy("vec_id").limit(
+        8
+    ).select(
+        F.col("vec_id").alias("cid"),
+        similarity.as_double("embedding").alias("centroid_vec"),
+    )
+    lists = similarity.ivf_list_assign(emb, cent)
+    with_cent = similarity.ivf_cell_stats(emb, centroids=cent, lists=lists)
+    lists_only_rows = similarity.ivf_cell_stats(emb, lists=lists).collect()
+    occupied = with_cent.filter(F.col("n_vectors") > 0)
+    # counts and corpus fractions agree with the centroids+lists form
+    # on every occupied cell (imbalance is normalized by each form's
+    # own universe size, so it is checked arithmetically below)
+    key = lambda rows: sorted(
+        (r["cluster_id"], r["n_vectors"], r["cell_frac"]) for r in rows
+    )
+    assert key(lists_only_rows) == key(occupied.collect())
+    # universe is exactly the lists' cells
+    cells = {
+        r["cluster_id"]
+        for r in lists.select("cluster_id").distinct().collect()
+    }
+    assert {r["cluster_id"] for r in lists_only_rows} == cells
+    tot = sum(r["n_vectors"] for r in lists_only_rows)
+    for r in lists_only_rows:
+        assert r["imbalance"] == pytest.approx(
+            round(r["n_vectors"] * len(cells) / tot, 4), abs=1e-12
+        )
+
+
+def test_matryoshka_empty_dims_raises(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="dims must be non-empty"):
+        similarity.matryoshka_recall(emb, q, dims=())
+
+
 def test_rerank_recall_not_below_adc_recall(spark, emb):
     """Refinement reorders the candidate set by the TRUE metric, so
     recall@k against the exact baseline cannot drop vs ranking the

@@ -162,8 +162,9 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
     ),
     "contrastive_triplets": (
         "same bounded broadcasts as ann_ivfpq_rerank (shared "
-        "ivfpq_rerank_topk refine pass); the label split adds only "
-        "broadcast equi-joins and a two-row-per-anchor aggregate"
+        "ivfpq_rerank_topk refine pass); the label split broadcasts "
+        "the |q|*shortlist ranked side against the corpus label scan "
+        "(never the corpus) and adds a two-row-per-anchor aggregate"
     ),
     "ivf_cell_stats": (
         "built on ann_ivf_topk's k-centroid broadcast (the argmax "

@@ -585,7 +585,10 @@ def test_corpus_ingest_decontaminate_gate(spark, tmp_path):
     (b) untouched docs land byte-for-byte, (c) a fully-contaminated
     doc drops, (d) two docs that differ ONLY by a contaminated span
     collapse in the exact-dedup gate — the gate-order payoff a
-    post-hoc rewrite cannot give — and (e) replay is a no-op."""
+    post-hoc rewrite cannot give — (e) replay is a no-op, and (f) a
+    doc whose ORIGINAL text is already empty was never touched by the
+    surgery (n_removed=0) and lands byte-for-byte rather than being
+    mistaken for an emptied-by-surgery drop (ADVICE r14)."""
     from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
         read_manifest_zone,
         run_corpus_ingest,
@@ -612,6 +615,9 @@ def test_corpus_ingest_decontaminate_gate(spark, tmp_path):
                 # differs from 1 ONLY by the contaminated span's case —
                 # after cleaning it is an exact dup of 1 and must drop
                 (4, "intro words THE LEAKED EVAL ANSWER TEXT outro"),
+                # ORIGINALLY empty: surgery never touches it
+                # (n_removed=0), must land byte-for-byte
+                (5, ""),
             ],
             "doc_id long, text string",
         )
@@ -627,9 +633,10 @@ def test_corpus_ingest_decontaminate_gate(spark, tmp_path):
                 "documents"
             ].collect()
         }
-        assert set(landed) == {1, 2}
+        assert set(landed) == {1, 2, 5}
         assert landed[1] == "intro words outro"
         assert landed[2] == "perfectly clean  prose here"
+        assert landed[5] == ""
 
         # replay with nothing new: no-op
         run_corpus_ingest(
@@ -640,7 +647,7 @@ def test_corpus_ingest_decontaminate_gate(spark, tmp_path):
         again = read_manifest_zone(spark, {"documents": table}, zone)[
             "documents"
         ]
-        assert {r["doc_id"] for r in again.collect()} == {1, 2}
+        assert {r["doc_id"] for r in again.collect()} == {1, 2, 5}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
