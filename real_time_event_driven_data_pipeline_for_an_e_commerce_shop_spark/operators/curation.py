@@ -876,6 +876,80 @@ def quality_curriculum(documents: DataFrame, n_phases: int = 4) -> DataFrame:
     )
 
 
+def curriculum_pack(
+    documents: DataFrame,
+    n_phases: int = 4,
+    budget: int = 512,
+    n_shards: int = 8,
+    seed: str = "p42",
+) -> DataFrame:
+    """Curriculum-phase-ordered packed shards (VERDICT r14 #7) — the
+    composition :func:`quality_curriculum` × :func:`token_pack_sharded`
+    actually hands a trainer: every document takes its EXACT
+    quality-quantile ``phase`` (``global_ntile`` over (score DESC,
+    doc_id ASC) — the schedule axis), then packs into fixed-``budget``
+    context windows inside a deterministic md5 shard WITHIN its phase,
+    laid end-to-end in CURRICULUM order (score DESC, doc_id ASC — the
+    cleanest prose packs first, so a run that stops mid-phase consumed
+    the best of it). Output is the shard-manifest grain a data loader
+    mounts: one row per (phase, shard, bin).
+
+    Phases never share a bin (the schedule boundary is a hard shard
+    boundary — annealing in phase 2 must not replay phase-1 windows),
+    and bins never span shards (≤ 1 under-filled bin per (phase,
+    shard), the :func:`token_pack_sharded` contract). Determinism:
+    the phase ordering is total, the shard is a pure row-key function
+    (``md5(doc_id ':' seed) % n_shards``), and the pack order is the
+    same total order — so the whole manifest is reproducible by the
+    DuckDB oracle bit-for-bit.
+
+    Scale shape: one corpus scan scores + counts tokens, the
+    range-partitioned exact NTILE assigns phases without a single-task
+    sort, and the inherently sequential prefix sum parallelizes over
+    phases × shards — the largest PACKING domain is a shard, not a
+    phase, so raise ``n_shards`` with the corpus exactly as
+    ``token_pack_sharded`` documents."""
+    from .olap_deep import global_ntile
+    from .text import quality_model_score, tokens as _tok
+
+    scored = quality_model_score(documents).select(
+        "doc_id", "model_quality"
+    )
+    ntok = documents.select(
+        "doc_id",
+        F.size(_tok(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tiled = global_ntile(
+        scored.join(ntok, "doc_id"),
+        n_phases,
+        [F.desc("model_quality"), F.asc("doc_id")],
+        "phase",
+    )
+    shard = md5_long(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
+    ) % n_shards
+    w = (
+        Window.partitionBy("phase", "shard")
+        .orderBy(F.desc("model_quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = tiled.withColumn("shard", shard).withColumn(
+        "_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        placed.withColumn(
+            "bin_id", F.floor(F.col("_start") / budget).cast("long")
+        )
+        .groupBy("phase", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
 def curation_funnel(
     documents: DataFrame,
     quality_threshold: float = 0.5,

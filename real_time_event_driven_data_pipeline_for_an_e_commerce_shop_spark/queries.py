@@ -712,6 +712,61 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_curriculum(t["documents"], n_phases=4)
 
 
+def _curriculum_pack_oracle(
+    n_phases: int = 4, budget: int = 512, n_shards: int = 8,
+    seed: str = "p42",
+) -> str:
+    shard = sql_md5_long(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, {_quality_score_sql()} AS q,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    tiled AS (
+        SELECT doc_id, q, n_tokens,
+               CAST(NTILE({n_phases}) OVER (ORDER BY q DESC, doc_id ASC)
+                    AS BIGINT) AS phase,
+               ({shard} % {n_shards}) AS shard
+        FROM scored
+    ),
+    placed AS (
+        SELECT phase, shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY phase, shard
+                                   ORDER BY q DESC, doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start
+        FROM tiled
+    )
+    SELECT phase, shard,
+           CAST(FLOOR(start / {budget}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM placed
+    GROUP BY phase, shard, bin_id
+    """
+
+
+@query("curriculum_pack", oracle=_curriculum_pack_oracle())
+def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-phase-ordered packed shards (VERDICT r14 #7): the
+    composition quality_curriculum × token_pack_sharded a trainer
+    actually mounts — every doc takes its exact quality-quantile
+    phase (range-partitioned NTILE, no single-task sort), then packs
+    into 512-token context windows inside deterministic md5 shards
+    WITHIN its phase, in curriculum order (score DESC, doc_id ASC), so
+    phases never share a bin and the whole manifest is bit-reproducible.
+    Reference scope: extends the curation tier."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.curriculum_pack(
+        t["documents"], n_phases=4, budget=512, n_shards=8
+    )
+
+
 def _lang_id_oracle() -> str:
     toks = f"list_distinct({_Q_TOKENS_LOWER})"
     score = {
@@ -6642,6 +6697,55 @@ def q_ann_ivfpq_rerank_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), shortlist=20, k=5,
         centroids=cent, codebook=cb, codes=codes,
     )
+
+
+@query("ann_ivfpq_rerank_stream", oracle=ORACLES["ann_ivfpq_rerank"])
+def q_ann_ivfpq_rerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivfpq_rerank served END-TO-END from a live streaming
+    deployment (VERDICT r14 #3's enforced seam): the embeddings are
+    delivered to ``run_embedding_ingest(ivfpq=True,
+    store_flat_embeddings=True)`` as one micro-batch, then
+    ``ivfpq_rerank_topk_streamed`` runs the multi-generation ADC
+    shortlist over the landed codes and the exact refine pass against
+    the landed FLAT zone — the deployment rule in code: store-once
+    (no flat zone) raises loudly instead of serving ADC-grade results
+    under a rerank name (measured: a retained-sample rerank recovers
+    ~7% of the flat rerank's recall lift — scripts/bench_rerank.py).
+    Same oracle as the batch form: single-batch delivery reproduces
+    the strided fit bit-exactly and the refine arithmetic is shared."""
+    import shutil
+
+    from .streaming.pipeline import (
+        ivfpq_rerank_topk_streamed,
+        run_embedding_ingest,
+    )
+
+    base = _scratch_zone("q_ivfpq_rerank_stream")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_ivfpq_rrstream_"
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(raw)
+    try:
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivfpq=True, n_buckets=4, table_prefix=prefix,
+            store_flat_embeddings=True,
+        )
+        out = ivfpq_rerank_topk_streamed(
+            spark, tables["ivfpq_codes"], zone,
+            emb.filter(F.col("vec_id") < 10),
+            flat_table=tables["embeddings"], shortlist=20, k=5,
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @query(

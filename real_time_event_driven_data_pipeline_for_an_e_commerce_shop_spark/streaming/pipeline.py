@@ -31,6 +31,7 @@ touch all of them.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 
@@ -1279,6 +1280,126 @@ def ivfpq_topk_streamed(
     )
 
 
+def ivfpq_rerank_topk_streamed(
+    spark: SparkSession,
+    table: str,
+    zone_dir: str,
+    queries: DataFrame,
+    flat_table: str | None = None,
+    shortlist: int = 20,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    affine_max_cells: int | None = None,
+) -> DataFrame:
+    """Shortlist → EXACT rerank served from a live streaming zone —
+    and the ENFORCED seam of the store-once × rerank deployment rule
+    (VERDICT r14 #3, decided by measurement):
+
+    **store-once = ADC-only serving; rerank requires
+    ``store_flat_embeddings=True``.** The IVFPQ-only deployment keeps
+    codes + the ~6.7% strided fit diet and nothing else, and the best
+    rerank that corpus can run (exact-score the shortlist candidates
+    that happen to be sample ids, ADC for the rest) was measured at
+    sf0.1/shortlist 80: recall@10 0.050 vs 0.216 for the flat-zone
+    rerank (ADC-only floor 0.040) — ~7% of the refine tier's lift, so
+    sample-rerank is NOT offered and a missing flat zone fails loudly
+    here instead of silently serving ADC-grade results under a rerank
+    name (scripts/bench_rerank.py ``rerank_sample_s*`` rows;
+    BASELINE.md).
+
+    With a flat deployment (``run_embedding_ingest(
+    store_flat_embeddings=True)``), the ADC stage serves the landed
+    model + CURRENT-generation codes through the flat deployment's own
+    reader (:func:`read_ivfpq_codes` without retained-sample mode — a
+    flat refit re-encodes everything, so the store-once accretion
+    predicate would double-serve superseded rows here;
+    ``affine_max_cells`` composes the cell router), and the refine
+    stage broadcasts the |q|·shortlist id set against ONE pass over
+    the landed flat zone — the corpus is never crossed, same shape as
+    :func:`operators.similarity.ivfpq_rerank_topk`."""
+    from ..operators.similarity import (
+        as_double,
+        cosine,
+        ivfpq_topk,
+        ivfpq_topk_cell_affine,
+    )
+    from ..operators.similarity import det_round as _det_round
+
+    if flat_table is None or not spark.catalog.tableExists(flat_table):
+        raise ValueError(
+            "rerank requires the flat embeddings zone — the IVFPQ-only "
+            "store-once deployment (store_flat_embeddings=False) is "
+            "ADC-only serving: reranking against its retained ~6.7% "
+            "fit sample was measured at ~7% of the flat-zone rerank's "
+            "recall lift (scripts/bench_rerank.py), so it is not "
+            "offered. Ingest with store_flat_embeddings=True and pass "
+            "flat_table, or serve ivfpq_topk_streamed directly."
+        )
+    model = read_ivfpq_model(spark, zone_dir)
+    if model is None:
+        raise ValueError(
+            f"no landed IVFPQ model under {zone_dir} — run the "
+            f"embedding ingest with ivfpq=True first"
+        )
+    cent, cb = model
+    codes = read_ivfpq_codes(spark, table, zone_dir)
+    flat = read_manifest_zone(
+        spark, {"embeddings": flat_table}, zone_dir
+    )["embeddings"]
+    adc_fn = (
+        ivfpq_topk
+        if affine_max_cells is None
+        else functools.partial(
+            ivfpq_topk_cell_affine, max_cells=affine_max_cells
+        )
+    )
+    short = adc_fn(
+        flat, queries, k=shortlist, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+        centroids=cent, codebook=cb, codes=codes,
+    ).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("adc_sim")
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    scored = (
+        flat.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cvec"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_sim",
+            cosine(F.col("qvec"), F.col("cvec")).alias("_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn(
+            "sim_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            _det_round(F.col("_sim"), 6).alias("cosine_sim"),
+            "adc_sim",
+        )
+    )
+
+
 def run_embedding_ingest(
     spark: SparkSession,
     raw_dir: str,
@@ -1401,6 +1522,16 @@ def run_embedding_ingest(
     ``pq=True`` is rejected in this configuration: a PQ drift refit
     re-encodes the full corpus, which needs a raw-vector source (the
     flat zone or the IVF lists).
+
+    DEPLOYMENT RULE (r15, decided by measurement): **store-once =
+    ADC-only serving; the refine tier requires
+    ``store_flat_embeddings=True``.** Exact rerank needs flat vectors
+    for every shortlist candidate, and reranking against just the
+    retained ~6.7% fit diet recovers ~7% of the flat rerank's recall
+    lift at sf0.1 and ZERO at ×30 (scripts/bench_rerank.py
+    ``rerank_sample_s*``; BASELINE.md "store-once × rerank") — so
+    :func:`ivfpq_rerank_topk_streamed` refuses a zone without a flat
+    table rather than offering sample-rerank.
 
     ``lists_vector_dtype`` controls the IVF lists' on-disk vector
     column. ``"float"`` stores ``array<float>`` instead of

@@ -10,7 +10,23 @@ candidates quantization mis-ranked below the cut until recall
 saturates at the probe ceiling (candidates outside the probed cells
 are unreachable at any shortlist — that's n_probe's job).
 
-Usage: python scripts/bench_rerank.py [sf_dir]
+A scale ``factor`` inflates the corpus ×N under offset ids with a
+deterministic per-copy coordinate perturbation (copies are NEAR
+neighbors, not cosine-identical clones — identical copies would make
+every top-k a tie party), confirming off the toy corpus that the
+|q|·shortlist broadcast and the flat-vector equi-join hold: rerank
+cost must ride |q|·shortlist, never the corpus (VERDICT r14 #2).
+
+``rerank_sample_s*`` measures the STORE-ONCE question (VERDICT r14
+#3): the IVFPQ-only deployment retains flat vectors ONLY for the
+~6.7% fit diet (vec_id % 29 == 0 or % 31 == 0), so the best rerank it
+can run exact-scores just the shortlist candidates that happen to be
+sample ids and keeps the ADC estimate for the rest. The measured
+recall decides whether sample-rerank is worth offering or the
+deployment rule stays "store-once = ADC-only serving; rerank requires
+store_flat_embeddings=True".
+
+Usage: python scripts/bench_rerank.py [sf_dir] [factor]
 Prints one JSON line.
 """
 
@@ -47,12 +63,46 @@ def mean_recall(truth, approx):
     return round(sum(recalls) / len(recalls), 4)
 
 
+def _perturb(i: int):
+    # i binds as _perturb's parameter (a loop-variable closure would
+    # give every copy the last i); per-coordinate shift so copies are
+    # near-dups in COSINE, not rescaled clones (cosine is
+    # scale-invariant). NOTE: exactly 2 lambda params — F.transform
+    # counts a default arg as a third and rejects it.
+    shift = F.lit(0.002 * i)
+
+    def fn(x, j):
+        return (
+            x + (shift * ((j % 7).cast("double") - F.lit(3.0))).cast("float")
+        ).cast("float")
+
+    return fn
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     k = 10
     spark = get_spark("bench-rerank")
     spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if factor > 1:
+        max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+        emb = emb.select("vec_id", "embedding")
+        parts = [emb]
+        for i in range(1, factor):
+            parts.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * max_id)).alias("vec_id"),
+                    F.transform("embedding", _perturb(i)).alias(
+                        "embedding"
+                    ),
+                )
+            )
+        bulk = parts[0]
+        for p in parts[1:]:
+            bulk = bulk.unionByName(p)
+        emb = bulk.cache()
     queries = emb.filter(F.col("vec_id") < 50)
 
     t0 = time.perf_counter()
@@ -68,6 +118,8 @@ def main() -> None:
     out = {
         "metric": "ivfpq_rerank_recall",
         "sf_dir": sf_dir,
+        "factor": factor,
+        "n_vectors": emb.count(),
         "k": k,
         "n_queries": 50,
         "brute_force_sec": brute_sec,
@@ -100,6 +152,63 @@ def main() -> None:
             {
                 "serve": f"rerank_s{shortlist}",
                 "recall_at_10": mean_recall(truth, rer),
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+
+    # STORE-ONCE emulation: flat vectors exist ONLY for the retained
+    # ~6.7% fit diet, so exact-score the shortlist candidates that are
+    # sample ids and keep the ADC estimate for the rest (both estimate
+    # the same cosine, so coalesce-then-rank is the honest best the
+    # codes+sample corpus can serve)
+    sample = emb.filter(
+        (F.col("vec_id") % 29 == 0) | (F.col("vec_id") % 31 == 0)
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double("embedding").alias("qvec"),
+    )
+    for shortlist in (2 * k, 8 * k):
+        t0 = time.perf_counter()
+        short = similarity.ivfpq_topk(
+            emb, queries, k=shortlist,
+            centroids=cent, codebook=cb, codes=codes,
+        ).select(
+            "query_id", "neighbor_id",
+            F.col("cosine_sim").alias("adc_sim"),
+        )
+        exact = (
+            sample.select(
+                F.col("vec_id").alias("neighbor_id"),
+                similarity.as_double("embedding").alias("cvec"),
+            )
+            .join(F.broadcast(short.select("query_id", "neighbor_id")),
+                  "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id", "neighbor_id",
+                similarity.cosine(F.col("qvec"), F.col("cvec")).alias(
+                    "exact_sim"
+                ),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_score"), F.asc("neighbor_id")
+        )
+        hybrid = (
+            short.join(exact, ["query_id", "neighbor_id"], "left")
+            .withColumn(
+                "_score", F.coalesce("exact_sim", "adc_sim")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+        )
+        out["configs"].append(
+            {
+                "serve": f"rerank_sample_s{shortlist}",
+                "recall_at_10": mean_recall(truth, topk_sets(hybrid)),
                 "sec": round(time.perf_counter() - t0, 3),
             }
         )

@@ -809,6 +809,77 @@ def test_affine_router_over_multigen_streamed_serve(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_rerank_streamed_deployment_rule(spark, tmp_path):
+    """VERDICT r14 #3, decided by measurement and enforced in code:
+    store-once = ADC-only serving; rerank requires
+    ``store_flat_embeddings=True``. The store-once zone (no flat
+    table) must fail LOUDLY at the rerank seam — never silently serve
+    ADC-grade results under a rerank name — and the flat deployment's
+    streamed rerank must equal the batch refine form bit-for-bit
+    (single-batch delivery reproduces the strided fit), with the
+    affine router composing result-identically."""
+    import pytest
+
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+    )
+    from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+        ivfpq_rerank_topk_streamed,
+        run_embedding_ingest,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    tables: dict[str, str] = {}
+    tables2: dict[str, str] = {}
+    try:
+        # store-once zone: rerank refuses, names the rule
+        raw, zone, ckpt = (
+            str(tmp_path / d) for d in ("raw", "zone", "ckpt")
+        )
+        emb.write.mode("overwrite").parquet(raw)
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, ivfpq=True, ivf=False, n_buckets=4,
+            table_prefix="t_rr_once_", store_flat_embeddings=False,
+        )
+        with pytest.raises(ValueError, match="ADC-only serving"):
+            ivfpq_rerank_topk_streamed(
+                spark, tables["ivfpq_codes"], zone, queries,
+            )
+
+        # flat deployment: streamed rerank ≡ the batch refine form
+        raw2, zone2, ckpt2 = (
+            str(tmp_path / d) for d in ("raw2", "zone2", "ckpt2")
+        )
+        emb.write.mode("overwrite").parquet(raw2)
+        tables2 = run_embedding_ingest(
+            spark, raw2, zone2, ckpt2,
+            pq=False, ivfpq=True, n_buckets=4,
+            table_prefix="t_rr_flat_", store_flat_embeddings=True,
+        )
+        streamed = ivfpq_rerank_topk_streamed(
+            spark, tables2["ivfpq_codes"], zone2, queries,
+            flat_table=tables2["embeddings"], shortlist=20, k=5,
+        )
+        batch = ivfpq_rerank_topk(emb, queries, shortlist=20, k=5)
+        assert key(streamed) == key(batch)
+        affine = ivfpq_rerank_topk_streamed(
+            spark, tables2["ivfpq_codes"], zone2, queries,
+            flat_table=tables2["embeddings"], shortlist=20, k=5,
+            affine_max_cells=8,
+        )
+        assert key(affine) == key(batch)
+    finally:
+        for t in {**tables, **tables2}.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_ivfpq_topk_cell_affine_matches_plain_serve(spark, tmp_path):
     """The ADC twin of the grouped serve: result-identical to plain
     ivfpq_topk over both the in-plan form and a landed
