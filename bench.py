@@ -114,6 +114,7 @@ HEADLINE = [
     "duplicate_span_removal",
     "decontaminate_spans",
     "quality_curriculum",
+    "curriculum_pack",
     "copurchase_pagerank",
     "curation_funnel",
     "quality_logreg_train",

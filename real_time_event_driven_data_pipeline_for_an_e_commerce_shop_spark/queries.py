@@ -8233,89 +8233,86 @@ ORACLES["ann_ivfpq_affine"] = ORACLES["ann_ivfpq_topk"]
 
 
 _SWEEP_PRIORITY = [
-    # ---- r14 rotation ----------------------------------------------
-    # Group A - new or changed this round: the retained-sample
-    # freshness report (new query + ADVICE r13 #1), the multi-gate
-    # corpus freshness dashboard (new), the store-once
-    # reader/compactor crash-window clamp (ADVICE r13 #2 - re-verify
-    # the once lifecycle and the read_ivfpq_codes consumers), and the
-    # lists_vector_dtype="auto" default's ivf-ingest consumer. The
-    # four late-r14 ANN additions (rerank/refine, its state-served
-    # twin, hard-negative mining, the recall report) take the head:
-    # first driver rows.
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_rerank_state",
-    "hard_negative_mining",
-    "ann_recall_report",
+    # ---- r15 rotation ----------------------------------------------
+    # Group A - new or changed this round, first driver rows /
+    # re-gates: the streamed refine seam + the store-once x rerank
+    # deployment rule (ann_ivfpq_rerank_stream), the affine router
+    # over the multi-gen streamed serve (ann_ivfpq_affine_stream),
+    # the curriculum x packing composition (curriculum_pack), the
+    # four ADVICE-r14 fix sites (contrastive_triplets{,_state}'s
+    # broadcast orientation, the decontamination gate's
+    # originally-empty-doc filter + the measured probe-set size gate,
+    # ivf_cell_stats' lists-only cell universe + universe-sized
+    # imbalance, matryoshka_recall's empty-dims guard), and
+    # ann_ivfpq_once_stream (ivfpq_topk_streamed refactored around
+    # the shared _scores closure - re-gate the plain path).
+    "ann_ivfpq_rerank_stream",
+    "ann_ivfpq_affine_stream",
+    "curriculum_pack",
     "contrastive_triplets",
-    "duplicate_span_removal",
-    "matryoshka_recall",
+    "contrastive_triplets_state",
     "decontaminate_spans",
     "decontaminate_spans_stream",
-    "quality_curriculum",
     "ivf_cell_stats",
-    "ann_recall_report_state",
-    "contrastive_triplets_state",
-    "stream_zone_freshness_once",
-    "stream_zone_freshness_compacted",
-    "stream_zone_freshness_corpus",
-    "stream_zone_freshness",
-    "ann_ivf_affine",
-    "ann_ivfpq_affine",
+    "matryoshka_recall",
     "ann_ivfpq_once_stream",
-    "ann_ivfpq_stream",
-    "ann_ivf_stream",
-    # Group B - ALL 13 entries whose freshest driver row is r10
-    # (VERDICT r13 "What's missing" #1); moves the freshness floor
-    # to r11.
-    "kpi_unpivot",
-    "lm_perplexity_bigram_state",
-    "lm_perplexity_state",
-    "market_basket",
-    "ngram_jaccard",
-    "ngram_novelty",
-    "order_kpi_bucketed",
-    "revenue_deciles",
-    "rfm_segments",
-    "semantic_neardup_auto",
-    "sessionize",
-    "source_token_drift",
-    "text_quality",
-    # Group C - r11-stale entries, alphabetical first 15 of 42 (the
-    # remaining 27 - doc_fingerprint, embedding_neardup,
-    # event_json_kpi, event_props_typed, global_sales_opportunity,
-    # important_parts, incremental_dedup, lang_id, lineitem_stats,
-    # lm_perplexity, lm_perplexity_bigram, min_cost_supplier and
-    # order_kpi (yielded their slots to the thirteen late-r14
-    # entries: ann_ivfpq_rerank, ann_ivfpq_rerank_state,
-    # hard_negative_mining, ann_recall_report,
-    # ann_recall_report_state, contrastive_triplets,
-    # contrastive_triplets_state, duplicate_span_removal,
-    # matryoshka_recall, decontaminate_spans,
-    # decontaminate_spans_stream, quality_curriculum, ivf_cell_stats),
-    # parts_supplier_relationship, pii_redaction, quality_logreg_train
-    # and quality_model (yielded their slots to the four earlier r14
-    # entries: stream_zone_freshness_corpus,
-    # stream_zone_freshness_compacted, ann_ivf_affine,
-    # ann_ivfpq_affine), text_semantic_neardup, tfidf_cosine_pairs,
-    # token_count_bpe, token_pack, token_stats, top_supplier,
-    # validate_order_items, validate_orders, validation_rejects,
-    # winnowing_fingerprint - rotate in r15).
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_srp_topk",
-    "ansi_sql_passthrough",
-    "approx_distinct_users",
-    "bm25_search",
-    "bpe_doc_token_count",
-    "bpe_merges",
-    "bpe_subword_stats",
-    "chunk_dedup",
-    "contamination_check",
-    "curation_funnel",
-    "daily_activity_full_outer",
-    "dedup_minhash",
-    "dedup_simhash",
+    # Group B - ALL 27 entries whose freshest driver row is r11
+    # (VERDICT r14 "What's missing" #1 / next-round #1); moves the
+    # freshness floor to r12.
+    "doc_fingerprint",
+    "embedding_neardup",
+    "event_json_kpi",
+    "event_props_typed",
+    "global_sales_opportunity",
+    "important_parts",
+    "incremental_dedup",
+    "lang_id",
+    "lineitem_stats",
+    "lm_perplexity",
+    "lm_perplexity_bigram",
+    "min_cost_supplier",
+    "order_kpi",
+    "parts_supplier_relationship",
+    "pii_redaction",
+    "quality_logreg_train",
+    "quality_model",
+    "text_semantic_neardup",
+    "tfidf_cosine_pairs",
+    "token_count_bpe",
+    "token_pack",
+    "token_stats",
+    "top_supplier",
+    "validate_order_items",
+    "validate_orders",
+    "validation_rejects",
+    "winnowing_fingerprint",
+    # Group C - oldest r12-stale entries, alphabetical first 13 of 47
+    # (activity_dtw_topk ... customer_distribution take the remaining
+    # slots; the other 34 r12-stale entries - daily_anomalies,
+    # daily_revenue_wow, daily_trend, discounted_revenue,
+    # doc_repetition, dsir_selection, embedding_quantize_int8,
+    # event_type_pivot, events_hourly, fuzzy_name_pairs, hll_vocab,
+    # hll_vocab_stream, hybrid_search_rrf, media_features,
+    # mixture_weights, order_priority_counts, price_quantiles,
+    # price_quantiles_gk, price_quantiles_stream, pricing_summary,
+    # promotion_suppliers, quality_logreg_l2, quality_logreg_scored,
+    # region_revenue, salted_join_agg, semantic_neardup_scaled,
+    # source_quota_sample, status_priority_cube, stratified_sample,
+    # token_pack_sharded, top_customers, trailing_revenue_window,
+    # waiting_suppliers - rotate in r16).
+    "activity_dtw_topk",
+    "activity_similarity_topk",
+    "ann_ivf_trained_state",
+    "ann_pq_stream",
+    "ann_srp_multitable",
+    "asof_last_order",
+    "big_orders",
+    "bpe_doc_token_count_stream",
+    "chunk_documents",
+    "click_attribution",
+    "cluster_assignment_stream",
+    "cms_heavy_hitters_stream",
+    "customer_distribution",
 ]
 
 

@@ -1097,6 +1097,92 @@ def read_fit_sample(
     ].select("vec_id", "embedding")
 
 
+def _load_ivfpq_multigen(
+    spark: SparkSession, table: str, zone_dir: str
+):
+    """The store-once serve's model state: ``(meta, codes_g, cents_g,
+    cb_g)`` with every table carrying a ``gen`` column (codes via the
+    retained-sample reader; centroids/codebooks unioned per live
+    generation), or None when no model/generations have landed.
+    Shared by :func:`ivfpq_topk_streamed` and the read-fraction
+    measurement harness (scripts/bench_affine_stream.py)."""
+    from ..operators.similarity import _coarse_centroids
+
+    meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
+    if meta is None:
+        return None
+    codes = read_ivfpq_codes(
+        spark, table, zone_dir, retained_sample_mode=True
+    )
+    gens = sorted(
+        r["model_gen"]
+        for r in codes.select("model_gen").distinct().collect()
+        if r["model_gen"] is not None and r["model_gen"] >= 0
+    )
+    if not gens:
+        return None
+    cents_parts, cb_parts = [], []
+    for g in gens:
+        model = read_ivfpq_model(spark, zone_dir, g)
+        if model is None:
+            raise ValueError(
+                f"ivfpq codes landed under gen {g} but no model dir "
+                f"exists for it — zone and model dirs are out of sync"
+            )
+        cent, cb = model
+        cents_parts.append(
+            _coarse_centroids(cent).withColumn(
+                "gen", F.lit(g).cast("long")
+            )
+        )
+        cb_parts.append(cb.withColumn("gen", F.lit(g).cast("long")))
+    cents_g = cents_parts[0]
+    for c in cents_parts[1:]:
+        cents_g = cents_g.unionByName(c)
+    cb_g = cb_parts[0]
+    for c in cb_parts[1:]:
+        cb_g = cb_g.unionByName(c)
+    return meta, codes.withColumnRenamed("model_gen", "gen"), cents_g, cb_g
+
+
+def _multigen_probe_rows(
+    queries: DataFrame,
+    cents_g: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per (query, gen) the top-``n_probe`` probed cells under that
+    generation's centroids — the exact selection rule and tie-break
+    (_csim DESC, cluster_id ASC) ``_ivfpq_scores_multigen`` applies
+    inside the serve, factored out so the affine router and the
+    read-fraction harness group by the same composite cells the scan
+    will actually touch."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import as_double, cosine
+
+    qv = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    wprobe = Window.partitionBy("query_id", "gen").orderBy(
+        F.desc("_csim"), F.asc("cluster_id")
+    )
+    return (
+        qv.join(F.broadcast(cents_g))
+        .select(
+            "query_id",
+            "gen",
+            F.col("cid").alias("cluster_id"),
+            cosine(F.col("qvec"), F.col("cvec")).alias("_csim"),
+        )
+        .withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "gen", "cluster_id")
+    )
+
+
 def ivfpq_topk_streamed(
     spark: SparkSession,
     table: str,
@@ -1150,57 +1236,19 @@ def ivfpq_topk_streamed(
     probes ``n_probe × G`` composite cells, so the cap must be at
     least that."""
     from ..operators.similarity import (
-        _coarse_centroids,
         _ivfpq_scores_multigen,
-        as_double,
         cell_affine_groups,
-        cosine,
     )
     from ..operators.similarity import det_round as _det_round
 
-    meta = _read_model_meta(zone_dir, IVFPQ_MODEL_DIR)
-    if meta is None:
+    loaded = _load_ivfpq_multigen(spark, table, zone_dir)
+    if loaded is None:
         return spark.createDataFrame(
             [],
             "query_id long, neighbor_id long, sim_rank long, "
             "cosine_sim double",
         )
-    codes = read_ivfpq_codes(
-        spark, table, zone_dir, retained_sample_mode=True
-    )
-    gens = sorted(
-        r["model_gen"]
-        for r in codes.select("model_gen").distinct().collect()
-        if r["model_gen"] is not None and r["model_gen"] >= 0
-    )
-    if not gens:
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, sim_rank long, "
-            "cosine_sim double",
-        )
-    cents_parts, cb_parts = [], []
-    for g in gens:
-        model = read_ivfpq_model(spark, zone_dir, g)
-        if model is None:
-            raise ValueError(
-                f"ivfpq codes landed under gen {g} but no model dir "
-                f"exists for it — zone and model dirs are out of sync"
-            )
-        cent, cb = model
-        cents_parts.append(
-            _coarse_centroids(cent).withColumn(
-                "gen", F.lit(g).cast("long")
-            )
-        )
-        cb_parts.append(cb.withColumn("gen", F.lit(g).cast("long")))
-    cents_g = cents_parts[0]
-    for c in cents_parts[1:]:
-        cents_g = cents_g.unionByName(c)
-    cb_g = cb_parts[0]
-    for c in cb_parts[1:]:
-        cb_g = cb_g.unionByName(c)
-    codes_g = codes.withColumnRenamed("model_gen", "gen")
+    meta, codes_g, cents_g, cb_g = loaded
     from pyspark.sql import Window
 
     def _scores(qdf: DataFrame) -> DataFrame:
@@ -1224,26 +1272,9 @@ def ivfpq_topk_streamed(
         # and tie-break _ivfpq_scores_multigen applies inside each
         # group's plan, so grouping never changes WHICH cells serve a
         # query, only which scan does
-        qv = queries.select(
-            F.col(id_col).cast("long").alias("query_id"),
-            as_double(F.col(vec_col)).alias("qvec"),
-        )
-        wprobe = Window.partitionBy("query_id", "gen").orderBy(
-            F.desc("_csim"), F.asc("cluster_id")
-        )
-        probe_rows = (
-            qv.join(F.broadcast(cents_g))
-            .select(
-                "query_id",
-                "gen",
-                F.col("cid").alias("cluster_id"),
-                cosine(F.col("qvec"), F.col("cvec")).alias("_csim"),
-            )
-            .withColumn("_pr", F.row_number().over(wprobe))
-            .filter(F.col("_pr") <= n_probe)
-            .select("query_id", "gen", "cluster_id")
-            .collect()
-        )
+        probe_rows = _multigen_probe_rows(
+            queries, cents_g, n_probe, id_col, vec_col
+        ).collect()
         # composite (gen, cell) → dense int, deterministically ordered
         cell_ids = {
             gc: i
