@@ -84,6 +84,7 @@ HEADLINE = [
     "hard_negative_mining",
     "ann_recall_report",
     "ivf_cell_stats",
+    "ivf_probe_tuning",
     "tfidf_cosine_pairs",
     "winnowing_fingerprint",
     "token_count_bpe",
@@ -368,7 +369,18 @@ def main() -> None:
                 and f[len("BENCH_r"): -len(".json")].isdigit()
             ]
             n = max(rounds, default=0) + 1
-            path = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
+            # --record-suffix b → BENCH_LOCAL_r{n}b.json: the
+            # supplemental ROUND-END record for entries added after
+            # the round-start snapshot (VERDICT r14 #6) — late
+            # additions get a committed idle-box record instead of
+            # prose numbers, without overwriting the round-start file
+            suffix = ""
+            argv = sys.argv[1:]
+            if "--record-suffix" in argv:
+                suffix = argv[argv.index("--record-suffix") + 1]
+            path = os.path.join(
+                here, f"BENCH_LOCAL_r{n:02d}{suffix}.json"
+            )
             with open(path, "w") as f:
                 json.dump(record, f, indent=1)
         except OSError:

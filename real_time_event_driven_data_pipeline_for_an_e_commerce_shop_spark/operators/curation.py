@@ -909,6 +909,54 @@ def curriculum_pack(
     phases × shards — the largest PACKING domain is a shard, not a
     phase, so raise ``n_shards`` with the corpus exactly as
     ``token_pack_sharded`` documents."""
+    placed = _curriculum_placed(documents, n_phases, budget, n_shards, seed)
+    return placed.groupBy("phase", "shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+def curriculum_assignments(
+    documents: DataFrame,
+    n_phases: int = 4,
+    budget: int = 512,
+    n_shards: int = 8,
+    seed: str = "p42",
+) -> DataFrame:
+    """:func:`curriculum_pack` at DOC grain — the placement table a
+    data loader actually JOINS: for every document its curriculum
+    phase, packing shard, the bin where it starts, and its token
+    offset inside that bin (concat-then-chunk semantics: a doc belongs
+    to the window it starts in; long docs overflow into the following
+    windows of the same shard stream). ``curriculum_pack`` is exactly
+    this frame rolled up to (phase, shard, bin) — the manifest — so
+    the pair gives a training run both halves of the contract: the
+    manifest to mount, the assignment to resolve any doc_id to its
+    training position. Same determinism story (total order, pure
+    row-key shard), same oracle CTEs minus the roll-up."""
+    placed = _curriculum_placed(documents, n_phases, budget, n_shards, seed)
+    return placed.select(
+        "phase",
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "bin_id",
+        (F.col("_start") % budget).cast("long").alias("offset_in_bin"),
+    )
+
+
+def _curriculum_placed(
+    documents: DataFrame,
+    n_phases: int,
+    budget: int,
+    n_shards: int,
+    seed: str,
+) -> DataFrame:
+    """Shared placement grain of the curriculum-packing pair: scored +
+    token-counted docs, exact-NTILE phase, md5 shard, per-(phase,
+    shard) prefix-sum ``_start`` and the derived ``bin_id``."""
     from .olap_deep import global_ntile
     from .text import quality_model_score, tokens as _tok
 
@@ -933,19 +981,13 @@ def curriculum_pack(
         .orderBy(F.desc("model_quality"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    placed = tiled.withColumn("shard", shard).withColumn(
-        "_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
     return (
-        placed.withColumn(
-            "bin_id", F.floor(F.col("_start") / budget).cast("long")
+        tiled.withColumn("shard", shard)
+        .withColumn(
+            "_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
         )
-        .groupBy("phase", "shard", "bin_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min("doc_id").alias("first_doc_id"),
-            F.max("doc_id").alias("last_doc_id"),
+        .withColumn(
+            "bin_id", F.floor(F.col("_start") / budget).cast("long")
         )
     )
 

@@ -2039,6 +2039,81 @@ def matryoshka_recall(
     return out
 
 
+def ivf_probe_tuning(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 5,
+    n_clusters: int = 16,
+    stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    lists: DataFrame | None = None,
+) -> DataFrame:
+    """The n_probe TUNING TABLE — :func:`matryoshka_recall`'s decision
+    shape pulled on the PROBE axis: recall@k of the IVF serve against
+    exact search, one row per candidate ``n_probe``, with the exact
+    read-fraction each setting pays (``n_probe / n_clusters`` of the
+    lists zone under DPP — the other column of the trade). This is the
+    table a deployment reads before pinning its probe budget: recall
+    rises with probed cells, bytes rise linearly, and the knee is a
+    data property the report makes visible (the script form lives in
+    ``scripts/ivf_recall_curve.py``; this is the hash-gated
+    measurement-as-data twin that can run per-deploy on a query
+    sample, beside ``ivf_cell_stats`` and ``ann_recall_report``).
+
+    One quantizer serves every row (pass ``centroids``/``lists`` for a
+    landed zone, same contract as :func:`ivf_topk`); only the probe
+    cut varies, so differences between rows are pure probe-budget
+    effects, never fit noise. ``mean_recall`` is exact integer
+    arithmetic (Σ hits / (|q|·k)) — hash-stable.
+    """
+    if not n_probes:
+        raise ValueError("n_probes must be non-empty")
+    exact = brute_force_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    outs = []
+    for p in n_probes:
+        approx = ivf_topk(
+            embeddings,
+            queries,
+            n_clusters=n_clusters,
+            n_probe=p,
+            k=k,
+            stride=stride,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+            lists=lists,
+        )
+        outs.append(
+            recall_report(exact, approx, k)
+            .agg(
+                F.sum("hits").cast("long").alias("total_hits"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "total_hits",
+                "n_queries",
+                det_round(
+                    F.col("total_hits").cast("double")
+                    / (F.col("n_queries") * F.lit(k)).cast("double"),
+                    4,
+                ).alias("mean_recall"),
+                det_round(
+                    F.lit(float(p)) / F.lit(float(n_clusters)), 4
+                ).alias("read_fraction"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _ivfpq_scores_multigen(
     queries: DataFrame,
     cents_g: DataFrame,

@@ -712,13 +712,14 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_curriculum(t["documents"], n_phases=4)
 
 
-def _curriculum_pack_oracle(
-    n_phases: int = 4, budget: int = 512, n_shards: int = 8,
-    seed: str = "p42",
+def _curriculum_placed_ctes(
+    n_phases: int = 4, n_shards: int = 8, seed: str = "p42",
 ) -> str:
+    """Shared CTE chain of the curriculum-packing pair (manifest +
+    doc-grain assignment): score, exact NTILE phase, md5 shard,
+    per-(phase, shard) prefix-sum start."""
     shard = sql_md5_long(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
-    return f"""
-    WITH scored AS (
+    return f"""scored AS (
         SELECT doc_id, {_quality_score_sql()} AS q,
                CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
         FROM documents
@@ -737,7 +738,15 @@ def _curriculum_pack_oracle(
                                    ROWS UNBOUNDED PRECEDING) - n_tokens
                    AS start
         FROM tiled
-    )
+    )"""
+
+
+def _curriculum_pack_oracle(
+    n_phases: int = 4, budget: int = 512, n_shards: int = 8,
+    seed: str = "p42",
+) -> str:
+    return f"""
+    WITH {_curriculum_placed_ctes(n_phases, n_shards, seed)}
     SELECT phase, shard,
            CAST(FLOOR(start / {budget}.0) AS BIGINT) AS bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -763,6 +772,31 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir, "documents")
     return curation.curriculum_pack(
+        t["documents"], n_phases=4, budget=512, n_shards=8
+    )
+
+
+@query(
+    "curriculum_assignments",
+    oracle=f"""
+    WITH {_curriculum_placed_ctes()}
+    SELECT phase, shard, doc_id, n_tokens,
+           CAST(FLOOR(start / 512.0) AS BIGINT) AS bin_id,
+           CAST((start % 512) AS BIGINT) AS offset_in_bin
+    FROM placed
+    """,
+)
+def q_curriculum_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curriculum_pack at DOC grain — the placement table a data
+    loader joins: every document's phase, packing shard, starting bin,
+    and token offset inside that bin (concat-then-chunk semantics).
+    The manifest (curriculum_pack) is exactly this frame rolled up,
+    so the pair is the full loader contract; same shared oracle CTEs
+    minus the roll-up. Reference scope: extends the curation tier."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.curriculum_assignments(
         t["documents"], n_phases=4, budget=512, n_shards=8
     )
 
@@ -6839,6 +6873,103 @@ def q_ann_recall_report_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.recall_report(exact, approx, k=5)
 
 
+def _ivf_probe_tuning_oracle(
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 5,
+    n_clusters: int = 16,
+) -> str:
+    cos = (
+        "(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))))"
+    )
+    branches = []
+    for p in n_probes:
+        branches.append(f"""
+    approx{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM scored WHERE prn <= {p})
+        WHERE rn <= {k}
+    ),
+    row{p} AS (
+        SELECT CAST({p} AS BIGINT) AS n_probe,
+               CAST(COUNT(a.query_id) AS BIGINT) AS total_hits,
+               CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+               {round_sql(f"COUNT(a.query_id) / (COUNT(DISTINCT e.query_id) * {k}.0)", 4)}
+                   AS mean_recall,
+               {round_sql(f"{p} / {n_clusters}.0", 4)} AS read_fraction
+        FROM exact e
+        LEFT JOIN approx{p} a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM row{p}" for p in n_probes
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cid, vec AS cvec FROM v
+        WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT {n_clusters}
+    ),
+    assign AS (
+        SELECT vec_id, cid, vec FROM (
+            SELECT a.vec_id, c.cid, a.vec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cos.format(a="a.vec", b="c.cvec")} DESC,
+                           c.cid ASC) AS rn
+            FROM v a CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    prank AS (
+        SELECT q.vec_id AS query_id, c.cid, q.vec AS qvec,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cos.format(a="q.vec", b="c.cvec")} DESC,
+                       c.cid ASC) AS prn
+        FROM v q CROSS JOIN cents c WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT p.query_id, p.prn, a.vec_id AS neighbor_id,
+               {cos.format(a="p.qvec", b="a.vec")} AS sim
+        FROM prank p JOIN assign a USING (cid)
+        WHERE a.vec_id != p.query_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY {cos.format(a="a.vec", b="b.vec")} DESC,
+                           a.vec_id ASC) AS rn
+            FROM v a CROSS JOIN v b
+            WHERE b.vec_id < 10 AND a.vec_id != b.vec_id)
+        WHERE rn <= {k}
+    ),{",".join(branches)}
+    {union}
+    """
+
+
+@query("ivf_probe_tuning", oracle=_ivf_probe_tuning_oracle())
+def q_ivf_probe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe TUNING TABLE (measurement as data, the matryoshka
+    decision shape on the PROBE axis): recall@5 of the IVF serve vs
+    exact search at n_probe ∈ {1,2,4,8}, beside the exact
+    read-fraction each setting pays (n_probe/n_clusters of the lists
+    zone under DPP) — the two columns a deployment trades when pinning
+    its probe budget. One strided quantizer serves every row, so
+    differences are pure probe-budget effects; integer-exact mean
+    recall hash-gates cleanly. Reference scope: extends the ANN
+    tier."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_probe_tuning(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_probes=(1, 2, 4, 8), k=5,
+    )
+
+
 @query(
     "contrastive_triplets_state",
     oracle=ORACLES["contrastive_triplets"],
@@ -8249,6 +8380,8 @@ _SWEEP_PRIORITY = [
     "ann_ivfpq_rerank_stream",
     "ann_ivfpq_affine_stream",
     "curriculum_pack",
+    "curriculum_assignments",
+    "ivf_probe_tuning",
     "contrastive_triplets",
     "contrastive_triplets_state",
     "decontaminate_spans",
@@ -8286,9 +8419,10 @@ _SWEEP_PRIORITY = [
     "validate_orders",
     "validation_rejects",
     "winnowing_fingerprint",
-    # Group C - oldest r12-stale entries, alphabetical first 13 of 47
-    # (activity_dtw_topk ... customer_distribution take the remaining
-    # slots; the other 34 r12-stale entries - daily_anomalies,
+    # Group C - oldest r12-stale entries, alphabetical first 11 of 47
+    # (activity_dtw_topk ... cluster_assignment_stream take the
+    # remaining slots; the other 36 r12-stale entries -
+    # cms_heavy_hitters_stream, customer_distribution, daily_anomalies,
     # daily_revenue_wow, daily_trend, discounted_revenue,
     # doc_repetition, dsir_selection, embedding_quantize_int8,
     # event_type_pivot, events_hourly, fuzzy_name_pairs, hll_vocab,
@@ -8311,8 +8445,9 @@ _SWEEP_PRIORITY = [
     "chunk_documents",
     "click_attribution",
     "cluster_assignment_stream",
-    "cms_heavy_hitters_stream",
-    "customer_distribution",
+    # (customer_distribution and cms_heavy_hitters_stream yielded
+    # their slots to the late-r15 additions ivf_probe_tuning and
+    # curriculum_assignments — they rotate with the r16 Group-C tail)
 ]
 
 

@@ -300,6 +300,30 @@ def test_matryoshka_empty_dims_raises(spark, emb):
         similarity.matryoshka_recall(emb, q, dims=())
 
 
+def test_ivf_probe_tuning_monotone_and_exact_at_probe_all(spark, emb):
+    """The n_probe tuning table's value contracts: candidate sets nest
+    as n_probe grows and every candidate is exactly scored, so recall
+    is NON-DECREASING in n_probe; probing every cell (n_probe =
+    n_clusters) IS brute force, so that row's recall is exactly 1.0;
+    read_fraction is the arithmetic n_probe/n_clusters."""
+    q = emb.filter(F.col("vec_id") < 10)
+    rows = {
+        r["n_probe"]: r
+        for r in similarity.ivf_probe_tuning(
+            emb, q, n_probes=(1, 4, 16), k=5
+        ).collect()
+    }
+    assert rows[16].mean_recall == 1.0
+    assert rows[16].total_hits == 50
+    hits = [rows[p].total_hits for p in (1, 4, 16)]
+    assert hits == sorted(hits)
+    for p in (1, 4, 16):
+        assert rows[p].n_queries == 10
+        assert rows[p].read_fraction == pytest.approx(p / 16.0)
+    with pytest.raises(ValueError, match="n_probes must be non-empty"):
+        similarity.ivf_probe_tuning(emb, q, n_probes=())
+
+
 def test_rerank_recall_not_below_adc_recall(spark, emb):
     """Refinement reorders the candidate set by the TRUE metric, so
     recall@k against the exact baseline cannot drop vs ranking the

@@ -176,6 +176,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "(one per truncation dim) — the 10-row query set broadcasts "
         "against the corpus; the report itself is one-row aggregates"
     ),
+    "ivf_probe_tuning": (
+        "ann_cosine_topk's documented exact baseline (the ground-truth "
+        "side) plus ann_ivf_topk's k-centroid broadcasts — one "
+        "quantizer, four probe cuts; the report is one-row aggregates"
+    ),
     "ann_recall_report": (
         "built on ann_cosine_topk's exact baseline (the report's "
         "ground-truth side) plus ann_ivfpq_topk's k-centroid "
