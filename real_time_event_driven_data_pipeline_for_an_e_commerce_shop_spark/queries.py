@@ -6222,7 +6222,8 @@ def _ann_recall_oracle(k: int = 5) -> str:
 def _ivfpq_once_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
                        sub: int = 16, n_codes: int = 16, stride: int = 29,
                        cb_stride: int = 31, k: int = 5,
-                       offset: int = 1_000_000) -> str:
+                       offset: int = 1_000_000,
+                       recall_tail: bool = False) -> str:
     """DuckDB mirror of the IVFPQ-only STORE-ONCE lifecycle
     (``run_embedding_ingest(store_flat_embeddings=False, ivfpq=True,
     ivf=False)`` + ``ivfpq_topk_streamed``): two full IVFADC model
@@ -6352,7 +6353,7 @@ def _ivfpq_once_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
         JOIN q USING (query_id)
     )"""
 
-    return f"""
+    body = f"""
     WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
     w2 AS (
         SELECT vec_id + {offset} AS vec_id,
@@ -6376,13 +6377,50 @@ def _ivfpq_once_oracle(n_clusters: int = 16, n_probe: int = 4, m: int = 4,
     sims AS (
         SELECT query_id, neighbor_id, sim FROM sims0
         UNION ALL SELECT query_id, neighbor_id, sim FROM sims1
-    )
+    )"""
+    if not recall_tail:
+        return body + f"""
     SELECT query_id, neighbor_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
            {round_sql("sim", 6)} AS cosine_sim
     FROM sims
     QUALIFY sim_rank <= {k}
+    """
+    # recall tail: the store-once serve's top-k vs brute force over
+    # the UNION corpus (wave 1 ∪ the drift wave) — recall_report's
+    # (query_id, hits, k, recall_at_k) schema
+    return body + f""",
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM sims)
+        WHERE rn <= {k}
+    ),
+    u AS (
+        SELECT vec_id, vec FROM v
+        UNION ALL SELECT vec_id, vec FROM w2
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY {cos.format(a="a.vec", b="b.vec")} DESC,
+                           a.vec_id ASC) AS rn
+            FROM u a CROSS JOIN v b
+            WHERE b.vec_id < 10 AND a.vec_id != b.vec_id)
+        WHERE rn <= {k}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.query_id) AS BIGINT) AS hits,
+           CAST({k} AS BIGINT) AS k,
+           {round_sql(f"COUNT(a.query_id) / {k}.0", 4)} AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
     """
 
 
@@ -6500,6 +6538,70 @@ def q_ann_ivfpq_affine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id") < 10), k=5,
             affine_max_cells=12,
         )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "ann_recall_report_once_stream",
+    oracle=_ivfpq_once_oracle(recall_tail=True),
+)
+def q_ann_recall_report_once_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The recall loop closed on the FLAGSHIP deployment: per-query
+    recall@5 of the IVFPQ-only store-once multi-generation serve
+    against brute force over the UNION corpus (wave 1 ∪ the ×100
+    drift wave) — the health number the codes-only deployment watches,
+    since it can never rerank (store-once = ADC-only serving; see
+    ivfpq_rerank_topk_streamed). Zone setup is byte-identical to
+    ann_ivfpq_once_stream; the oracle rebuilds both generations'
+    IVFADC chains AND the exact baseline, so a generation leak, a
+    wrong refit diet, or a recall miscount all hash-mismatch."""
+    import shutil
+
+    from .streaming.pipeline import (
+        ivfpq_topk_streamed,
+        run_embedding_ingest,
+    )
+
+    base = _scratch_zone("q_once_recall")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_once_recall_"
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    drift = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 100).cast("float")
+        ).alias("embedding"),
+    )
+    try:
+        tables = {}
+        for wave in (emb, drift):
+            wave.write.mode("append").parquet(raw)
+            tables = run_embedding_ingest(
+                spark, raw, zone, ckpt,
+                pq=False, ivfpq=True, ivf=False, n_buckets=4,
+                table_prefix=prefix, store_flat_embeddings=False,
+            )
+        queries = emb.filter(F.col("vec_id") < 10)
+        approx = ivfpq_topk_streamed(
+            spark, tables["ivfpq_codes"], zone, queries, k=5,
+        )
+        exact = similarity.brute_force_topk(
+            emb.unionByName(drift), queries, k=5
+        )
+        out = similarity.recall_report(exact, approx, k=5)
         res_dir = os.path.join(base, "result")
         out.write.mode("overwrite").parquet(res_dir)
         return spark.read.parquet(res_dir)
@@ -8382,6 +8484,7 @@ _SWEEP_PRIORITY = [
     "curriculum_pack",
     "curriculum_assignments",
     "ivf_probe_tuning",
+    "ann_recall_report_once_stream",
     "contrastive_triplets",
     "contrastive_triplets_state",
     "decontaminate_spans",
@@ -8419,10 +8522,11 @@ _SWEEP_PRIORITY = [
     "validate_orders",
     "validation_rejects",
     "winnowing_fingerprint",
-    # Group C - oldest r12-stale entries, alphabetical first 11 of 47
-    # (activity_dtw_topk ... cluster_assignment_stream take the
-    # remaining slots; the other 36 r12-stale entries -
-    # cms_heavy_hitters_stream, customer_distribution, daily_anomalies,
+    # Group C - oldest r12-stale entries, alphabetical first 10 of 47
+    # (activity_dtw_topk ... click_attribution take the remaining
+    # slots; the other 37 r12-stale entries -
+    # cluster_assignment_stream, cms_heavy_hitters_stream,
+    # customer_distribution, daily_anomalies,
     # daily_revenue_wow, daily_trend, discounted_revenue,
     # doc_repetition, dsir_selection, embedding_quantize_int8,
     # event_type_pivot, events_hourly, fuzzy_name_pairs, hll_vocab,
@@ -8444,10 +8548,11 @@ _SWEEP_PRIORITY = [
     "bpe_doc_token_count_stream",
     "chunk_documents",
     "click_attribution",
-    "cluster_assignment_stream",
-    # (customer_distribution and cms_heavy_hitters_stream yielded
-    # their slots to the late-r15 additions ivf_probe_tuning and
-    # curriculum_assignments — they rotate with the r16 Group-C tail)
+    # (customer_distribution, cms_heavy_hitters_stream and
+    # cluster_assignment_stream yielded their slots to the late-r15
+    # additions ivf_probe_tuning, curriculum_assignments and
+    # ann_recall_report_once_stream — they rotate with the r16
+    # Group-C tail)
 ]
 
 

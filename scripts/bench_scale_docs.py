@@ -38,6 +38,7 @@ SCALE_DOC_QUERIES = [
     "ngram_novelty",
     "duplicate_span_removal",
     "curation_funnel",
+    "curriculum_pack",
 ]
 # text_semantic_neardup (8-plane single-table) and the r=12-pinned
 # semantic_neardup_scaled gate are deliberately NOT in the default
