@@ -6979,7 +6979,12 @@ def _ivf_probe_tuning_oracle(
     n_probes: tuple[int, ...] = (1, 2, 4, 8),
     k: int = 5,
     n_clusters: int = 16,
+    trained: bool = False,
 ) -> str:
+    """``trained=True`` swaps the strided quantizer head for the
+    unrolled det-round-12 k-means chain (``_kmeans_ctes`` — the
+    ann_ivf_trained quantizer), mirroring the landed-model-zone serve;
+    everything downstream of ``cents`` is shared."""
     cos = (
         "(list_dot_product({a}, {b})"
         " / (sqrt(list_dot_product({a}, {a}))"
@@ -7010,12 +7015,20 @@ def _ivf_probe_tuning_oracle(
     union = "\n    UNION ALL ".join(
         f"SELECT * FROM row{p}" for p in n_probes
     )
-    return f"""
+    if trained:
+        head = f"""
+    WITH vz AS (SELECT vec_id AS doc_id, {SQL_VEC} AS vec FROM embeddings),
+    {_kmeans_ctes(n_clusters, 2)},
+    cents AS (SELECT cid, vec AS cvec FROM c2),
+    v AS (SELECT doc_id AS vec_id, vec FROM vz),"""
+    else:
+        head = f"""
     WITH v AS (SELECT vec_id, {SQL_VEC} AS vec FROM embeddings),
     cents AS (
         SELECT vec_id AS cid, vec AS cvec FROM v
         WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT {n_clusters}
-    ),
+    ),"""
+    return head + f"""
     assign AS (
         SELECT vec_id, cid, vec FROM (
             SELECT a.vec_id, c.cid, a.vec,
@@ -7069,6 +7082,33 @@ def q_ivf_probe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe_tuning(
         emb, emb.filter(F.col("vec_id") < 10),
         n_probes=(1, 2, 4, 8), k=5,
+    )
+
+
+@query(
+    "ivf_probe_tuning_state",
+    oracle=_ivf_probe_tuning_oracle(trained=True),
+)
+def q_ivf_probe_tuning_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_probe_tuning served from the LANDED trained-quantizer zone
+    (ROADMAP r16 #2, pulled forward) — the per-deploy tuning pass as
+    it actually runs: after a model lands, score recall-vs-probe-budget
+    on a query sample from the zone's own centroids +
+    cluster_id-partitioned inverted lists (each probe cut's scan
+    DPP-file-prunes to its cells), beside ivf_cell_stats' occupancy
+    and ann_recall_report_state's health row. The oracle swaps the
+    strided quantizer head for the det-round-12 k-means chain — the
+    landed centroids round-trip bit-exactly, so one oracle covers the
+    zone serve."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _ivf_model_zone(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(zone, "ivf_centroids"))
+    lists = spark.read.schema(
+        "vec_id long, embedding array<double>, cluster_id long"
+    ).parquet(os.path.join(zone, "ivf_lists"))
+    return similarity.ivf_probe_tuning(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_probes=(1, 2, 4, 8), k=5, centroids=cents, lists=lists,
     )
 
 
@@ -8484,6 +8524,7 @@ _SWEEP_PRIORITY = [
     "curriculum_pack",
     "curriculum_assignments",
     "ivf_probe_tuning",
+    "ivf_probe_tuning_state",
     "ann_recall_report_once_stream",
     "contrastive_triplets",
     "contrastive_triplets_state",
@@ -8522,9 +8563,9 @@ _SWEEP_PRIORITY = [
     "validate_orders",
     "validation_rejects",
     "winnowing_fingerprint",
-    # Group C - oldest r12-stale entries, alphabetical first 10 of 47
-    # (activity_dtw_topk ... click_attribution take the remaining
-    # slots; the other 37 r12-stale entries -
+    # Group C - oldest r12-stale entries, alphabetical first 9 of 47
+    # (activity_dtw_topk ... chunk_documents take the remaining
+    # slots; the other 38 r12-stale entries - click_attribution,
     # cluster_assignment_stream, cms_heavy_hitters_stream,
     # customer_distribution, daily_anomalies,
     # daily_revenue_wow, daily_trend, discounted_revenue,
@@ -8547,12 +8588,11 @@ _SWEEP_PRIORITY = [
     "big_orders",
     "bpe_doc_token_count_stream",
     "chunk_documents",
-    "click_attribution",
-    # (customer_distribution, cms_heavy_hitters_stream and
-    # cluster_assignment_stream yielded their slots to the late-r15
-    # additions ivf_probe_tuning, curriculum_assignments and
-    # ann_recall_report_once_stream — they rotate with the r16
-    # Group-C tail)
+    # (customer_distribution, cms_heavy_hitters_stream,
+    # cluster_assignment_stream and click_attribution yielded their
+    # slots to the late-r15 additions ivf_probe_tuning{,_state},
+    # curriculum_assignments and ann_recall_report_once_stream — they
+    # rotate with the r16 Group-C tail)
 ]
 
 

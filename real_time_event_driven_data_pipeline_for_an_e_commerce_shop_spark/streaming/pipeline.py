@@ -1193,6 +1193,7 @@ def ivfpq_topk_streamed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     affine_max_cells: int | None = None,
+    affine_sum_guard: float | None = None,
 ) -> DataFrame:
     """Multi-generation ADC top-k over an IVFPQ-only store-once zone.
 
@@ -1234,7 +1235,17 @@ def ivfpq_topk_streamed(
     top-k is independent; the same dual-chain oracle hash-gates both
     forms) — only the bytes each scan touches change. A single query
     probes ``n_probe × G`` composite cells, so the cap must be at
-    least that."""
+    least that.
+
+    ``affine_sum_guard`` makes the router SELF-LIMITING on
+    adversarially mixed batches: grouping can never read fewer TOTAL
+    bytes than the batch-union scan (every union cell sits in ≥ 1
+    group — measured Σ 2.07× the union on a random 10-query batch at
+    ×10, scripts/bench_affine_stream.py), so when Σ(group cells) >
+    guard × union cells the serve falls back to the single union-DPP
+    scan — same result, the cheaper plan. The guard trades per-scan
+    boundedness (each group ≤ max_cells) for total bytes; leave it
+    None when bounded per-scan memory/scheduling is the point."""
     from ..operators.similarity import (
         _ivfpq_scores_multigen,
         cell_affine_groups,
@@ -1289,6 +1300,14 @@ def ivfpq_topk_streamed(
             ],
             affine_max_cells,
         )
+        if affine_sum_guard is not None and groups:
+            # grouped scans can never beat the union's total bytes
+            # (every union cell sits in >= 1 group); on a mixed batch
+            # whose grouped sum overshoots the guard, the single
+            # union-DPP scan is the cheaper identical-result plan
+            total_cells = sum(len(cells) for _qids, cells in groups)
+            if total_cells > affine_sum_guard * len(cell_ids):
+                groups = []
         sim = None
         for qids, _cells in groups:
             part = _scores(queries.filter(F.col(id_col).isin(qids)))

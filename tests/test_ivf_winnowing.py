@@ -804,6 +804,28 @@ def test_affine_router_over_multigen_streamed_serve(spark, tmp_path):
                 spark, tables["ivfpq_codes"], zone, queries, k=5,
                 affine_max_cells=7,
             )
+
+        # the Σ-cost guard: Σ(group cells) ≥ union cells ALWAYS (every
+        # union cell sits in ≥ 1 group), so a sub-1.0 guard must
+        # trigger on any grouping — the serve falls back to ONE
+        # union-DPP scan, result identical
+        guarded = ivfpq_topk_streamed(
+            spark, tables["ivfpq_codes"], zone, queries, k=5,
+            affine_max_cells=8, affine_sum_guard=0.99,
+        )
+        # inspect BEFORE executing: AQE's post-execution plan string
+        # prints extra occurrences of the same scan
+        gplan = guarded._jdf.queryExecution().executedPlan().toString()
+        n_guard_scans = sum(
+            1
+            for line in gplan.splitlines()
+            if "ivfpq_codes" in line and "Scan" in line
+        )
+        assert n_guard_scans == 1, (
+            f"sum-guard should fall back to the single union scan, "
+            f"found {n_guard_scans} scans"
+        )
+        assert key(guarded) == key(plain)
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")

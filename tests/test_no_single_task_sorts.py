@@ -181,6 +181,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "side) plus ann_ivf_topk's k-centroid broadcasts — one "
         "quantizer, four probe cuts; the report is one-row aggregates"
     ),
+    "ivf_probe_tuning_state": (
+        "same exact-baseline broadcast as ivf_probe_tuning; the probe "
+        "cuts serve from the landed zone (k LANDED centroid rows "
+        "broadcast, DPP-pruned lists scans)"
+    ),
     "ann_recall_report": (
         "built on ann_cosine_topk's exact baseline (the report's "
         "ground-truth side) plus ann_ivfpq_topk's k-centroid "
