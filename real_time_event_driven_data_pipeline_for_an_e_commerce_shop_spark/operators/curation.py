@@ -947,6 +947,56 @@ def curriculum_assignments(
     )
 
 
+def write_curriculum_zone(
+    documents: DataFrame,
+    zone_dir: str,
+    n_phases: int = 4,
+    budget: int = 512,
+    n_shards: int = 8,
+    seed: str = "p42",
+) -> dict:
+    """Land the corpus as a MOUNTABLE curriculum zone — the physical
+    deliverable behind the :func:`curriculum_pack` /
+    :func:`curriculum_assignments` pair: every document row carries
+    its placement (phase, shard, bin_id, offset_in_bin) and the docs
+    table is directory-partitioned by ``phase``/``shard``, so a
+    trainer consuming phase 1 directory-prunes the rest of the corpus
+    and each (phase, shard) stream mounts as one directory in
+    curriculum order. The (phase, shard, bin) MANIFEST lands beside it
+    — derived from the SAME placement frame in this one call (never a
+    recompute that could drift), so landed docs re-aggregate to the
+    landed manifest exactly (tested in tests/test_curriculum_zone.py).
+
+    Returns ``{"curriculum_docs": spec, "curriculum_manifest": spec}``
+    — the recorded :func:`~..sinks.files.write_zone_table` specs. At
+    100 TB the docs write is one corpus pass + the placement window;
+    the partition layout is the read-cost knob (phase dirs ≈ the
+    training schedule, shard dirs ≈ loader parallelism)."""
+    from ..sinks.files import write_zone_table
+
+    placed = curriculum_assignments(
+        documents, n_phases, budget, n_shards, seed
+    )
+    docs = documents.join(placed, "doc_id")
+    spec_docs = write_zone_table(
+        docs, zone_dir, "curriculum_docs", layout="flat",
+        partition_by=["phase", "shard"],
+    )
+    manifest = placed.groupBy("phase", "shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+    spec_manifest = write_zone_table(
+        manifest, zone_dir, "curriculum_manifest", layout="flat"
+    )
+    return {
+        "curriculum_docs": spec_docs,
+        "curriculum_manifest": spec_manifest,
+    }
+
+
 def _curriculum_placed(
     documents: DataFrame,
     n_phases: int,

@@ -342,7 +342,7 @@ def write_zone_table(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     zorder_cols: list[str] | None = None,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
     n_ranges: int = 32,
 ) -> dict:
     """ONE writer for every zone layout the engine measures — the
@@ -367,13 +367,21 @@ def write_zone_table(
     """
     import os
 
-    if partition_by and partition_by not in df.columns:
+    # normalize to a list: multi-level directory partitioning
+    # (e.g. phase/shard for the curriculum zone) is one writer path
+    part_cols = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    missing_parts = [c for c in part_cols if c not in df.columns]
+    if missing_parts:
         # silently writing unpartitioned would break the
         # partition-pruned view contract downstream — fail fast, same
         # discipline as _order_col_names (ADVICE r8)
         raise ValueError(
-            f"write_zone_table: partition_by={partition_by!r} is not a "
-            f"column of {name!r} (columns: {df.columns})"
+            f"write_zone_table: partition_by={missing_parts!r} are not "
+            f"columns of {name!r} (columns: {df.columns})"
         )
     path = os.path.join(zone_dir, name)
     spec: dict = {"layout": layout, "path": path, "format": "parquet"}
@@ -383,9 +391,9 @@ def write_zone_table(
         writer = (
             df.write.mode("overwrite").format("parquet").option("path", path)
         )
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
-            spec["partition_by"] = [partition_by]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+            spec["partition_by"] = part_cols
         writer.bucketBy(n_buckets, bucket_col).sortBy(bucket_col).saveAsTable(
             table
         )
@@ -410,9 +418,9 @@ def write_zone_table(
         spec["zorder_domains"] = {c: list(d) for c, d in domains.items()}
     elif layout == "flat":
         writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
-            spec["partition_by"] = [partition_by]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+            spec["partition_by"] = part_cols
         writer.parquet(path)
     else:
         raise ValueError(f"unknown zone layout {layout!r}")
