@@ -855,15 +855,17 @@ def quality_curriculum(documents: DataFrame, n_phases: int = 4) -> DataFrame:
     from .olap_deep import global_ntile
     from .text import quality_model_score, tokens
 
-    scored = quality_model_score(documents).select(
-        "doc_id", "model_quality"
-    )
-    ntok = documents.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    # ONE corpus scan (r15): the token count rides the scoring
+    # projection via keep_cols instead of a second documents scan
+    # joined back on doc_id
+    scored = quality_model_score(
+        documents.withColumn(
+            "n_tokens", F.size(tokens(F.col("text"))).cast("long")
+        ),
+        keep_cols=("n_tokens",),
+    ).select("doc_id", "model_quality", "n_tokens")
     tiled = global_ntile(
-        scored.join(ntok, "doc_id"),
+        scored,
         n_phases,
         [F.desc("model_quality"), F.asc("doc_id")],
         "phase",
@@ -1010,15 +1012,17 @@ def _curriculum_placed(
     from .olap_deep import global_ntile
     from .text import quality_model_score, tokens as _tok
 
-    scored = quality_model_score(documents).select(
-        "doc_id", "model_quality"
-    )
-    ntok = documents.select(
-        "doc_id",
-        F.size(_tok(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    # ONE corpus scan: the token count rides the scoring projection
+    # (keep_cols — the quality_score shared-scan discipline) instead
+    # of a second documents scan joined back on doc_id
+    scored = quality_model_score(
+        documents.withColumn(
+            "n_tokens", F.size(_tok(F.col("text"))).cast("long")
+        ),
+        keep_cols=("n_tokens",),
+    ).select("doc_id", "model_quality", "n_tokens")
     tiled = global_ntile(
-        scored.join(ntok, "doc_id"),
+        scored,
         n_phases,
         [F.desc("model_quality"), F.asc("doc_id")],
         "phase",

@@ -116,6 +116,7 @@ def quality_model_score(
     documents: DataFrame,
     weights: dict[str, float] | None = None,
     threshold: float = 0.5,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Model-based quality scoring: a logistic layer over the heuristic
     feature vector (length factor, stopword ratio, punctuation ratio,
@@ -125,7 +126,10 @@ def quality_model_score(
     ``keep`` thresholds the ROUNDED score so the boolean is identical
     cross-engine (a raw-float threshold could flip on a last-ulp
     ``exp`` difference between libms). One scan, zero shuffles —
-    scan-fused like ``pii_redaction``.
+    scan-fused like ``pii_redaction``. ``keep_cols`` carries extra
+    input columns through the projection (the ``quality_score``
+    shared-scan discipline) so a composing caller never joins two
+    projections of the same corpus scan back together.
     """
     w = {**QUALITY_MODEL_WEIGHTS, **(weights or {})}
     t = tokens(F.col("text"))
@@ -147,6 +151,7 @@ def quality_model_score(
     score = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
     return documents.select(
         "doc_id",
+        *keep_cols,
         score.alias("model_quality"),
         (score >= F.lit(threshold)).alias("keep"),
     )
