@@ -81,6 +81,7 @@ HEADLINE = [
     # serves shortlist from the landed model zone (the production
     # deployment), hard negatives are the label-filtered form
     "ann_ivfpq_rerank_state",
+    "mmr_diversified_topk",
     "hard_negative_mining",
     "ann_recall_report",
     "ivf_cell_stats",

@@ -1941,6 +1941,159 @@ def contrastive_triplets(
     )
 
 
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **model_kwargs,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the DIVERSIFICATION stage after the refine tier,
+    the standard fix for an ANN result page full of near-duplicates
+    (a dedup-adjacent serving problem: the corpus keeps near-dups, the
+    RESULT should not): greedily select k candidates maximizing
+
+        MMR(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    over the :func:`ivfpq_rerank_topk` shortlist (rel = the round-6
+    exact rerank cosine; the max-term is 0 for the first pick, so one
+    formula scores every step). λ=1 reduces to plain rerank order;
+    lower λ trades relevance for coverage.
+
+    Scale shape: the candidate grain is |q|·shortlist (bounded — the
+    refine tier's own invariant), the pairwise-sim table is
+    |q|·shortlist² equi-keyed on query_id, and the k greedy steps are
+    joins over those bounded tables with the cumulative selection
+    ``localCheckpoint``-ed per step (the connected-components plan-
+    depth discipline, dedup.py) — the corpus is touched only by the
+    shortlist stages. Greedy selection is inherently sequential in k;
+    k is a serving constant, never data-sized.
+
+    Determinism: rel, pairwise sims, and the MMR score are all
+    det-rounded to 6 before ranking; every rank breaks ties by
+    neighbor_id ASC — so the greedy trajectory is bit-reproducible and
+    the DuckDB oracle unrolls the same k steps."""
+    ranked = ivfpq_rerank_topk(
+        embeddings, queries, shortlist=shortlist, k=shortlist,
+        id_col=id_col, vec_col=vec_col, **model_kwargs,
+    )
+    relc = ranked.select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("rel")
+    ).localCheckpoint()
+    cand = embeddings.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).join(F.broadcast(relc), "neighbor_id")
+    pairs = (
+        cand.select(
+            "query_id",
+            F.col("neighbor_id").alias("nid_a"),
+            F.col("cvec").alias("_va"),
+        )
+        .join(
+            cand.select(
+                "query_id",
+                F.col("neighbor_id").alias("nid_b"),
+                F.col("cvec").alias("_vb"),
+            ),
+            "query_id",
+        )
+        .filter(F.col("nid_a") != F.col("nid_b"))
+        .select(
+            "query_id",
+            "nid_a",
+            "nid_b",
+            det_round(cosine(F.col("_va"), F.col("_vb")), 6).alias(
+                "psim"
+            ),
+        )
+        .localCheckpoint()
+    )
+    # decimal-exact score arithmetic (rel/psim are round-6 doubles —
+    # decimal-exact — and λ is a decimal literal): a double λ·rel −
+    # (1−λ)·maxsim can land an ulp off a .5 round boundary DIFFERENTLY
+    # per engine (FMA/ordering), flipping the 6th digit; the decimal
+    # products are exact on both engines, so the round is of the same
+    # exact value
+    from decimal import Decimal
+
+    lam_d = Decimal(str(lam))
+    om_d = Decimal(1) - lam_d
+    dec = lambda c: c.cast("decimal(18,6)")
+    lam_c = F.lit(str(lam_d)).cast("decimal(18,6)")
+    one_minus = F.lit(str(om_d)).cast("decimal(18,6)")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr_score"), F.asc("neighbor_id")
+    )
+    sel = (
+        relc.withColumn(
+            "mmr_score",
+            det_round((lam_c * dec(F.col("rel"))).cast("double"), 6),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            F.col("rel").alias("relevance"),
+            "mmr_score",
+        )
+        .localCheckpoint()
+    )
+    for step in range(2, k + 1):
+        remaining = relc.join(
+            sel.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        maxsim = (
+            pairs.join(
+                sel.select(
+                    "query_id", F.col("neighbor_id").alias("nid_b")
+                ),
+                ["query_id", "nid_b"],
+            )
+            .groupBy("query_id", "nid_a")
+            .agg(F.max("psim").alias("_maxsim"))
+        )
+        pick = (
+            remaining.join(
+                maxsim.select(
+                    "query_id",
+                    F.col("nid_a").alias("neighbor_id"),
+                    "_maxsim",
+                ),
+                ["query_id", "neighbor_id"],
+            )
+            .withColumn(
+                "mmr_score",
+                det_round(
+                    (
+                        lam_c * dec(F.col("rel"))
+                        - one_minus * dec(F.col("_maxsim"))
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(step).cast("long").alias("mmr_rank"),
+                F.col("rel").alias("relevance"),
+                "mmr_score",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel
+
+
 def recall_report(
     exact: DataFrame,
     approx: DataFrame,

@@ -6071,6 +6071,116 @@ def _ivfpq_rerank_oracle(shortlist: int = 20, k: int = 5,
     """
 
 
+def _mmr_oracle(shortlist: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    """DuckDB mirror of similarity.mmr_topk: the shared IVFADC chain +
+    exact rerank gives (round-6) relevance per shortlist candidate,
+    pairwise round-6 cosines give the redundancy term, and the k
+    greedy MMR steps unroll as CTEs — each step scores the unselected
+    candidates by λ·rel − (1−λ)·max-sim-to-selected (rounded to 6,
+    ties by neighbor_id ASC) and takes one row per query."""
+    chain = _ivfpq_chain_sql()
+    cos = (
+        "(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))))"
+    )
+    # decimal-exact score arithmetic (mirrors mmr_topk): rel/psim are
+    # round-6 doubles, λ and 1−λ are decimal literals — the products
+    # are exact in both engines, so the round-6 is of the same value
+    from decimal import Decimal
+
+    lam_d = Decimal(str(lam))
+    om_d = Decimal(1) - lam_d
+    s1_score = round_sql(
+        f"CAST({lam_d} * CAST(rel AS DECIMAL(18,6)) AS DOUBLE)", 6
+    )
+    ctes = [f"""relc AS (
+        SELECT query_id, neighbor_id, {round_sql("sim", 6)} AS rel
+        FROM rer
+    ),
+    pairs AS (
+        SELECT a.query_id, a.neighbor_id AS nid_a,
+               b.neighbor_id AS nid_b,
+               {round_sql(cos.format(a="a.cvec", b="b.cvec"), 6)} AS psim
+        FROM cand a JOIN cand b
+            ON a.query_id = b.query_id
+           AND a.neighbor_id != b.neighbor_id
+    ),
+    sel1 AS (
+        SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank,
+               rel AS relevance, mmr_score
+        FROM (
+            SELECT query_id, neighbor_id, rel,
+                   {s1_score} AS mmr_score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY {s1_score} DESC, neighbor_id ASC) AS rn
+            FROM relc)
+        WHERE rn = 1
+    ),
+    selu1 AS (SELECT query_id, neighbor_id FROM sel1)"""]
+    for t in range(2, k + 1):
+        score = round_sql(
+            f"CAST({lam_d} * CAST(c.rel AS DECIMAL(18,6))"
+            f" - {om_d} * CAST(m.maxsim AS DECIMAL(18,6)) AS DOUBLE)",
+            6,
+        )
+        ctes.append(f"""m{t} AS (
+        SELECT p.query_id, p.nid_a AS neighbor_id,
+               MAX(p.psim) AS maxsim
+        FROM pairs p JOIN selu{t - 1} s
+            ON s.query_id = p.query_id AND s.neighbor_id = p.nid_b
+        GROUP BY p.query_id, p.nid_a
+    ),
+    sel{t} AS (
+        SELECT query_id, neighbor_id, CAST({t} AS BIGINT) AS mmr_rank,
+               rel AS relevance, mmr_score
+        FROM (
+            SELECT c.query_id, c.neighbor_id, c.rel,
+                   {score} AS mmr_score,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY {score} DESC, c.neighbor_id ASC) AS rn
+            FROM relc c
+            JOIN m{t} m ON m.query_id = c.query_id
+                       AND m.neighbor_id = c.neighbor_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM selu{t - 1} x
+                WHERE x.query_id = c.query_id
+                  AND x.neighbor_id = c.neighbor_id))
+        WHERE rn = 1
+    ),
+    selu{t} AS (
+        SELECT query_id, neighbor_id FROM selu{t - 1}
+        UNION ALL SELECT query_id, neighbor_id FROM sel{t}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, k + 1)
+    )
+    return f"""
+    WITH {chain},
+    short AS (
+        SELECT query_id, neighbor_id, sim AS adc_raw FROM (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM sims)
+        WHERE rn <= {shortlist}
+    ),
+    cand AS (
+        SELECT s.query_id, s.neighbor_id, v.vec AS cvec
+        FROM short s JOIN v ON v.vec_id = s.neighbor_id
+    ),
+    rer AS (
+        SELECT c.query_id, c.neighbor_id,
+               (list_dot_product(q.qvec, c.cvec)
+                / (q.qnorm * sqrt(list_dot_product(c.cvec, c.cvec))))
+               AS sim
+        FROM cand c JOIN q ON q.query_id = c.query_id
+    ),
+    {",".join(ctes)}
+    {union}
+    """
+
+
 def _contrastive_triplets_oracle(shortlist: int = 40) -> str:
     """DuckDB mirror of similarity.contrastive_triplets: the shared
     IVFADC chain + exact rerank of the full shortlist (no rank cut),
@@ -6882,6 +6992,24 @@ def q_ann_ivfpq_rerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             if tb.name.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (Carbonell & Goldstein 1998) — the
+    DIVERSIFICATION stage of the serving stack (shortlist → exact
+    rerank → greedy λ-tradeoff selection): each pick maximizes
+    λ·relevance − (1−λ)·max-similarity-to-already-selected, so a
+    result page never fills with near-duplicates of one hit — the
+    serving-side complement of the dedup tier (the corpus keeps
+    near-dups; the RESULT should not). All scores det-rounded before
+    ranking, k greedy steps unrolled in the oracle — the full greedy
+    trajectory hash-gates. Reference scope: extends the ANN tier."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.mmr_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, shortlist=20, lam=0.7,
+    )
 
 
 @query(
@@ -8526,6 +8654,7 @@ _SWEEP_PRIORITY = [
     "ivf_probe_tuning",
     "ivf_probe_tuning_state",
     "ann_recall_report_once_stream",
+    "mmr_diversified_topk",
     "contrastive_triplets",
     "contrastive_triplets_state",
     "decontaminate_spans",
@@ -8563,9 +8692,10 @@ _SWEEP_PRIORITY = [
     "validate_orders",
     "validation_rejects",
     "winnowing_fingerprint",
-    # Group C - oldest r12-stale entries, alphabetical first 9 of 47
-    # (activity_dtw_topk ... chunk_documents take the remaining
-    # slots; the other 38 r12-stale entries - click_attribution,
+    # Group C - oldest r12-stale entries, alphabetical first 8 of 47
+    # (activity_dtw_topk ... bpe_doc_token_count_stream take the
+    # remaining slots; the other 39 r12-stale entries -
+    # chunk_documents, click_attribution,
     # cluster_assignment_stream, cms_heavy_hitters_stream,
     # customer_distribution, daily_anomalies,
     # daily_revenue_wow, daily_trend, discounted_revenue,
@@ -8587,11 +8717,11 @@ _SWEEP_PRIORITY = [
     "asof_last_order",
     "big_orders",
     "bpe_doc_token_count_stream",
-    "chunk_documents",
     # (customer_distribution, cms_heavy_hitters_stream,
-    # cluster_assignment_stream and click_attribution yielded their
-    # slots to the late-r15 additions ivf_probe_tuning{,_state},
-    # curriculum_assignments and ann_recall_report_once_stream — they
+    # cluster_assignment_stream, click_attribution and chunk_documents
+    # yielded their slots to the late-r15 additions
+    # ivf_probe_tuning{,_state}, curriculum_assignments,
+    # ann_recall_report_once_stream and mmr_diversified_topk — they
     # rotate with the r16 Group-C tail)
 ]
 

