@@ -7012,6 +7012,31 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("mmr_diversified_topk_state", oracle=ORACLES["mmr_diversified_topk"])
+def q_mmr_diversified_topk_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """mmr_diversified_topk served from the LANDED model zone — the
+    production diversification deployment: ADC shortlist from the
+    landed centroids + codebook + DPP-pruned codes, exact re-score
+    from the flat embeddings, then the greedy λ-tradeoff selection —
+    zero model fits in the serving plan (the refine tier's state-twin
+    pattern: ann_ivfpq_rerank_state, contrastive_triplets_state).
+    Same oracle: the landed tables round-trip bit-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _ivfpq_model_zone(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(zone, "ivfpq_centroids"))
+    cb = spark.read.parquet(os.path.join(zone, "ivfpq_codebook"))
+    codes = spark.read.schema(
+        "vec_id long, s long, code long, cluster_id long"
+    ).parquet(os.path.join(zone, "ivfpq_codes"))
+    return similarity.mmr_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, shortlist=20, lam=0.7,
+        centroids=cent, codebook=cb, codes=codes,
+    )
+
+
 @query(
     "hard_negative_mining",
     oracle=_ivfpq_rerank_oracle(shortlist=40, negatives=True),
@@ -8655,6 +8680,7 @@ _SWEEP_PRIORITY = [
     "ivf_probe_tuning_state",
     "ann_recall_report_once_stream",
     "mmr_diversified_topk",
+    "mmr_diversified_topk_state",
     "contrastive_triplets",
     "contrastive_triplets_state",
     "decontaminate_spans",
@@ -8692,9 +8718,9 @@ _SWEEP_PRIORITY = [
     "validate_orders",
     "validation_rejects",
     "winnowing_fingerprint",
-    # Group C - oldest r12-stale entries, alphabetical first 8 of 47
-    # (activity_dtw_topk ... bpe_doc_token_count_stream take the
-    # remaining slots; the other 39 r12-stale entries -
+    # Group C - oldest r12-stale entries, alphabetical first 7 of 47
+    # (activity_dtw_topk ... big_orders take the remaining slots; the
+    # other 40 r12-stale entries - bpe_doc_token_count_stream,
     # chunk_documents, click_attribution,
     # cluster_assignment_stream, cms_heavy_hitters_stream,
     # customer_distribution, daily_anomalies,
@@ -8716,13 +8742,13 @@ _SWEEP_PRIORITY = [
     "ann_srp_multitable",
     "asof_last_order",
     "big_orders",
-    "bpe_doc_token_count_stream",
     # (customer_distribution, cms_heavy_hitters_stream,
-    # cluster_assignment_stream, click_attribution and chunk_documents
-    # yielded their slots to the late-r15 additions
-    # ivf_probe_tuning{,_state}, curriculum_assignments,
-    # ann_recall_report_once_stream and mmr_diversified_topk — they
-    # rotate with the r16 Group-C tail)
+    # cluster_assignment_stream, click_attribution, chunk_documents
+    # and bpe_doc_token_count_stream yielded their slots to the
+    # late-r15 additions ivf_probe_tuning{,_state},
+    # curriculum_assignments, ann_recall_report_once_stream and
+    # mmr_diversified_topk{,_state} — they rotate with the r16
+    # Group-C tail)
 ]
 
 
