@@ -378,7 +378,18 @@ def main() -> None:
             suffix = ""
             argv = sys.argv[1:]
             if "--record-suffix" in argv:
-                suffix = argv[argv.index("--record-suffix") + 1]
+                i = argv.index("--record-suffix") + 1
+                if i >= len(argv):
+                    raise SystemExit(
+                        "--record-suffix requires a value (one of a-z)"
+                    )
+                suffix = argv[i]
+                if not (len(suffix) == 1 and suffix.isalpha()
+                        and suffix.islower()):
+                    raise SystemExit(
+                        "--record-suffix must be a single lowercase "
+                        f"letter, got {suffix!r}"
+                    )
             path = os.path.join(
                 here, f"BENCH_LOCAL_r{n:02d}{suffix}.json"
             )

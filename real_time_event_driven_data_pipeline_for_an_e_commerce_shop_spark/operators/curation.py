@@ -912,6 +912,14 @@ def curriculum_pack(
     phase, so raise ``n_shards`` with the corpus exactly as
     ``token_pack_sharded`` documents."""
     placed = _curriculum_placed(documents, n_phases, budget, n_shards, seed)
+    return _curriculum_manifest(placed)
+
+
+def _curriculum_manifest(placed: DataFrame) -> DataFrame:
+    """The (phase, shard, bin) roll-up of a placement frame — ONE
+    definition shared by :func:`curriculum_pack` and
+    :func:`write_curriculum_zone` (ADVICE r15: the two copies invited
+    drift between the computed manifest and the landed one)."""
     return placed.groupBy("phase", "shard", "bin_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
@@ -979,17 +987,20 @@ def write_curriculum_zone(
     placed = curriculum_assignments(
         documents, n_phases, budget, n_shards, seed
     )
-    docs = documents.join(placed, "doc_id")
+    # the placement frame OWNS its column names in the landed table:
+    # an input corpus that already carries n_tokens / phase / shard /
+    # bin_id / offset_in_bin (e.g. a re-landed zone) must not produce
+    # ambiguous duplicates (ADVICE r15)
+    collide = [
+        c for c in documents.columns
+        if c != "doc_id" and c in placed.columns
+    ]
+    docs = documents.drop(*collide).join(placed, "doc_id")
     spec_docs = write_zone_table(
         docs, zone_dir, "curriculum_docs", layout="flat",
         partition_by=["phase", "shard"],
     )
-    manifest = placed.groupBy("phase", "shard", "bin_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.min("doc_id").alias("first_doc_id"),
-        F.max("doc_id").alias("last_doc_id"),
-    )
+    manifest = _curriculum_manifest(placed)
     spec_manifest = write_zone_table(
         manifest, zone_dir, "curriculum_manifest", layout="flat"
     )

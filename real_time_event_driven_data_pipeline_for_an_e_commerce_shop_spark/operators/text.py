@@ -26,10 +26,20 @@ agree across operators and engines.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.core import det_round, md5_long, ratio
+
+#: probes-DataFrame → row count, keyed by object identity (ADVICE r15:
+#: ``decontaminate_spans`` must not re-run its broadcast-gate count job
+#: every call when the SAME static probe table is passed per
+#: micro-batch). Weak keys: entries die with the DataFrame.
+_PROBE_COUNTS: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
 
 # deterministic mini stoplists per language for the n-gram/stopword
 # heuristic language classifier; ASCII-only on purpose (the heuristic
@@ -1684,6 +1694,7 @@ def decontaminate_spans(
     n: int = 5,
     probe_col: str = "probe",
     broadcast_max_probes: int = 1_000_000,
+    probe_count: int | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION at span grain: strip from every
     document the token positions covered by an n-gram that appears
@@ -1713,15 +1724,28 @@ def decontaminate_spans(
     rule), trading one corpus-gram shuffle for an executor-memory
     ceiling that no longer exists. Both paths are string-exact — no
     hash grain, no collision caveat — so the oracle is one.
+
+    The gate's count job runs over the PROBE table only (bounded: the
+    eval suite), never the corpus — and at most ONCE per probes
+    DataFrame (memoized by object identity, ADVICE r15), so a
+    per-micro-batch caller with a static probe table pays it on the
+    first batch only. A caller that already knows the size (or wants
+    the operator fully lazy) passes ``probe_count`` and no job runs.
     """
     base = _span_gram_base(documents, n)
     grams = base.select(
         "doc_id", F.posexplode("_sh").alias("g", "_sgl")
     )
     psel = probes.select(F.col(probe_col).alias("_sgl"))
-    # the count is one job over the PROBE table only (bounded: the
-    # eval suite), never the corpus
-    if psel.count() <= broadcast_max_probes:
+    if probe_count is None:
+        probe_count = _PROBE_COUNTS.get(probes)
+    if probe_count is None:
+        probe_count = psel.count()
+        try:
+            _PROBE_COUNTS[probes] = probe_count
+        except TypeError:  # unweakrefable stub in tests — skip memo
+            pass
+    if probe_count <= broadcast_max_probes:
         psel = F.broadcast(psel)
     dup_starts = grams.join(psel, "_sgl").select("doc_id", "g")
     return _strip_covered_positions(base, dup_starts, n)

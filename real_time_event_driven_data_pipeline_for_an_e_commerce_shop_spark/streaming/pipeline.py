@@ -3166,6 +3166,17 @@ def run_corpus_ingest(
     for stale in glob.glob(os.path.join(zone_dir, "_ev_staging_*")):
         shutil.rmtree(stale, ignore_errors=True)
 
+    # resolve the decontamination broadcast gate ONCE before the stream
+    # starts (ADVICE r15): the probe table is static for the stream's
+    # lifetime, so its size — and if the probe set is a derived plan,
+    # its derivation — must not be recomputed per micro-batch. Persist
+    # before counting so the count job materializes the same blocks the
+    # per-batch gram join will read.
+    n_decontaminate_probes: int | None = None
+    if decontaminate_probes is not None:
+        decontaminate_probes = decontaminate_probes.persist()
+        n_decontaminate_probes = decontaminate_probes.count()
+
     def land(batch_df: DataFrame, epoch_id: int) -> None:
         if all(
             epoch_id in committed_epochs(zone_dir, z) for z in tables
@@ -3181,7 +3192,10 @@ def run_corpus_ingest(
             # whitespace normalizes to the surgery's token grain);
             # untouched docs land byte-for-byte, emptied docs drop
             cleaned = decontaminate_spans(
-                keep, decontaminate_probes, n=decontaminate_n
+                keep,
+                decontaminate_probes,
+                n=decontaminate_n,
+                probe_count=n_decontaminate_probes,
             ).select(
                 "doc_id",
                 F.col("clean_text").alias("_clean_text"),
@@ -3504,6 +3518,8 @@ def run_corpus_ingest(
     )
     if await_termination:
         q.awaitTermination()
+        if decontaminate_probes is not None:
+            decontaminate_probes.unpersist()
     return dict(tables)
 
 

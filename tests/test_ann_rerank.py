@@ -303,11 +303,14 @@ def test_matryoshka_empty_dims_raises(spark, emb):
 def test_mmr_topk_value_contracts(spark, emb):
     """MMR's value contracts: λ=1 reduces to plain rerank order (the
     redundancy term vanishes); picks never repeat within a query;
-    rank-1 is always the top-relevance candidate; and at λ<1 every
-    later pick's selection score is λ·rel − (1−λ)·max-sim-to-selected
-    recomputed by hand from the candidate set."""
+    rank-1 is always the top-relevance candidate; and at λ<1 the FULL
+    greedy trajectory — picks, ranks, AND selection scores
+    λ·rel − (1−λ)·max-sim-to-selected — is recomputed by hand in
+    Python (Decimal products, the operator's own floor-half-up round,
+    cosine replicated as the same left-fold) and must match
+    bit-exactly."""
     q = emb.filter(F.col("vec_id") < 5)
-    rer = similarity.ivfpq_rerank_topk(emb, q, shortlist=20, k=5)
+    rer = similarity.ivfpq_rerank_topk(emb, q, shortlist=20, k=20)
     lam1 = similarity.mmr_topk(emb, q, k=5, shortlist=20, lam=1.0)
     a = sorted(
         (r["query_id"], r["mmr_rank"], r["neighbor_id"])
@@ -315,11 +318,12 @@ def test_mmr_topk_value_contracts(spark, emb):
     )
     b = sorted(
         (r["query_id"], r["sim_rank"], r["neighbor_id"])
-        for r in rer.collect()
+        for r in rer.filter(F.col("sim_rank") <= 5).collect()
     )
     assert a == b
 
-    div = similarity.mmr_topk(emb, q, k=5, shortlist=20, lam=0.7)
+    lam = 0.7
+    div = similarity.mmr_topk(emb, q, k=5, shortlist=20, lam=lam)
     rows = div.collect()
     per_q = {}
     for r in rows:
@@ -333,6 +337,77 @@ def test_mmr_topk_value_contracts(spark, emb):
         assert len(nids) == len(set(nids))  # no repeats
         first = min(rs, key=lambda r: r["mmr_rank"])
         assert first["neighbor_id"] == top_rel[qid]
+
+    # --- by-hand greedy recompute (the docstring's promise) --------
+    from decimal import Decimal
+    from math import floor, sqrt
+
+    def det_round6(x: float) -> float:
+        return floor(x * 1e6 + 0.5) / 1e6
+
+    def fold_cosine(va, vb) -> float:
+        # replicate F.aggregate's sequential left fold exactly
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(va, vb):
+            dot = dot + x * y
+        for x in va:
+            na = na + x * x
+        for y in vb:
+            nb = nb + y * y
+        return dot / (sqrt(na) * sqrt(nb))
+
+    rel = {}  # (qid, nid) -> rel, from the refine tier (its own tests)
+    for r in rer.collect():
+        rel[(r["query_id"], r["neighbor_id"])] = r["cosine_sim"]
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    lam_d = Decimal(str(lam))
+    om_d = Decimal(1) - lam_d
+    dec6 = lambda x: Decimal(f"{x:.6f}")
+    expect = []
+    for qid in sorted({k[0] for k in rel}):
+        cands = sorted(n for (qq, n) in rel if qq == qid)
+        psim = {
+            (a_, b_): det_round6(fold_cosine(vecs[a_], vecs[b_]))
+            for a_ in cands
+            for b_ in cands
+            if a_ != b_
+        }
+        selected: list[int] = []
+        for rank in range(1, 6):
+            best = None
+            for c in cands:
+                if c in selected:
+                    continue
+                if selected:
+                    ms = max(psim[(c, s)] for s in selected)
+                    score = det_round6(
+                        float(
+                            lam_d * dec6(rel[(qid, c)])
+                            - om_d * dec6(ms)
+                        )
+                    )
+                else:
+                    score = det_round6(
+                        float(lam_d * dec6(rel[(qid, c)]))
+                    )
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            selected.append(best[1])
+            expect.append((qid, rank, best[1], best[2]))
+    got = sorted(
+        (r["query_id"], r["mmr_rank"], r["neighbor_id"], r["mmr_score"])
+        for r in rows
+    )
+    assert got == sorted(expect)
+
+
+def test_ivf_probe_tuning_value_contracts(spark, emb):
     """The n_probe tuning table's value contracts: candidate sets nest
     as n_probe grows and every candidate is exactly scored, so recall
     is NON-DECREASING in n_probe; probing every cell (n_probe =
