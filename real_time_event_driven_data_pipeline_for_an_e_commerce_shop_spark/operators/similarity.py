@@ -2267,6 +2267,74 @@ def ivf_probe_tuning(
     return out
 
 
+def choose_probe_budget(
+    tuning_rows, recall_floor: float
+) -> int:
+    """The deployment rule over a collected :func:`ivf_probe_tuning`
+    table (a handful of rows — one per candidate ``n_probe``): the
+    CHEAPEST probe budget meeting the recall floor (read_fraction is
+    monotone in n_probe, so smallest-n_probe = argmin cost); if no
+    candidate reaches the floor, the best-recall row (ties to the
+    cheaper budget) — a degraded serve beats refusing to serve, and
+    the tuning table itself documents the shortfall."""
+    rows = list(tuning_rows)
+    if not rows:
+        raise ValueError("tuning table is empty")
+    meets = [r["n_probe"] for r in rows if r["mean_recall"] >= recall_floor]
+    if meets:
+        return int(min(meets))
+    best = max(rows, key=lambda r: (r["mean_recall"], -r["n_probe"]))
+    return int(best["n_probe"])
+
+
+def ivf_tuned_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    tuning: DataFrame,
+    recall_floor: float = 0.9,
+    k: int = 5,
+    n_clusters: int = 16,
+    stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    lists: DataFrame | None = None,
+) -> DataFrame:
+    """IVF serve with the probe budget DRIVEN BY the tuning table
+    (VERDICT r15 #6 — :func:`ivf_probe_tuning` produced the
+    recall/cost table; this operator consumes it): read the landed
+    tuning rows, pick the argmin-cost budget meeting ``recall_floor``
+    (:func:`choose_probe_budget`), and run :func:`ivf_topk` with it —
+    the dashboard now turns the knob it exists for. Output is the
+    serve's top-k rows plus the constant ``n_probe_used`` column, so
+    a result set is self-describing about the budget that produced it.
+
+    The tuning read is a BOUNDED collect — one row per candidate
+    n_probe, a serving constant (the probe budget shapes the plan, so
+    it must be a driver-side value; this is the same bounded-scalar
+    discipline as the BPE merge collect). At 100 TB the tuning table
+    is landed once per deploy by the tuning pass; every serve reads
+    those few rows, never the corpus."""
+    chosen = choose_probe_budget(
+        tuning.select("n_probe", "mean_recall").collect(), recall_floor
+    )
+    out = ivf_topk(
+        embeddings,
+        queries,
+        n_clusters=n_clusters,
+        n_probe=chosen,
+        k=k,
+        stride=stride,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        lists=lists,
+    )
+    return out.withColumn(
+        "n_probe_used", F.lit(int(chosen)).cast("long")
+    )
+
+
 def _ivfpq_scores_multigen(
     queries: DataFrame,
     cents_g: DataFrame,

@@ -801,6 +801,43 @@ def q_curriculum_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curriculum_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per session per documents signature) the mountable
+    curriculum zone — ``write_curriculum_zone``'s phase/shard-
+    partitioned docs + the (phase, shard, bin) manifest — the
+    state seam for ``curriculum_pack_state``."""
+
+    def build(zone: str) -> None:
+        from .operators import curation
+
+        t = _t(spark, sf_dir, "documents")
+        curation.write_curriculum_zone(
+            t["documents"], zone, n_phases=4, budget=512, n_shards=8
+        )
+
+    return _shared_state_zone("curriculum", sf_dir, build)
+
+
+@query("curriculum_pack_state", oracle=_curriculum_pack_oracle())
+def q_curriculum_pack_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curriculum_pack served from the LANDED curriculum zone (VERDICT
+    r15 #5 — the state-twin pattern every other tier has): the zone
+    writer lands placement-tagged docs and the manifest ONCE per
+    corpus signature; this plan reads the landed
+    ``curriculum_manifest`` table with ZERO scoring, tokenizing, or
+    windowing — the trainer's view of the deliverable. Same oracle as
+    curriculum_pack: the landed manifest is the same placement frame
+    rolled up by the shared ``_curriculum_manifest`` helper, and longs
+    round-trip parquet exactly."""
+    zone = _curriculum_zone(spark, sf_dir)
+    return spark.read.parquet(
+        os.path.join(zone, "curriculum_manifest")
+    ).select(
+        "phase", "shard", "bin_id", "n_docs", "n_tokens",
+        "first_doc_id", "last_doc_id",
+    )
+
+
 def _lang_id_oracle() -> str:
     toks = f"list_distinct({_Q_TOKENS_LOWER})"
     score = {
@@ -7133,11 +7170,18 @@ def _ivf_probe_tuning_oracle(
     k: int = 5,
     n_clusters: int = 16,
     trained: bool = False,
+    serve_floor: float | None = None,
 ) -> str:
     """``trained=True`` swaps the strided quantizer head for the
     unrolled det-round-12 k-means chain (``_kmeans_ctes`` — the
     ann_ivf_trained quantizer), mirroring the landed-model-zone serve;
-    everything downstream of ``cents`` is shared."""
+    everything downstream of ``cents`` is shared. ``serve_floor``
+    switches the output from the tuning TABLE to the TUNED SERVE
+    (``ann_ivf_tuned_serve``): the union becomes a ``tuning`` CTE,
+    the chosen budget is the smallest n_probe whose mean_recall meets
+    the floor (best-recall fallback), and the final select is the
+    top-k serve at that budget — the whole
+    measure→decide→serve chain in one SQL mirror."""
     cos = (
         "(list_dot_product({a}, {b})"
         " / (sqrt(list_dot_product({a}, {a}))"
@@ -7168,6 +7212,29 @@ def _ivf_probe_tuning_oracle(
     union = "\n    UNION ALL ".join(
         f"SELECT * FROM row{p}" for p in n_probes
     )
+    if serve_floor is not None:
+        tail = f""",
+    tuning AS ({union}),
+    chosen AS (
+        SELECT COALESCE(
+            (SELECT MIN(n_probe) FROM tuning
+             WHERE mean_recall >= {serve_floor}),
+            (SELECT n_probe FROM tuning
+             ORDER BY mean_recall DESC, n_probe ASC LIMIT 1)
+        ) AS np
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT)
+               AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim,
+           CAST((SELECT np FROM chosen) AS BIGINT) AS n_probe_used
+    FROM scored
+    WHERE prn <= (SELECT np FROM chosen)
+    QUALIFY sim_rank <= {k}
+    """
+    else:
+        tail = None
     if trained:
         head = f"""
     WITH vz AS (SELECT vec_id AS doc_id, {SQL_VEC} AS vec FROM embeddings),
@@ -7215,9 +7282,9 @@ def _ivf_probe_tuning_oracle(
             FROM v a CROSS JOIN v b
             WHERE b.vec_id < 10 AND a.vec_id != b.vec_id)
         WHERE rn <= {k}
-    ),{",".join(branches)}
+    ),{",".join(branches)}{tail if tail is not None else f'''
     {union}
-    """
+    '''}"""
 
 
 @query("ivf_probe_tuning", oracle=_ivf_probe_tuning_oracle())
@@ -7262,6 +7329,65 @@ def q_ivf_probe_tuning_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe_tuning(
         emb, emb.filter(F.col("vec_id") < 10),
         n_probes=(1, 2, 4, 8), k=5, centroids=cents, lists=lists,
+    )
+
+
+def _ivf_tuning_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per session per embeddings signature) the probe-
+    tuning TABLE beside the model zone — the tuning pass as a deploy
+    artifact: ``ivf_probe_tuning`` over the landed quantizer + lists,
+    written where the serving tier reads its knob from."""
+
+    def build(zone: str) -> None:
+        from .sinks.files import write_zone_table
+
+        emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+        model = _ivf_model_zone(spark, sf_dir)
+        cents = spark.read.parquet(os.path.join(model, "ivf_centroids"))
+        lists = spark.read.schema(
+            "vec_id long, embedding array<double>, cluster_id long"
+        ).parquet(os.path.join(model, "ivf_lists"))
+        tuning = similarity.ivf_probe_tuning(
+            emb, emb.filter(F.col("vec_id") < 10),
+            n_probes=(1, 2, 4, 8), k=5, centroids=cents, lists=lists,
+        )
+        write_zone_table(tuning, zone, "ivf_probe_tuning", layout="flat")
+
+    return _shared_state_zone(
+        "ivf_tuning", sf_dir, build, table="embeddings"
+    )
+
+
+@query(
+    "ann_ivf_tuned_serve",
+    oracle=_ivf_probe_tuning_oracle(trained=True, serve_floor=0.9),
+)
+def q_ann_ivf_tuned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe knob CLOSED-LOOP (VERDICT r15 #6): serve IVF top-k at
+    the budget the LANDED tuning table prescribes — read the
+    per-deploy ``ivf_probe_tuning`` rows from the tuning zone, pick
+    the argmin-cost n_probe meeting the 0.9 recall floor
+    (``choose_probe_budget``; a bounded 4-row collect — the budget
+    shapes the plan, so it is a driver-side serving constant), and run
+    the same landed-zone serve as ann_ivf_trained_state at that
+    budget, tagging every row with ``n_probe_used``. The oracle runs
+    the whole measure→decide→serve chain in SQL: tuning CTEs over the
+    det-round-12 k-means quantizer, scalar-subquery budget choice,
+    top-k serve at the chosen prn cut. Reference scope: extends the
+    ANN tier."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    model = _ivf_model_zone(spark, sf_dir)
+    tzone = _ivf_tuning_zone(spark, sf_dir)
+    tuning = spark.read.parquet(
+        os.path.join(tzone, "ivf_probe_tuning")
+    )
+    cents = spark.read.parquet(os.path.join(model, "ivf_centroids"))
+    lists = spark.read.schema(
+        "vec_id long, embedding array<double>, cluster_id long"
+    ).parquet(os.path.join(model, "ivf_lists"))
+    return similarity.ivf_tuned_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        tuning, recall_floor=0.9, k=5, centroids=cents, lists=lists,
     )
 
 
@@ -8659,98 +8785,74 @@ ORACLES["ann_ivfpq_affine"] = ORACLES["ann_ivfpq_topk"]
 
 
 _SWEEP_PRIORITY = [
-    # ---- r15 rotation ----------------------------------------------
+    # ---- r16 rotation ----------------------------------------------
     # Group A - new or changed this round, first driver rows /
-    # re-gates: the streamed refine seam + the store-once x rerank
-    # deployment rule (ann_ivfpq_rerank_stream), the affine router
-    # over the multi-gen streamed serve (ann_ivfpq_affine_stream),
-    # the curriculum x packing composition (curriculum_pack), the
-    # four ADVICE-r14 fix sites (contrastive_triplets{,_state}'s
-    # broadcast orientation, the decontamination gate's
-    # originally-empty-doc filter + the measured probe-set size gate,
-    # ivf_cell_stats' lists-only cell universe + universe-sized
-    # imbalance, matryoshka_recall's empty-dims guard), and
-    # ann_ivfpq_once_stream (ivfpq_topk_streamed refactored around
-    # the shared _scores closure - re-gate the plain path).
-    "ann_ivfpq_rerank_stream",
-    "ann_ivfpq_affine_stream",
-    "curriculum_pack",
-    "curriculum_assignments",
-    "ivf_probe_tuning",
-    "ivf_probe_tuning_state",
-    "ann_recall_report_once_stream",
-    "mmr_diversified_topk",
-    "mmr_diversified_topk_state",
-    "contrastive_triplets",
-    "contrastive_triplets_state",
+    # re-gates: the probe-tuning -> serving composition
+    # (ann_ivf_tuned_serve, VERDICT r15 #6), the landed curriculum
+    # manifest twin (curriculum_pack_state, VERDICT r15 #5), and the
+    # ADVICE-r15 fix sites (decontaminate_spans' memoized probe-count
+    # gate - batch + streamed paths - and write_curriculum_zone's
+    # shared _curriculum_manifest roll-up, which curriculum_pack and
+    # curriculum_assignments now flow through).
+    "ann_ivf_tuned_serve",
+    "curriculum_pack_state",
     "decontaminate_spans",
     "decontaminate_spans_stream",
-    "ivf_cell_stats",
-    "matryoshka_recall",
-    "ann_ivfpq_once_stream",
-    # Group B - ALL 27 entries whose freshest driver row is r11
-    # (VERDICT r14 "What's missing" #1 / next-round #1); moves the
-    # freshness floor to r12.
-    "doc_fingerprint",
-    "embedding_neardup",
-    "event_json_kpi",
-    "event_props_typed",
-    "global_sales_opportunity",
-    "important_parts",
-    "incremental_dedup",
-    "lang_id",
-    "lineitem_stats",
-    "lm_perplexity",
-    "lm_perplexity_bigram",
-    "min_cost_supplier",
-    "order_kpi",
-    "parts_supplier_relationship",
-    "pii_redaction",
-    "quality_logreg_train",
-    "quality_model",
-    "text_semantic_neardup",
-    "tfidf_cosine_pairs",
-    "token_count_bpe",
-    "token_pack",
-    "token_stats",
-    "top_supplier",
-    "validate_order_items",
-    "validate_orders",
-    "validation_rejects",
-    "winnowing_fingerprint",
-    # Group C - oldest r12-stale entries, alphabetical first 7 of 47
-    # (activity_dtw_topk ... big_orders take the remaining slots; the
-    # other 40 r12-stale entries - bpe_doc_token_count_stream,
-    # chunk_documents, click_attribution,
-    # cluster_assignment_stream, cms_heavy_hitters_stream,
-    # customer_distribution, daily_anomalies,
-    # daily_revenue_wow, daily_trend, discounted_revenue,
-    # doc_repetition, dsir_selection, embedding_quantize_int8,
-    # event_type_pivot, events_hourly, fuzzy_name_pairs, hll_vocab,
-    # hll_vocab_stream, hybrid_search_rrf, media_features,
-    # mixture_weights, order_priority_counts, price_quantiles,
-    # price_quantiles_gk, price_quantiles_stream, pricing_summary,
-    # promotion_suppliers, quality_logreg_l2, quality_logreg_scored,
-    # region_revenue, salted_join_agg, semantic_neardup_scaled,
-    # source_quota_sample, status_priority_cube, stratified_sample,
-    # token_pack_sharded, top_customers, trailing_revenue_window,
-    # waiting_suppliers - rotate in r16).
-    "activity_dtw_topk",
-    "activity_similarity_topk",
-    "ann_ivf_trained_state",
-    "ann_pq_stream",
-    "ann_srp_multitable",
-    "asof_last_order",
-    "big_orders",
-    # (customer_distribution, cms_heavy_hitters_stream,
-    # cluster_assignment_stream, click_attribution, chunk_documents
-    # and bpe_doc_token_count_stream yielded their slots to the
-    # late-r15 additions ivf_probe_tuning{,_state},
-    # curriculum_assignments, ann_recall_report_once_stream and
-    # mmr_diversified_topk{,_state} — they rotate with the r16
-    # Group-C tail)
+    "curriculum_pack",
+    "curriculum_assignments",
+    # Group B - ALL 40 entries whose freshest driver row is r12
+    # (VERDICT r15 'What's missing' #1 / next-round #1, the
+    # authoritative 40 including customer_running_total, which the
+    # r15 comment missed); moves the freshness floor to r13.
+    "bpe_doc_token_count_stream",
+    "chunk_documents",
+    "click_attribution",
+    "cluster_assignment_stream",
+    "cms_heavy_hitters_stream",
+    "customer_distribution",
+    "customer_running_total",
+    "daily_anomalies",
+    "daily_revenue_wow",
+    "daily_trend",
+    "discounted_revenue",
+    "doc_repetition",
+    "dsir_selection",
+    "embedding_quantize_int8",
+    "event_type_pivot",
+    "events_hourly",
+    "fuzzy_name_pairs",
+    "hll_vocab",
+    "hll_vocab_stream",
+    "hybrid_search_rrf",
+    "media_features",
+    "mixture_weights",
+    "order_priority_counts",
+    "price_quantiles",
+    "price_quantiles_gk",
+    "price_quantiles_stream",
+    "pricing_summary",
+    "promotion_suppliers",
+    "quality_logreg_l2",
+    "quality_logreg_scored",
+    "region_revenue",
+    "salted_join_agg",
+    "semantic_neardup_scaled",
+    "source_quota_sample",
+    "status_priority_cube",
+    "stratified_sample",
+    "token_pack_sharded",
+    "top_customers",
+    "trailing_revenue_window",
+    "waiting_suppliers",
+    # Group C - oldest r13-stale entries, alphabetical first 4 of 47
+    # (ann_pq_topk, bm25_search_state, category_kpi{,_bucketed},
+    # category_rank_daily, chunk_dedup_hashed, cluster_* ... rotate
+    # from r17; at 181 entries the registry cycles in ~3.6 windows).
+    "ann_ivf_trained",
+    "ann_ivfpq_state",
+    "ann_ivfpq_topk",
+    "ann_pq_state",
 ]
-
 
 def _apply_sweep_order() -> None:
     missing = [n for n in _SWEEP_PRIORITY if n not in QUERIES]

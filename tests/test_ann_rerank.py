@@ -445,3 +445,51 @@ def test_rerank_recall_not_below_adc_recall(spark, emb):
         .first()[0]
     )
     assert mean(rer) >= mean(adc)
+
+
+def test_choose_probe_budget_rule():
+    """The deployment rule in isolation: cheapest budget meeting the
+    floor; best-recall (ties → cheaper) fallback when nothing meets
+    it; empty table refuses loudly."""
+    rows = [
+        {"n_probe": 1, "mean_recall": 0.82},
+        {"n_probe": 2, "mean_recall": 0.84},
+        {"n_probe": 4, "mean_recall": 0.92},
+        {"n_probe": 8, "mean_recall": 0.96},
+    ]
+    assert similarity.choose_probe_budget(rows, 0.9) == 4
+    assert similarity.choose_probe_budget(rows, 0.5) == 1
+    assert similarity.choose_probe_budget(rows, 0.99) == 8  # fallback
+    tied = [
+        {"n_probe": 2, "mean_recall": 0.8},
+        {"n_probe": 8, "mean_recall": 0.8},
+    ]
+    assert similarity.choose_probe_budget(tied, 0.99) == 2
+    with pytest.raises(ValueError, match="tuning table is empty"):
+        similarity.choose_probe_budget([], 0.9)
+
+
+def test_ivf_tuned_topk_serves_at_chosen_budget(spark, emb):
+    """ivf_tuned_topk = ivf_topk at exactly the budget the tuning
+    table prescribes, plus the self-describing n_probe_used column."""
+    q = emb.filter(F.col("vec_id") < 10)
+    tuning = similarity.ivf_probe_tuning(
+        emb, q, n_probes=(1, 4, 16), k=5
+    )
+    trows = {r["n_probe"]: r["mean_recall"] for r in tuning.collect()}
+    floor = 0.9
+    expected = similarity.choose_probe_budget(
+        [{"n_probe": p, "mean_recall": r} for p, r in trows.items()],
+        floor,
+    )
+    tuned = similarity.ivf_tuned_topk(
+        emb, q, tuning, recall_floor=floor, k=5
+    )
+    rows = tuned.collect()
+    assert {r["n_probe_used"] for r in rows} == {expected}
+    plain = similarity.ivf_topk(emb, q, n_probe=expected, k=5)
+    key = lambda rs: sorted(
+        (r["query_id"], r["sim_rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in rs
+    )
+    assert key(rows) == key(plain.collect())
