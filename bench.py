@@ -86,6 +86,9 @@ HEADLINE = [
     "ann_recall_report",
     "ivf_cell_stats",
     "ivf_probe_tuning",
+    # the tuning table's consumer: pick the budget meeting the recall
+    # floor from the landed tuning zone, serve at it (VERDICT r15 #6)
+    "ann_ivf_tuned_serve",
     "tfidf_cosine_pairs",
     "winnowing_fingerprint",
     "token_count_bpe",
@@ -117,6 +120,9 @@ HEADLINE = [
     "decontaminate_spans",
     "quality_curriculum",
     "curriculum_pack",
+    # the landed-zone twin: manifest serve with zero scoring (cold
+    # pays the session's one-time curriculum zone write)
+    "curriculum_pack_state",
     "copurchase_pagerank",
     "curation_funnel",
     "quality_logreg_train",

@@ -26,7 +26,15 @@ recall decides whether sample-rerank is worth offering or the
 deployment rule stays "store-once = ADC-only serving; rerank requires
 store_flat_embeddings=True".
 
-Usage: python scripts/bench_rerank.py [sf_dir] [factor]
+``mmr`` mode (3rd arg) measures the DIVERSIFICATION stage instead
+(VERDICT r15 #2): mmr_topk composes on the rerank shortlist, so its
+cost model is |q|·s candidate rows + a |q|·s² pairwise table built
+once + k sequential checkpointed greedy steps — plan-constant-
+dominated, never corpus-sized. The mode runs the exact baseline, the
+plain rerank serve it composes on, and MMR at λ=0.7/λ=1.0, reporting
+the pairwise bound so the table-size claim is a recorded number.
+
+Usage: python scripts/bench_rerank.py [sf_dir] [factor] [mode]
 Prints one JSON line.
 """
 
@@ -82,6 +90,7 @@ def _perturb(i: int):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    mode = sys.argv[3] if len(sys.argv) > 3 else "all"
     k = 10
     spark = get_spark("bench-rerank")
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,6 +134,42 @@ def main() -> None:
         "brute_force_sec": brute_sec,
         "configs": [],
     }
+
+    if mode == "mmr":
+        out["metric"] = "mmr_scale"
+        s = 8 * k
+        out["shortlist"] = s
+        out["pairwise_rows_bound"] = 50 * s * (s - 1)
+        t0 = time.perf_counter()
+        rer = topk_sets(
+            similarity.ivfpq_rerank_topk(
+                emb, queries, shortlist=s, k=k,
+                centroids=cent, codebook=cb, codes=codes,
+            )
+        )
+        out["configs"].append({
+            "serve": f"rerank_s{s}",
+            "recall_at_10": mean_recall(truth, rer),
+            "sec": round(time.perf_counter() - t0, 3),
+        })
+        for lam in (0.7, 1.0):
+            t0 = time.perf_counter()
+            mmr = topk_sets(
+                similarity.mmr_topk(
+                    emb, queries, k=k, shortlist=s, lam=lam,
+                    centroids=cent, codebook=cb, codes=codes,
+                )
+            )
+            out["configs"].append({
+                "serve": f"mmr_s{s}_lam{lam}",
+                "recall_at_10": mean_recall(truth, mmr),
+                "sec": round(time.perf_counter() - t0, 3),
+            })
+        # λ=1 must reduce to the plain rerank cut — assert it in the
+        # harness so a scale record can never carry a broken compose
+        assert mmr == rer, "mmr λ=1 diverged from rerank order"
+        print(json.dumps(out))
+        return
 
     t0 = time.perf_counter()
     adc = topk_sets(
