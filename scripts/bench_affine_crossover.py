@@ -54,13 +54,19 @@ from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators
 )
 
 
-def _dir_bytes(zone: str, cells: set[int]) -> int:
+def _dir_bytes(zone: str, cells: set[int] | None = None) -> int:
+    """Bytes under the zone's cluster_id=... partition dirs — all of
+    them when ``cells`` is None (cluster ids are strided vec_ids, not
+    0..n_clusters)."""
     total = 0
-    for cid in cells:
-        d = os.path.join(zone, f"cluster_id={cid}")
-        if os.path.isdir(d):
-            for f in os.listdir(d):
-                total += os.path.getsize(os.path.join(d, f))
+    for d in os.listdir(zone):
+        if not d.startswith("cluster_id="):
+            continue
+        if cells is not None and int(d.split("=")[1]) not in cells:
+            continue
+        full = os.path.join(zone, d)
+        for f in os.listdir(full):
+            total += os.path.getsize(os.path.join(full, f))
     return total
 
 
@@ -89,15 +95,17 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="affine_crossover_")
     zone = os.path.join(tmp, "codes")
     try:
-        bulk.repartition("cluster_id").write.partitionBy(
-            "cluster_id"
-        ).parquet(zone)
+        # round-robin repartition → every cell dir lands ~32 files, so
+        # scan parallelism is split-granular in BOTH modes (a single
+        # file per cell makes a 4-cell scan 4 tasks — a toy-layout
+        # artifact; a 100 TB cell spans thousands of files)
+        bulk.repartition(32).write.partitionBy("cluster_id").parquet(zone)
         zcodes = spark.read.schema(
             "vec_id long, s long, code long, cluster_id long"
         ).parquet(zone)
 
         # two signature groups with DISJOINT probe-cell sets, same size
-        pool = emb.filter(F.col("vec_id") < 200)
+        pool = emb  # whole base corpus: signature groups need population
         probe_rows = [
             (r["query_id"], r["cluster_id"])
             for r in similarity.ivf_probe_assignments(
@@ -143,7 +151,7 @@ def main() -> None:
             "sf_dir": sf_dir,
             "factor": factor,
             "codes_rows": zcodes.count(),
-            "zone_bytes": _dir_bytes(zone, set(range(16))),
+            "zone_bytes": _dir_bytes(zone),
             "n_queries_per_side": 2 * half,
             "cells_a": list(ga),
             "cells_b": list(gb),
