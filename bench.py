@@ -89,6 +89,9 @@ HEADLINE = [
     # the tuning table's consumer: pick the budget meeting the recall
     # floor from the landed tuning zone, serve at it (VERDICT r15 #6)
     "ann_ivf_tuned_serve",
+    # filtered vector search from the landed zone: label predicate
+    # pushed into the DPP-pruned lists scan (r16)
+    "ann_ivf_filtered_state",
     "tfidf_cosine_pairs",
     "winnowing_fingerprint",
     "token_count_bpe",

@@ -579,6 +579,7 @@ def _ivf_corpus_lists(
     cent: DataFrame,
     id_col: str,
     vec_col: str,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """:func:`ivf_topk`'s corpus inverted-list membership, factored
     out so the streaming IVF gate lands EXACTLY the rule the serving
@@ -586,11 +587,15 @@ def _ivf_corpus_lists(
     lowest-cid tie-break): a broadcast join of the k centroid rows
     onto the corpus and a map-side-combined struct-max, shuffling
     |corpus| rows. Returns ``(neighbor_id, cluster_id,
-    cvec_corpus)``."""
+    cvec_corpus)``. ``keep_cols`` ride the max struct (the argmax is
+    decided by (cosine, cid) alone — cid is unique — so trailing
+    fields never affect ordering): metadata columns the serving tier
+    filters on travel WITH the membership, never a join-back."""
     corpus_scored = (
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cvec_corpus"),
+            *keep_cols,
         )
         .join(F.broadcast(cent))
         .select(
@@ -599,6 +604,7 @@ def _ivf_corpus_lists(
                 cosine(F.col("cvec_corpus"), F.col("centroid_vec")).alias("s"),
                 (-F.col("cid")).alias("nc"),
                 F.col("cvec_corpus").alias("vec"),
+                *[F.col(c).alias(c) for c in keep_cols],
             ).alias("_cand"),
         )
     )
@@ -609,6 +615,7 @@ def _ivf_corpus_lists(
             "neighbor_id",
             (-F.col("_best.nc")).alias("cluster_id"),
             F.col("_best.vec").alias("cvec_corpus"),
+            *[F.col(f"_best.{c}").alias(c) for c in keep_cols],
         )
     )
 
@@ -619,6 +626,7 @@ def ivf_list_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_dist: bool = False,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Search-metric inverted-list membership for an IVF index:
     assign every corpus vector to the centroid :func:`ivf_topk` would
@@ -642,15 +650,24 @@ def ivf_list_assign(
     between ``cluster_id`` and the vector. The streaming IVF gate
     thresholds drift on it; squared-L2 (not cosine) on purpose, since
     cosine is scale-invariant and magnitude drift would be
-    invisible to it."""
+    invisible to it.
+
+    ``keep_cols`` land metadata columns (labels, source tags, dates)
+    ALONGSIDE the membership — the filtered-ANN seam: a zone that
+    carries its filter columns lets the serve push the predicate into
+    the DPP-pruned scan (``ivf_topk(corpus_filter=…)``) instead of
+    joining the corpus back."""
     cent = centroids.select(
         F.col("cid").cast("long").alias("cid"),
         F.col("centroid_vec"),
     )
-    lists = _ivf_corpus_lists(embeddings, cent, id_col, vec_col).select(
+    lists = _ivf_corpus_lists(
+        embeddings, cent, id_col, vec_col, keep_cols=keep_cols
+    ).select(
         F.col("neighbor_id").alias(id_col),
         "cluster_id",
         F.col("cvec_corpus").alias(vec_col),
+        *keep_cols,
     )
     if not with_dist:
         return lists
@@ -663,6 +680,7 @@ def ivf_list_assign(
     return lists.join(cent_b, "cluster_id").select(
         id_col,
         "cluster_id",
+        *keep_cols,
         det_round(
             _dec_fold(
                 F.zip_with(
@@ -779,10 +797,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     lists: DataFrame | None = None,
+    corpus_filter: Column | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbors: a deterministic coarse
     quantizer partitions the corpus into inverted lists; each query
     probes only its ``n_probe`` nearest lists.
+
+    ``corpus_filter`` is FILTERED vector search — top-k among corpus
+    rows satisfying a metadata predicate (the pre- vs post-filter
+    problem every vector store has). Spark resolves it the cheap way
+    for free: the predicate composes INTO the corpus scan (on a landed
+    lists zone that carries its filter columns —
+    ``ivf_list_assign(keep_cols=…)`` — it reaches PushedFilters and
+    stacks with the probe join's DPP file pruning), so pre-filtering
+    costs nothing extra and never under-fills k the way post-filtering
+    an unfiltered top-k does. The quantizer is NOT filtered: centroids
+    derive from (or were trained on) the full corpus, so one index
+    serves every predicate — only the serving scan narrows. Recall
+    caveat shared with unfiltered IVF: a filtered neighbor outside the
+    probed cells is unreachable at any k; raise n_probe for highly
+    selective predicates (the filtered cell population shrinks, so
+    each probed cell yields fewer candidates).
 
     * **Centroids** default to a strided sample (``vec_id % stride ==
       0``, first ``n_clusters`` by id) — model-free, reproducible, and
@@ -846,13 +881,20 @@ def ivf_topk(
         # cells' files, and the embeddings table is never rescanned.
         # cluster_id is used as-is (no cast): wrapping the partition
         # column in an expression can defeat DPP insertion.
-        corpus = lists.select(
+        src = lists if corpus_filter is None else lists.filter(
+            corpus_filter
+        )
+        corpus = src.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("cluster_id"),
             as_double(F.col(vec_col)).alias("cvec_corpus"),
         )
     else:
-        corpus = _ivf_corpus_lists(embeddings, cent, id_col, vec_col)
+        src = (
+            embeddings if corpus_filter is None
+            else embeddings.filter(corpus_filter)
+        )
+        corpus = _ivf_corpus_lists(src, cent, id_col, vec_col)
 
     # queries × centroids is tiny (|q| × n_clusters) — join + window
     q = queries.select(

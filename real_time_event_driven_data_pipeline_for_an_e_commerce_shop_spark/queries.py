@@ -5113,10 +5113,19 @@ def _ivf_model_zone(spark: SparkSession, sf_dir: str) -> str:
         # alongside, partitioned by cluster_id — serving probes then
         # file-prune via DPP and never rescan the embeddings table.
         # Zone-build discipline: membership derives from the LANDED
-        # centroid table, not the in-memory sibling.
+        # centroid table, not the in-memory sibling. label rides the
+        # zone (keep_cols) so the filtered serve pushes its predicate
+        # into the DPP-pruned scan (ann_ivf_filtered_state).
         lists = similarity.ivf_list_assign(
-            vecs,
+            emb.select(
+                "vec_id",
+                similarity.as_double(F.col("embedding")).alias(
+                    "embedding"
+                ),
+                "label",
+            ),
             spark.read.parquet(os.path.join(zone, "ivf_centroids")),
+            keep_cols=("label",),
         )
         write_zone_table(
             lists, zone, "ivf_lists", layout="flat",
@@ -7391,6 +7400,119 @@ def q_ann_ivf_tuned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_filtered_oracle(
+    trained: bool = False,
+    pred: str = "label >= 5",
+    n_probe: int = 4,
+    k: int = 5,
+    n_clusters: int = 16,
+) -> str:
+    """Filtered-ANN mirror: the IVF serve CTEs with the metadata
+    predicate applied to the CORPUS side only — the quantizer (strided
+    or the det-round-12 k-means chain) stays fit on the FULL corpus,
+    exactly as the Spark operator keeps one index per every
+    predicate."""
+    cos = (
+        "(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * (sqrt(list_dot_product({b}, {b})))))"
+    )
+    if trained:
+        head = f"""
+    WITH vz AS (SELECT vec_id AS doc_id, {SQL_VEC} AS vec FROM embeddings),
+    {_kmeans_ctes(n_clusters, 2)},
+    cents AS (SELECT cid, vec AS cvec FROM c2),
+    v AS (SELECT vec_id, {SQL_VEC} AS vec, label FROM embeddings),"""
+    else:
+        head = f"""
+    WITH v AS (SELECT vec_id, {SQL_VEC} AS vec, label FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cid, vec AS cvec FROM v
+        WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT {n_clusters}
+    ),"""
+    return head + f"""
+    assign AS (
+        SELECT vec_id, cid, vec FROM (
+            SELECT a.vec_id, c.cid, a.vec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cos.format(a="a.vec", b="c.cvec")} DESC,
+                           c.cid ASC) AS rn
+            FROM v a CROSS JOIN cents c
+            WHERE a.{pred})
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid, vec AS qvec FROM (
+            SELECT q.vec_id, c.cid, q.vec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos.format(a="q.vec", b="c.cvec")} DESC,
+                           c.cid ASC) AS rn
+            FROM v q CROSS JOIN cents c WHERE q.vec_id < 10)
+        WHERE rn <= {n_probe}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {cos.format(a="p.qvec", b="a.vec")} AS sim
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT)
+               AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim
+    FROM scored
+    QUALIFY sim_rank <= {k}
+    """
+
+
+@query("ann_ivf_filtered", oracle=_ivf_filtered_oracle())
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k among corpus vectors satisfying
+    a metadata predicate (label ≥ 5), the pre- vs post-filter problem
+    every vector store has. Spark resolves it the cheap way for free:
+    the predicate composes into the corpus side of the IVF serve
+    (``ivf_topk(corpus_filter=…)``), so pre-filtering costs nothing
+    extra and never under-fills k the way post-filtering an unfiltered
+    top-k does; the quantizer stays fit on the FULL corpus, so one
+    index serves every predicate. Reference scope: extends the ANN
+    tier."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_probe=4, k=5, corpus_filter=F.col("label") >= 5,
+    )
+
+
+@query(
+    "ann_ivf_filtered_state",
+    oracle=_ivf_filtered_oracle(trained=True),
+)
+def q_ann_ivf_filtered_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_filtered served from the LANDED zone — the production
+    shape of filtered ANN: the lists zone CARRIES its filter columns
+    (``ivf_list_assign(keep_cols=("label",))`` landed label beside
+    every vector), so the label predicate reaches the zone scan's
+    PushedFilters and stacks with the probe join's DPP file pruning —
+    predicate pushdown × partition pruning on one scan, zero
+    join-backs (plan-asserted in tests/test_ann_rerank.py). Same
+    trained-quantizer oracle chain as the other *_state ANN serves,
+    plus the corpus-side WHERE."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _ivf_model_zone(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(zone, "ivf_centroids"))
+    lists = spark.read.schema(
+        "vec_id long, embedding array<double>, label int, cluster_id long"
+    ).parquet(os.path.join(zone, "ivf_lists"))
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_probe=4, k=5, centroids=cents, lists=lists,
+        corpus_filter=F.col("label") >= 5,
+    )
+
+
 @query(
     "contrastive_triplets_state",
     oracle=ORACLES["contrastive_triplets"],
@@ -8796,6 +8918,8 @@ _SWEEP_PRIORITY = [
     # curriculum_assignments now flow through).
     "ann_ivf_tuned_serve",
     "curriculum_pack_state",
+    "ann_ivf_filtered",
+    "ann_ivf_filtered_state",
     "decontaminate_spans",
     "decontaminate_spans_stream",
     "curriculum_pack",
@@ -8844,14 +8968,12 @@ _SWEEP_PRIORITY = [
     "top_customers",
     "trailing_revenue_window",
     "waiting_suppliers",
-    # Group C - oldest r13-stale entries, alphabetical first 4 of 47
-    # (ann_pq_topk, bm25_search_state, category_kpi{,_bucketed},
-    # category_rank_daily, chunk_dedup_hashed, cluster_* ... rotate
-    # from r17; at 181 entries the registry cycles in ~3.6 windows).
+    # Group C - oldest r13-stale entries, alphabetical first 2 of 47
+    # (ann_ivfpq_topk, ann_pq_state, ann_pq_topk, bm25_search_state,
+    # category_kpi{,_bucketed}, category_rank_daily, ... rotate from
+    # r17; at 184 entries the registry cycles in ~3.7 windows).
     "ann_ivf_trained",
     "ann_ivfpq_state",
-    "ann_ivfpq_topk",
-    "ann_pq_state",
 ]
 
 def _apply_sweep_order() -> None:

@@ -493,3 +493,68 @@ def test_ivf_tuned_topk_serves_at_chosen_budget(spark, emb):
         for r in rs
     )
     assert key(rows) == key(plain.collect())
+
+
+def test_ivf_filtered_probe_all_is_filtered_brute_force(spark, emb):
+    """Filtered ANN value contract: probing EVERY cell makes the
+    filtered serve exactly brute force over the predicate-surviving
+    corpus — pre-filtering never under-fills k (the post-filter
+    failure mode) and never surfaces a non-matching row."""
+    q = emb.filter(F.col("vec_id") < 5)
+    pred = F.col("label") >= 5
+    got = similarity.ivf_topk(
+        emb, q, n_probe=16, n_clusters=16, k=5, corpus_filter=pred
+    )
+    exact = similarity.brute_force_topk(emb.filter(pred), q, k=5)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(exact)
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in got.collect():
+        assert labels[r["neighbor_id"]] >= 5
+
+
+def test_ivf_filtered_state_pushes_predicate_into_zone_scan(
+    spark, emb, tmp_path
+):
+    """The production filtered serve: label lands IN the lists zone
+    (keep_cols), and the serve's predicate reaches the zone scan's
+    PushedFilters while the probe join still DPP-prunes — pushdown ×
+    partition pruning composed on one scan, no join-back. Plan is
+    inspected BEFORE execution (post-collect AQE plans duplicate
+    FileScans)."""
+    cents = emb.filter(F.col("vec_id") % 29 == 0).orderBy(
+        "vec_id"
+    ).limit(16).select(
+        F.col("vec_id").alias("cid"),
+        similarity.as_double("embedding").alias("centroid_vec"),
+    )
+    lists = similarity.ivf_list_assign(
+        emb, cents, keep_cols=("label",)
+    )
+    assert lists.columns == ["vec_id", "cluster_id", "embedding", "label"]
+    zone = str(tmp_path / "lists")
+    lists.write.partitionBy("cluster_id").parquet(zone)
+    zlists = spark.read.schema(
+        "vec_id long, embedding array<double>, label int, cluster_id long"
+    ).parquet(zone)
+    served = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5,
+        centroids=cents, lists=zlists,
+        corpus_filter=F.col("label") >= 5,
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "label" in ln
+    ]
+    assert scan, f"label predicate did not reach the zone scan:\n{plan[:3000]}"
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan, (
+        "probe join lost its partition pruning"
+    )
+    # and the landed-zone serve agrees with the in-plan form
+    inplan = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5,
+        centroids=cents, corpus_filter=F.col("label") >= 5,
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(served) == key(inplan)
