@@ -634,6 +634,103 @@ def mixture_weights_from_counts(
     )
 
 
+def mixture_epoch_plan(
+    documents: DataFrame,
+    budget_tokens: int = 50_000,
+    alpha: float = 0.3,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """EPOCH COMPOSITION — the selection table a training run mounts
+    when it has a TOKEN budget and a mixture policy: allocate
+    ``budget_tokens`` across strata by the temperature-scaled mixture
+    (q_s ∝ p_s^α over TOKEN mass — :func:`mixture_weights`' XLM-R
+    rule, token-weighted because trainer budgets are tokens, not
+    docs), then fill each stratum's allocation with its HIGHEST-
+    QUALITY prose first (model score DESC, doc_id ASC — the
+    curriculum ordering). A doc is selected iff it STARTS within its
+    stratum's budget (``tokens_before < target_tokens`` — the same
+    deterministic starts-within rule as the packing tier), so the
+    plan over- or under-shoots by at most one document per stratum
+    and is bit-reproducible.
+
+    Emits EVERY doc with its ``selected`` flag (the
+    ``stratified_sample_flags`` discipline: the negative space is
+    auditable — what the mix left out and how far from the cut it
+    was), plus the stratum's ``target_tokens`` so the table is
+    self-describing about the policy that produced it.
+
+    Sits between :func:`mixture_weights` (how much of each stratum)
+    and :func:`curriculum_pack` (what order to train on): weights ×
+    quality → the epoch's document set; feed the selected set to the
+    curriculum packer for the full trainer contract.
+
+    Determinism: pow det-rounds to 8 and the normalizer decimal-sums
+    (the mixture_weights rule); quality is the round-4 model score;
+    prefix sums are exact longs. Scale shape: ONE corpus scan (token
+    count + quality ride the same projection via ``keep_cols``), one
+    stratum aggregate, two one-row scalar broadcasts, one
+    stratum-partitioned ranking window, and a stratum equi-join of
+    the |strata|-row target table back onto the ranked rows —
+    co-partitioned with the window's own shuffle, so nothing
+    corpus-sized moves twice; strata can number millions of domains
+    and everything stays distributed."""
+    from .text import quality_model_score, tokens as _tok
+
+    scored = quality_model_score(
+        documents.withColumn(
+            "n_tokens", F.size(_tok(F.col("text"))).cast("long")
+        ),
+        keep_cols=("n_tokens", stratum_col),
+    ).select(
+        "doc_id",
+        F.col(stratum_col).alias("stratum"),
+        "n_tokens",
+        "model_quality",
+    )
+    counts = scored.groupBy("stratum").agg(
+        F.sum("n_tokens").cast("long").alias("_stok")
+    )
+    total = counts.agg(F.sum("_stok").cast("double").alias("_tot"))
+    pa = det_round(
+        F.pow(
+            F.col("_stok").cast("double") / F.col("_tot"), F.lit(alpha)
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    with_pa = counts.crossJoin(F.broadcast(total)).withColumn("_pa", pa)
+    z = with_pa.agg(F.sum("_pa").cast("double").alias("_z"))
+    targets = with_pa.crossJoin(F.broadcast(z)).select(
+        "stratum",
+        F.floor(
+            det_round(F.col("_pa").cast("double") / F.col("_z"), 6)
+            * F.lit(float(budget_tokens))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy(F.desc("model_quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn(
+        "tokens_before",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    )
+    return ranked.join(targets, "stratum").select(
+        "stratum",
+        "doc_id",
+        "n_tokens",
+        "model_quality",
+        "tokens_before",
+        "target_tokens",
+        (F.col("tokens_before") < F.col("target_tokens")).alias(
+            "selected"
+        ),
+    )
+
+
 # --- DSIR importance resampling ----------------------------------------
 
 

@@ -8801,6 +8801,66 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mixture_weights(t["documents"], alpha=0.3)
 
 
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source AS stratum,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+               {_quality_score_sql()} AS model_quality
+        FROM documents
+    ),
+    c AS (
+        SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS stok
+        FROM scored GROUP BY stratum
+    ),
+    t AS (SELECT CAST(SUM(stok) AS DOUBLE) AS tot FROM c),
+    pw AS (
+        SELECT c.stratum,
+               CAST({round_sql(
+                   "pow(CAST(c.stok AS DOUBLE) / t.tot, 0.3)", 8
+               )} AS DECIMAL(18,8)) AS pa
+        FROM c CROSS JOIN t
+    ),
+    z AS (SELECT CAST(SUM(pa) AS DOUBLE) AS z FROM pw),
+    tg AS (
+        SELECT stratum,
+               CAST(FLOOR({round_sql("CAST(pa AS DOUBLE) / z.z", 6)}
+                          * 50000.0 + 0.5) AS BIGINT) AS target_tokens
+        FROM pw CROSS JOIN z
+    ),
+    ranked AS (
+        SELECT stratum, doc_id, n_tokens, model_quality,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY stratum
+                   ORDER BY model_quality DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS tokens_before
+        FROM scored
+    )
+    SELECT r.stratum, r.doc_id, r.n_tokens, r.model_quality,
+           r.tokens_before, tg.target_tokens,
+           (r.tokens_before < tg.target_tokens) AS selected
+    FROM ranked r JOIN tg USING (stratum)
+    """,
+)
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH COMPOSITION (r16): a 50k-token budget allocated across
+    sources by the token-weighted temperature mixture (α=0.3), each
+    source's allocation filled highest-quality-first (model score
+    DESC, doc_id ASC) — every doc emitted with its selected flag,
+    tokens_before, and the stratum target, so the table audits both
+    the mix and the cut. Sits between mixture_weights (how much) and
+    curriculum_pack (what order). Reference scope: extends the
+    curation tier."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.mixture_epoch_plan(
+        t["documents"], budget_tokens=50_000, alpha=0.3
+    )
+
+
 _KL_PST = "(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
 _KL_PT = "(CAST(c_t AS DOUBLE) / n_total)"
 
@@ -8920,6 +8980,7 @@ _SWEEP_PRIORITY = [
     "curriculum_pack_state",
     "ann_ivf_filtered",
     "ann_ivf_filtered_state",
+    "mixture_epoch_plan",
     "decontaminate_spans",
     "decontaminate_spans_stream",
     "curriculum_pack",
@@ -8968,12 +9029,11 @@ _SWEEP_PRIORITY = [
     "top_customers",
     "trailing_revenue_window",
     "waiting_suppliers",
-    # Group C - oldest r13-stale entries, alphabetical first 2 of 47
-    # (ann_ivfpq_topk, ann_pq_state, ann_pq_topk, bm25_search_state,
-    # category_kpi{,_bucketed}, category_rank_daily, ... rotate from
-    # r17; at 184 entries the registry cycles in ~3.7 windows).
+    # Group C - oldest r13-stale entry, alphabetical first 1 of 47
+    # (ann_ivfpq_state, ann_ivfpq_topk, ann_pq_state, ann_pq_topk,
+    # bm25_search_state, category_kpi{,_bucketed}, ... rotate from
+    # r17; at 185 entries the registry cycles in ~3.7 windows).
     "ann_ivf_trained",
-    "ann_ivfpq_state",
 ]
 
 def _apply_sweep_order() -> None:

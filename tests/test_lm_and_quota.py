@@ -457,3 +457,65 @@ def test_bpe_checkpointing_bounds_plan_depth_and_preserves_values(
     with pytest.raises(ValueError, match="checkpoint_every"):
         text.bpe_learn_merges(docs, str(tmp_path / "bpe_c"),
                               n_merges=2, checkpoint_every=0)
+
+
+def test_mixture_epoch_plan_contracts(spark):
+    """Epoch-composition value contracts: every doc is emitted exactly
+    once with a selected flag; per stratum the selection is a QUALITY
+    PREFIX (a selected doc is never outranked by an unselected one);
+    selection follows the starts-within rule (selected ⟺
+    tokens_before < target_tokens, so overshoot ≤ one doc per
+    stratum); Σ targets reconstructs the budget within per-stratum
+    rounding; and α=1 makes targets proportional to token mass."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    budget = 10_000
+    plan = curation.mixture_epoch_plan(docs, budget_tokens=budget)
+    rows = plan.collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+    by_stratum: dict[str, list] = {}
+    for r in rows:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    tgt_sum = 0
+    for stratum, rs in by_stratum.items():
+        rs.sort(key=lambda r: (-r["model_quality"], r["doc_id"]))
+        tgt = rs[0]["target_tokens"]
+        assert all(r["target_tokens"] == tgt for r in rs)
+        tgt_sum += tgt
+        # selected ⟺ starts within budget, and a quality prefix
+        cum = 0
+        seen_unselected = False
+        for r in rs:
+            assert r["tokens_before"] == cum
+            assert r["selected"] == (cum < tgt)
+            if not r["selected"]:
+                seen_unselected = True
+            else:
+                assert not seen_unselected, "selection not a prefix"
+            cum += r["n_tokens"]
+    # Σ floor(q6·B + .5) is within |strata| of the budget (q sums to
+    # ~1 at round-6; each stratum rounds at most ±0.5 + 1e-6·B)
+    assert abs(tgt_sum - budget) <= len(by_stratum) + 1
+
+    # α=1: targets proportional to token mass (within rounding)
+    flat = {
+        r["stratum"]: r["target_tokens"]
+        for r in curation.mixture_epoch_plan(
+            docs, budget_tokens=budget, alpha=1.0
+        ).select("stratum", "target_tokens").distinct().collect()
+    }
+    mass = {
+        r["stratum"]: r["m"]
+        for r in docs.select(
+            F.col("source").alias("stratum"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("m"),
+        ).groupBy("stratum").agg(F.sum("m").alias("m")).collect()
+    }
+    tot = sum(mass.values())
+    for s, m in mass.items():
+        assert flat[s] == pytest.approx(budget * m / tot, abs=2.0)

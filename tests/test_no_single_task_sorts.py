@@ -101,6 +101,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "lm_perplexity_from_term_state scoring)"
     ),
     "mixture_weights": "one-row corpus-total and normalizer broadcasts",
+    "mixture_epoch_plan": (
+        "same one-row token-total and normalizer broadcasts as "
+        "mixture_weights; the |strata|-row target table rides a "
+        "stratum equi-join co-partitioned with the ranking window"
+    ),
     "source_token_drift": "one-row corpus token total broadcast",
     "market_basket": "one-row order-count total broadcast",
     "cms_heavy_hitters": (
@@ -185,6 +190,22 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "same exact-baseline broadcast as ivf_probe_tuning; the probe "
         "cuts serve from the landed zone (k LANDED centroid rows "
         "broadcast, DPP-pruned lists scans)"
+    ),
+    "ann_ivf_tuned_serve": (
+        "k LANDED centroid rows broadcast for probe selection only "
+        "(the ann_ivf_trained_state attach) — the tuning table is a "
+        "bounded 4-row driver collect that picks the budget, never a "
+        "join"
+    ),
+    "ann_ivf_filtered": (
+        "built on ann_ivf_topk's k-centroid broadcasts (argmax assign "
+        "+ probe selection); the label predicate changes rows, not "
+        "joins"
+    ),
+    "ann_ivf_filtered_state": (
+        "k LANDED centroid rows broadcast for probe selection only — "
+        "the label predicate is pushed into the DPP-pruned lists "
+        "scan, adding no join at all"
     ),
     "ann_recall_report": (
         "built on ann_cosine_topk's exact baseline (the report's "
