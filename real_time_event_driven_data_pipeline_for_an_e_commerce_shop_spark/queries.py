@@ -714,15 +714,17 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curriculum_placed_ctes(
     n_phases: int = 4, n_shards: int = 8, seed: str = "p42",
+    src: str = "documents",
 ) -> str:
     """Shared CTE chain of the curriculum-packing pair (manifest +
     doc-grain assignment): score, exact NTILE phase, md5 shard,
-    per-(phase, shard) prefix-sum start."""
+    per-(phase, shard) prefix-sum start. ``src`` swaps the corpus
+    source (epoch_curriculum_pack packs a SELECTED subset)."""
     shard = sql_md5_long(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
     return f"""scored AS (
         SELECT doc_id, {_quality_score_sql()} AS q,
                CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
-        FROM documents
+        FROM {src}
     ),
     tiled AS (
         SELECT doc_id, q, n_tokens,
@@ -8801,47 +8803,57 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mixture_weights(t["documents"], alpha=0.3)
 
 
-@query(
-    "mixture_epoch_plan",
-    oracle=f"""
-    WITH scored AS (
+def _mixture_epoch_ctes(budget: int = 50_000, alpha: float = 0.3) -> str:
+    """CTE chain of the mixture epoch plan (names m-prefixed so the
+    curriculum chain can FOLLOW in the same WITH —
+    epoch_curriculum_pack composes the two): token-weighted
+    temperature targets per stratum + the quality-ranked prefix
+    sums."""
+    return f"""mscored AS (
         SELECT doc_id, source AS stratum,
                CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
                {_quality_score_sql()} AS model_quality
         FROM documents
     ),
-    c AS (
+    mc AS (
         SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS stok
-        FROM scored GROUP BY stratum
+        FROM mscored GROUP BY stratum
     ),
-    t AS (SELECT CAST(SUM(stok) AS DOUBLE) AS tot FROM c),
-    pw AS (
-        SELECT c.stratum,
+    mt AS (SELECT CAST(SUM(stok) AS DOUBLE) AS tot FROM mc),
+    mpw AS (
+        SELECT mc.stratum,
                CAST({round_sql(
-                   "pow(CAST(c.stok AS DOUBLE) / t.tot, 0.3)", 8
+                   f"pow(CAST(mc.stok AS DOUBLE) / mt.tot, {alpha})", 8
                )} AS DECIMAL(18,8)) AS pa
-        FROM c CROSS JOIN t
+        FROM mc CROSS JOIN mt
     ),
-    z AS (SELECT CAST(SUM(pa) AS DOUBLE) AS z FROM pw),
-    tg AS (
+    mz AS (SELECT CAST(SUM(pa) AS DOUBLE) AS z FROM mpw),
+    mtg AS (
         SELECT stratum,
-               CAST(FLOOR({round_sql("CAST(pa AS DOUBLE) / z.z", 6)}
-                          * 50000.0 + 0.5) AS BIGINT) AS target_tokens
-        FROM pw CROSS JOIN z
+               CAST(FLOOR({round_sql("CAST(pa AS DOUBLE) / mz.z", 6)}
+                          * {budget}.0 + 0.5) AS BIGINT)
+                   AS target_tokens
+        FROM mpw CROSS JOIN mz
     ),
-    ranked AS (
+    mranked AS (
         SELECT stratum, doc_id, n_tokens, model_quality,
                CAST(SUM(n_tokens) OVER (
                    PARTITION BY stratum
                    ORDER BY model_quality DESC, doc_id ASC
                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
                    AS tokens_before
-        FROM scored
-    )
+        FROM mscored
+    )"""
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH {_mixture_epoch_ctes()}
     SELECT r.stratum, r.doc_id, r.n_tokens, r.model_quality,
-           r.tokens_before, tg.target_tokens,
-           (r.tokens_before < tg.target_tokens) AS selected
-    FROM ranked r JOIN tg USING (stratum)
+           r.tokens_before, mtg.target_tokens,
+           (r.tokens_before < mtg.target_tokens) AS selected
+    FROM mranked r JOIN mtg USING (stratum)
     """,
 )
 def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8858,6 +8870,58 @@ def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "documents")
     return curation.mixture_epoch_plan(
         t["documents"], budget_tokens=50_000, alpha=0.3
+    )
+
+
+@query(
+    "epoch_curriculum_pack",
+    oracle=f"""
+    WITH {_mixture_epoch_ctes(budget=20_000)},
+    msel AS (
+        SELECT r.doc_id FROM mranked r JOIN mtg USING (stratum)
+        WHERE r.tokens_before < mtg.target_tokens
+    ),
+    epoch AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN msel USING (doc_id)
+    ),
+    {_curriculum_placed_ctes(src="epoch")}
+    SELECT phase, shard,
+           CAST(FLOOR(start / 512.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM placed
+    GROUP BY phase, shard, bin_id
+    """,
+)
+def q_epoch_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL trainer contract in one hash-gated chain (r16):
+    token budget (20k — a real cut, ~40% of the sf0.01 corpus) →
+    temperature mixture targets → quality-prefix
+    selection (mixture_epoch_plan) → curriculum-phase-ordered packed
+    shards over the SELECTED epoch (curriculum_pack). The oracle runs
+    both CTE chains in one WITH — the mixture selection feeds the
+    curriculum source — so every rounding, tie-break, and prefix rule
+    of the composition is value-checked end-to-end. At 100 TB the
+    production shape lands the epoch zone between the two stages
+    (write-once, pack-from-zone — the write_curriculum_zone
+    discipline); the composed plan here proves the SEMANTICS of the
+    chain. Reference scope: extends the curation tier."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    sel = (
+        curation.mixture_epoch_plan(
+            docs, budget_tokens=20_000, alpha=0.3
+        )
+        .filter(F.col("selected"))
+        .select("doc_id")
+    )
+    return curation.curriculum_pack(
+        docs.join(sel, "doc_id"), n_phases=4, budget=512, n_shards=8
     )
 
 
@@ -8981,6 +9045,7 @@ _SWEEP_PRIORITY = [
     "ann_ivf_filtered",
     "ann_ivf_filtered_state",
     "mixture_epoch_plan",
+    "epoch_curriculum_pack",
     "decontaminate_spans",
     "decontaminate_spans_stream",
     "curriculum_pack",
@@ -9029,11 +9094,11 @@ _SWEEP_PRIORITY = [
     "top_customers",
     "trailing_revenue_window",
     "waiting_suppliers",
-    # Group C - oldest r13-stale entry, alphabetical first 1 of 47
-    # (ann_ivfpq_state, ann_ivfpq_topk, ann_pq_state, ann_pq_topk,
-    # bm25_search_state, category_kpi{,_bucketed}, ... rotate from
-    # r17; at 185 entries the registry cycles in ~3.7 windows).
-    "ann_ivf_trained",
+    # Group C: the r16 additions consumed every non-Group-B slot —
+    # the 47 r13-stale entries (ann_ivf_trained, ann_ivfpq_state,
+    # ann_ivfpq_topk, ann_pq_state, ann_pq_topk, bm25_search_state,
+    # category_kpi{,_bucketed}, ...) rotate from r17; at 186 entries
+    # the registry cycles in ~3.7 windows.
 ]
 
 def _apply_sweep_order() -> None:

@@ -106,6 +106,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "mixture_weights; the |strata|-row target table rides a "
         "stratum equi-join co-partitioned with the ranking window"
     ),
+    "epoch_curriculum_pack": (
+        "built on mixture_epoch_plan's one-row token-total and "
+        "normalizer broadcasts; the selection and the curriculum "
+        "chain add only equi-joins and the recognized exact NTILE"
+    ),
     "source_token_drift": "one-row corpus token total broadcast",
     "market_basket": "one-row order-count total broadcast",
     "cms_heavy_hitters": (
