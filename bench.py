@@ -126,6 +126,10 @@ HEADLINE = [
     # the landed-zone twin: manifest serve with zero scoring (cold
     # pays the session's one-time curriculum zone write)
     "curriculum_pack_state",
+    # epoch composition: budget → mixture targets → quality prefix;
+    # and the full budget→mix→select→pack chain (r16)
+    "mixture_epoch_plan",
+    "epoch_curriculum_pack",
     "copurchase_pagerank",
     "curation_funnel",
     "quality_logreg_train",
