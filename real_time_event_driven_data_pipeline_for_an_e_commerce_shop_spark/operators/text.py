@@ -1738,7 +1738,10 @@ def decontaminate_spans(
     )
     psel = probes.select(F.col(probe_col).alias("_sgl"))
     if probe_count is None:
-        probe_count = _PROBE_COUNTS.get(probes)
+        try:
+            probe_count = _PROBE_COUNTS.get(probes)
+        except TypeError:  # unweakrefable/unhashable stub — no memo
+            probe_count = None
     if probe_count is None:
         probe_count = psel.count()
         try:

@@ -146,3 +146,43 @@ def test_accounting_consistency_on_testdata(spark):
         | ((F.col("n_spans") > 0) != (F.col("n_removed") > 0))
     )
     assert bad.count() == 0
+
+
+def test_decontaminate_probe_count_memoized(spark, monkeypatch):
+    """ADVICE r15: the broadcast-gate count job runs at most ONCE per
+    probes DataFrame (memoized by identity) — a per-micro-batch
+    caller with a static probe table pays it on the first batch only;
+    an explicit probe_count makes the operator fully lazy (zero count
+    jobs at construction)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "probe string"
+    )
+    # patch the CONCRETE DataFrame class (pyspark 4: pyspark.sql
+    # .DataFrame is the abstract base; classic overrides count)
+    cls = type(probes)
+    calls = {"n": 0}
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    text.decontaminate_spans(docs, probes).collect()
+    first = calls["n"]
+    assert first >= 1  # the gate counted once
+    text.decontaminate_spans(docs, probes).collect()
+    assert calls["n"] == first, "second call re-ran the gate count"
+    calls["n"] = 0
+    text.decontaminate_spans(
+        spark.createDataFrame(
+            [(2, "eta theta iota")], "doc_id long, text string"
+        ),
+        spark.createDataFrame([("x y z q w",)], "probe string"),
+        probe_count=1,
+    ).collect()
+    assert calls["n"] == 0, "explicit probe_count still ran a job"
