@@ -92,6 +92,11 @@ HEADLINE = [
     # filtered vector search from the landed zone: label predicate
     # pushed into the DPP-pruned lists scan (r16)
     "ann_ivf_filtered_state",
+    # binary quantization: Hamming shortlist over the landed 1-bit
+    # codes (24 B/vector), exact rerank of the survivors (r16)
+    "ann_binary_state",
+    # secret/credential scan beside pii_redaction (r16)
+    "secret_scan",
     "tfidf_cosine_pairs",
     "winnowing_fingerprint",
     "token_count_bpe",

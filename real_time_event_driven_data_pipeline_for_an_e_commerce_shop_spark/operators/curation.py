@@ -1334,3 +1334,109 @@ def curation_funnel_from_state(
         .select("_q", "_k", F.coalesce(F.col("_n"), F.lit(True)).alias("_n"))
     )
     return _funnel_report(flags)
+
+
+# --- secret / credential scan ------------------------------------------
+
+#: Assignment-style credential keywords (the detect-secrets-style
+#: keyword heuristic): a sensitive identifier immediately followed by
+#: ``=`` or ``:``. Java-regex / RE2 common subset, like PII_PATTERNS.
+SECRET_KEYWORD_PATTERN = (
+    r"(?i)(password|passwd|secret|api_key|apikey|auth_token"
+    r"|access_key|private_key)\s*[:=]"
+)
+
+#: PEM private-key block header — the one secret shape that needs no
+#: entropy test at all.
+SECRET_PEM_PATTERN = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+
+#: Candidate-token shape: base64/hex/identifier runs. `=` excluded so
+#: an assignment's glue never fuses key and value into one token.
+_SECRET_TOKEN_CLASS = "[A-Za-z0-9+/_-]"
+
+
+def _token_entropy(t: Column) -> Column:
+    """Shannon entropy (bits/char) of one token, fully JVM-side: char
+    histogram via sorted-distinct + per-char occurrence counts (nested
+    higher-order functions, no shuffle, no UDF), each ``p·log2 p`` term
+    det-rounded to 12 and summed exactly in DECIMAL — order-independent
+    and bit-identical to the SQL oracle's ``list_sum`` mirror — then
+    negated and det-rounded to 6."""
+    chars = F.filter(F.split(t, ""), lambda c: c != F.lit(""))
+    n = F.length(t).cast("double")
+    dch = F.array_sort(F.array_distinct(chars))
+
+    def term(d: Column) -> Column:
+        p = F.size(F.filter(chars, lambda c: c == d)).cast("double") / n
+        return det_round(p * F.log2(p), 12).cast("decimal(28,12)")
+
+    fold = F.aggregate(
+        F.transform(dch, term),
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, v: (acc + v).cast("decimal(28,12)"),
+    ).cast("double")
+    return det_round(-fold, 6)
+
+
+def secret_scan(
+    documents: DataFrame,
+    min_token_len: int = 6,
+    secret_len: int = 24,
+    entropy_threshold: float = 3.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Credential/secret detection — the curation pass every public
+    pre-training recipe runs beside PII redaction (a leaked API key in
+    a training shard is a worse liability than an email address): flag
+    documents carrying (a) assignment-style credential keywords, (b)
+    PEM private-key headers, or (c) long high-entropy token runs — the
+    detect-secrets/trufflehog heuristic pair, re-expressed as one
+    JVM-side projection.
+
+    Per doc: ``n_tokens`` candidate tokens (≥ ``min_token_len`` chars
+    of the base64/hex shape), ``max_token_entropy`` — the per-doc
+    entropy profile that pins the histogram math on natural text —
+    ``n_long_tokens`` (≥ ``secret_len``), ``n_secret_tokens`` (long
+    AND ≥ ``entropy_threshold`` bits/char; random 62-alphabet keys sit
+    near 5.95, English words near 3), keyword/PEM hit counts, and the
+    ``has_secret`` disjunction.
+
+    100 TB shape: a narrow map fused with the scan — regex extraction
+    plus nested array folds per row, zero shuffles, embarrassingly
+    parallel; the entropy loop is O(len·distinct_chars) per token with
+    a 64-symbol alphabet cap. Entropy terms are det-rounded and
+    decimal-summed (order-independent), so the SQL oracle re-derives
+    every value bit-for-bit.
+    """
+    col = F.col(text_col)
+    toks = F.regexp_extract_all(
+        col, F.lit(_SECRET_TOKEN_CLASS + "{%d,}" % min_token_len), F.lit(0)
+    )
+    longs = F.regexp_extract_all(
+        col, F.lit(_SECRET_TOKEN_CLASS + "{%d,}" % secret_len), F.lit(0)
+    )
+    ents = F.transform(toks, _token_entropy)
+    n_secret = F.size(
+        F.filter(longs, lambda t: _token_entropy(t) >= F.lit(entropy_threshold))
+    ).cast("long")
+    out = documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.size(toks) > 0, F.array_max(ents))
+        .otherwise(F.lit(0.0))
+        .alias("max_token_entropy"),
+        F.size(longs).cast("long").alias("n_long_tokens"),
+        n_secret.alias("n_secret_tokens"),
+        F.regexp_count(col, F.lit(SECRET_KEYWORD_PATTERN))
+        .cast("long")
+        .alias("n_keyword_hits"),
+        F.regexp_count(col, F.lit(SECRET_PEM_PATTERN))
+        .cast("long")
+        .alias("n_pem_blocks"),
+    )
+    return out.withColumn(
+        "has_secret",
+        (F.col("n_secret_tokens") > 0)
+        | (F.col("n_keyword_hits") > 0)
+        | (F.col("n_pem_blocks") > 0),
+    )

@@ -2682,3 +2682,208 @@ def _ivfpq_scores(
             ).alias("_sim"),
         )
     )
+
+
+# --- binary quantization (1 bit/dim, Hamming shortlist + rerank) -------
+
+
+def binary_thresholds(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension binarization thresholds — the corpus mean of each
+    dimension, the "train" stage of centered binary quantization (the
+    1-bit-per-dim compression every large vector deployment offers
+    beside int8/PQ: 64-dim float32 → 8 bytes, a 32× cut; Hamming
+    distance over the codes is the cheap pre-rank). Centering at the
+    per-dim mean keeps each bit maximally informative when dimensions
+    carry offsets (sign-at-zero degenerates to constant bits there).
+
+    Determinism discipline: each element det-rounds to 6 digits and
+    sums exactly in DECIMAL (order-independent), the mean divides in
+    IEEE double, and the threshold det-rounds to 6 — so Spark and the
+    SQL oracle derive bit-identical thresholds, and every downstream
+    ``x >= t`` bit agrees cross-engine. One narrow posexplode scan →
+    d-row aggregate (map-side partial on the decimal sum); at 100 TB
+    this is one pass over the vector column, same cost shape as any
+    corpus stat, and the d-row result lands in a model zone.
+    """
+    from ..functions.core import spread_small_input
+
+    el = spread_small_input(embeddings).select(
+        F.posexplode(as_double(F.col(vec_col))).alias("_pos", "_x")
+    )
+    return (
+        el.groupBy((F.col("_pos") + F.lit(1)).cast("long").alias("dim_idx"))
+        .agg(
+            F.sum(
+                det_round(F.col("_x"), 6).cast("decimal(28,12)")
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "dim_idx",
+            det_round(
+                F.col("_s").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("threshold"),
+        )
+    )
+
+
+def _thresholds_array(thresholds: DataFrame) -> DataFrame:
+    """Collapse the (dim_idx, threshold) table to a one-row ordered
+    array for broadcast into the encode projection (array_sort on the
+    (dim_idx, threshold) structs pins element order)."""
+    return thresholds.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim_idx", "threshold"))
+        ).alias("_s")
+    ).select(
+        F.transform(F.col("_s"), lambda s: s["threshold"]).alias("_thr")
+    )
+
+
+def _pack_bits(vec: Column, thr: Column, lo: int, hi: int) -> Column:
+    """Pack bits ``lo..hi-1`` (0-based dims) of the binarized vector
+    into one non-negative long: bit ``j - lo`` set iff
+    ``vec[j] >= thr[j]``. Unrolled literal shifts (≤ 32 per word) keep
+    the whole expression inside codegen — no UDF, no shuffle."""
+    acc = F.lit(0).cast("long")
+    for j in range(lo, hi):
+        bit = F.when(
+            F.element_at(vec, j + 1) >= F.element_at(thr, j + 1),
+            F.shiftleft(F.lit(1).cast("long"), j - lo),
+        ).otherwise(F.lit(0).cast("long"))
+        acc = acc.bitwiseOR(bit)
+    return acc
+
+
+def binary_encode(
+    embeddings: DataFrame,
+    thresholds: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against landed per-dim thresholds into two
+    32-bit words per vector (``code_lo`` dims 1–32, ``code_hi`` dims
+    33–64 — two words keep every packed value positive and every
+    shift < 32, so Spark and the SQL oracle agree without signed-64
+    edge cases). The codes table is the serve-time scan: 3 longs/row
+    vs a 64-float array, 16× narrower on disk and in every shuffle."""
+    if dim > 64:
+        raise ValueError(f"binary_encode packs ≤ 64 dims, got {dim}")
+    half = min(32, dim)
+    enc = embeddings.crossJoin(
+        F.broadcast(_thresholds_array(thresholds))
+    ).select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("_v"),
+        F.col("_thr"),
+    )
+    return enc.select(
+        F.col(id_col),
+        _pack_bits(F.col("_v"), F.col("_thr"), 0, half).alias("code_lo"),
+        _pack_bits(F.col("_v"), F.col("_thr"), half, dim).alias("code_hi"),
+    )
+
+
+def binary_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    thresholds: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Binary-quantized top-k: Hamming-distance shortlist over the
+    packed sign codes, exact-cosine rerank of the survivors — the
+    third member of the quantization family (int8 4×, PQ/IVFPQ 64×,
+    binary 32× with the cheapest possible distance: two XOR+popcount
+    per pair vs a 64-term float fold, and the shortlist stage reads
+    ONLY the 3-long codes table).
+
+    Self-contained by default (thresholds + codes derived in-plan, the
+    oracle-pure fit→encode→shortlist→rerank lifecycle); pass
+    ``thresholds``/``codes`` to serve from a landed model zone — then
+    the full-corpus scan touches 24 bytes/vector and raw vectors are
+    read only for the |q|·shortlist rerank rows (the store-once ×
+    rerank seam, same contract as ``ivfpq_rerank_topk``).
+
+    Shortlist ties break on neighbor_id (deterministic membership);
+    final ranking is exact cosine desc, neighbor_id asc. Returns
+    (query_id, neighbor_id, sim_rank, cosine_sim, hamming).
+    """
+    if thresholds is None:
+        thresholds = binary_thresholds(
+            embeddings, id_col=id_col, vec_col=vec_col
+        )
+    if codes is None:
+        codes = binary_encode(
+            embeddings, thresholds, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    qcodes = binary_encode(
+        queries, thresholds, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("code_lo").alias("_qlo"),
+        F.col("code_hi").alias("_qhi"),
+    )
+    ham = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(qcodes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("code_lo").bitwiseXOR(F.col("_qlo")))
+                + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("_qhi")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    hw = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = ham.withColumn("_hrank", F.row_number().over(hw)).filter(
+        F.col("_hrank") <= shortlist
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cvec"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qvec"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(short.select("query_id", "neighbor_id", "hamming")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+            "hamming",
+        )
+    )

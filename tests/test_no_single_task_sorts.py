@@ -212,6 +212,17 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "the label predicate is pushed into the DPP-pruned lists "
         "scan, adding no join at all"
     ),
+    "ann_binary_topk": (
+        "a ONE-ROW threshold-array broadcast (the 64 per-dim means "
+        "collapsed to a single array row for the encode projection) "
+        "plus the 10-row query-codes broadcast for the Hamming scan — "
+        "both bounded by construction; the rerank joins are equi-keyed"
+    ),
+    "ann_binary_state": (
+        "same one-row threshold-array + 10-row query-codes broadcasts "
+        "as ann_binary_topk, with thresholds/codes read from the "
+        "landed model zone"
+    ),
     "ann_recall_report": (
         "built on ann_cosine_topk's exact baseline (the report's "
         "ground-truth side) plus ann_ivfpq_topk's k-centroid "
