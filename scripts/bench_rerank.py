@@ -34,6 +34,14 @@ dominated, never corpus-sized. The mode runs the exact baseline, the
 plain rerank serve it composes on, and MMR at λ=0.7/λ=1.0, reporting
 the pairwise bound so the table-size claim is a recorded number.
 
+``binary`` mode measures the 1-bit tier (r16): land thresholds +
+packed codes once, then serve ``binary_topk`` across the shortlist
+sweep — the Hamming stage scans 24 B/vector (two XOR+popcount per
+pair) and the rerank equi-join touches |q|·s flat rows, so the serve
+wall should grow like the codes scan while brute force grows like
+the full vector scan; recall@10 against brute force records what the
+sign bits keep at each shortlist.
+
 Usage: python scripts/bench_rerank.py [sf_dir] [factor] [mode]
 Prints one JSON line.
 """
@@ -117,6 +125,36 @@ def main() -> None:
     t0 = time.perf_counter()
     truth = topk_sets(similarity.brute_force_topk(emb, queries, k=k))
     brute_sec = round(time.perf_counter() - t0, 3)
+
+    if mode == "binary":
+        out = {
+            "metric": "binary_ann_scale",
+            "sf_dir": sf_dir,
+            "factor": factor,
+            "n_vectors": emb.count(),
+            "k": k,
+            "n_queries": 50,
+            "brute_force_sec": brute_sec,
+            "configs": [],
+        }
+        thr = similarity.binary_thresholds(emb).cache()
+        bcodes = similarity.binary_encode(emb, thr).cache()
+        thr.count(), bcodes.count()
+        for shortlist in (k, 2 * k, 4 * k, 8 * k):
+            t0 = time.perf_counter()
+            bq = topk_sets(
+                similarity.binary_topk(
+                    emb, queries, k=k, shortlist=shortlist,
+                    thresholds=thr, codes=bcodes,
+                )
+            )
+            out["configs"].append({
+                "serve": f"binary_s{shortlist}",
+                "recall_at_10": mean_recall(truth, bq),
+                "sec": round(time.perf_counter() - t0, 3),
+            })
+        print(json.dumps(out))
+        return
 
     # land the model once (cache + materialize), so every serve below
     # measures serving cost only — the production seam
