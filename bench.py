@@ -95,6 +95,9 @@ HEADLINE = [
     # binary quantization: Hamming shortlist over the landed 1-bit
     # codes (24 B/vector), exact rerank of the survivors (r16)
     "ann_binary_state",
+    # IVF x binary composed: DPP cell pruning x 24 B/vector codes on
+    # one landed-zone scan (r16)
+    "ann_ivf_binary_state",
     # secret/credential scan beside pii_redaction (r16)
     "secret_scan",
     "tfidf_cosine_pairs",

@@ -2887,3 +2887,150 @@ def binary_topk(
             "hamming",
         )
     )
+
+
+def ivf_binary_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    stride: int = 29,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    lists: DataFrame | None = None,
+    thresholds: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF × binary quantization — the two orthogonal read levers of
+    this tier composed into one serve (the architecture disk-resident
+    vector stores actually run: prune WHICH rows via coarse cells,
+    then make each surviving row's distance nearly free via 1-bit
+    codes, then exact-rerank the shortlist):
+
+    * the probe join admits ``n_probe / n_clusters`` of the corpus
+      (DPP file pruning on a ``cluster_id``-partitioned landed zone),
+    * the in-cell scan reads the 24 B/vector packed codes and spends
+      two XOR+popcount per candidate (vs a 64-term float fold),
+    * raw vectors serve only the |q|·shortlist rerank rows.
+
+    Combined read fraction at the 100 TB design point:
+    (n_probe/n_clusters) × (24 B / vector bytes) ≈ 1/4 × 1/16 of the
+    flat-scan bytes before the rerank join touches a single vector.
+
+    Same quantizer contract as :func:`ivf_topk` (strided default,
+    pass ``centroids`` for trained; ``lists`` for a landed membership
+    zone — which must carry ``code_lo``/``code_hi``, i.e. built from
+    a codes-joined corpus via ``ivf_list_assign(keep_cols=…)``), same
+    model contract as :func:`binary_topk` (``thresholds``/``codes``
+    from the landed binary model). Recall caveat is IVF's: candidates
+    outside the probed cells are unreachable at any shortlist.
+    """
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("centroid_vec"),
+        )
+    else:
+        cent = (
+            embeddings.filter(F.col(id_col) % stride == 0)
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).cast("long").alias("cid"),
+                as_double(F.col(vec_col)).alias("centroid_vec"),
+            )
+        )
+    if thresholds is None:
+        thresholds = binary_thresholds(
+            embeddings, id_col=id_col, vec_col=vec_col
+        )
+    if lists is not None:
+        # landed membership WITH codes alongside: column pruning keeps
+        # the scan at (id, cluster_id, code_lo, code_hi) and the probe
+        # join DPP-prunes it to the probed cells' files.
+        cand_codes = lists.select(
+            F.col(id_col).alias("neighbor_id"),
+            "cluster_id",
+            "code_lo",
+            "code_hi",
+        )
+    else:
+        if codes is None:
+            codes = binary_encode(
+                embeddings, thresholds, dim=dim,
+                id_col=id_col, vec_col=vec_col,
+            )
+        membership = _ivf_corpus_lists(
+            embeddings, cent, id_col, vec_col
+        ).select("neighbor_id", "cluster_id")
+        cand_codes = membership.join(
+            codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        )
+    qprobes = ivf_probe_assignments(
+        queries, cent, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+    qcodes = binary_encode(
+        queries, thresholds, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("code_lo").alias("_qlo"),
+        F.col("code_hi").alias("_qhi"),
+    )
+    probe_q = qprobes.join(qcodes, "query_id")
+    ham = (
+        cand_codes.join(F.broadcast(probe_q), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("code_lo").bitwiseXOR(F.col("_qlo")))
+                + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("_qhi")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    hw = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = ham.withColumn("_hrank", F.row_number().over(hw)).filter(
+        F.col("_hrank") <= shortlist
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cvec"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qvec"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(short.select("query_id", "neighbor_id", "hamming")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_rank",
+            det_round(F.col("_sim"), 6).alias("cosine_sim"),
+            "hamming",
+        )
+    )

@@ -9094,6 +9094,184 @@ def q_ann_binary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_BINARY_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, {SQL_VEC} AS vec FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, vec AS cvec FROM v
+        WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT a.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY (list_dot_product(a.vec, c.cvec)
+                           / (sqrt(list_dot_product(a.vec, a.vec))
+                              * sqrt(list_dot_product(c.cvec, c.cvec)))) DESC,
+                           c.cid ASC) AS rn
+            FROM v a CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY (list_dot_product(q.vec, c.cvec)
+                           / (sqrt(list_dot_product(q.vec, q.vec))
+                              * sqrt(list_dot_product(c.cvec, c.cvec)))) DESC,
+                           c.cid ASC) AS rn
+            FROM v q CROSS JOIN cents c WHERE q.vec_id < 10)
+        WHERE rn <= 4
+    ),
+    el AS (
+        SELECT vec_id, r.range AS i, vec[r.range] AS x
+        FROM v CROSS JOIN range(1, 65) r
+    ),
+    thr AS (
+        SELECT i, {round_sql(
+            "CAST(SUM(CAST(" + round_sql("x", 6)
+            + " AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+            6,
+        )} AS t
+        FROM el GROUP BY i
+    ),
+    bits AS (
+        SELECT e.vec_id, e.i, CASE WHEN e.x >= thr.t THEN 1 ELSE 0 END AS b
+        FROM el e JOIN thr ON e.i = thr.i
+    ),
+    codes AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN i <= 32
+                    THEN b * (CAST(1 AS BIGINT) << (i - 1))
+                    ELSE 0 END) AS BIGINT) AS code_lo,
+               CAST(SUM(CASE WHEN i > 32
+                    THEN b * (CAST(1 AS BIGINT) << (i - 33))
+                    ELSE 0 END) AS BIGINT) AS code_hi
+        FROM bits GROUP BY vec_id
+    ),
+    qc AS (SELECT * FROM codes WHERE vec_id < 10),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id != p.query_id
+    ),
+    ham AS (
+        SELECT c.query_id, c.neighbor_id,
+               bit_count(xor(qx.code_lo, cx.code_lo))
+             + bit_count(xor(qx.code_hi, cx.code_hi)) AS hamming
+        FROM cand c
+        JOIN codes cx ON cx.vec_id = c.neighbor_id
+        JOIN qc qx ON qx.vec_id = c.query_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+        FROM ham QUALIFY hrank <= 50
+    ),
+    sims AS (
+        SELECT s.query_id, s.neighbor_id, s.hamming, {SQL_COS} AS sim
+        FROM short s
+        JOIN v a ON a.vec_id = s.neighbor_id
+        JOIN v b ON b.vec_id = s.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank,
+           {round_sql("sim", 6)} AS cosine_sim,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM sims QUALIFY sim_rank <= 5
+"""
+
+
+@query("ann_ivf_binary", oracle=_IVF_BINARY_ORACLE)
+def q_ann_ivf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × binary quantization — both read levers composed (the
+    disk-resident vector-store architecture: cells prune WHICH rows,
+    1-bit codes make each surviving distance nearly free, exact
+    cosine reranks the shortlist). Combined read fraction
+    (n_probe/n_clusters) × (24 B/vector) ≈ 1/64 of the flat scan
+    before the rerank touches a vector. Strided quantizer + in-plan
+    thresholds/codes/membership — the oracle-pure full lifecycle
+    (ann_ivf_topk's probe CTEs feeding ann_binary_topk's code CTEs);
+    ``ann_ivf_binary_state`` serves the landed composed zone."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_binary_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, shortlist=50, n_clusters=16, n_probe=4, stride=29,
+    )
+
+
+def _ivf_binary_model_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per session per embeddings signature) the COMPOSED
+    index: strided centroids, binary thresholds, and the inverted
+    lists WITH the packed codes alongside (``ivf_list_assign(
+    keep_cols=("code_lo", "code_hi"))``, partitioned by cluster_id) —
+    so the serving scan is DPP-pruned to the probed cells AND
+    column-pruned to 24 B/vector in one pass."""
+
+    def build(zone: str) -> None:
+        from .sinks.files import write_zone_table
+
+        emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+        cent = (
+            emb.filter(F.col("vec_id") % 29 == 0)
+            .orderBy(F.col("vec_id"))
+            .limit(16)
+            .select(
+                F.col("vec_id").cast("long").alias("cid"),
+                similarity.as_double(F.col("embedding")).alias(
+                    "centroid_vec"
+                ),
+            )
+        )
+        write_zone_table(cent, zone, "binary_ivf_centroids", layout="flat")
+        thr = similarity.binary_thresholds(emb)
+        write_zone_table(thr, zone, "binary_thresholds", layout="flat")
+        codes = similarity.binary_encode(
+            emb, spark.read.parquet(os.path.join(zone, "binary_thresholds"))
+        )
+        lists = similarity.ivf_list_assign(
+            emb.select("vec_id", "embedding").join(codes, "vec_id"),
+            spark.read.parquet(
+                os.path.join(zone, "binary_ivf_centroids")
+            ),
+            keep_cols=("code_lo", "code_hi"),
+        )
+        write_zone_table(
+            lists, zone, "binary_ivf_lists", layout="flat",
+            partition_by="cluster_id",
+        )
+
+    return _shared_state_zone(
+        "ivf_binary_model", sf_dir, build, table="embeddings"
+    )
+
+
+@query("ann_ivf_binary_state", oracle=_IVF_BINARY_ORACLE)
+def q_ann_ivf_binary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_binary`` served from the LANDED composed zone: the
+    probe join DPP-prunes the cluster_id-partitioned lists to
+    n_probe/n_clusters of the files, and column pruning keeps that
+    scan at (id, cluster_id, code_lo, code_hi) — the two levers
+    multiply on ONE scan; raw vectors serve only the |q|·shortlist
+    rerank rows. Same oracle: centroids/thresholds/codes round-trip
+    parquet bit-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    zone = _ivf_binary_model_zone(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(zone, "binary_ivf_centroids"))
+    thr = spark.read.parquet(os.path.join(zone, "binary_thresholds"))
+    lists = spark.read.parquet(os.path.join(zone, "binary_ivf_lists"))
+    return similarity.ivf_binary_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, shortlist=50, n_clusters=16, n_probe=4,
+        centroids=cent, thresholds=thr, lists=lists,
+    )
+
+
 from .operators.curation import (  # noqa: E402  (query-block locality)
     SECRET_KEYWORD_PATTERN,
     SECRET_PEM_PATTERN,
@@ -9289,13 +9467,15 @@ _SWEEP_PRIORITY = [
     # at sf0.01 in-session (the local replica of the driver gate).
     "ann_binary_topk",
     "ann_binary_state",
+    "ann_ivf_binary",
+    "ann_ivf_binary_state",
     "secret_scan",
     # Group C: the r16 additions consumed every non-Group-B slot —
     # the 47 r13-stale entries (ann_ivf_trained, ann_ivfpq_state,
     # ann_ivfpq_topk, ann_pq_state, ann_pq_topk, bm25_search_state,
     # category_kpi{,_bucketed}, ...) rotate from r17, behind the
-    # late-r16 trio above; at 189 entries the registry cycles in
-    # ~3.8 windows.
+    # late-r16 quintet above; at 191 entries the registry cycles in
+    # ~3.9 windows.
 ]
 
 def _apply_sweep_order() -> None:

@@ -134,3 +134,86 @@ def test_dim_cap_raises(spark, emb):
     thr = similarity.binary_thresholds(emb)
     with pytest.raises(ValueError, match="64"):
         similarity.binary_encode(emb, thr, dim=65)
+
+
+def test_ivf_binary_probe_all_full_shortlist_is_brute_force(spark, emb):
+    """n_probe = n_clusters (every cell probed) + corpus-sized
+    shortlist ⇒ IVF prunes nothing and the rerank is exact, so the
+    composed serve must equal brute_force_topk."""
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    comp = similarity.ivf_binary_topk(
+        emb, q, k=5, shortlist=n, n_clusters=16, n_probe=16
+    ).drop("hamming")
+    assert exact.exceptAll(comp).count() == 0
+    assert comp.exceptAll(exact).count() == 0
+
+
+def test_ivf_binary_candidates_come_from_probed_cells(spark, emb):
+    """Every returned neighbor must live in one of its query's probed
+    cells (the IVF contract survives the Hamming stage)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    cent = (
+        emb.filter(F.col("vec_id") % 29 == 0)
+        .orderBy(F.col("vec_id"))
+        .limit(16)
+        .select(
+            F.col("vec_id").cast("long").alias("cid"),
+            similarity.as_double(F.col("embedding")).alias("centroid_vec"),
+        )
+    )
+    probes = similarity.ivf_probe_assignments(q, cent, n_probe=4)
+    member = similarity.ivf_list_assign(emb, cent).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster_id").alias("n_cell"),
+    )
+    out = similarity.ivf_binary_topk(
+        emb, q, k=5, shortlist=30, n_clusters=16, n_probe=4
+    )
+    escaped = (
+        out.join(member, "neighbor_id")
+        .join(
+            probes.select(
+                "query_id", F.col("cluster_id").alias("n_cell")
+            ),
+            ["query_id", "n_cell"],
+            "left_semi",
+        )
+    )
+    assert escaped.count() == out.count()
+
+
+def test_ivf_binary_state_twin_matches_inplan(spark, emb, tmp_path):
+    q = emb.filter(F.col("vec_id") < 5)
+    inplan = similarity.ivf_binary_topk(
+        emb, q, k=5, shortlist=30, n_clusters=16, n_probe=4
+    )
+    cent = (
+        emb.filter(F.col("vec_id") % 29 == 0)
+        .orderBy(F.col("vec_id"))
+        .limit(16)
+        .select(
+            F.col("vec_id").cast("long").alias("cid"),
+            similarity.as_double(F.col("embedding")).alias("centroid_vec"),
+        )
+    )
+    cent.write.parquet(str(tmp_path / "cent"))
+    cent_l = spark.read.parquet(str(tmp_path / "cent"))
+    thr = similarity.binary_thresholds(emb)
+    thr.write.parquet(str(tmp_path / "thr"))
+    thr_l = spark.read.parquet(str(tmp_path / "thr"))
+    codes = similarity.binary_encode(emb, thr_l)
+    lists = similarity.ivf_list_assign(
+        emb.select("vec_id", "embedding").join(codes, "vec_id"),
+        cent_l,
+        keep_cols=("code_lo", "code_hi"),
+    )
+    lists.write.partitionBy("cluster_id").parquet(str(tmp_path / "lists"))
+    lists_l = spark.read.parquet(str(tmp_path / "lists"))
+    landed = similarity.ivf_binary_topk(
+        emb, q, k=5, shortlist=30, n_clusters=16, n_probe=4,
+        centroids=cent_l, thresholds=thr_l, lists=lists_l,
+    )
+    assert inplan.exceptAll(landed).count() == 0
+    assert landed.exceptAll(inplan).count() == 0

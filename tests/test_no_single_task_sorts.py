@@ -223,6 +223,17 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "as ann_binary_topk, with thresholds/codes read from the "
         "landed model zone"
     ),
+    "ann_ivf_binary": (
+        "ann_ivf_topk's k-centroid broadcasts (argmax assign + probe "
+        "selection) plus ann_binary_topk's one-row threshold-array "
+        "broadcast — the Hamming scan itself is equi-keyed on "
+        "cluster_id"
+    ),
+    "ann_ivf_binary_state": (
+        "k LANDED centroid rows + the one-row threshold-array "
+        "broadcast; membership and codes come from the DPP-pruned "
+        "lists zone, all data joins equi-keyed"
+    ),
     "ann_recall_report": (
         "built on ann_cosine_topk's exact baseline (the report's "
         "ground-truth side) plus ann_ivfpq_topk's k-centroid "
