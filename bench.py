@@ -98,6 +98,9 @@ HEADLINE = [
     # IVF x binary composed: DPP cell pruning x 24 B/vector codes on
     # one landed-zone scan (r16)
     "ann_ivf_binary_state",
+    # streaming-maintained binary model: ingest -> fit -> encode ->
+    # land -> serve, one micro-batch (r16)
+    "ann_binary_stream",
     # secret/credential scan beside pii_redaction (r16)
     "secret_scan",
     "tfidf_cosine_pairs",

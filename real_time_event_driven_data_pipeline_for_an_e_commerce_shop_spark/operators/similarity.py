@@ -2765,13 +2765,21 @@ def binary_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_dist: bool = False,
 ) -> DataFrame:
     """Encode vectors against landed per-dim thresholds into two
     32-bit words per vector (``code_lo`` dims 1–32, ``code_hi`` dims
     33–64 — two words keep every packed value positive and every
     shift < 32, so Spark and the SQL oracle agree without signed-64
     edge cases). The codes table is the serve-time scan: 3 longs/row
-    vs a 64-float array, 16× narrower on disk and in every shuffle."""
+    vs a 64-float array, 16× narrower on disk and in every shuffle.
+
+    ``return_dist=True`` appends the per-vector L1 deviation from the
+    thresholds (det-round-8 decimal fold — the drift signal the
+    streaming binary gate means by "distortion": arrivals whose
+    coordinates sit systematically off the landed per-dim means
+    raise it, the cue that the thresholds no longer center the
+    data)."""
     if dim > 64:
         raise ValueError(f"binary_encode packs ≤ 64 dims, got {dim}")
     half = min(32, dim)
@@ -2782,11 +2790,25 @@ def binary_encode(
         as_double(F.col(vec_col)).alias("_v"),
         F.col("_thr"),
     )
-    return enc.select(
+    cols = [
         F.col(id_col),
         _pack_bits(F.col("_v"), F.col("_thr"), 0, half).alias("code_lo"),
         _pack_bits(F.col("_v"), F.col("_thr"), half, dim).alias("code_hi"),
-    )
+    ]
+    if return_dist:
+        cols.append(
+            det_round(
+                _dec_fold(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.col("_thr"),
+                        lambda a, b: F.abs(a - b),
+                    )
+                ),
+                8,
+            ).alias("dist")
+        )
+    return enc.select(*cols)
 
 
 def binary_topk(

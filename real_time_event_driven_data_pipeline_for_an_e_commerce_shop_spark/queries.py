@@ -9094,6 +9094,57 @@ def q_ann_binary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_binary_stream", oracle=_BINARY_TOPK_ORACLE)
+def q_ann_binary_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-MAINTAINED binary model under ann_binary_topk's
+    value oracle (the ann_pq_stream pattern): the embeddings are
+    delivered to ``run_embedding_ingest(binary=True)`` as one
+    micro-batch, the gate's gen-0 threshold fit runs on exactly the
+    corpus the batch build fits on (per-dim decimal-exact means are
+    delivery-order-free), the packed codes land through the epoch
+    manifest, and the Hamming-shortlist serve from the LANDED
+    thresholds + generation-filtered codes must hash-match the
+    self-contained batch form — ingest→fit→encode→land→serve,
+    bit-exact. Incremental frozen-threshold epochs, L1-deviation
+    drift refit, and replay idempotency are parity-tested in
+    ``tests/test_streaming_binary.py``; this entry hash-gates the
+    single-epoch slice the SQL oracle can express."""
+    import shutil
+
+    from .streaming.pipeline import (
+        read_binary_codes,
+        read_binary_thresholds,
+        run_embedding_ingest,
+    )
+
+    base = _scratch_zone("q_binary_stream")
+    raw = os.path.join(base, "raw")
+    zone = os.path.join(base, "zone")
+    ckpt = os.path.join(base, "ckpt")
+    prefix = "q_binary_stream_"
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(raw)
+    try:
+        tables = run_embedding_ingest(
+            spark, raw, zone, ckpt,
+            pq=False, binary=True, n_buckets=4, table_prefix=prefix,
+        )
+        thr = read_binary_thresholds(spark, zone)
+        codes = read_binary_codes(spark, tables["binary_codes"], zone)
+        out = similarity.binary_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=50,
+            thresholds=thr, codes=codes,
+        )
+        res_dir = os.path.join(base, "result")
+        out.write.mode("overwrite").parquet(res_dir)
+        return spark.read.parquet(res_dir)
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 _IVF_BINARY_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, {SQL_VEC} AS vec FROM embeddings
@@ -9467,6 +9518,7 @@ _SWEEP_PRIORITY = [
     # at sf0.01 in-session (the local replica of the driver gate).
     "ann_binary_topk",
     "ann_binary_state",
+    "ann_binary_stream",
     "ann_ivf_binary",
     "ann_ivf_binary_state",
     "secret_scan",
@@ -9474,7 +9526,7 @@ _SWEEP_PRIORITY = [
     # the 47 r13-stale entries (ann_ivf_trained, ann_ivfpq_state,
     # ann_ivfpq_topk, ann_pq_state, ann_pq_topk, bm25_search_state,
     # category_kpi{,_bucketed}, ...) rotate from r17, behind the
-    # late-r16 quintet above; at 191 entries the registry cycles in
+    # late-r16 sextet above; at 192 entries the registry cycles in
     # ~3.9 windows.
 ]
 

@@ -779,6 +779,7 @@ def compact_cms_cells(
 PQ_MODEL_DIR = "pq_model"
 IVFPQ_MODEL_DIR = "ivfpq_model"
 IVF_MODEL_DIR = "ivf_model"
+BINARY_MODEL_DIR = "binary_model"
 PQ_META_FILE = "_model_meta.json"
 
 
@@ -917,6 +918,44 @@ def read_pq_codes(
     ]
     return df.filter(F.col("model_gen") == meta["gen"]).select(
         "vec_id", "s", "code"
+    )
+
+
+def read_binary_thresholds(
+    spark: SparkSession, zone_dir: str, gen: int | None = None
+) -> DataFrame | None:
+    """The landed binary-quantization thresholds ``(dim_idx,
+    threshold)`` for a model generation (default: current per the
+    meta), or None when no model exists yet."""
+    meta = _read_model_meta(zone_dir, BINARY_MODEL_DIR)
+    if gen is None:
+        if meta is None:
+            return None
+        gen = meta["gen"]
+    p = os.path.join(zone_dir, BINARY_MODEL_DIR, f"gen={gen}")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def read_binary_codes(
+    spark: SparkSession, table: str, zone_dir: str
+) -> DataFrame:
+    """Current-generation binary codes from the streamed zone:
+    manifest-pruned epochs filtered to the CURRENT model generation
+    (the read_pq_codes discipline — a drift refit re-encodes the full
+    corpus under the new generation in its own epoch, so exactly one
+    live row per vector survives the filter)."""
+    meta = _read_model_meta(zone_dir, BINARY_MODEL_DIR)
+    if meta is None:
+        return spark.createDataFrame(
+            [], "vec_id long, code_lo long, code_hi long"
+        )
+    df = read_manifest_zone(spark, {"binary_codes": table}, zone_dir)[
+        "binary_codes"
+    ]
+    return df.filter(F.col("model_gen") == meta["gen"]).select(
+        "vec_id", "code_lo", "code_hi"
     )
 
 
@@ -1459,6 +1498,7 @@ def run_embedding_ingest(
     pq: bool = True,
     ivfpq: bool = False,
     ivf: bool = False,
+    binary: bool = False,
     n_subspaces: int = 4,
     n_codes: int = 16,
     dim: int = 64,
@@ -1509,6 +1549,18 @@ def run_embedding_ingest(
     model tables, no refit); residual-distortion drift refits over
     committed + batch. Serve via :func:`read_ivfpq_model` +
     :func:`read_ivfpq_codes` → ``ivfpq_topk(codes=…)``.
+
+    ``binary`` adds the 1-bit twin under the same discipline: gen-0
+    fits the per-dim binarization thresholds (det-round-6
+    decimal-exact means — bit-identical to the batch
+    ``binary_thresholds`` over the same corpus) on the first
+    non-empty epoch and lands the d-row threshold table (meta before
+    codes, the crash discipline); later epochs encode arrivals
+    against the LANDED thresholds into two 32-bit words per vector
+    (the 24 B/vector Hamming serving scan); mean-L1-deviation drift
+    refits over committed + batch. Serve via
+    :func:`read_binary_thresholds` + :func:`read_binary_codes` →
+    ``binary_topk(thresholds=…, codes=…)``.
 
     ``ivf`` adds the TRAINED coarse quantizer (the `_ivf_model_zone`
     batch land's streaming twin, closing the last ANN model zone):
@@ -1629,6 +1681,8 @@ def run_embedding_ingest(
     from ..operators.ml import kmeans_fixed
     from ..operators.similarity import (
         as_double,
+        binary_encode,
+        binary_thresholds,
         ivf_list_assign,
         ivfpq_model,
         pq_codebook,
@@ -1674,13 +1728,14 @@ def run_embedding_ingest(
         )
     # the IVFPQ-only store-once deployment: codes + retained fit diet
     retain_fit_sample = not store_flat_embeddings and ivfpq and not ivf
-    if retain_fit_sample and pq:
+    if retain_fit_sample and (pq or binary):
         raise ValueError(
             "store_flat_embeddings=False with ivfpq=True and ivf=False "
-            "cannot also serve a PQ zone: a PQ drift refit re-encodes "
-            "the full corpus, which needs a raw-vector source (the "
-            "flat zone or the IVF lists) — pass pq=False, or enable "
-            "ivf=True / store_flat_embeddings=True"
+            "cannot also serve a PQ or binary zone: their drift refits "
+            "re-encode the full corpus, which needs a raw-vector "
+            "source (the flat zone or the IVF lists) — pass pq=False/"
+            "binary=False, or enable ivf=True / "
+            "store_flat_embeddings=True"
         )
     name = "embeddings"
     tables: dict[str, str] = {}
@@ -1690,6 +1745,8 @@ def run_embedding_ingest(
         tables["ivfpq_codes"] = f"{table_prefix}ivfpq_codes"
     if ivf:
         tables["ivf_assign"] = f"{table_prefix}ivf_assign"
+    if binary:
+        tables["binary_codes"] = f"{table_prefix}binary_codes"
     if retain_fit_sample:
         tables["fit_sample"] = f"{table_prefix}fit_sample"  # lands LAST
     if store_flat_embeddings:
@@ -1832,6 +1889,108 @@ def run_embedding_ingest(
             os.path.join(zone_dir, "pq_codes"),
             zone_dir,
             "pq_codes",
+            epoch_id,
+            n_buckets,
+            bucket_col="vec_id",
+        )
+
+    def _binary_fit_and_land(
+        fit_vecs: DataFrame, gen: int, epoch_id: int
+    ) -> DataFrame:
+        """One deterministic threshold fit (det-round-6 decimal-exact
+        per-dim means — bit-identical to the batch
+        ``binary_thresholds`` over the same corpus); the d-row
+        threshold table lands under gen=N and the meta (with
+        fit_epoch) commits BEFORE the codes epoch — the PQ gate's
+        crash discipline."""
+        thr = binary_thresholds(fit_vecs)
+        gdir = os.path.join(zone_dir, BINARY_MODEL_DIR, f"gen={gen}")
+        thr.coalesce(1).write.mode("overwrite").parquet(gdir)
+        thr_landed = spark.read.parquet(gdir)
+        codes_d = binary_encode(
+            fit_vecs, thr_landed, dim=dim, return_dist=True
+        )
+        _write_model_meta(
+            zone_dir, BINARY_MODEL_DIR,
+            {
+                "gen": gen,
+                "fit_mean_dist": _mean_dist(codes_d),
+                "fit_epoch": epoch_id,
+                "dim": dim,
+            },
+        )
+        return codes_d
+
+    def _binary_gate(batch_df: DataFrame, epoch_id: int) -> None:
+        """The 1-bit twin of the PQ gate: gen-0 fits the per-dim
+        thresholds on the first non-empty epoch, later epochs ENCODE
+        arrivals against the LANDED thresholds (two 32-bit words per
+        vector — the 24 B/vector serving scan), and when an epoch's
+        mean L1 deviation from the thresholds exceeds
+        ``drift_refit_factor ×`` the fit-time deviation (the data no
+        longer centers where the thresholds were fit), the model
+        refits over the full committed corpus + batch (gen+1) and the
+        full re-encode lands in that epoch — ``read_binary_codes``
+        filters to the current generation."""
+        if epoch_id in committed_epochs(zone_dir, "binary_codes"):
+            return  # replayed, fully landed
+        vecs = batch_df.select("vec_id", "embedding")
+        meta = _read_model_meta(zone_dir, BINARY_MODEL_DIR)
+        if meta is not None and meta.get("fit_epoch") == epoch_id:
+            # crash window: meta committed, codes epoch didn't
+            gen = meta["gen"]
+            if gen == 0:
+                fit_vecs = vecs
+            else:
+                committed = _committed_vectors()
+                fit_vecs = (
+                    vecs if committed is None
+                    else committed.unionByName(vecs)
+                )
+            out = _binary_fit_and_land(fit_vecs, gen, epoch_id)
+        elif meta is None:
+            if vecs.isEmpty():
+                out = spark.createDataFrame(
+                    [],
+                    "vec_id long, code_lo long, code_hi long, "
+                    "dist double",
+                )  # no model yet; next non-empty epoch fits
+            else:
+                out = _binary_fit_and_land(vecs, 0, epoch_id)
+        else:
+            thr = read_binary_thresholds(spark, zone_dir, meta["gen"])
+            encoded = binary_encode(
+                vecs, thr, dim=dim, return_dist=True
+            )
+            bm = _mean_dist(encoded)
+            fit_mean = meta.get("fit_mean_dist")
+            if (
+                drift_refit_factor is not None
+                and bm is not None
+                and fit_mean is not None
+                and bm > drift_refit_factor * fit_mean
+            ):
+                committed = _committed_vectors()
+                fit_vecs = (
+                    vecs if committed is None
+                    else committed.unionByName(vecs)
+                )
+                out = _binary_fit_and_land(
+                    fit_vecs, meta["gen"] + 1, epoch_id
+                )
+            else:
+                out = encoded
+        cur = _read_model_meta(zone_dir, BINARY_MODEL_DIR)
+        gen_now = -1 if cur is None else cur["gen"]
+        _land_epoch(
+            spark,
+            out.select("vec_id", "code_lo", "code_hi").withColumn(
+                "model_gen", F.lit(gen_now)
+            ),
+            tables["binary_codes"],
+            os.path.join(zone_dir, "binary_codes"),
+            zone_dir,
+            "binary_codes",
             epoch_id,
             n_buckets,
             bucket_col="vec_id",
@@ -2074,6 +2233,8 @@ def run_embedding_ingest(
             return  # checkpoint replay of a fully-landed epoch
         if pq:
             _pq_gate(batch_df, epoch_id)
+        if binary:
+            _binary_gate(batch_df, epoch_id)
         if ivfpq:
             _ivfpq_gate(batch_df, epoch_id)
         if ivf:
@@ -2116,6 +2277,10 @@ def run_embedding_ingest(
         gen_zones = []
         if pq:
             gen_zones.append(("pq_codes", PQ_MODEL_DIR, (), False))
+        if binary:
+            gen_zones.append(
+                ("binary_codes", BINARY_MODEL_DIR, (), False)
+            )
         if ivfpq:
             gen_zones.append(
                 (

@@ -223,6 +223,11 @@ ALLOWED_BNL_JOINS: dict[str, str] = {
         "as ann_binary_topk, with thresholds/codes read from the "
         "landed model zone"
     ),
+    "ann_binary_stream": (
+        "same one-row threshold-array + 10-row query-codes broadcasts "
+        "as ann_binary_topk; the model is maintained by the streaming "
+        "binary gate and served from the landed zone"
+    ),
     "ann_ivf_binary": (
         "ann_ivf_topk's k-centroid broadcasts (argmax assign + probe "
         "selection) plus ann_binary_topk's one-row threshold-array "
