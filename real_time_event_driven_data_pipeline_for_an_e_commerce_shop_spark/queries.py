@@ -9449,13 +9449,18 @@ ORACLES["ann_ivfpq_affine"] = ORACLES["ann_ivfpq_topk"]
 
 _SWEEP_PRIORITY = [
     # ---- r16 rotation ----------------------------------------------
-    # Group A - new or changed this round, first driver rows /
-    # re-gates: the probe-tuning -> serving composition
-    # (ann_ivf_tuned_serve, VERDICT r15 #6), the landed curriculum
-    # manifest twin (curriculum_pack_state, VERDICT r15 #5), and the
-    # ADVICE-r15 fix sites (decontaminate_spans' memoized probe-count
-    # gate - batch + streamed paths - and write_curriculum_zone's
-    # shared _curriculum_manifest roll-up, which curriculum_pack and
+    # Group A - new or changed this round: every r16-NEW entry is
+    # row-less and so MUST hold a window slot (the blind-spot rule,
+    # test_every_query_has_a_driver_row_or_a_sweep_slot) — the
+    # probe-tuning -> serving composition (ann_ivf_tuned_serve,
+    # VERDICT r15 #6), the landed curriculum manifest twin
+    # (curriculum_pack_state, VERDICT r15 #5), filtered/epoch
+    # composition entries, the late-r16 binary-quantization tier
+    # (batch + landed-state + streamed + IVF-composed) and
+    # secret_scan — plus the ADVICE-r15 fix-site re-gates
+    # (decontaminate_spans' memoized probe-count gate - batch +
+    # streamed paths - and write_curriculum_zone's shared
+    # _curriculum_manifest roll-up, which curriculum_pack and
     # curriculum_assignments now flow through).
     "ann_ivf_tuned_serve",
     "curriculum_pack_state",
@@ -9463,14 +9468,25 @@ _SWEEP_PRIORITY = [
     "ann_ivf_filtered_state",
     "mixture_epoch_plan",
     "epoch_curriculum_pack",
+    "ann_binary_topk",
+    "ann_binary_state",
+    "ann_binary_stream",
+    "ann_ivf_binary",
+    "ann_ivf_binary_state",
+    "secret_scan",
     "decontaminate_spans",
     "decontaminate_spans_stream",
     "curriculum_pack",
     "curriculum_assignments",
-    # Group B - ALL 40 entries whose freshest driver row is r12
-    # (VERDICT r15 'What's missing' #1 / next-round #1, the
-    # authoritative 40 including customer_running_total, which the
-    # r15 comment missed); moves the freshness floor to r13.
+    # Group B - 34 of the 40 entries whose freshest driver row is r12
+    # (VERDICT r15 'What's missing' #1 / next-round #1): the r16-new
+    # blind-spot entries above consumed six more slots than r15
+    # planned, so the alphabetically-LAST six of the 40
+    # (status_priority_cube, stratified_sample, token_pack_sharded,
+    # top_customers, trailing_revenue_window, waiting_suppliers)
+    # defer to the r17 window head — they hold green r12 rows with
+    # code unchanged, re-verified in this round's local 192/192
+    # check_oracle sweep, so they are stale-but-covered, never blind.
     "bpe_doc_token_count_stream",
     "chunk_documents",
     "click_attribution",
@@ -9505,29 +9521,19 @@ _SWEEP_PRIORITY = [
     "salted_join_agg",
     "semantic_neardup_scaled",
     "source_quota_sample",
+    # --- past the 50-slot window: first in line for r17 -------------
+    # The six deferred r12-stale entries (green rows, code unchanged,
+    # re-verified in this round's local 192/192 sweep) head the r17
+    # window, followed by Group C: the 47 r13-stale entries
+    # (ann_ivf_trained, ann_ivfpq_state, ann_ivfpq_topk, ann_pq_state,
+    # ann_pq_topk, bm25_search_state, category_kpi{,_bucketed}, ...);
+    # at 192 entries the registry cycles in ~3.9 windows.
     "status_priority_cube",
     "stratified_sample",
     "token_pack_sharded",
     "top_customers",
     "trailing_revenue_window",
     "waiting_suppliers",
-    # --- past the 50-slot window: first in line for r17 -------------
-    # The late-r16 additions land AFTER Group B so the driver window
-    # keeps the full 40-entry r12-stale rotation the r15 VERDICT
-    # committed to; each ran hash-green under scripts/check_oracle.py
-    # at sf0.01 in-session (the local replica of the driver gate).
-    "ann_binary_topk",
-    "ann_binary_state",
-    "ann_binary_stream",
-    "ann_ivf_binary",
-    "ann_ivf_binary_state",
-    "secret_scan",
-    # Group C: the r16 additions consumed every non-Group-B slot —
-    # the 47 r13-stale entries (ann_ivf_trained, ann_ivfpq_state,
-    # ann_ivfpq_topk, ann_pq_state, ann_pq_topk, bm25_search_state,
-    # category_kpi{,_bucketed}, ...) rotate from r17, behind the
-    # late-r16 sextet above; at 192 entries the registry cycles in
-    # ~3.9 windows.
 ]
 
 def _apply_sweep_order() -> None:
