@@ -153,6 +153,24 @@ def main() -> None:
                 "recall_at_10": mean_recall(truth, bq),
                 "sec": round(time.perf_counter() - t0, 3),
             })
+        # the composed IVF × binary serve: cells prune WHICH rows,
+        # codes cheapen each surviving distance — recall now also
+        # pays the probe ceiling (candidates outside probed cells
+        # are unreachable), the read-fraction × byte-width trade
+        for n_probe in (2, 4):
+            t0 = time.perf_counter()
+            comp = topk_sets(
+                similarity.ivf_binary_topk(
+                    emb, queries, k=k, shortlist=8 * k,
+                    n_clusters=16, n_probe=n_probe,
+                    thresholds=thr, codes=bcodes,
+                )
+            )
+            out["configs"].append({
+                "serve": f"ivfbinary_p{n_probe}_s{8 * k}",
+                "recall_at_10": mean_recall(truth, comp),
+                "sec": round(time.perf_counter() - t0, 3),
+            })
         print(json.dumps(out))
         return
 

@@ -217,3 +217,50 @@ def test_ivf_binary_state_twin_matches_inplan(spark, emb, tmp_path):
     )
     assert inplan.exceptAll(landed).count() == 0
     assert landed.exceptAll(inplan).count() == 0
+
+
+def test_ivf_binary_state_plan_prunes_columns_and_partitions(
+    spark, emb, tmp_path
+):
+    """The composed serve's claim, pinned in the plan: ONE lists-zone
+    FileScan that is simultaneously column-pruned to the packed codes
+    (ReadSchema without the vector column — the 24 B/vector lever) and
+    partition-pruned to the probed cells (dynamicpruningexpression —
+    the n_probe/n_clusters lever). Plan inspected BEFORE execution
+    (post-collect AQE plans duplicate FileScans)."""
+    cent = (
+        emb.filter(F.col("vec_id") % 29 == 0)
+        .orderBy(F.col("vec_id"))
+        .limit(16)
+        .select(
+            F.col("vec_id").cast("long").alias("cid"),
+            similarity.as_double(F.col("embedding")).alias("centroid_vec"),
+        )
+    )
+    thr = similarity.binary_thresholds(emb)
+    codes = similarity.binary_encode(emb, thr)
+    lists = similarity.ivf_list_assign(
+        emb.select("vec_id", "embedding").join(codes, "vec_id"),
+        cent,
+        keep_cols=("code_lo", "code_hi"),
+    )
+    zone = str(tmp_path / "lists")
+    lists.write.partitionBy("cluster_id").parquet(zone)
+    zlists = spark.read.parquet(zone)
+    served = similarity.ivf_binary_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, shortlist=30,
+        centroids=cent, thresholds=thr, lists=zlists,
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    zone_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "lists" in ln and "code_lo" in ln
+    ]
+    assert zone_scans, f"no code-bearing lists scan in plan:\n{plan[:3000]}"
+    for ln in zone_scans:
+        # column pruning: the Hamming stage must not read the vector
+        rs = ln.split("ReadSchema:", 1)[-1]
+        assert "embedding" not in rs, f"vector column not pruned:\n{ln}"
+    assert "dynamicpruning" in plan.lower(), (
+        "probe join lost its partition pruning on the lists zone"
+    )
