@@ -101,6 +101,9 @@ HEADLINE = [
     # streaming-maintained binary model: ingest -> fit -> encode ->
     # land -> serve, one micro-batch (r16)
     "ann_binary_stream",
+    # leakage-safe group-keyed train/val/test split (r16)
+    "train_test_split",
+    "train_test_split_neardup",
     # secret/credential scan beside pii_redaction (r16)
     "secret_scan",
     "tfidf_cosine_pairs",

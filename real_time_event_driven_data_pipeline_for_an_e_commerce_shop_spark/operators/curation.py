@@ -1440,3 +1440,66 @@ def secret_scan(
         | (F.col("n_keyword_hits") > 0)
         | (F.col("n_pem_blocks") > 0),
     )
+
+
+# --- leakage-safe train/val/test split ---------------------------------
+
+
+def leakage_safe_split(
+    docs_with_group: DataFrame,
+    group_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment that can never leak a
+    duplicate group across splits — the guard every training pipeline
+    needs AT SPLIT TIME (deduplication reduces cross-split leakage;
+    only group-keyed splitting eliminates it: if two near-identical
+    docs straddle train and test, the eval set is contaminated no
+    matter how the corpus was cleaned).
+
+    The split is a pure function of the GROUP key, never the doc id:
+    ``bucket = md5(group_key | salt) % 100`` (the engine's md5_long —
+    48-bit, SQL-mirrorable), ``train`` below ``train_pct``, ``val``
+    in the next ``val_pct``, ``test`` above. Every member of a group
+    lands in the same split by construction; proportions converge at
+    GROUP grain (a corpus dominated by one duplicated doc correctly
+    puts all its copies on one side rather than faking an 80/10/10).
+
+    Callers provide the group key because leakage is defined by the
+    dedup notion in force: exact groups (normalized-text fingerprint),
+    near-dup groups (SimHash signature), or cluster ids from a landed
+    dedup state — one splitter serves all of them. Stateless per-row
+    hash arithmetic after the group key exists: no shuffle, no join,
+    repartition-stable, and re-running with the same salt reproduces
+    the split bit-for-bit (the property that makes incremental corpus
+    refreshes possible — new docs join splits, old docs never move).
+    """
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct < 100):
+        raise ValueError(
+            f"invalid split percentages: train={train_pct}, val={val_pct}"
+        )
+    gk = F.col(group_col).cast("string")
+    bucket = md5_long(F.concat(gk, F.lit("|" + salt))) % 100
+    return docs_with_group.select(
+        "doc_id",
+        gk.alias("group_key"),
+        bucket.cast("long").alias("split_bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def exact_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc normalized-text md5 — the exact-dup group key at DOC
+    grain (``dedup.exact_dedup`` aggregates the same fingerprint to
+    groups; this keeps the doc rows for group-keyed splitting)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    return documents.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )

@@ -9094,6 +9094,99 @@ def q_ann_binary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_tail_sql(gk: str, train_pct: int = 80, val_pct: int = 10) -> str:
+    """DuckDB mirror of ``curation.leakage_safe_split``'s projection:
+    bucket = md5_long(group_key | salt) % 100, split by percentile
+    band — shared by both split oracles so the rule has one SQL
+    definition."""
+    salted = gk + " || '|split'"
+    bucket = f"({sql_md5_long(salted)} % 100)"
+    return f"""
+    SELECT doc_id, {gk} AS group_key,
+           CAST({bucket} AS BIGINT) AS split_bucket,
+           CASE WHEN {bucket} < {train_pct} THEN 'train'
+                WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+                ELSE 'test' END AS split
+    """
+
+
+@query(
+    "train_test_split",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS gk
+        FROM documents
+    )
+    """ + _split_tail_sql("gk") + "FROM fp",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split at EXACT-dup granularity:
+    the split is a pure function of the normalized-text fingerprint
+    (dedup_exact's group key at doc grain), so byte-identical docs can
+    never straddle train and test — the split-time guarantee that
+    dedup alone cannot give (a dedup pass that keeps one copy still
+    leaves the SPLIT of the keeper unconstrained; here the rule is
+    structural). 80/10/10 by 48-bit md5 bucket, salt-keyed,
+    repartition-stable, incremental-refresh-safe (old docs never
+    move)."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.leakage_safe_split(
+        curation.exact_fingerprint(t["documents"]), "fingerprint"
+    )
+
+
+def _simhash_sig_cte(bits: int = 48) -> str:
+    """The signature half of ``_simhash_oracle`` (toks → sig), shared
+    with the near-dup split oracle."""
+    ones = ",\n               ".join(
+        f"SUM((h >> {b}) & 1) AS o{b}" for b in range(bits)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN 2 * o{b} >= n THEN (CAST(1 AS BIGINT) << {b})"
+        " ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, {_Q_TOKENS_LOWER} AS T FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(T) AS tk FROM toks),
+    h AS (SELECT doc_id, {sql_md5_long("tk")} AS h FROM tok),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {ones}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, ({sig_sum}) AS simhash FROM agg)
+    """
+
+
+@query(
+    "train_test_split_neardup",
+    oracle="WITH " + _simhash_sig_cte()
+    + _split_tail_sql("CAST(simhash AS VARCHAR)") + "FROM sig",
+)
+def q_train_test_split_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup-keyed split: group key = the 48-bit SimHash
+    signature (dedup_simhash's signature at doc grain), so docs whose
+    token distributions collapse to the same signature — the
+    boilerplate-variant near-dups the exact fingerprint misses —
+    co-travel into one split. Sits between ``train_test_split``
+    (exact) and a cluster-state-keyed split (any landed dedup-cluster
+    id drops into ``leakage_safe_split(group_col=...)``): the leakage
+    guard is as strong as the dedup notion the deployment chose."""
+    from .operators import curation
+
+    t = _t(spark, sf_dir, "documents")
+    return curation.leakage_safe_split(
+        dedup.simhash(t["documents"], bits=48), "simhash"
+    )
+
+
 @query("ann_binary_stream", oracle=_BINARY_TOPK_ORACLE)
 def q_ann_binary_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING-MAINTAINED binary model under ann_binary_topk's
@@ -9474,6 +9567,8 @@ _SWEEP_PRIORITY = [
     "ann_ivf_binary",
     "ann_ivf_binary_state",
     "secret_scan",
+    "train_test_split",
+    "train_test_split_neardup",
     "decontaminate_spans",
     "decontaminate_spans_stream",
     "curriculum_pack",
@@ -9519,15 +9614,16 @@ _SWEEP_PRIORITY = [
     "quality_logreg_scored",
     "region_revenue",
     "salted_join_agg",
+    # --- past the 50-slot window: first in line for r17 -------------
+    # The eight deferred r12-stale entries (green rows, code
+    # unchanged, re-verified in this round's local full-registry
+    # sweep) head the r17 window, followed by Group C: the 47
+    # r13-stale entries (ann_ivf_trained, ann_ivfpq_state,
+    # ann_ivfpq_topk, ann_pq_state, ann_pq_topk, bm25_search_state,
+    # category_kpi{,_bucketed}, ...); at 194 entries the registry
+    # cycles in ~3.9 windows.
     "semantic_neardup_scaled",
     "source_quota_sample",
-    # --- past the 50-slot window: first in line for r17 -------------
-    # The six deferred r12-stale entries (green rows, code unchanged,
-    # re-verified in this round's local 192/192 sweep) head the r17
-    # window, followed by Group C: the 47 r13-stale entries
-    # (ann_ivf_trained, ann_ivfpq_state, ann_ivfpq_topk, ann_pq_state,
-    # ann_pq_topk, bm25_search_state, category_kpi{,_bucketed}, ...);
-    # at 192 entries the registry cycles in ~3.9 windows.
     "status_priority_cube",
     "stratified_sample",
     "token_pack_sharded",
