@@ -817,6 +817,16 @@ def dsir_importance_weights(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c_tgt"))
     )
+    # Route-pick count from the RAW corpus, not the feature table
+    # (optimization r16, guide §1.2 "don't compute things you throw
+    # away"): the scored-doc cardinality is ≤ count(documents) (a doc
+    # yields features only if it has ≥ 1 n-gram), and the two rank
+    # routes are bit-identical, so any upper bound routes safely —
+    # counting the source table skips a full tokenize→hash→distinct
+    # derivation whose only output was this scalar.
+    route_count = (
+        documents.count() if small_threshold else small_threshold
+    )
     return dsir_from_feature_state(
         doc_feats,
         tgt_model,
@@ -824,6 +834,7 @@ def dsir_importance_weights(
         k=k,
         id_col=id_col,
         small_threshold=small_threshold,
+        route_count=route_count,
     )
 
 
@@ -834,6 +845,7 @@ def dsir_from_feature_state(
     k: int = 100,
     id_col: str = "doc_id",
     small_threshold: int = 2_000_000,
+    route_count: int | None = None,
 ) -> DataFrame:
     """:func:`dsir_importance_weights` derived from the
     ``(doc_id, bucket, c_doc)`` feature-count STATE grain — the same
@@ -914,10 +926,13 @@ def dsir_from_feature_state(
     # bucket hits raw_model by construction), but counting here is a
     # narrow hash-agg over the state table instead of a full extra
     # execution of the two-broadcast-join scoring subplan.
-    if (
-        small_threshold
-        and doc_feats.select(id_col).distinct().count() <= small_threshold
-    ):
+    # ``route_count``: any UPPER BOUND on the scored-doc cardinality
+    # (optimization r16) — both rank routes are bit-identical to
+    # ROW_NUMBER, so routing on a cheaper bound (e.g. count of the raw
+    # corpus) never changes a value, only which plan computes it.
+    if route_count is None and small_threshold:
+        route_count = doc_feats.select(id_col).distinct().count()
+    if small_threshold and route_count <= small_threshold:
         ranked = scored_docs.withColumn(
             "sel_rank", F.row_number().over(Window.orderBy(*order)).cast("long")
         )

@@ -157,11 +157,23 @@ def _fit(
     l2: float = 0.0,
     n_shards: int = 1,
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """The GD loop itself: returns the one-row weight DataFrame
     ``(_w0.._wd, _g0.._gd)`` — shared by the coefficient report
     (:func:`logistic_regression_train`) and the train-then-score
     composition (:func:`train_and_score`).
+
+    ``materialize`` (optimization r16, guide §1.2/§5): each GD
+    iteration's gradient aggregate hangs under the NEXT iteration's
+    one-row broadcast, so the lazy chain re-derives the feature
+    subplan once per iteration (plus once for the size count) —
+    tokenize→score featurization ×(iterations+1) where one pass
+    suffices. ``localCheckpoint`` lands the narrow (id, d+1 doubles)
+    table once and every iteration reads the materialized blocks —
+    exactly the module docstring's materialize-once 100 TB shape,
+    bit-identical values (checkpointing changes no arithmetic). Pass
+    ``False`` when the caller already materialized.
 
     ``l2`` adds ridge regularization (bias excluded, standard
     practice): w_j ← w_j − lr·g_j/n − lr·λ·w_j, one det-round around
@@ -178,6 +190,8 @@ def _fit(
     bounded aggregate (≤ n_shards rows)."""
     d = len(feature_cols)
     spark = features.sparkSession
+    if materialize:
+        features = features.localCheckpoint()
     shard = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
     if n_shards > 1:
         features = features.withColumn("_sh", shard)
@@ -256,7 +270,13 @@ def train_and_score(
     ``label_agrees`` compares the model's decision with the training
     label — the aggregate of that column is the training accuracy a
     fit report logs."""
-    wdf = _fit(features, feature_cols, label_col, lr, iterations)
+    # materialize once HERE so the final scoring pass reads the same
+    # landed feature blocks as the fit iterations (optimization r16)
+    features = features.localCheckpoint()
+    wdf = _fit(
+        features, feature_cols, label_col, lr, iterations,
+        materialize=False,
+    )
     scored = features.crossJoin(F.broadcast(wdf))
     z = F.col("_w0")
     for j, c in enumerate(feature_cols):
@@ -273,45 +293,83 @@ def train_and_score(
 
 
 def _assign_raw(
-    vecs: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str
+    vecs: DataFrame,
+    cent_df,
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Broadcast-argmin nearest-centroid assignment — kmeans_fixed's
-    per-iteration arithmetic (squared L2 as det-round-12 decimal
-    partial sums, cid tie-break via a per-id window). Returns
-    ``(id_col, cid, _dist)`` with the raw double distance."""
-    from pyspark.sql import Window
+    """Nearest-centroid assignment — kmeans_fixed's per-iteration
+    arithmetic (squared L2 as det-round-12 decimal partial sums, cid
+    tie-break). Returns ``(id_col, cid, _dist)`` with the raw double
+    distance (plus ``_vec`` when ``keep_vec``).
 
-    cvec = (
-        "centroid_vec" if "centroid_vec" in cent_df.columns else "_cvec"
-    )
-    cdf = F.broadcast(
-        cent_df.select(
-            F.col("cid").cast("long").alias("cid"),
-            F.col(cvec).alias("_cvec"),
+    Plan shape (optimization r16, guide §2.4 — remove shuffles
+    outright): the k centroids are a DRIVER-SIDE model constant here
+    (kmeans_fixed already round-trips them between iterations as
+    bounded k×dim scalars; a landed centroid table is k rows by
+    contract), so the assignment is a pure per-row PROJECTION: each
+    vector computes its k distances as in-expression decimal folds
+    (``similarity._dec_fold`` — the identical det-round-12 →
+    DECIMAL(28,12) exact sum the oracle's ``SUM(CAST(... AS
+    DECIMAL(28,12)))`` mirrors, order-free so fold ≡ sum) over
+    CONSTANT-FOLDED centroid array literals, and ``array_min`` over
+    ``(dist, cid)`` structs picks the argmin — lexicographic struct
+    order IS the old window's ``ORDER BY dist ASC, cid ASC`` rule.
+
+    This replaces the previous posexplode-to-(id, cid, dim) grain (an
+    n·k·dim-row shuffle) + per-id window (a second shuffle) with ZERO
+    exchanges and ZERO aggregation. (The intermediate r16 form — a
+    ``min`` over a struct in a groupBy — planned as SortAggregate,
+    i.e. a full sort by id; measured slower than this projection.)
+    The centroid matrix enters as k CreateArray literals (folded to
+    one Literal each by constant folding, never an O(k·dim) codegen
+    tree — the round-1 trap; the fold itself is an interpreted
+    higher-order function, outside codegen). ``keep_vec`` projects
+    the member vector alongside so the Lloyd update reads it off the
+    assignment row instead of joining the corpus back."""
+    from .similarity import _dec_fold
+
+    if isinstance(cent_df, DataFrame):
+        cvec = (
+            "centroid_vec" if "centroid_vec" in cent_df.columns
+            else "_cvec"
         )
-    )
-    terms = vecs.crossJoin(cdf).select(
-        id_col,
-        "cid",
-        F.posexplode(
-            F.zip_with(
-                F.col(vec_col),
-                F.col("_cvec"),
-                lambda a, b: (a - b) * (a - b),
+        cents = {
+            int(r["cid"]): [float(x) for x in r[cvec]]
+            for r in cent_df.select(
+                F.col("cid").cast("long").alias("cid"), F.col(cvec)
+            ).collect()
+        }
+    else:
+        cents = cent_df
+    cands = F.array(
+        *[
+            F.struct(
+                _dec_fold(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    )
+                ).alias("d"),
+                F.lit(int(cid)).cast("long").alias("cid"),
             )
-        ).alias("_j", "_t"),
+            for cid, vec in sorted(cents.items())
+        ]
     )
-    dist = terms.groupBy(id_col, "cid").agg(
-        F.sum(det_round(F.col("_t"), 12).cast("decimal(28,12)"))
-        .cast("double")
-        .alias("_dist")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.asc("_dist"), F.asc("cid"))
-    return (
-        dist.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cid", "_dist")
-    )
+    tail = [F.col(vec_col).alias("_vec")] if keep_vec else []
+    # two-layer select: CollapseProject keeps the (non-cheap) fold
+    # evaluated once, not once per extracted field
+    staged = vecs.select(id_col, F.array_min(cands).alias("_b"), *tail)
+    cols = [
+        id_col,
+        F.col("_b.cid").alias("cid"),
+        F.col("_b.d").alias("_dist"),
+    ]
+    if keep_vec:
+        cols.append(F.col("_vec"))
+    return staged.select(*cols)
 
 
 def kmeans_assign(
@@ -421,12 +479,14 @@ def kmeans_fixed(
         )
     spark = vectors.sparkSession
 
-    def assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
-        cdf = spark.createDataFrame(
-            [(cid, vec) for cid, vec in sorted(cents.items())],
-            "cid long, _cvec array<double>",
-        )
-        return _assign_raw(vecs, cdf, id_col, vec_col)
+    def assign(
+        vecs: DataFrame,
+        cents: dict[int, list[float]],
+        keep_vec: bool = False,
+    ) -> DataFrame:
+        # the centroids are already driver-side between iterations —
+        # hand them straight to the projection-form assignment
+        return _assign_raw(vecs, cents, id_col, vec_col, keep_vec=keep_vec)
 
     # Every fit vector must carry exactly `dim` components, not just
     # the k seeds (ADVICE r9): a short non-seed vector silently
@@ -460,10 +520,12 @@ def kmeans_fixed(
     }
     assigned = None
     for _ in range(iterations):
-        assigned = assign(fit_vecs, cents)
+        # keep_vec: the Lloyd update reads each member's vector off
+        # its own argmin row — no assigned⋈vectors join per iteration
+        assigned = assign(fit_vecs, cents, keep_vec=True)
         upd = (
-            assigned.join(fit_vecs, id_col)
-            .select("cid", F.posexplode(F.col(vec_col)).alias("_j", "_v"))
+            assigned
+            .select("cid", F.posexplode(F.col("_vec")).alias("_j", "_v"))
             .groupBy("cid", "_j")
             .agg(
                 det_round(

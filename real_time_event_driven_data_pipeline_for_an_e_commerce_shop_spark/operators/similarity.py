@@ -2023,6 +2023,8 @@ def mmr_topk(
         embeddings, queries, shortlist=shortlist, k=shortlist,
         id_col=id_col, vec_col=vec_col, **model_kwargs,
     )
+    # ONE materialization of the rerank chain (the expensive stage):
+    # the pairwise build and the greedy tail both read it
     relc = ranked.select(
         "query_id", "neighbor_id", F.col("cosine_sim").alias("rel")
     ).localCheckpoint()
@@ -2053,7 +2055,6 @@ def mmr_topk(
                 "psim"
             ),
         )
-        .localCheckpoint()
     )
     # decimal-exact score arithmetic (rel/psim are round-6 doubles —
     # decimal-exact — and λ is a decimal literal): a double λ·rel −
@@ -2068,72 +2069,111 @@ def mmr_topk(
     dec = lambda c: c.cast("decimal(18,6)")
     lam_c = F.lit(str(lam_d)).cast("decimal(18,6)")
     one_minus = F.lit(str(om_d)).cast("decimal(18,6)")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("mmr_score"), F.asc("neighbor_id")
-    )
-    sel = (
-        relc.withColumn(
-            "mmr_score",
-            det_round((lam_c * dec(F.col("rel"))).cast("double"), 6),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.lit(1).cast("long").alias("mmr_rank"),
-            F.col("rel").alias("relevance"),
-            "mmr_score",
-        )
-        .localCheckpoint()
-    )
-    for step in range(2, k + 1):
-        remaining = relc.join(
-            sel.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        maxsim = (
-            pairs.join(
-                sel.select(
-                    "query_id", F.col("neighbor_id").alias("nid_b")
-                ),
-                ["query_id", "nid_b"],
+
+    # Optimization r16 (guide §2.4/§1.2 — remove shuffles and
+    # sequential jobs outright): the greedy loop ran k−1 eager
+    # localCheckpoint steps, each a join+window job over bounded
+    # (|q|·shortlist) tables — pure per-step plan constants. The
+    # trajectory is a per-query computation over ≤ shortlist
+    # candidates and ≤ shortlist² pairwise sims, so it collapses into
+    # ONE higher-order-function expression over per-query arrays:
+    # identical decimal-exact scores, identical (score DESC, nid ASC)
+    # tie-breaks (array_max over a (score, −nid) struct ≡ the old
+    # window's ROW_NUMBER rule), zero extra jobs, zero checkpoints.
+    cands_arr = relc.groupBy("query_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("neighbor_id").alias("nid"),
+                F.col("rel").alias("rel"),
             )
-            .groupBy("query_id", "nid_a")
-            .agg(F.max("psim").alias("_maxsim"))
-        )
-        pick = (
-            remaining.join(
-                maxsim.select(
-                    "query_id",
-                    F.col("nid_a").alias("neighbor_id"),
-                    "_maxsim",
-                ),
-                ["query_id", "neighbor_id"],
+        ).alias("_cands")
+    )
+    pairs_arr = pairs.groupBy("query_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("nid_a").alias("a"),
+                F.col("nid_b").alias("b"),
+                F.col("psim").alias("p"),
             )
-            .withColumn(
-                "mmr_score",
+        ).alias("_pairs")
+    )
+    joined = cands_arr.join(pairs_arr, "query_id", "left").select(
+        "query_id",
+        "_cands",
+        F.coalesce(
+            "_pairs",
+            F.array().cast("array<struct<a:bigint,b:bigint,p:double>>"),
+        ).alias("_pairs"),
+    )
+
+    def _step(acc, _i):
+        sel_ids = F.transform(acc, lambda s: s["nid"])
+        remaining = F.filter(
+            F.col("_cands"),
+            lambda c: ~F.array_contains(sel_ids, c["nid"]),
+        )
+
+        def _score(c):
+            msim = F.array_max(
+                F.transform(
+                    F.filter(
+                        F.col("_pairs"),
+                        lambda pr: (pr["a"] == c["nid"])
+                        & F.array_contains(sel_ids, pr["b"]),
+                    ),
+                    lambda pr: pr["p"],
+                )
+            )
+            return F.when(
+                msim.isNull(),  # first pick: no selected set yet
+                det_round((lam_c * dec(c["rel"])).cast("double"), 6),
+            ).otherwise(
                 det_round(
                     (
-                        lam_c * dec(F.col("rel"))
-                        - one_minus * dec(F.col("_maxsim"))
+                        lam_c * dec(c["rel"]) - one_minus * dec(msim)
                     ).cast("double"),
                     6,
+                )
+            )
+
+        pick = F.array_max(
+            F.transform(
+                remaining,
+                lambda c: F.struct(
+                    _score(c).alias("score"),
+                    (-c["nid"]).alias("negnid"),
+                    c["rel"].alias("rel"),
                 ),
             )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.lit(step).cast("long").alias("mmr_rank"),
-                F.col("rel").alias("relevance"),
-                "mmr_score",
-            )
         )
-        sel = sel.unionByName(pick).localCheckpoint()
-    return sel
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    (-pick["negnid"]).alias("nid"),
+                    pick["rel"].alias("rel"),
+                    pick["score"].alias("score"),
+                    (F.size(acc) + 1).cast("long").alias("rank"),
+                )
+            ),
+        )
+        return F.when(pick.isNull(), acc).otherwise(appended)
+
+    empty_sel = F.array().cast(
+        "array<struct<nid:bigint,rel:double,score:double,rank:bigint>>"
+    )
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)), empty_sel, _step
+    )
+    return joined.select(
+        "query_id", F.explode(sel).alias("_s")
+    ).select(
+        "query_id",
+        F.col("_s.nid").alias("neighbor_id"),
+        F.col("_s.rank").alias("mmr_rank"),
+        F.col("_s.rel").alias("relevance"),
+        F.col("_s.score").alias("mmr_score"),
+    )
 
 
 def recall_report(

@@ -1599,14 +1599,23 @@ def duplicate_span_removal(
     positions, so the span pass is deliberately scan-served; at 100 TB
     it runs as the periodic corpus-rewrite job it is in production.
     """
+    from pyspark.sql import Window
+
     base = _span_gram_base(documents, n)
     grams = base.select(
         "doc_id", F.posexplode("_sh").alias("g", "_sgl")
     ).select("doc_id", "g", md5_long(F.col("_sgl")).alias("_h"))
-    corpus = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_ct"))
-    dup_starts = grams.join(
-        corpus.filter(F.col("_ct") >= min_count).select("_h"), "_h"
-    ).select("doc_id", "g")
+    # corpus occurrence counts as an unordered window over the hash
+    # key (optimization r16, guide §2.4): one shuffle of the gram
+    # stream replaces the groupBy(_h) aggregate + join-back pair —
+    # identical counts, identical surviving (doc, g) rows
+    dup_starts = (
+        grams.withColumn(
+            "_ct", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+        )
+        .filter(F.col("_ct") >= min_count)
+        .select("doc_id", "g")
+    )
     return _strip_covered_positions(base, dup_starts, n)
 
 
@@ -1628,63 +1637,60 @@ def _span_gram_base(documents: DataFrame, n: int) -> DataFrame:
 def _strip_covered_positions(
     base: DataFrame, dup_starts: DataFrame, n: int
 ) -> DataFrame:
-    """Shared surgery tail: explode flagged gram starts into covered
+    """Shared surgery tail: union flagged gram starts into covered
     positions, drop covered tokens, count maximal removed spans, and
-    reassemble the cleaned text deterministically."""
-    from pyspark.sql import Window
+    reassemble the cleaned text deterministically.
 
-    covered = dup_starts.select(
+    Optimization r16 (guide §2.4 — remove shuffles outright): the
+    coverage/runs/reassembly used to run at exploded POSITION grain —
+    a distinct over (doc, pos), an anti-join against the exploded
+    token stream, a per-doc lag window, a collect_list re-aggregate,
+    and a three-way join-back: ~6 exchanges, with ``base`` (the
+    tokenize+shingle scan) re-derived per branch. Coverage is a
+    per-document computation over that document's own flagged starts,
+    so it collapses to array expressions: ONE collect_set aggregate
+    of dup starts per doc, ONE doc-grain join back to ``base``, and
+    the covered-position set, maximal-span count, and cleaned text
+    all derive from a sorted in-row array — same outputs bit-for-bit
+    (sequence-union ≡ the old explode+distinct; the sorted-array
+    previous-element rule ≡ the old lag-window span counter; filter-
+    by-index over the original tokens ≡ the old anti-join + pos-sorted
+    reassembly, with no (doc, pos) shuffles at all)."""
+    starts = dup_starts.groupBy("doc_id").agg(
+        F.collect_set(F.col("g").cast("bigint")).alias("_gs")
+    )
+    joined = base.join(starts, "doc_id", "left")
+    covered = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(
+                        F.col("_gs"), F.array().cast("array<bigint>")
+                    ),
+                    lambda g: F.sequence(g, g + F.lit(n - 1)),
+                )
+            )
+        )
+    )
+    with_cov = joined.select("doc_id", "_t", covered.alias("_cov"))
+    n_spans = F.size(
+        F.filter(
+            F.col("_cov"),
+            lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                F.element_at(F.col("_cov"), i) != x - 1
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda tok, i: ~F.array_contains(F.col("_cov"), i.cast("bigint")),
+    )
+    return with_cov.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.col("g"), F.col("g") + F.lit(n - 1))
-        ).alias("pos"),
-    ).distinct()
-    toks = base.select("doc_id", F.posexplode("_t").alias("pos", "tok"))
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    wrun = Window.partitionBy("doc_id").orderBy("pos")
-    runs = (
-        covered.withColumn("_prev", F.lag("pos").over(wrun))
-        .withColumn(
-            "_new",
-            (
-                F.col("_prev").isNull()
-                | (F.col("pos") - F.col("_prev") != 1)
-            ).cast("long"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("_new").cast("long").alias("n_spans"),
-            F.count(F.lit(1)).cast("long").alias("n_removed"),
-        )
-    )
-    clean = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("clean_text")
-    )
-    totals = base.select(
-        "doc_id", F.size("_t").cast("long").alias("n_tokens")
-    )
-    return (
-        totals.join(runs, "doc_id", "left")
-        .join(clean, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_removed"), F.lit(0))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("n_spans"), F.lit(0))
-            .cast("long")
-            .alias("n_spans"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias(
-                "clean_text"
-            ),
-        )
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size("_cov").cast("long").alias("n_removed"),
+        n_spans.cast("long").alias("n_spans"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )
 
 
@@ -1765,10 +1771,20 @@ def ngram_novelty_from_shingle_state(
     memorization audit becomes a derivation over live ingest state
     (corpus totals fall out with one hash aggregate). Full-replay
     parity vs the scan-based operator is row-exact."""
+    from pyspark.sql import Window
+
     tf = shingle_state.select("doc_id", "_h", "_tf")
-    corpus = tf.groupBy("_h").agg(F.sum("_tf").alias("_ct"))
+    # corpus totals as an unordered window sum over the hash key
+    # (optimization r16, guide §2.4): the old groupBy(_h) + join-back
+    # re-shuffled the tf table TWICE (once into the totals aggregate,
+    # once for the join) and re-derived the shingle subtree per branch
+    # when exchange reuse failed under composition; one window over
+    # the same key computes the identical per-row total with a single
+    # tf shuffle and no join build. Sum of longs — values unchanged.
     per_doc = (
-        tf.join(corpus, "_h")
+        tf.withColumn(
+            "_ct", F.sum("_tf").over(Window.partitionBy("_h"))
+        )
         .groupBy("doc_id")
         .agg(
             F.sum("_tf").cast("long").alias("n_ngrams"),

@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Push COUNT/MIN/MAX down to parquet footers (exact, metadata
+        # only — optimization r16, guide §6): the engine's bounded
+        # driver scalars (SRP auto-r count, dsir routing count,
+        # pagerank node count, zone-table counts) become footer reads
+        # instead of full scans; at 100 TB a count over a landed zone
+        # stops costing a pass over the data.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
