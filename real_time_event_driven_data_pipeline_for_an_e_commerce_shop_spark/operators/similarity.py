@@ -53,6 +53,81 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cells_array(
+    cent: DataFrame, vec_col: str = "centroid_vec", group_cols: tuple = ()
+) -> DataFrame:
+    """Quantizer cells collapsed to ONE array row ``(_cents:
+    array<struct<cid, cv>>)`` (or one row per ``group_cols``, e.g. per
+    generation): the broadcast form the per-row argmax/probe folds
+    read. k is a model constant (n_clusters ~10^3 at scale), so the
+    array row is KB-sized at any corpus size; the bytes are identical
+    to the old k-row broadcast, but the consumer becomes a projection
+    instead of a xk row fan-out + struct-ordered aggregate (which
+    plans as SortAggregate) + shuffle. The size>0 guard keeps the
+    degenerate empty-quantizer case at zero output rows, exactly the
+    old k-row join's semantics."""
+    agg = F.collect_list(
+        F.struct(F.col("cid").alias("cid"), F.col(vec_col).alias("cv"))
+    ).alias("_cents")
+    if group_cols:
+        return cent.groupBy(*group_cols).agg(agg)
+    return cent.agg(agg).filter(F.size("_cents") > 0)
+
+
+def _argmax_cell(vec: Column, cents: Column, with_cv: bool = False) -> Column:
+    """Per-row coarse assignment: ``struct(s, nc[, cv])`` of the
+    cosine-argmax cell (ties -> lowest cid) over the bounded ``_cents``
+    array. ``array_max`` over (s, -cid) structs uses the SAME struct
+    total order as the old ``F.max`` aggregate (NaN largest, ties to
+    the next field), so the winner is bit-identical — but it runs
+    inside one projection: no xk explode, no shuffle, no
+    SortAggregate. ``with_cv`` carries the winning centroid vector for
+    residual computation (cv is never compared: cid is unique, so the
+    order is decided on (s, nc) alone)."""
+
+    def cand(c):
+        fields = [
+            cosine(vec, c["cv"]).alias("s"),
+            (-c["cid"]).alias("nc"),
+        ]
+        if with_cv:
+            fields.append(c["cv"].alias("cv"))
+        return F.struct(*fields)
+
+    return F.array_max(F.transform(cents, cand))
+
+
+def _top_cells(
+    vec: Column, cents: Column, n_probe: int, with_qdotc: bool = False
+) -> Column:
+    """Per-row probe selection: the first ``n_probe`` cells of the
+    ``_cents`` array ordered (cosine DESC, cid ASC) — the probe
+    window (row_number <= n_probe over desc(_csim), asc(cid))
+    collapsed to a sort+slice over the bounded cells array, removing
+    the |q|xk exchange + Window from every serve plan. Descending
+    ``sort_array`` over (s, -cid) structs is the window's exact total
+    order (NaN-first under DESC, ties to the lowest cid).
+    ``with_qdotc`` also carries dot(q, c) per probed cell (the ADC
+    residual-score term) — computed per cell exactly as the old probe
+    projection did, never compared (cid is unique)."""
+
+    def cand(c):
+        fields = [
+            cosine(vec, c["cv"]).alias("s"),
+            (-c["cid"]).alias("nc"),
+        ]
+        if with_qdotc:
+            fields.append(
+                _dec_fold(
+                    F.zip_with(vec, c["cv"], lambda a, b: a * b)
+                ).alias("qdotc")
+            )
+        return F.struct(*fields)
+
+    return F.slice(F.sort_array(F.transform(cents, cand), False), 1, n_probe)
+
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -335,29 +410,41 @@ def embedding_near_dups_multitable(
         n_planes = auto_plane_count(v.count())
     stride = plane_stride if plane_stride is not None else n_planes
     assert stride >= n_planes, "overlapping plane sets across tables"
-    cand = None
-    for t in range(n_tables):
-        b = v.select(
-            "vid",
-            srp_bucket(
-                F.col("vec"), dim, n_planes, plane_offset=t * stride
-            ).alias("block"),
-        )
-        p = (
-            b.alias("a")
-            .join(
-                b.alias("b"),
-                on=[
-                    F.col("a.block") == F.col("b.block"),
-                    F.col("a.vid") < F.col("b.vid"),
-                ],
+    # ONE bucketed frame for ALL tables (optimization r16): each row
+    # explodes to its n_tables (table, bucket) keys, and one self-join
+    # on (table, bucket) IS the per-table OR-union — the same candidate
+    # set the old per-table loop built from 2·n_tables corpus scans and
+    # n_tables separate joins, now from 2 scans and one join. distinct
+    # then dedups cross-table collisions exactly as before, and its
+    # output is already hash-partitioned on (vec_a, vec_b), so the old
+    # explicit repartition was a redundant full exchange of the
+    # candidate set — dropped.
+    bk = v.select(
+        "vid",
+        F.posexplode(
+            F.array(
+                *[
+                    srp_bucket(
+                        F.col("vec"), dim, n_planes, plane_offset=t * stride
+                    )
+                    for t in range(n_tables)
+                ]
             )
-            .select(
-                F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b")
-            )
+        ).alias("t", "block"),
+    )
+    pairs = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            on=[
+                F.col("a.t") == F.col("b.t"),
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
         )
-        cand = p if cand is None else cand.unionByName(p)
-    pairs = cand.distinct().repartition("vec_a", "vec_b")
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
     paired = pairs.join(
         v.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va")), "vec_a"
     ).join(v.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb")), "vec_b")
@@ -584,38 +671,35 @@ def _ivf_corpus_lists(
     """:func:`ivf_topk`'s corpus inverted-list membership, factored
     out so the streaming IVF gate lands EXACTLY the rule the serving
     plan assigns with (cosine argmax — the search metric — with the
-    lowest-cid tie-break): a broadcast join of the k centroid rows
-    onto the corpus and a map-side-combined struct-max, shuffling
-    |corpus| rows. Returns ``(neighbor_id, cluster_id,
-    cvec_corpus)``. ``keep_cols`` ride the max struct (the argmax is
-    decided by (cosine, cid) alone — cid is unique — so trailing
-    fields never affect ordering): metadata columns the serving tier
-    filters on travel WITH the membership, never a join-back."""
-    corpus_scored = (
+    lowest-cid tie-break): the k cells broadcast as ONE array row and
+    each corpus row picks its cell in a per-row ``array_max`` fold —
+    a pure projection, no xk fan-out, no shuffle, no SortAggregate
+    (optimization r16; the argmax struct order (s, -cid) is the old
+    aggregate's order, so winners are bit-identical). Returns
+    ``(neighbor_id, cluster_id, cvec_corpus)``. ``keep_cols`` simply
+    stay on the row (the fold never destroys it): metadata columns
+    the serving tier filters on travel WITH the membership, never a
+    join-back."""
+    return (
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cvec_corpus"),
             *keep_cols,
         )
-        .join(F.broadcast(cent))
+        .join(F.broadcast(_cells_array(cent)))
         .select(
             "neighbor_id",
-            F.struct(
-                cosine(F.col("cvec_corpus"), F.col("centroid_vec")).alias("s"),
-                (-F.col("cid")).alias("nc"),
-                F.col("cvec_corpus").alias("vec"),
-                *[F.col(c).alias(c) for c in keep_cols],
-            ).alias("_cand"),
+            _argmax_cell(F.col("cvec_corpus"), F.col("_cents")).alias(
+                "_best"
+            ),
+            "cvec_corpus",
+            *keep_cols,
         )
-    )
-    return (
-        corpus_scored.groupBy("neighbor_id")
-        .agg(F.max("_cand").alias("_best"))
         .select(
             "neighbor_id",
             (-F.col("_best.nc")).alias("cluster_id"),
-            F.col("_best.vec").alias("cvec_corpus"),
-            *[F.col(f"_best.{c}").alias(c) for c in keep_cols],
+            "cvec_corpus",
+            *keep_cols,
         )
     )
 
@@ -825,16 +909,18 @@ def ivf_topk(
       ``centroid_vec``, e.g. from :func:`kmeans_centroids`) to swap in
       a trained quantizer — the plan shape is identical; only the
       oracle-mirrorability is lost (float-sum-order-dependent values).
-    * **Corpus assignment** is a broadcast-join argmax: the centroid
-      DataFrame (n_clusters rows) broadcasts, each corpus row scores
-      n_clusters candidates, and a hash aggregation with map-side
-      combine (``max`` over a (sim, -cid) struct) reduces back to one
-      row per vector — the shuffle carries |corpus| rows, never the
-      ×n_clusters expansion. Centroids stay DATA, not expression: plan
-      size and codegen time are constant in n_clusters (round 1 inlined
-      them as an O(n_clusters × dim) literal tree, which was
-      codegen-bound at n_clusters=16 and would fall over near 10³ —
-      VERDICT r1 "What's wrong" #2).
+    * **Corpus assignment** is a per-row argmax fold (optimization
+      r16): the centroid DataFrame collapses to ONE broadcast array
+      row and each corpus row picks its cell via ``array_max`` over
+      (sim, -cid) structs — a projection with NO shuffle and NO
+      aggregate (the old broadcast-join + struct-max planned as
+      SortAggregate and shuffled |corpus| rows). Centroids stay DATA,
+      not expression: plan size and codegen time are constant in
+      n_clusters (round 1 inlined them as an O(n_clusters × dim)
+      literal tree, which was codegen-bound at n_clusters=16 and would
+      fall over near 10³ — VERDICT r1 "What's wrong" #2); the array
+      row is the same KB-sized broadcast, read per row instead of
+      joined per cell.
     * **Probe + search**: queries fan out to their n_probe lists, then
       one equi-join on ``cluster_id`` co-locates each query with just
       its lists' vectors. Pass ``lists`` (a landed
@@ -900,19 +986,18 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
-    probed = q.join(F.broadcast(cent)).select(
-        "query_id",
-        "qvec",
-        F.col("cid").alias("cluster_id"),
-        cosine(F.col("qvec"), F.col("centroid_vec")).alias("_csim"),
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.desc("_csim"), F.asc("cluster_id")
-    )
     probes = (
-        probed.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qvec", "cluster_id")
+        q.join(F.broadcast(_cells_array(cent)))
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(
+                _top_cells(F.col("qvec"), F.col("_cents"), n_probe)
+            ).alias("_p"),
+        )
+        .select(
+            "query_id", "qvec", (-F.col("_p.nc")).alias("cluster_id")
+        )
     )
 
     scored = (
@@ -956,18 +1041,15 @@ def ivf_probe_assignments(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qvec"),
     )
-    probed = q.join(F.broadcast(cent)).select(
-        "query_id",
-        F.col("cid").alias("cluster_id"),
-        cosine(F.col("qvec"), F.col("centroid_vec")).alias("_csim"),
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.desc("_csim"), F.asc("cluster_id")
-    )
     return (
-        probed.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "cluster_id")
+        q.join(F.broadcast(_cells_array(cent)))
+        .select(
+            "query_id",
+            F.explode(
+                _top_cells(F.col("qvec"), F.col("_cents"), n_probe)
+            ).alias("_p"),
+        )
+        .select("query_id", (-F.col("_p.nc")).alias("cluster_id"))
     )
 
 
@@ -1399,10 +1481,11 @@ def pq_encode(
 
     Plan: corpus explodes to (vec_id, s, subvec) — a ×m row fan-out of
     slices, never ×(m·k) — then one broadcast hash join on ``s``
-    against the m·k-row codebook scores every candidate in a
-    projection (``_dec_fold`` is a sequential array fold, no further
-    explode), and a map-side-combined struct-min argmin reduces back
-    to one row per (vec_id, s). Shuffle carries |corpus|·m tiny rows.
+    against the m-row PER-SUBSPACE codeword-array table scores all k
+    candidates in a per-row ``array_min`` fold (optimization r16):
+    the argmin is a projection, one output row per (vec_id, s) with
+    NO shuffle and NO aggregate (the old per-codeword join + struct-
+    min planned as SortAggregate over |corpus|·m·k rows).
 
     With ``return_dist`` each row also carries the winning squared-L2
     distortion det-rounded to 8 digits — the drift statistic the
@@ -1421,17 +1504,28 @@ def pq_encode(
             )
         ).alias("s", "sv"),
     ).select(F.col("vec_id"), F.col("s").cast("long").alias("s"), "sv")
-    scored = sub_rows.join(F.broadcast(codebook), "s").select(
+    cb_arr = codebook.groupBy("s").agg(
+        F.collect_list(F.struct(F.col("j"), F.col("cw"))).alias("_cws")
+    )
+    best = sub_rows.join(F.broadcast(cb_arr), "s").select(
         "vec_id",
         "s",
-        F.struct(
-            _dec_fold(
-                F.zip_with(F.col("sv"), F.col("cw"), lambda a, b: (a - b) * (a - b))
-            ).alias("dist"),
-            F.col("j").alias("j"),
-        ).alias("_cand"),
+        F.array_min(
+            F.transform(
+                "_cws",
+                lambda c: F.struct(
+                    _dec_fold(
+                        F.zip_with(
+                            F.col("sv"),
+                            c["cw"],
+                            lambda a, b: (a - b) * (a - b),
+                        )
+                    ).alias("dist"),
+                    c["j"].alias("j"),
+                ),
+            )
+        ).alias("_best"),
     )
-    best = scored.groupBy("vec_id", "s").agg(F.min("_cand").alias("_best"))
     if return_dist:
         return best.select(
             "vec_id", "s", F.col("_best.j").alias("code"),
@@ -1594,13 +1688,15 @@ def ivfpq_model(
       subspace with det-round-12 decimal partial sums (ties → lowest
       j). THIS is the only corpus-scale table a query ever scans.
 
-    Scale shape: the assignment is the :func:`ivf_topk` broadcast
-    argmax (shuffle carries |corpus| rows, centroids stay DATA);
-    residuals are a projection over the assigned rows (no extra
-    shuffle); the encode is the :func:`pq_encode` ×m slice fan-out +
-    broadcast codebook join + map-side-combined struct-min. At 100 TB
-    the codes table is written partitioned by ``cluster_id`` so the
-    probe join prunes cells at the file level.
+    Scale shape: the assignment is the :func:`ivf_topk` per-row
+    argmax fold (a projection — zero shuffles, centroids stay DATA as
+    one broadcast array row); residuals are a projection over the
+    assigned rows; the encode is the :func:`pq_encode` ×m slice
+    fan-out + broadcast per-subspace codeword-array join + per-row
+    ``array_min`` fold — the whole model fit runs without a single
+    exchange (optimization r16). At 100 TB the codes table is written
+    partitioned by ``cluster_id`` so the probe join prunes cells at
+    the file level.
 
     Pass ``codebook`` (e.g. a landed zone table) to skip the residual
     codebook fit and encode against it — the zone-build discipline's
@@ -1630,22 +1726,18 @@ def ivfpq_model(
             F.col(id_col).cast("long").alias("vec_id"),
             as_double(F.col(vec_col)).alias("_vec"),
         )
-        .join(F.broadcast(cent))
+        .join(F.broadcast(_cells_array(cent, vec_col="cvec")))
         .select(
             "vec_id",
-            F.struct(
-                cosine(F.col("_vec"), F.col("cvec")).alias("s"),
-                (-F.col("cid")).alias("nc"),
-                F.col("_vec").alias("vec"),
-                F.col("cvec").alias("cvec"),
-            ).alias("_cand"),
+            "_vec",
+            _argmax_cell(
+                F.col("_vec"), F.col("_cents"), with_cv=True
+            ).alias("_best"),
         )
-        .groupBy("vec_id")
-        .agg(F.max("_cand").alias("_best"))
         .select(
             "vec_id",
             (-F.col("_best.nc")).alias("cluster_id"),
-            F.zip_with("_best.vec", "_best.cvec", lambda a, b: a - b).alias(
+            F.zip_with("_vec", "_best.cv", lambda a, b: a - b).alias(
                 "rvec"
             ),
         )
@@ -1680,23 +1772,28 @@ def ivfpq_model(
             )
         ).alias("s", "sv"),
     ).select("vec_id", "cluster_id", F.col("s").cast("long").alias("s"), "sv")
-    codes = (
-        sub_rows.join(F.broadcast(codebook), "s")
-        .select(
-            "vec_id",
-            "cluster_id",
-            "s",
-            F.struct(
-                _dec_fold(
-                    F.zip_with(
-                        F.col("sv"), F.col("cw"), lambda a, b: (a - b) * (a - b)
-                    )
-                ).alias("dist"),
-                F.col("j").alias("j"),
-            ).alias("_cand"),
-        )
-        .groupBy("vec_id", "cluster_id", "s")
-        .agg(F.min("_cand").alias("_best"))
+    cb_arr = codebook.groupBy("s").agg(
+        F.collect_list(F.struct(F.col("j"), F.col("cw"))).alias("_cws")
+    )
+    codes = sub_rows.join(F.broadcast(cb_arr), "s").select(
+        "vec_id",
+        "cluster_id",
+        "s",
+        F.array_min(
+            F.transform(
+                "_cws",
+                lambda c: F.struct(
+                    _dec_fold(
+                        F.zip_with(
+                            F.col("sv"),
+                            c["cw"],
+                            lambda a, b: (a - b) * (a - b),
+                        )
+                    ).alias("dist"),
+                    c["j"].alias("j"),
+                ),
+            )
+        ).alias("_best"),
     )
     if return_dist:
         codes = codes.select(
@@ -2309,44 +2406,135 @@ def ivf_probe_tuning(
     exact = brute_force_topk(
         embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
     )
-    outs = []
-    for p in n_probes:
-        approx = ivf_topk(
-            embeddings,
-            queries,
-            n_clusters=n_clusters,
-            n_probe=p,
-            k=k,
-            stride=stride,
-            id_col=id_col,
-            vec_col=vec_col,
-            centroids=centroids,
-            lists=lists,
+    # ONE serve chain for every candidate budget (optimization r16):
+    # the old per-p ivf_topk loop re-derived the corpus assignment and
+    # the probe/score joins once per report row. The budgets nest —
+    # cells probed at p are the first p of the pmax probe order, and a
+    # neighbor lives in exactly one cell — so one scored table tagged
+    # with each candidate's PROBE RANK answers all budgets: candidate
+    # under p iff _pr <= p, and its rank among p-candidates is a
+    # running conditional count over the SAME (sim DESC, id ASC)
+    # order row_number used. One corpus pass, one window pass (the
+    # per-p running sums share one sort), one hit join — vs
+    # len(n_probes) full chains.
+    pmax = max(n_probes)
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("centroid_vec"),
         )
-        outs.append(
-            recall_report(exact, approx, k)
-            .agg(
-                F.sum("hits").cast("long").alias("total_hits"),
-                F.count(F.lit(1)).cast("long").alias("n_queries"),
-            )
+    else:
+        cent = (
+            embeddings.filter(F.col(id_col) % stride == 0)
+            .orderBy(F.col(id_col))
+            .limit(n_clusters)
             .select(
-                F.lit(p).cast("long").alias("n_probe"),
-                "total_hits",
-                "n_queries",
-                det_round(
-                    F.col("total_hits").cast("double")
-                    / (F.col("n_queries") * F.lit(k)).cast("double"),
-                    4,
-                ).alias("mean_recall"),
-                det_round(
-                    F.lit(float(p)) / F.lit(float(n_clusters)), 4
-                ).alias("read_fraction"),
+                F.col(id_col).cast("long").alias("cid"),
+                as_double(F.col(vec_col)).alias("centroid_vec"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    if lists is not None:
+        corpus = lists.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster_id"),
+            as_double(F.col(vec_col)).alias("cvec_corpus"),
+        )
+    else:
+        corpus = _ivf_corpus_lists(embeddings, cent, id_col, vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    probes = (
+        q.join(F.broadcast(_cells_array(cent)))
+        .select(
+            "query_id",
+            "qvec",
+            F.posexplode(
+                _top_cells(F.col("qvec"), F.col("_cents"), pmax)
+            ).alias("_i", "_p"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            (-F.col("_p.nc")).alias("cluster_id"),
+            (F.col("_i") + 1).alias("_pr"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec_corpus")).alias("_sim"),
+            "_pr",
+        )
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flags = scored.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            (
+                (F.col("_pr") <= p)
+                & (
+                    F.sum(
+                        F.when(F.col("_pr") <= p, 1).otherwise(0)
+                    ).over(w)
+                    <= k
+                )
+            ).alias(f"_in_{i}")
+            for i, p in enumerate(n_probes)
+        ],
+    )
+    totals = (
+        exact.select("query_id", "neighbor_id")
+        .join(F.broadcast(flags), ["query_id", "neighbor_id"], "left")
+        .agg(
+            *[
+                F.sum(F.when(F.col(f"_in_{i}"), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_h_{i}")
+                for i in range(len(n_probes))
+            ],
+            F.count_distinct(F.col("query_id"))
+            .cast("long")
+            .alias("_nq"),
+        )
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("n_probe"),
+                        F.col(f"_h_{i}").alias("total_hits"),
+                        F.col("_nq").alias("n_queries"),
+                        det_round(
+                            F.lit(float(p)) / F.lit(float(n_clusters)), 4
+                        ).alias("read_fraction"),
+                    )
+                    for i, p in enumerate(n_probes)
+                ]
+            )
+        ).alias("_r")
+    ).select(
+        F.col("_r.n_probe").alias("n_probe"),
+        F.col("_r.total_hits").alias("total_hits"),
+        F.col("_r.n_queries").alias("n_queries"),
+        det_round(
+            F.col("_r.total_hits").cast("double")
+            / (F.col("_r.n_queries") * F.lit(k)).cast("double"),
+            4,
+        ).alias("mean_recall"),
+        F.col("_r.read_fraction").alias("read_fraction"),
+    )
 
 
 def choose_probe_budget(
@@ -2480,22 +2668,28 @@ def _ivfpq_scores_multigen(
         as_double(F.col(vec_col)).alias("qvec"),
     )
     qnorm = q.select("query_id", _norm(F.col("qvec")).alias("qnorm"))
-    probed = q.join(F.broadcast(cents_g)).select(
-        "query_id",
-        "gen",
-        F.col("cid").alias("cluster_id"),
-        cosine(F.col("qvec"), F.col("cvec")).alias("_csim"),
-        _dec_fold(
-            F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b)
-        ).alias("qdotc"),
-    )
-    wprobe = Window.partitionBy("query_id", "gen").orderBy(
-        F.desc("_csim"), F.asc("cluster_id")
-    )
     probes = (
-        probed.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "gen", "cluster_id", "qdotc")
+        q.join(
+            F.broadcast(
+                _cells_array(cents_g, vec_col="cvec", group_cols=("gen",))
+            )
+        )
+        .select(
+            "query_id",
+            "gen",
+            F.explode(
+                _top_cells(
+                    F.col("qvec"), F.col("_cents"), n_probe,
+                    with_qdotc=True,
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "query_id",
+            "gen",
+            (-F.col("_p.nc")).alias("cluster_id"),
+            F.col("_p.qdotc").alias("qdotc"),
+        )
     )
     # the query-side subspace explode — computed once, shared by all
     # generations (the lever the loop-of-chains serve recomputed G×)
@@ -2630,22 +2824,22 @@ def _ivfpq_scores(
         as_double(F.col(vec_col)).alias("qvec"),
     )
     qnorm = q.select("query_id", _norm(F.col("qvec")).alias("qnorm"))
-    probed = q.join(F.broadcast(cent)).select(
-        "query_id",
-        "qvec",
-        F.col("cid").alias("cluster_id"),
-        cosine(F.col("qvec"), F.col("cvec")).alias("_csim"),
-        _dec_fold(
-            F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b)
-        ).alias("qdotc"),
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.desc("_csim"), F.asc("cluster_id")
-    )
     probes = (
-        probed.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "cluster_id", "qdotc")
+        q.join(F.broadcast(_cells_array(cent, vec_col="cvec")))
+        .select(
+            "query_id",
+            F.explode(
+                _top_cells(
+                    F.col("qvec"), F.col("_cents"), n_probe,
+                    with_qdotc=True,
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "query_id",
+            (-F.col("_p.nc")).alias("cluster_id"),
+            F.col("_p.qdotc").alias("qdotc"),
+        )
     )
     q_sub = q.select(
         "query_id",
