@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import det_round
+from ..functions.core import det_round, spread_small_input
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -143,8 +143,11 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    c = spread_small_input(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cvec"),
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -401,8 +404,10 @@ def embedding_near_dups_multitable(
     derived in SQL from the same count (``LENGTH(BIN(n-1))`` =
     integer bit-length, bit-exact vs the Python side).
     """
-    v = embeddings.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+    v = spread_small_input(
+        embeddings.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+        )
     )
     if n_planes is None:
         if plane_stride is None:
@@ -680,11 +685,18 @@ def _ivf_corpus_lists(
     stay on the row (the fold never destroys it): metadata columns
     the serving tier filters on travel WITH the membership, never a
     join-back."""
+    # spread_small_input: the argmax fold (and every consumer stage
+    # up to the next exchange) runs IN the scan stage now that the
+    # assignment needs no shuffle; a small input's one-file scan would
+    # serialize all k cosines on one core (no-op at scale — guide
+    # §2.5 / the house pattern for CPU-heavy per-row work)
     return (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("cvec_corpus"),
-            *keep_cols,
+        spread_small_input(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double(F.col(vec_col)).alias("cvec_corpus"),
+                *keep_cols,
+            )
         )
         .join(F.broadcast(_cells_array(cent)))
         .select(
@@ -1493,12 +1505,17 @@ def pq_encode(
     vectors shows up as a distortion jump, the cluster gate's
     mean-assignment-distance analog)."""
     sub = dim // n_subspaces
-    sub_rows = embeddings.select(
-        F.col(id_col).cast("long").alias("vec_id"),
+    sub_rows = spread_small_input(
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            as_double(F.col(vec_col)).alias("_dvec"),
+        )
+    ).select(
+        F.col("vec_id"),
         F.posexplode(
             F.array(
                 *[
-                    F.slice(as_double(F.col(vec_col)), s * sub + 1, sub)
+                    F.slice(F.col("_dvec"), s * sub + 1, sub)
                     for s in range(n_subspaces)
                 ]
             )
@@ -1722,9 +1739,11 @@ def ivfpq_model(
 
     # coarse assignment: broadcast argmax over cells (ivf_topk shape)
     assigned = (
-        embeddings.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            as_double(F.col(vec_col)).alias("_vec"),
+        spread_small_input(
+            embeddings.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                as_double(F.col(vec_col)).alias("_vec"),
+            )
         )
         .join(F.broadcast(_cells_array(cent, vec_col="cvec")))
         .select(
