@@ -192,6 +192,35 @@ VARIANCE_FACTOR = 1.5
 VARIANCE_EXTRA_ITERS = 2
 
 
+def _prev_driver_queries(here: str) -> tuple[str, ...]:
+    """Query names on the newest driver record's parsed compact line
+    (``BENCH_r{max}.json``). The compact line keeps these names in
+    preference to anything else (VERDICT r16 "What's wrong" #6): the
+    omitted-fastest set used to rotate between rounds as timings
+    moved, so the driver's round-over-round differ kept reporting
+    entries that merely got FASTER as "dropped_from_bench". Pinning
+    the previous line's names makes the omission set stable without
+    changing any timing or removing any entry from the full record."""
+    newest: tuple[int, str] | None = None
+    try:
+        for f in os.listdir(here):
+            if f.startswith("BENCH_r") and f.endswith(".json"):
+                num = f[len("BENCH_r"): -len(".json")]
+                if num.isdigit() and (newest is None or int(num) > newest[0]):
+                    newest = (int(num), f)
+    except OSError:
+        return ()
+    if newest is None:
+        return ()
+    try:
+        with open(os.path.join(here, newest[1])) as fh:
+            rec = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return ()
+    parsed = rec.get("parsed") or {}
+    return tuple((parsed.get("queries") or {}).keys())
+
+
 def _trailing_queries(here: str, sf) -> dict[str, float]:
     """Per-query warm values from the newest BENCH_LOCAL_r*.json at
     the SAME scale factor — the trailing record the variance guard
@@ -431,11 +460,15 @@ def main() -> None:
     # mid-JSON). Emit a compact closing line that provably fits:
     # 2-decimal per-query values, then 1-decimal, then drop the
     # fastest entries into "queries_omitted" — slowest queries (the
-    # ones regressions show up in) always survive.
-    print(_compact_line(record))
+    # ones regressions show up in) always survive, and names on the
+    # PREVIOUS driver record's parsed line are kept in preference so
+    # the omission set is stable round-over-round (VERDICT r16 #9).
+    print(_compact_line(record, prefer=_prev_driver_queries(here)))
 
 
-def _compact_line(record: dict, limit: int = 1950) -> str:
+def _compact_line(
+    record: dict, limit: int = 1950, prefer: tuple[str, ...] = ()
+) -> str:
     base = {
         "metric": record["metric"],
         "value": record["value"],
@@ -446,10 +479,19 @@ def _compact_line(record: dict, limit: int = 1950) -> str:
     for ndigits in (2, 1):
         q = {k: round(v, ndigits) for k, v in record["queries"].items()}
         by_slow = sorted(q, key=lambda k: (-q[k], k))
-        for keep in range(len(by_slow), -1, -1):
+        # drop order: non-preferred fastest first; preferred names
+        # (the previous driver line's entries) only drop once nothing
+        # else is left to drop, so the driver's differ never sees an
+        # entry vanish just because it got faster
+        pset = set(prefer)
+        order = [k for k in by_slow if k in pset] + [
+            k for k in by_slow if k not in pset
+        ]
+        for keep in range(len(order), -1, -1):
             out = dict(base)
-            out["queries"] = {k: q[k] for k in by_slow[:keep]}
-            omitted = len(by_slow) - keep
+            kept = sorted(order[:keep], key=lambda k: (-q[k], k))
+            out["queries"] = {k: q[k] for k in kept}
+            omitted = len(order) - keep
             if omitted:
                 out["queries_omitted"] = omitted
             line = json.dumps(out, separators=(",", ":"))

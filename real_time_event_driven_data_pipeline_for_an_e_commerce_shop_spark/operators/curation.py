@@ -1204,23 +1204,111 @@ def curation_funnel(
     unpivot emits the funnel — output is O(stages), never O(docs).
     """
     from .text import (
-        ngram_novelty,
+        lower_shingle_array,
         ngram_novelty_from_shingle_state,
         quality_score,
     )
 
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     pre = documents.withColumn("_fp", F.md5(norm.cast("binary")))
-    # keeper = min doc_id among QUALITY SURVIVORS of the fingerprint
-    # group (conditional min over an unordered partition window — no
-    # sort, still one narrow (doc_id, fp, flag) window pass)
     w = Window.partitionBy("_fp")
+    if shingle_state is not None:
+        # state path: quality/fingerprint from one scan, novelty from
+        # the maintained (doc_id, _h, _tf) zone — zero extra scans
+        qk = (
+            quality_score(pre, keep_cols=("_fp",))
+            .select(
+                "doc_id",
+                "_fp",
+                (F.col("quality_score") >= F.lit(quality_threshold)).alias(
+                    "_q"
+                ),
+            )
+            .withColumn(
+                "_k",
+                F.coalesce(
+                    F.col("doc_id")
+                    == F.min(F.when(F.col("_q"), F.col("doc_id"))).over(w),
+                    F.lit(False),
+                ),
+            )
+        )
+        nv = ngram_novelty_from_shingle_state(shingle_state).select(
+            "doc_id",
+            (F.col("dup_fraction") <= F.lit(novelty_threshold)).alias("_n"),
+        )
+        flags = qk.join(nv, "doc_id", "left").select(
+            "_q", "_k", F.coalesce(F.col("_n"), F.lit(True)).alias("_n")
+        )
+        return _funnel_report(flags)
+    # Scan path, fused (optimization r17, VERDICT r16 #5): the quality
+    # flags, the dedup fingerprint AND the novelty shingles all derive
+    # from ONE corpus scan/projection — the per-doc (_fp, _q) flags
+    # ride the gram pipeline (first() through the two narrow
+    # aggregates) instead of a second scan-and-tokenize branch joined
+    # back by doc_id. explode_outer keeps gramless (< n tokens) docs
+    # alive as one null-hash row, reproducing the old left join's
+    # "no novelty row → passes trivially" semantics exactly; the
+    # corpus totals use the skew-safe groupBy + SHUFFLE_HASH join
+    # (never a bare window over _h — guide §2.5), and that counting
+    # branch column-prunes to a scan→hash→count pass.
+    base = quality_score(
+        pre.withColumn("_sh", lower_shingle_array(ngram_n)),
+        keep_cols=("_fp", "_sh"),
+    ).select(
+        "doc_id",
+        "_fp",
+        (F.col("quality_score") >= F.lit(quality_threshold)).alias("_q"),
+        "_sh",
+    )
+    g = base.select(
+        "doc_id", "_fp", "_q", F.explode_outer("_sh").alias("_sgl")
+    ).select("doc_id", "_fp", "_q", md5_long(F.col("_sgl")).alias("_h"))
+    tf = g.groupBy("doc_id", "_h").agg(
+        F.count(F.lit(1)).alias("_tf"),
+        F.first("_fp").alias("_fp"),
+        F.first("_q").alias("_q"),
+    )
+    dup_hashes = (
+        tf.groupBy("_h")
+        .agg(F.sum("_tf").alias("_ct"))
+        .filter(F.col("_h").isNotNull() & (F.col("_ct") >= 2))
+        .select("_h", F.lit(True).alias("_dup"))
+    )
+    per_doc = (
+        tf.join(dup_hashes.hint("shuffle_hash"), "_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("_fp").alias("_fp"),
+            F.first("_q").alias("_q"),
+            F.sum(
+                F.when(F.col("_h").isNotNull(), F.col("_tf")).otherwise(0)
+            )
+            .cast("long")
+            .alias("_nn"),
+            F.sum(F.when(F.col("_dup"), F.col("_tf")).otherwise(0))
+            .cast("long")
+            .alias("_nd"),
+        )
+    )
+    # dup_fraction exactly as ngram_novelty computes it; a gramless
+    # doc has _nn = 0 and is never scored — the when() guard keeps the
+    # ANSI division away from it (null fraction → passes trivially,
+    # the old "no novelty row" left-join case)
+    frac = F.when(
+        F.col("_nn") > 0,
+        det_round(
+            F.col("_nd").cast("double") / F.col("_nn").cast("double"), 6
+        ),
+    )
     qk = (
-        quality_score(pre, keep_cols=("_fp",))
-        .select(
+        per_doc.select(
             "doc_id",
             "_fp",
-            (F.col("quality_score") >= F.lit(quality_threshold)).alias("_q"),
+            "_q",
+            F.coalesce(frac <= F.lit(novelty_threshold), F.lit(True)).alias(
+                "_n"
+            ),
         )
         .withColumn(
             "_k",
@@ -1231,19 +1319,7 @@ def curation_funnel(
             ),
         )
     )
-    novelty = (
-        ngram_novelty_from_shingle_state(shingle_state)
-        if shingle_state is not None
-        else ngram_novelty(documents, n=ngram_n)
-    )
-    nv = novelty.select(
-        "doc_id",
-        (F.col("dup_fraction") <= F.lit(novelty_threshold)).alias("_n"),
-    )
-    flags = qk.join(nv, "doc_id", "left").select(
-        "_q", "_k", F.coalesce(F.col("_n"), F.lit(True)).alias("_n")
-    )
-    return _funnel_report(flags)
+    return _funnel_report(qk.select("_q", "_k", "_n"))
 
 
 def _funnel_report(flags: DataFrame) -> DataFrame:

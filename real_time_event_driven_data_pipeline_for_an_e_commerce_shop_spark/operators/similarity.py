@@ -65,13 +65,28 @@ def _cells_array(
     instead of a xk row fan-out + struct-ordered aggregate (which
     plans as SortAggregate) + shuffle. The size>0 guard keeps the
     degenerate empty-quantizer case at zero output rows, exactly the
-    old k-row join's semantics."""
+    old k-row join's semantics.
+
+    INVARIANT (ADVICE r16): ``collect_list`` element order is
+    UNSPECIFIED — every consumer of ``_cents`` (and of the PQ
+    ``_cws`` arrays built the same way) must stay order-independent:
+    ``array_min``/``array_max``/``sort_array`` over (score, ±id)
+    structs, never positional indexing into the array."""
     agg = F.collect_list(
         F.struct(F.col("cid").alias("cid"), F.col(vec_col).alias("cv"))
     ).alias("_cents")
+    # coalesce(1) BEFORE the aggregate (optimization r17, VERDICT r16
+    # #4): the quantizer is KB-sized model data by contract, so a
+    # single-partition input satisfies the aggregate's required
+    # distribution and the planner inserts NO Exchange — the
+    # ObjectHashAggregate pair collapses into one stage. This matters
+    # because every DPP-pruned serve plan DUPLICATES this subtree
+    # under the partition filter's subquery: with the exchange each
+    # serve paid two extra 2-stage collect_list jobs of plan constant.
+    one = cent.coalesce(1)
     if group_cols:
-        return cent.groupBy(*group_cols).agg(agg)
-    return cent.agg(agg).filter(F.size("_cents") > 0)
+        return one.groupBy(*group_cols).agg(agg)
+    return one.agg(agg).filter(F.size("_cents") > 0)
 
 
 def _argmax_cell(vec: Column, cents: Column, with_cv: bool = False) -> Column:
@@ -126,6 +141,66 @@ def _top_cells(
 
     return F.slice(F.sort_array(F.transform(cents, cand), False), 1, n_probe)
 
+
+def _serve_quantizer(
+    embeddings: DataFrame,
+    centroids: DataFrame | None,
+    n_clusters: int,
+    stride: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVF serve tier's ONE quantizer rule (ADVICE r16): a landed
+    centroid table normalizes to ``(cid long, centroid_vec)``;
+    otherwise the default strided-sample quantizer (``id % stride ==
+    0``, first ``n_clusters`` by id — model-free and oracle-
+    mirrorable). Factored so :func:`ivf_topk` and
+    :func:`ivf_probe_tuning` can never drift: the tuning table must
+    measure exactly the index the serve path uses."""
+    if centroids is not None:
+        return centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("centroid_vec").alias("centroid_vec"),
+        )
+    return (
+        embeddings.filter(F.col(id_col) % stride == 0)
+        .orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).cast("long").alias("cid"),
+            as_double(F.col(vec_col)).alias("centroid_vec"),
+        )
+    )
+
+
+def _serve_corpus(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    lists: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    corpus_filter: Column | None = None,
+) -> DataFrame:
+    """The serve tier's ONE corpus rule (ADVICE r16, shared with
+    :func:`_serve_quantizer`): a landed lists zone normalizes to
+    ``(neighbor_id, cluster_id, cvec_corpus)`` — ``cluster_id`` used
+    AS-IS (no cast: wrapping the partition column can defeat DPP
+    insertion) — otherwise the corpus assigns in-plan via the
+    :func:`_ivf_corpus_lists` fold."""
+    if lists is not None:
+        src = lists if corpus_filter is None else lists.filter(
+            corpus_filter
+        )
+        return src.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster_id"),
+            as_double(F.col(vec_col)).alias("cvec_corpus"),
+        )
+    src = (
+        embeddings if corpus_filter is None
+        else embeddings.filter(corpus_filter)
+    )
+    return _ivf_corpus_lists(src, cent, id_col, vec_col)
 
 
 def brute_force_topk(
@@ -509,16 +584,24 @@ def kmeans_parallel_seeds(
             [(i, v) for i, v in enumerate(pool)],
             "cid long, centroid_vec array<double>",
         )
-        # cosine distance to the CLOSEST current seed, one broadcast pass
-        dist = (
-            corpus.join(F.broadcast(cent_df))
-            .select(
-                "vid",
-                "vec",
-                (1.0 - cosine(F.col("vec"), F.col("centroid_vec"))).alias("_d"),
-            )
-            .groupBy("vid")
-            .agg(F.min("_d").alias("d"), F.first("vec").alias("vec"))
+        # cosine distance to the CLOSEST current seed — a per-row fold
+        # over the broadcast cells array (optimization r17, VERDICT
+        # r16 #8: the same _cells_array projection the IVF tier uses).
+        # The old ×|pool| broadcast-join fan-out + groupBy(min,
+        # first(vec)) planned as SortAggregate and shuffled |corpus|
+        # rows WITH their vectors once per round; the fold is one
+        # shuffle-free pass. array_min over per-cell 1−cos keeps the
+        # aggregate-min NaN semantics (NaN sorts largest, so a
+        # degenerate zero-norm cell never wins either way).
+        dist = corpus.join(F.broadcast(_cells_array(cent_df))).select(
+            "vid",
+            "vec",
+            F.array_min(
+                F.transform(
+                    "_cents",
+                    lambda c: F.lit(1.0) - cosine(F.col("vec"), c["cv"]),
+                )
+            ).alias("d"),
         )
         total = dist.agg(F.sum("d").alias("s")).first()["s"] or 0.0
         if total <= 0:
@@ -532,18 +615,18 @@ def kmeans_parallel_seeds(
         [(i, v) for i, v in enumerate(pool)],
         "cid long, centroid_vec array<double>",
     )
+    # per-row argmax cell (same (s, -cid) struct order as the old
+    # groupBy-max, which planned as SortAggregate over the ×|pool|
+    # fan-out), then one map-side-combined count per cid — the only
+    # shuffle is |pool| partial-count rows per task (r17)
     weights_rows = (
-        corpus.join(F.broadcast(cand_df))
+        corpus.join(F.broadcast(_cells_array(cand_df)))
         .select(
-            "vid",
-            F.struct(
-                cosine(F.col("vec"), F.col("centroid_vec")).alias("s"),
-                (-F.col("cid")).alias("nc"),
-            ).alias("_cand"),
+            (-_argmax_cell(F.col("vec"), F.col("_cents"))["nc"]).alias(
+                "cid"
+            )
         )
-        .groupBy("vid")
-        .agg(F.max("_cand").alias("_best"))
-        .groupBy((-F.col("_best.nc")).alias("cid"))
+        .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("w"))
         .collect()
     )
@@ -955,44 +1038,17 @@ def ivf_topk(
     bounded to ``max_cells`` cells each), or keep batches cell-affine
     upstream — route queries to probe-group queues by coarse cell.
     """
-    if centroids is not None:
-        cent = centroids.select(
-            F.col("cid").cast("long").alias("cid"),
-            F.col("centroid_vec").alias("centroid_vec"),
-        )
-    else:
-        cent = (
-            embeddings.filter(F.col(id_col) % stride == 0)
-            .orderBy(F.col(id_col))
-            .limit(n_clusters)
-            .select(
-                F.col(id_col).cast("long").alias("cid"),
-                as_double(F.col(vec_col)).alias("centroid_vec"),
-            )
-        )
-
-    if lists is not None:
-        # serve from a LANDED inverted list (ivf_list_assign's output,
-        # e.g. the streamed ivf_assign zone): membership and vectors
-        # come from the zone scan — partitioned by cluster_id, the
-        # probe join below dynamic-partition-prunes it to the probed
-        # cells' files, and the embeddings table is never rescanned.
-        # cluster_id is used as-is (no cast): wrapping the partition
-        # column in an expression can defeat DPP insertion.
-        src = lists if corpus_filter is None else lists.filter(
-            corpus_filter
-        )
-        corpus = src.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("cluster_id"),
-            as_double(F.col(vec_col)).alias("cvec_corpus"),
-        )
-    else:
-        src = (
-            embeddings if corpus_filter is None
-            else embeddings.filter(corpus_filter)
-        )
-        corpus = _ivf_corpus_lists(src, cent, id_col, vec_col)
+    cent = _serve_quantizer(
+        embeddings, centroids, n_clusters, stride, id_col, vec_col
+    )
+    # lists → serve from the LANDED inverted list (ivf_list_assign's
+    # output, e.g. the streamed ivf_assign zone): membership and
+    # vectors come from the zone scan — partitioned by cluster_id, the
+    # probe join below dynamic-partition-prunes it to the probed
+    # cells' files, and the embeddings table is never rescanned.
+    corpus = _serve_corpus(
+        embeddings, cent, lists, id_col, vec_col, corpus_filter
+    )
 
     # queries × centroids is tiny (|q| × n_clusters) — join + window
     q = queries.select(
@@ -1521,7 +1577,12 @@ def pq_encode(
             )
         ).alias("s", "sv"),
     ).select(F.col("vec_id"), F.col("s").cast("long").alias("s"), "sv")
-    cb_arr = codebook.groupBy("s").agg(
+    # _cws element order is UNSPECIFIED (collect_list — ADVICE r16):
+    # consumers must stay order-independent (array_min over (dist, j)
+    # structs is; never index positionally into _cws). coalesce(1)
+    # kills the aggregate's Exchange — the codebook is m·k rows of
+    # model data (KBs), single-partition by contract (r17).
+    cb_arr = codebook.coalesce(1).groupBy("s").agg(
         F.collect_list(F.struct(F.col("j"), F.col("cw"))).alias("_cws")
     )
     best = sub_rows.join(F.broadcast(cb_arr), "s").select(
@@ -1791,7 +1852,12 @@ def ivfpq_model(
             )
         ).alias("s", "sv"),
     ).select("vec_id", "cluster_id", F.col("s").cast("long").alias("s"), "sv")
-    cb_arr = codebook.groupBy("s").agg(
+    # _cws element order is UNSPECIFIED (collect_list — ADVICE r16):
+    # consumers must stay order-independent (array_min over (dist, j)
+    # structs is; never index positionally into _cws). coalesce(1)
+    # kills the aggregate's Exchange — the codebook is m·k rows of
+    # model data (KBs), single-partition by contract (r17).
+    cb_arr = codebook.coalesce(1).groupBy("s").agg(
         F.collect_list(F.struct(F.col("j"), F.col("cw"))).alias("_cws")
     )
     codes = sub_rows.join(F.broadcast(cb_arr), "s").select(
@@ -2437,29 +2503,13 @@ def ivf_probe_tuning(
     # per-p running sums share one sort), one hit join — vs
     # len(n_probes) full chains.
     pmax = max(n_probes)
-    if centroids is not None:
-        cent = centroids.select(
-            F.col("cid").cast("long").alias("cid"),
-            F.col("centroid_vec"),
-        )
-    else:
-        cent = (
-            embeddings.filter(F.col(id_col) % stride == 0)
-            .orderBy(F.col(id_col))
-            .limit(n_clusters)
-            .select(
-                F.col(id_col).cast("long").alias("cid"),
-                as_double(F.col(vec_col)).alias("centroid_vec"),
-            )
-        )
-    if lists is not None:
-        corpus = lists.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("cluster_id"),
-            as_double(F.col(vec_col)).alias("cvec_corpus"),
-        )
-    else:
-        corpus = _ivf_corpus_lists(embeddings, cent, id_col, vec_col)
+    # the SAME quantizer/corpus rule as ivf_topk (ADVICE r16: factored
+    # into _serve_quantizer/_serve_corpus so the tuning table can never
+    # silently measure a different index than the serve path uses)
+    cent = _serve_quantizer(
+        embeddings, centroids, n_clusters, stride, id_col, vec_col
+    )
+    corpus = _serve_corpus(embeddings, cent, lists, id_col, vec_col)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -2512,6 +2562,19 @@ def ivf_probe_tuning(
             for i, p in enumerate(n_probes)
         ],
     )
+    # Scale-safety (VERDICT r16 #1): the raw flags table has one row
+    # per (query, probed candidate) — size ~ |q|·pmax·|corpus|/k_cells,
+    # linear in the corpus — so it must never be the broadcast side.
+    # Only rows with at least one TRUE in-budget flag can change the
+    # hit sums: an all-false row contributes exactly what a missing
+    # row does (the left join's null flags count 0 under the
+    # when/otherwise), and at most k rows per (query, budget) are
+    # true, so the filtered table is bounded by |q|·k·len(n_probes) —
+    # broadcast-sized by construction, like the exact side.
+    any_in = F.col("_in_0")
+    for _i in range(1, len(n_probes)):
+        any_in = any_in | F.col(f"_in_{_i}")
+    flags = flags.filter(any_in)
     totals = (
         exact.select("query_id", "neighbor_id")
         .join(F.broadcast(flags), ["query_id", "neighbor_id"], "left")
@@ -2987,8 +3050,9 @@ def binary_thresholds(
 def _thresholds_array(thresholds: DataFrame) -> DataFrame:
     """Collapse the (dim_idx, threshold) table to a one-row ordered
     array for broadcast into the encode projection (array_sort on the
-    (dim_idx, threshold) structs pins element order)."""
-    return thresholds.agg(
+    (dim_idx, threshold) structs pins element order). coalesce(1)
+    kills the aggregate's Exchange — d rows of model data (r17)."""
+    return thresholds.coalesce(1).agg(
         F.array_sort(
             F.collect_list(F.struct("dim_idx", "threshold"))
         ).alias("_s")

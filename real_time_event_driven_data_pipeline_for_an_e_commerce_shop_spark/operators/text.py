@@ -1552,20 +1552,33 @@ def ngram_novelty(
     Σ n-grams, never n-grams².
     """
     t = tokens(F.lower(F.col("text")))
-    sz = F.size(t)
-    sh = t
-    for j in range(1, n):
-        shifted = F.slice(t, j + 1, F.greatest(sz - j, F.lit(0)))
-        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    full = F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(0)))
     occ = (
-        documents.select("doc_id", t.alias("_t"), full.alias("_sh"))
+        documents.select(
+            "doc_id", t.alias("_t"), lower_shingle_array(n).alias("_sh")
+        )
         .filter(F.size("_t") >= n)
         .select("doc_id", F.explode("_sh").alias("_sgl"))
         .select("doc_id", md5_long(F.col("_sgl")).alias("_h"))
     )
     tf = occ.groupBy("doc_id", "_h").agg(F.count(F.lit(1)).alias("_tf"))
     return ngram_novelty_from_shingle_state(tf, threshold=threshold)
+
+
+def lower_shingle_array(n: int) -> Column:
+    """Lowercased n-gram array over ``text`` via the O(k) ``zip_with``
+    chain — :func:`ngram_novelty`'s shingle construction, factored
+    (r17) so a composing caller (``curation.curation_funnel``'s fused
+    one-scan path) derives the identical grams from a shared
+    projection. A document with fewer than n tokens yields an EMPTY
+    array (the slice length clamps to 0) — the same docs
+    ``ngram_novelty``'s ``size(_t) >= n`` filter excludes."""
+    t = tokens(F.lower(F.col("text")))
+    sz = F.size(t)
+    sh = t
+    for j in range(1, n):
+        shifted = F.slice(t, j + 1, F.greatest(sz - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(0)))
 
 
 def duplicate_span_removal(
@@ -1599,23 +1612,34 @@ def duplicate_span_removal(
     positions, so the span pass is deliberately scan-served; at 100 TB
     it runs as the periodic corpus-rewrite job it is in production.
     """
-    from pyspark.sql import Window
-
     base = _span_gram_base(documents, n)
     grams = base.select(
         "doc_id", F.posexplode("_sh").alias("g", "_sgl")
     ).select("doc_id", "g", md5_long(F.col("_sgl")).alias("_h"))
-    # corpus occurrence counts as an unordered window over the hash
-    # key (optimization r16, guide §2.4): one shuffle of the gram
-    # stream replaces the groupBy(_h) aggregate + join-back pair —
-    # identical counts, identical surviving (doc, g) rows
-    dup_starts = (
-        grams.withColumn(
-            "_ct", F.count(F.lit(1)).over(Window.partitionBy("_h"))
-        )
+    # Corpus occurrence counts as a MAP-SIDE-COMBINED hash aggregate +
+    # one semi-join (optimization r17, guide §2.5 — skew): the r16
+    # window count over _h had no partial aggregation, so every
+    # occurrence of a hot gram (stop-word boilerplate is Zipfian)
+    # landed in ONE window partition — a single-task straggler and
+    # spill risk at corpus scale that AQE cannot split (skew handling
+    # applies to joins only, never windows). The groupBy partial-
+    # aggregates hot keys on the map side (the counts shuffle carries
+    # one row per distinct gram per map task), the ≥min_count
+    # survivors join back as a left-semi SHUFFLE_HASH join (build =
+    # the filtered hash set, one row per dup gram, evenly hashed;
+    # probe = the gram stream, which AQE skew-join CAN split), and
+    # the counting pass is column-pruned to scan→hash→count — the
+    # classic two-pass exact-substring shape. Same surviving
+    # (doc, g) rows bit-for-bit.
+    dup_hashes = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_ct"))
         .filter(F.col("_ct") >= min_count)
-        .select("doc_id", "g")
+        .select("_h")
     )
+    dup_starts = grams.join(
+        dup_hashes.hint("shuffle_hash"), "_h", "left_semi"
+    ).select("doc_id", "g")
     return _strip_covered_positions(base, dup_starts, n)
 
 
@@ -1771,24 +1795,31 @@ def ngram_novelty_from_shingle_state(
     memorization audit becomes a derivation over live ingest state
     (corpus totals fall out with one hash aggregate). Full-replay
     parity vs the scan-based operator is row-exact."""
-    from pyspark.sql import Window
-
     tf = shingle_state.select("doc_id", "_h", "_tf")
-    # corpus totals as an unordered window sum over the hash key
-    # (optimization r16, guide §2.4): the old groupBy(_h) + join-back
-    # re-shuffled the tf table TWICE (once into the totals aggregate,
-    # once for the join) and re-derived the shingle subtree per branch
-    # when exchange reuse failed under composition; one window over
-    # the same key computes the identical per-row total with a single
-    # tf shuffle and no join build. Sum of longs — values unchanged.
+    # Corpus totals as a MAP-SIDE-COMBINED aggregate + one left join
+    # (optimization r17, guide §2.5 — skew): the r16 window sum over
+    # _h had no partial aggregation, so a hot n-gram hash put every
+    # (doc, _h) row in ONE window partition — a single-task straggler
+    # AQE cannot split (skew handling applies to joins only, never
+    # windows). The groupBy partial-aggregates hot hashes on the map
+    # side; only the ≥2-total survivors come back, via a SHUFFLE_HASH
+    # left join (build = the aggregated dup-hash set, one row per
+    # hash, evenly distributed; probe = the tf stream, which AQE
+    # skew-join CAN split). A null ``_dup`` means the corpus total
+    # was < 2 — the same per-row condition as the old ``_ct >= 2``.
+    # Sums of longs — values unchanged.
+    dup_hashes = (
+        tf.groupBy("_h")
+        .agg(F.sum("_tf").alias("_ct"))
+        .filter(F.col("_ct") >= 2)
+        .select("_h", F.lit(True).alias("_dup"))
+    )
     per_doc = (
-        tf.withColumn(
-            "_ct", F.sum("_tf").over(Window.partitionBy("_h"))
-        )
+        tf.join(dup_hashes.hint("shuffle_hash"), "_h", "left")
         .groupBy("doc_id")
         .agg(
             F.sum("_tf").cast("long").alias("n_ngrams"),
-            F.sum(F.when(F.col("_ct") >= 2, F.col("_tf")).otherwise(0))
+            F.sum(F.when(F.col("_dup"), F.col("_tf")).otherwise(0))
             .cast("long")
             .alias("n_duplicated"),
         )

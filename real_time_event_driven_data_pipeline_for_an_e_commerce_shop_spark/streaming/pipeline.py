@@ -1810,10 +1810,16 @@ def run_embedding_ingest(
         gdir = os.path.join(zone_dir, PQ_MODEL_DIR, f"gen={gen}")
         cb.coalesce(1).write.mode("overwrite").parquet(gdir)
         cb_landed = spark.read.parquet(gdir)
+        # one encode pass per epoch (optimization r17, guide §1.2):
+        # the drift statistic and the codes landing both consume the
+        # encode — a lazy persist materializes it once inside the
+        # gate (micro-batch-bounded rows), so _mean_dist and
+        # _land_epoch read cached blocks instead of each re-running
+        # the full per-row encode; the gate unpersists after landing
         codes_d = pq_encode(
             fit_vecs, cb_landed, n_subspaces=n_subspaces, dim=dim,
             return_dist=True,
-        )
+        ).persist()
         fit_mean = _mean_dist(codes_d)
         _write_pq_meta(
             zone_dir,
@@ -1856,10 +1862,12 @@ def run_embedding_ingest(
                 out, _ = _fit_and_land_model(vecs, 0, epoch_id)
         else:
             cb = read_pq_codebook(spark, zone_dir, meta["gen"])
+            # one encode pass (r17): drift check + landing share the
+            # materialized batch encode instead of re-running it
             encoded = pq_encode(
                 vecs, cb, n_subspaces=n_subspaces, dim=dim,
                 return_dist=True,
-            )
+            ).persist()
             bm = _mean_dist(encoded)
             fit_mean = meta.get("fit_mean_dist")
             if (
@@ -1868,6 +1876,7 @@ def run_embedding_ingest(
                 and fit_mean is not None
                 and bm > drift_refit_factor * fit_mean
             ):
+                encoded.unpersist()  # refit replaces the batch encode
                 committed = _committed_vectors()
                 fit_vecs = (
                     vecs if committed is None
@@ -1893,6 +1902,7 @@ def run_embedding_ingest(
             n_buckets,
             bucket_col="vec_id",
         )
+        out.unpersist()  # batch cache released; streams are long-lived
 
     def _binary_fit_and_land(
         fit_vecs: DataFrame, gen: int, epoch_id: int
@@ -1907,9 +1917,11 @@ def run_embedding_ingest(
         gdir = os.path.join(zone_dir, BINARY_MODEL_DIR, f"gen={gen}")
         thr.coalesce(1).write.mode("overwrite").parquet(gdir)
         thr_landed = spark.read.parquet(gdir)
+        # one encode pass per epoch (r17): the fit_mean_dist agg and
+        # the codes landing share the materialized encode
         codes_d = binary_encode(
             fit_vecs, thr_landed, dim=dim, return_dist=True
-        )
+        ).persist()
         _write_model_meta(
             zone_dir, BINARY_MODEL_DIR,
             {
@@ -1959,9 +1971,10 @@ def run_embedding_ingest(
                 out = _binary_fit_and_land(vecs, 0, epoch_id)
         else:
             thr = read_binary_thresholds(spark, zone_dir, meta["gen"])
+            # one encode pass (r17): drift check + landing share it
             encoded = binary_encode(
                 vecs, thr, dim=dim, return_dist=True
-            )
+            ).persist()
             bm = _mean_dist(encoded)
             fit_mean = meta.get("fit_mean_dist")
             if (
@@ -1970,6 +1983,7 @@ def run_embedding_ingest(
                 and fit_mean is not None
                 and bm > drift_refit_factor * fit_mean
             ):
+                encoded.unpersist()  # refit replaces the batch encode
                 committed = _committed_vectors()
                 fit_vecs = (
                     vecs if committed is None
@@ -1995,6 +2009,7 @@ def run_embedding_ingest(
             n_buckets,
             bucket_col="vec_id",
         )
+        out.unpersist()  # batch cache released; streams are long-lived
 
     def _ivfpq_fit_and_land(
         fit_vecs: DataFrame, gen: int, epoch_id: int
@@ -2020,6 +2035,9 @@ def run_embedding_ingest(
             n_codes=n_codes, dim=dim, stride=stride, cb_stride=cb_stride,
             centroids=cent_l, codebook=cb_l, return_dist=True,
         )
+        # one encode pass per epoch (r17): the drift statistic and the
+        # codes landing share the materialized encode
+        codes_d = codes_d.persist()
         fit_mean = _mean_dist(codes_d)
         _write_model_meta(
             zone_dir, IVFPQ_MODEL_DIR,
@@ -2070,6 +2088,8 @@ def run_embedding_ingest(
                 cb_stride=cb_stride, centroids=model[0],
                 codebook=model[1], return_dist=True,
             )
+            # one encode pass (r17): drift check + landing share it
+            encoded = encoded.persist()
             bm = _mean_dist(encoded)
             fit_mean = meta.get("fit_mean_dist")
             if (
@@ -2078,6 +2098,7 @@ def run_embedding_ingest(
                 and fit_mean is not None
                 and bm > drift_refit_factor * fit_mean
             ):
+                encoded.unpersist()  # refit replaces the batch encode
                 committed = _committed_vectors()
                 fit_vecs = (
                     vecs if committed is None
@@ -2106,6 +2127,7 @@ def run_embedding_ingest(
             # codes ⋈ broadcast(probes) join file-prunes via DPP
             extra_partition_cols=("cluster_id",),
         )
+        out.unpersist()  # batch cache released; streams are long-lived
 
     def _ivf_vecs(batch_df: DataFrame) -> DataFrame:
         """(vec_id, embedding-as-double) — the exact input shape the
@@ -2139,8 +2161,12 @@ def run_embedding_ingest(
         cent_df.coalesce(1).write.mode("overwrite").parquet(gdir)
         # zone-build discipline (ADVICE r10): membership derives from
         # the LANDED centroid table — exactly what serving reads
-        # beside the lists — not the in-memory sibling
-        lists = _ivf_lists(fit_vecs, spark.read.parquet(gdir))
+        # beside the lists — not the in-memory sibling. One assignment
+        # pass per epoch (r17): the fit_mean_dist agg and the lists
+        # landing share the materialized assignment.
+        lists = _ivf_lists(
+            fit_vecs, spark.read.parquet(gdir)
+        ).persist()
         _write_model_meta(
             zone_dir, IVF_MODEL_DIR,
             {
@@ -2181,7 +2207,8 @@ def run_embedding_ingest(
                 out = _ivf_fit_and_land(vecs, 0, epoch_id)
         else:
             cents = read_ivf_centroids(spark, zone_dir, meta["gen"])
-            assigned = _ivf_lists(vecs, cents)
+            # one assignment pass (r17): drift check + landing share it
+            assigned = _ivf_lists(vecs, cents).persist()
             bm = _mean_dist(assigned)
             fit_mean = meta.get("fit_mean_dist")
             if (
@@ -2190,6 +2217,7 @@ def run_embedding_ingest(
                 and fit_mean is not None
                 and bm > drift_refit_factor * fit_mean
             ):
+                assigned.unpersist()  # refit replaces it
                 committed = _committed_vectors()
                 fit_vecs = (
                     vecs if committed is None
@@ -2204,6 +2232,7 @@ def run_embedding_ingest(
                 out = assigned
         cur = _read_model_meta(zone_dir, IVF_MODEL_DIR)
         gen_now = -1 if cur is None else cur["gen"]
+        cached = out  # the persisted lists — released after landing
         if lists_vector_dtype == "float":
             # lossless for float32-contract inputs (see the knob's
             # docstring); the reader promotes back to double
@@ -2225,6 +2254,7 @@ def run_embedding_ingest(
             # only the probed cells' files (DPP on the probe join)
             extra_partition_cols=("cluster_id",),
         )
+        cached.unpersist()  # batch cache released; streams long-lived
 
     def land(batch_df: DataFrame, epoch_id: int) -> None:
         if all(
@@ -3099,6 +3129,9 @@ def run_corpus_ingest(
             dim=dim,
             return_model=True,
         )
+        # one assignment pass per epoch (r17): the fit_mean_dist agg
+        # and the assignment landing share the materialized result
+        assigned = assigned.persist()
         gdir = os.path.join(zone_dir, KMEANS_MODEL_DIR, f"gen={gen}")
         cent_df.coalesce(1).write.mode("overwrite").parquet(gdir)
         _write_kmeans_meta(
@@ -3154,7 +3187,8 @@ def run_corpus_ingest(
                 out = _fit_and_land_model(vecs, 0, epoch_id)
         else:
             cents = read_kmeans_centroids(spark, zone_dir, meta["gen"])
-            assigned = kmeans_assign(vecs, cents)
+            # one assignment pass (r17): drift check + landing share it
+            assigned = kmeans_assign(vecs, cents).persist()
             bm = _mean_dist(assigned)
             fit_mean = meta.get("fit_mean_dist")
             if (
@@ -3163,6 +3197,7 @@ def run_corpus_ingest(
                 and fit_mean is not None
                 and bm > drift_refit_factor * fit_mean
             ):
+                assigned.unpersist()  # refit replaces it
                 out = _fit_and_land_model(
                     _grain_vectors(), meta["gen"] + 1, epoch_id
                 )
@@ -3181,6 +3216,7 @@ def run_corpus_ingest(
             n_buckets,
             bucket_col="doc_id",
         )
+        out.unpersist()  # batch cache released; streams are long-lived
 
     def _bpe_batch_words(grain: DataFrame) -> DataFrame:
         """The batch's weighted word-type slice under the training

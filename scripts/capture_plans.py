@@ -2,7 +2,8 @@
 
 Usage: ``python scripts/capture_plans.py <sf_dir> <suffix> <query ...>``
 
-Writes ``plans/r16/<query>_<suffix>.txt`` for each named query — the
+Writes ``plans/<round>/<query>_<suffix>.txt`` (round from
+$SPARK_GRAFT_PLANS_ROUND, default r17) for each named query — the
 before/after plan evidence the optimization rounds commit (guide §1:
 capture the plan shape for every query you touch). Run from any
 checkout: imports resolve against the script's own repo root, so a
@@ -33,7 +34,8 @@ def main() -> int:
 
     spark = get_spark("capture-plans")
     qs = e.queries()
-    out_dir = os.path.join(ROOT, "plans", "r16")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17")
+    out_dir = os.path.join(ROOT, "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

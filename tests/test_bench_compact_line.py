@@ -91,3 +91,47 @@ def test_compact_line_real_record_fits():
     assert len(line) <= 1950
     d = json.loads(line)
     assert d["value"] == rec["value"]
+
+
+def test_compact_line_prefer_pins_previous_driver_names():
+    """VERDICT r16 #9: names on the previous driver record's parsed
+    line must survive omission even when they are among the FASTEST,
+    so the driver's differ stops reporting speed-ups as drops."""
+    queries = {f"q{i:03d}_{'x' * 18}": 0.1 + i * 0.05 for i in range(120)}
+    # prefer the 40 FASTEST names — exactly the ones the unpinned
+    # order would drop first
+    prefer = tuple(sorted(queries, key=lambda k: queries[k])[:40])
+    line = _compact_line(_record(queries), limit=1600, prefer=prefer)
+    d = json.loads(line)
+    assert len(line) <= 1600
+    assert d.get("queries_omitted", 0) > 0  # the limit does bite
+    assert set(prefer) <= set(d["queries"])  # preferred never dropped
+    # and the accounting still closes
+    assert len(d["queries"]) + d["queries_omitted"] == len(queries)
+
+
+def test_compact_line_prefer_degrades_when_even_prefer_overflows():
+    """If the preferred set alone cannot fit, the line still parses
+    and still fits — preferred names drop last, fastest-first."""
+    queries = {f"q{i:03d}_{'y' * 18}": 1.0 + i for i in range(120)}
+    prefer = tuple(queries)
+    line = _compact_line(_record(queries), limit=400, prefer=prefer)
+    d = json.loads(line)
+    assert len(line) <= 400
+    assert len(d["queries"]) + d.get("queries_omitted", 0) == len(queries)
+    if d["queries"]:
+        # the kept preferred entries are the slowest of the preferred
+        kept_min = min(d["queries"].values())
+        dropped = [
+            round(v, 1) for k, v in queries.items() if k not in d["queries"]
+        ]
+        assert kept_min >= max(dropped) - 0.1
+
+
+def test_prev_driver_queries_reads_newest_bench_record(tmp_path):
+    for n, names in ((2, ["a", "b"]), (5, ["c", "d"])):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {k: 1.0 for k in names}}})
+        )
+    assert bench_mod._prev_driver_queries(str(tmp_path)) == ("c", "d")
+    assert bench_mod._prev_driver_queries(str(tmp_path / "missing")) == ()
