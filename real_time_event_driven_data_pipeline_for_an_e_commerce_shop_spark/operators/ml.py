@@ -523,6 +523,13 @@ def kmeans_fixed(
         # keep_vec: the Lloyd update reads each member's vector off
         # its own argmin row — no assigned⋈vectors join per iteration
         assigned = assign(fit_vecs, cents, keep_vec=True)
+        # Update stays at posexplode (doc, dim) grain: an r17
+        # experiment aggregated dim per-cluster decimal-sum COLUMNS
+        # instead (no ×dim row fan-out) and measured ~1.5-1.9× SLOWER
+        # (doc_kmeans 7.3→11.1 s, ann_ivf_trained 8.2→15.4 s paired
+        # min-of-5) — 64 wide decimal buffers lose to the narrow
+        # exploded hash aggregate. Guide §1.1: keep the measured
+        # winner; values were bit-identical either way.
         upd = (
             assigned
             .select("cid", F.posexplode(F.col("_vec")).alias("_j", "_v"))

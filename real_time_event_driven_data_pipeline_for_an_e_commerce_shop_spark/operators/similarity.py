@@ -479,11 +479,14 @@ def embedding_near_dups_multitable(
     derived in SQL from the same count (``LENGTH(BIN(n-1))`` =
     integer bit-length, bit-exact vs the Python side).
     """
-    v = spread_small_input(
-        embeddings.select(
-            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
-        )
+    # the SPREAD frame feeds the heavy per-row SRP hashing only; the
+    # verify join-backs read the RAW zone scan (r17: the spread
+    # repartition under a broadcast/join side was a pure extra
+    # Exchange of the vector zone — no per-row compute to spread)
+    vr = embeddings.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
     )
+    v = spread_small_input(vr)
     if n_planes is None:
         if plane_stride is None:
             plane_stride = 32
@@ -526,8 +529,12 @@ def embedding_near_dups_multitable(
         .distinct()
     )
     paired = pairs.join(
-        v.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va")), "vec_a"
-    ).join(v.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb")), "vec_b")
+        vr.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va")),
+        "vec_a",
+    ).join(
+        vr.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb")),
+        "vec_b",
+    )
     return paired.select(
         "vec_a",
         "vec_b",

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
@@ -73,6 +75,7 @@ def test_kmeans_centroids_recover_separated_clusters(spark):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_seeds_cover_clusters(spark):
     """k-means|| oversampling seeding: on three well-separated
     directions the deterministic hash-coin sampling must pull seed
@@ -455,6 +458,7 @@ def test_ivfpq_centroid_schema_accepted_both_ways(spark):
     ) == want
 
 
+@pytest.mark.slow
 def test_streamed_zones_probe_join_file_prunes(spark, tmp_path):
     """VERDICT r11 #1 (the two perf-weak entries): the STREAMING-
     landed IVF/IVFPQ zones carry the same cluster_id-partitioned
@@ -733,6 +737,7 @@ def test_store_once_multigen_serve_file_prunes(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_affine_router_over_multigen_streamed_serve(spark, tmp_path):
     """VERDICT r14 #4 — the production serving composition: the
     cell-affinity router over a LIVE multi-generation store-once zone.

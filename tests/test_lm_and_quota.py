@@ -405,6 +405,7 @@ def test_bpe_learn_merges_matches_reference_bpe(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_bpe_checkpointing_bounds_plan_depth_and_preserves_values(
     spark, tmp_path
 ):

@@ -16,7 +16,20 @@ SF = "/root/testdata/sf0.001"
 ARROW_BATCHED_OK = {"media_features", "winnowing_fingerprint", "activity_dtw_topk"}
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+#: Queries whose CONSTRUCTION executes streaming micro-batches / full
+#: model-zone builds before any plan exists (~15-40 s each at sf0.001).
+#: Their plan lint runs in the `slow` group; the batch twins sharing
+#: the same operator helpers stay linted in the default run.
+def _plan_params():
+    return [
+        pytest.param(n, marks=pytest.mark.slow)
+        if ("stream" in n or n == "kmeans_fit_report")
+        else n
+        for n in sorted(QUERIES)
+    ]
+
+
+@pytest.mark.parametrize("name", _plan_params())
 def test_query_plan_has_no_python_udf(spark, name):
     plan = (
         QUERIES[name](spark, SF)

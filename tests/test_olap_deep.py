@@ -5,6 +5,8 @@ ties (Q15)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
@@ -404,6 +406,7 @@ def test_featurize_quality_is_case_sensitive(spark):
     assert row["ttr"] == 1.0
 
 
+@pytest.mark.slow
 def test_pagerank_converged_checkpointed(spark, tmp_path):
     """pagerank_converged (VERDICT r7 #6): (a) with convergence
     disabled it is bit-identical to the fixed-count form at the same

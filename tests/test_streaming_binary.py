@@ -7,6 +7,7 @@ build (binary_thresholds + binary_encode over the same corpus)."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 import pyspark.sql.functions as F
@@ -78,6 +79,7 @@ def test_binary_gate_single_epoch_matches_batch_build(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_binary_gate_incremental_then_drift_refit(spark, tmp_path):
     """Three waves: wave 1 fits gen 0; wave 2 is ENCODED against the
     frozen landed thresholds (no refit — the merged codes equal the

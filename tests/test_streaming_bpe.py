@@ -7,6 +7,7 @@ vs the batch learn over the same corpus."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 import pyspark.sql.functions as F
@@ -77,6 +78,7 @@ def _run(spark, raw, zone, ckpt, prefix):
     )
 
 
+@pytest.mark.slow
 def test_bpe_gate_learn_fold_drift_replay_compact(spark, tmp_path):
     """The full lifecycle: wave 1 learns gen 0 (bit-equal to the
     batch bpe_learn_merges_from_words over the same word counts);

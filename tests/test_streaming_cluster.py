@@ -47,6 +47,7 @@ def _batch_seam(spark, docs, zone):
     return ml.kmeans_fixed(states["fh_vectors"], k=4, iterations=3, dim=64)
 
 
+@pytest.mark.slow
 def test_cluster_gate_single_epoch_matches_batch_seam(spark, tmp_path):
     """One delivery = one epoch: the gate's gen-0 fit runs on exactly
     the corpus the batch seam fits on, so the landed assignment is
@@ -82,6 +83,7 @@ def test_cluster_gate_single_epoch_matches_batch_seam(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_cluster_gate_incremental_then_drift_refit(spark, tmp_path):
     """Three waves: wave 1 fits (gen 0); wave 2 is ASSIGNED against
     the frozen landed centroids (no refit — exactly kmeans_assign's

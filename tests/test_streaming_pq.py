@@ -7,6 +7,8 @@ pq_encode over the same corpus)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyspark.sql.functions as F
@@ -273,6 +275,7 @@ def _dvecs(df):
     )
 
 
+@pytest.mark.slow
 def test_ivf_gate_incremental_then_drift_refit(spark, tmp_path):
     """The trained-IVF twin: wave 1 runs the gen-0 Lloyd fit (equal to
     kmeans_fixed over the same vectors — the batch _ivf_model_zone
@@ -416,6 +419,7 @@ def test_pq_reader_empty_before_any_model(spark, tmp_path):
     assert df.count() == 0
 
 
+@pytest.mark.slow
 def test_store_once_mode_drops_flat_zone_and_refits_from_lists(
     spark, tmp_path
 ):
@@ -528,6 +532,7 @@ def test_store_once_mode_drops_flat_zone_and_refits_from_lists(
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_store_once_ivfpq_only_mode(spark, tmp_path):
     """VERDICT r12 #3 — the IVFPQ-only store-once deployment: the
     corpus lives as codes + a retained strided fit-diet sample, no
@@ -826,6 +831,7 @@ def test_store_once_ivfpq_only_mode(spark, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+@pytest.mark.slow
 def test_float32_lists_zone_is_lossless_and_smaller(spark, tmp_path):
     """lists_vector_dtype="float" (r13): the IVF lists zone stores the
     vector column as array<float> — lossless for the ingest contract's
@@ -937,6 +943,7 @@ def test_float32_lists_zone_is_lossless_and_smaller(spark, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+@pytest.mark.slow
 def test_lists_vector_dtype_auto_resolves_from_ingest_schema(
     spark, tmp_path
 ):

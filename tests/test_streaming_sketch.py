@@ -76,6 +76,7 @@ def test_streamed_cms_cells_match_batch_sketch(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_cms_cells_compaction_folds_epochs(spark, tmp_path):
     """VERDICT r10 #8: compact_cms_cells folds the accumulated cell
     epochs into ONE pre-summed epoch — read_cms_cells returns the

@@ -9,6 +9,8 @@ degrade to a well-formed sentinel row instead of raising."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyspark.sql.functions as F
@@ -243,6 +245,7 @@ def test_freshness_rejects_unknown_mode(spark, tmp_path):
         ).collect()
 
 
+@pytest.mark.slow
 def test_auto_compact_every_folds_epochs_and_preserves_serving(
     spark, tmp_path
 ):
@@ -342,6 +345,7 @@ def test_auto_compact_every_rejects_bad_values(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_auto_compact_interleaves_with_drift_refit(spark, tmp_path):
     """auto_compact_every × drift refit: a fold firing BETWEEN waves
     must not perturb the refit — the refit diet reads the fit_sample
@@ -419,6 +423,7 @@ def test_auto_compact_interleaves_with_drift_refit(spark, tmp_path):
         _drop_tables(spark, "t_acdr_plain_")
 
 
+@pytest.mark.slow
 def test_corpus_auto_compact_preserves_every_gate_state(
     spark, tmp_path
 ):
